@@ -1,0 +1,26 @@
+"""deltaray — a Ray-Data-native CDC / incremental-ingest engine.
+
+Re-expresses the capabilities of CDAP Delta (reference: /root/reference,
+io.cdap.delta) as an idiomatic Ray Data pipeline over a Parquet lake of
+pre-tokenized training sequences:
+
+- change events (INSERT/UPDATE/DELETE DML + DDL) live in a partitioned
+  Parquet event log, not a BlockingQueue (ref: delta-app/.../DeltaWorker.java:114);
+- ordering is per-key (doc_id, seq), enforced by a hash-partition shuffle +
+  last-writer-wins reduction instead of a single consumer thread
+  (ref: delta-api/.../EventEmitter.java:20-23);
+- exactly-once = idempotent write-once commit files keyed
+  (partition, seq_range) instead of an (offset, seq) checkpoint service
+  (ref: delta-api/.../EventConsumer.java:39-76);
+- schema evolution = Arrow schema unification per partition at DDL barriers
+  (ref: delta-api/.../DDLEvent.java:31-55).
+
+No function in this package calls ray.init()/ray.shutdown(); callers own
+the Ray session.
+"""
+
+from deltaray.config import ReplayConfig, TableConfig
+from deltaray.pipeline import replay
+from deltaray.oracle import replay_oracle
+
+__all__ = ["ReplayConfig", "TableConfig", "replay", "replay_oracle"]

@@ -1,0 +1,243 @@
+"""Lake layout, write-once commit log, lineage records, schema registry.
+
+Replaces the reference's state-store service stack
+(HCFSStateStore.java:47-156, DBReplicationOffsetStore.java:42-109,
+DBReplicationStateStore.java:43-139, RemoteStateStore.java:32-89) with
+plain files on the shared lake filesystem — Ray workers write checkpoints
+directly, no HTTP hop.
+
+Layout (resumable output, one directory per hash partition):
+
+    lake/
+      <generation>/
+        <table>/
+          _schema/schema-<seq12>.json      # TableSchema after each DDL
+          _truncate/trunc-<seq12>.json     # TRUNCATE_TABLE markers
+          _commits/part=<K5>/commit-<lo12>-<hi12>.json
+          _chunks/chunk-<lo12>-<hi12>.done # driver chunk-complete marker
+          part=<K5>/data-<hi12>.parquet    # COW snapshot of the partition
+      _lineage/...                          # per-partition lineage records
+
+Exactly-once contract (EventConsumer.java:39-76 analog): the data file is
+written (temp + atomic rename, deterministic name) BEFORE its commit
+record; a commit record is write-once; any retried merge that finds its
+commit record is a no-op.  The commit unit is (partition, seq_range) —
+the Ray translation of the (offset, sequenceNumber) checkpoint
+(OffsetAndSequence.java:26-41, DeltaTargetContext.commitOffset:44-58).
+
+``generation`` isolates recreated pipelines (DeltaWorker.java:140-150).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from deltaray.schemas import TableSchema
+
+
+def _seq12(s: int) -> str:
+    return f"{int(s):012d}"
+
+
+def atomic_write_json(path: str, obj: dict) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+def atomic_write_parquet(path: str, tbl: pa.Table) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    os.close(fd)
+    pq.write_table(tbl, tmp, compression="zstd")
+    os.replace(tmp, path)
+
+
+class LakeState:
+    """Paths + small-state helpers for one lake generation.
+
+    All methods are safe to call from any worker — state is files, reads
+    are directory listings (cheap: one dir per partition / table).
+    """
+
+    def __init__(self, lake: str, generation: int = 0):
+        self.root = os.path.join(lake, f"gen={generation:04d}")
+
+    # -------------------------------------------------------------- paths
+    def table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def part_dir(self, table: str, part: int) -> str:
+        return os.path.join(self.table_dir(table), f"part={part:05d}")
+
+    def data_path(self, table: str, part: int, seq_hi: int) -> str:
+        return os.path.join(self.part_dir(table, part), f"data-{_seq12(seq_hi)}.parquet")
+
+    def commit_dir(self, table: str, part: int) -> str:
+        return os.path.join(self.table_dir(table), "_commits", f"part={part:05d}")
+
+    def commit_path(self, table: str, part: int, lo: int, hi: int) -> str:
+        return os.path.join(
+            self.commit_dir(table, part), f"commit-{_seq12(lo)}-{_seq12(hi)}.json"
+        )
+
+    def chunk_marker(self, table: str, lo: int, hi: int) -> str:
+        return os.path.join(
+            self.table_dir(table), "_chunks", f"chunk-{_seq12(lo)}-{_seq12(hi)}.done"
+        )
+
+    # ------------------------------------------------------------- schema
+    def write_schema(self, schema: TableSchema) -> None:
+        path = os.path.join(
+            self.table_dir(schema.name), "_schema", f"schema-{_seq12(schema.version_seq)}.json"
+        )
+        atomic_write_json(path, json.loads(schema.to_json()))
+
+    def schemas_for(self, table: str) -> list[TableSchema]:
+        d = os.path.join(self.table_dir(table), "_schema")
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in sorted(os.listdir(d)):
+            if f.startswith("schema-") and f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    out.append(TableSchema.from_json(fh.read()))
+        return out
+
+    def current_schema(self, table: str) -> TableSchema | None:
+        ss = self.schemas_for(table)
+        return ss[-1] if ss else None
+
+    def list_tables(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d)) and not d.startswith("_")
+        )
+
+    # ----------------------------------------------------------- truncate
+    def write_truncate(self, table: str, seq: int) -> None:
+        path = os.path.join(
+            self.table_dir(table), "_truncate", f"trunc-{_seq12(seq)}.json"
+        )
+        atomic_write_json(path, {"table": table, "seq": int(seq)})
+
+    def truncate_seqs(self, table: str) -> list[int]:
+        d = os.path.join(self.table_dir(table), "_truncate")
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[len("trunc-"):-len(".json")]) for f in os.listdir(d)
+            if f.startswith("trunc-")
+        )
+
+    # ------------------------------------------------------------ commits
+    def list_commits(self, table: str, part: int) -> list[dict]:
+        """Commits for one partition, ascending by seq_hi."""
+        d = self.commit_dir(table, part)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in sorted(os.listdir(d)):
+            if f.startswith("commit-") and f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def latest_commit(self, table: str, part: int) -> dict | None:
+        cs = self.list_commits(table, part)
+        return cs[-1] if cs else None
+
+    def committed_hi(self, table: str, part: int) -> int:
+        """Max committed seq for the partition — the resume watermark
+        (DeltaContext.java:159-162 analog)."""
+        c = self.latest_commit(table, part)
+        return int(c["seq_hi"]) if c else 0
+
+    def try_commit(
+        self,
+        table: str,
+        part: int,
+        lo: int,
+        hi: int,
+        data_tbl: pa.Table,
+        counts: dict,
+    ) -> dict:
+        """Write the COW data file then the write-once commit record.
+
+        Idempotent: if the commit record already exists the merge was
+        already applied (a Ray task retry or a resumed run) — return the
+        existing record untouched, do NOT double-count metrics
+        (clear-on-restart semantics, MetricsHandler.java:117-133,
+        DeltaPipelineStateStoreBaseTest.java:388-392).
+        """
+        cpath = self.commit_path(table, part, lo, hi)
+        if os.path.exists(cpath):
+            with open(cpath) as f:
+                rec = json.load(f)
+            rec["replayed"] = True
+            return rec
+        dpath = self.data_path(table, part, hi)
+        atomic_write_parquet(dpath, data_tbl)
+        rec = {
+            "table": table,
+            "part": int(part),
+            "seq_lo": int(lo),
+            "seq_hi": int(hi),
+            "file": os.path.basename(dpath),
+            "rows": int(data_tbl.num_rows),
+            "counts": counts,
+            "replayed": False,
+        }
+        atomic_write_json(cpath, rec)
+        return rec
+
+    # -------------------------------------------------------------- reads
+    def read_partition(self, table: str, part: int, before_seq: int | None = None) -> tuple[pa.Table | None, int]:
+        """Current state of a partition: the data file of the latest commit
+        (optionally the latest with seq_hi < before_seq), honoring
+        TRUNCATE markers.  Returns (table_or_None, committed_hi)."""
+        commits = self.list_commits(table, part)
+        if before_seq is not None:
+            commits = [c for c in commits if c["seq_hi"] < before_seq]
+        if not commits:
+            return None, 0
+        last = commits[-1]
+        truncs = [s for s in self.truncate_seqs(table) if s > last["seq_hi"]]
+        if truncs and (before_seq is None or min(truncs) < before_seq):
+            return None, int(last["seq_hi"])
+        path = os.path.join(self.part_dir(table, part), last["file"])
+        return pq.read_table(path), int(last["seq_hi"])
+
+    # ------------------------------------------------------------ lineage
+    def write_lineage(self, table: str, part: int, record: dict) -> None:
+        """Per-partition lineage record (PipelineStateService.java:40-127 /
+        replication-state analog): {state, last_seq, file, counts, error?}."""
+        path = os.path.join(self.root, "_lineage", table, f"part={part:05d}.json")
+        atomic_write_json(path, record)
+
+    def read_lineage(self, table: str, part: int) -> dict | None:
+        path = os.path.join(self.root, "_lineage", table, f"part={part:05d}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    # ------------------------------------------------------------ metrics
+    def write_metrics(self, metrics: dict) -> None:
+        atomic_write_json(os.path.join(self.root, "_metrics", "metrics.json"), metrics)
+
+    def read_metrics(self) -> dict | None:
+        path = os.path.join(self.root, "_metrics", "metrics.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)

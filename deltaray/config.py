@@ -1,0 +1,127 @@
+"""Pipeline configuration — mirror of the reference's DeltaConfig
+(delta-proto/.../proto/DeltaConfig.java:42-127, validation :170-202) plus
+Ray-specific physical knobs.
+
+Reference semantics preserved:
+- per-table column whitelists (SourceTable.java:69-72);
+- global + per-table DML/DDL blacklists, expanded per table at init
+  (DeltaWorker.java:224-236);
+- CREATE_TABLE can never be blacklisted, DROP_DATABASE is blacklisted by
+  default (DeltaConfig.java:111-115, QueueingEventEmitter.java:96-112);
+- per-(table, column) transformation directive chains
+  (delta-proto/.../proto/TableTransformation.java:27-64,
+  ColumnTransformation.java:24-53);
+- retry config (RetryConfig.java:25-40).
+- ORDERED vs UN_ORDERED source (SourceProperties.java:24-51): UN_ORDERED
+  resolves last-writer by (source_ts, sort_keys, seq) instead of seq.
+
+Macro evaluation (${key} substitution, DefaultMacroEvaluator.java) is
+provided by ``expand_macros``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class TableConfig:
+    """SourceTable analog (delta-api/.../api/SourceTable.java:28-91)."""
+
+    name: str
+    columns: list[str] | None = None  # whitelist; None = all
+    dml_blacklist: set[str] = field(default_factory=set)
+    ddl_blacklist: set[str] = field(default_factory=set)
+    # ordered directive chain applied to DML rows and DDL schemas:
+    # list of directive strings, e.g. "rename source origin",
+    # "set-default source web", "mask tokens 0 4"
+    # (TransformationUtil.parseDirectiveName:46-52 — first token = name)
+    transformations: list[str] = field(default_factory=list)
+
+
+@dataclass
+class RetryConfig:
+    """RetryConfig.java:25-40 analog (bounded retry of the apply stage)."""
+
+    max_duration_seconds: int = 0  # 0 = unlimited
+    delay_seconds: float = 0.1
+
+
+@dataclass
+class ReplayConfig:
+    event_log: str = ""            # directory of event-log segments
+    lake: str = ""                 # lake root directory
+    tables: list[TableConfig] = field(default_factory=list)  # empty = all tables
+    dml_blacklist: set[str] = field(default_factory=set)     # global
+    ddl_blacklist: set[str] = field(default_factory=lambda: {"DROP_DATABASE"})
+    ordering: str = "ORDERED"      # or "UN_ORDERED"
+    retry: RetryConfig = field(default_factory=RetryConfig)
+
+    # --- physical knobs (Ray side) ---
+    num_partitions: int = 32       # hash partitions per table (hash(doc_id) % P)
+    chunk_max_events: int = 2_000_000  # replay chunk size (resume granularity)
+    batch_size: int = 16384        # map_batches batch size for transforms
+    merge_concurrency: int | None = None  # actor/task parallelism of merge stage
+    generation: int = 0            # run generation; isolates recreated pipelines
+                                   # (DeltaWorker.java:140-150)
+
+    def __post_init__(self):
+        self.validate()
+
+    def validate(self) -> None:
+        """DeltaConfig.validatePipeline analog (DeltaConfig.java:170-202)."""
+        if not self.event_log:
+            raise ValueError("event_log is required")
+        if not self.lake:
+            raise ValueError("lake is required")
+        if self.ordering not in ("ORDERED", "UN_ORDERED"):
+            raise ValueError(f"bad ordering {self.ordering!r}")
+        if self.num_partitions < 1:
+            raise ValueError("num_partitions must be >= 1")
+        for bl in [self.ddl_blacklist] + [t.ddl_blacklist for t in self.tables]:
+            # CREATE_TABLE can never be blacklisted
+            # (QueueingEventEmitter.java:101-104 does remove(CREATE_TABLE))
+            bl.discard("CREATE_TABLE")
+        seen = set()
+        for t in self.tables:
+            if t.name in seen:
+                raise ValueError(f"duplicate table config: {t.name}")
+            seen.add(t.name)
+
+    # effective per-table blacklists = global ∪ per-table
+    # (DeltaWorker.java:224-236)
+    def dml_blacklist_for(self, table: str) -> set[str]:
+        tc = self.table_config(table)
+        return self.dml_blacklist | (tc.dml_blacklist if tc else set())
+
+    def ddl_blacklist_for(self, table: str) -> set[str]:
+        tc = self.table_config(table)
+        bl = self.ddl_blacklist | (tc.ddl_blacklist if tc else set())
+        bl.discard("CREATE_TABLE")
+        return bl
+
+    def table_config(self, table: str) -> TableConfig | None:
+        for t in self.tables:
+            if t.name == table:
+                return t
+        return None
+
+    @property
+    def table_names(self) -> set[str]:
+        return {t.name for t in self.tables}
+
+
+_MACRO = re.compile(r"\$\{([^}]+)\}")
+
+
+def expand_macros(value: str, args: dict[str, str]) -> str:
+    """${key} substitution from runtime args
+    (delta-app/.../store/DefaultMacroEvaluator.java analog)."""
+    def sub(m: re.Match) -> str:
+        k = m.group(1)
+        if k not in args:
+            raise KeyError(f"macro {k!r} not provided")
+        return args[k]
+
+    return _MACRO.sub(sub, value)

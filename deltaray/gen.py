@@ -1,0 +1,324 @@
+"""Deterministic synthetic base table + change-event log generator.
+
+Plays the role of the reference's mock source
+(delta-test/.../mock/MockEventReader.java:35-83 replays a pre-set event
+list; delta-test harness events are built in
+DeltaPipelineStateStoreBaseTest.java:83-116): a seeded generator writes a
+Parquet event log that the engine replays and the oracle defines semantics
+for.  Everything is derived from ``seed`` — same seed, same log.
+
+Log layout (FIXTURES.md §2): ``out_dir/events-<segid>-<lo>-<hi>.parquet``
+segments; a new segment starts at every DDL event (so no file spans a
+schema change) and every ``segment_max_events`` rows (file-level seq
+pruning for resume).  A ``manifest.json`` lists segments.
+
+Event mix: 60% UPDATE / 25% INSERT / 15% DELETE over a Zipf-ish key
+distribution (hot keys exercise the two-phase LWW pre-reduction).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from deltaray.schemas import (
+    TableSchema,
+    ddl_payload,
+    default_table_schema,
+    event_log_schema,
+    apply_ddl,
+)
+
+VOCAB = 50257
+EPOCH_US = 1704067200_000000  # 2024-01-01 UTC in microseconds
+SOURCES = ("web", "books", "code", "wiki")
+
+
+def _token_lists(rng: np.random.Generator, n: int, max_len: int = 64) -> pa.ListArray:
+    """n random token arrays, lengths 1..max_len, values [0, VOCAB)."""
+    lens = rng.integers(1, max_len + 1, size=n, dtype=np.int32)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    values = rng.integers(0, VOCAB, size=int(offsets[-1]), dtype=np.int32)
+    return pa.ListArray.from_arrays(pa.array(offsets), pa.array(values))
+
+
+def gen_base(n_docs: int, seed: int = 42, table: str = "docs") -> pa.Table:
+    """Initial snapshot table of the input_hint shape
+    (doc_id:string, tokens:list<int32>, n_tok:int32, source:string)."""
+    rng = np.random.default_rng(seed)
+    doc_id = pa.array([f"{table}-doc{i:08d}" for i in range(n_docs)])
+    tokens = _token_lists(rng, n_docs)
+    n_tok = pa.compute.list_value_length(tokens).cast(pa.int32())
+    source = pa.array(rng.choice(SOURCES, size=n_docs))
+    return pa.table(
+        {"doc_id": doc_id, "tokens": tokens, "n_tok": n_tok, "source": source}
+    )
+
+
+def _zipf_probs(n: int, a: float) -> np.ndarray:
+    p = 1.0 / np.arange(1, n + 1, dtype=np.float64) ** a
+    return p / p.sum()
+
+
+class _TableState:
+    """Per-table generation state: live keys + current rows (for prev_tokens
+    and for the extra DDL-added payload columns)."""
+
+    def __init__(self, name: str, n_docs: int, rng: np.random.Generator):
+        self.name = name
+        self.schema = default_table_schema(name)
+        self.base = gen_base(n_docs, int(rng.integers(0, 2**31)), table=name)
+        self.next_id = n_docs
+        # key -> tokens (python list) for prev_tokens tracking
+        self.tokens: dict[str, list[int]] = {}
+        self.extra_cols: list[tuple[str, list[str]]] = []  # (name, choices)
+
+
+def write_event_log(
+    out_dir: str,
+    *,
+    n_docs: int = 1_000,
+    n_events: int = 5_000,
+    seed: int = 42,
+    tables: tuple[str, ...] = ("docs",),
+    ddl: list[tuple[int, str, str, dict]] | None = None,
+    unordered: bool = False,
+    track_prev: bool = True,
+    zipf_a: float = 1.1,
+    hot_key_frac: float = 0.0,
+    segment_max_events: int = 250_000,
+    mix: tuple[float, float, float] = (0.25, 0.60, 0.15),  # INSERT/UPDATE/DELETE
+) -> dict:
+    """Write a change-event log; returns the manifest (also saved as
+    ``manifest.json``).
+
+    ``ddl``: list of (stream_index, table, op, kwargs); kwargs per op:
+      ALTER_TABLE  {"add": (name, code), "choices": [...]} (string cols)
+      RENAME_COLUMN {"rename": (old, new)}
+      TRUNCATE_TABLE {}
+      DROP_TABLE {}
+    ``hot_key_frac``: fraction of UPDATE/DELETE events aimed at one single
+    hot key (skew scenario; north_rule salting test).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    ddl = sorted(ddl or [], key=lambda d: d[0])
+
+    states = {t: _TableState(t, n_docs, rng) for t in tables}
+
+    seq = 0
+    segid = 0
+    segments: list[dict] = []
+
+    def write_segment(rows: list[dict], schema_union: pa.Schema):
+        nonlocal segid
+        if not rows:
+            return
+        lo, hi = rows[0]["seq"], rows[-1]["seq"]
+        cols = {}
+        for f in schema_union.names:
+            cols[f] = [r.get(f) for r in rows]
+        tbl = pa.table(cols, schema=schema_union)
+        path = os.path.join(out_dir, f"events-{segid:05d}-{lo:012d}-{hi:012d}.parquet")
+        pq.write_table(tbl, path)
+        segments.append(
+            {
+                "path": path,
+                "seq_lo": int(lo),
+                "seq_hi": int(hi),
+                "n_rows": len(rows),
+                "columns": schema_union.names,
+            }
+        )
+        segid += 1
+
+    def union_schema() -> pa.Schema:
+        """Union of meta + all live tables' payload columns."""
+        fields: dict[str, pa.Field] = {}
+        merged = None
+        for st in states.values():
+            s = event_log_schema(st.schema)
+            for f in s:
+                if f.name not in fields:
+                    fields[f.name] = f
+            merged = s
+        assert merged is not None
+        # stable order: seq/op/table, payload cols in first-seen order, meta tail
+        names = list(fields)
+        return pa.schema([fields[n] for n in names])
+
+    buffer: list[dict] = []
+
+    def flush():
+        nonlocal buffer
+        write_segment(buffer, union_schema())
+        buffer = []
+
+    def ts_of(s: int) -> int:
+        return EPOCH_US + s * 1000
+
+    def emit(row: dict):
+        nonlocal seq
+        seq += 1
+        row["seq"] = seq
+        row.setdefault("ingest_ts", ts_of(seq))
+        row.setdefault("source_ts", ts_of(seq))
+        row.setdefault("is_snapshot", False)
+        buffer.append(row)
+        if len(buffer) >= segment_max_events:
+            flush()
+
+    # ---------------- snapshot phase: CREATE_TABLE + base INSERTs ----------
+    for t in tables:
+        st = states[t]
+        emit(
+            {
+                "op": "CREATE_TABLE",
+                "table": t,
+                "ddl_payload": ddl_payload("CREATE_TABLE", schema=st.schema),
+                "is_snapshot": True,
+            }
+        )
+        b = st.base
+        toks_col = b["tokens"].to_pylist()
+        ids = b["doc_id"].to_pylist()
+        srcs = b["source"].to_pylist()
+        for i in range(len(ids)):
+            st.tokens[ids[i]] = toks_col[i]
+            emit(
+                {
+                    "op": "INSERT",
+                    "table": t,
+                    "doc_id": ids[i],
+                    "tokens": toks_col[i],
+                    "n_tok": len(toks_col[i]),
+                    "source": srcs[i],
+                    "is_snapshot": True,
+                }
+            )
+
+    # ---------------- streaming phase -------------------------------------
+    p_ins, p_upd, p_del = mix
+    ops = rng.choice(
+        np.array(["INSERT", "UPDATE", "DELETE"]), size=n_events, p=[p_ins, p_upd, p_del]
+    )
+    tbl_choice = rng.choice(np.array(list(tables)), size=n_events)
+    zipf_p = {t: _zipf_probs(n_docs, zipf_a) for t in tables}
+    key_ranks = rng.choice(n_docs, size=n_events, p=zipf_p[tables[0]])
+    hot_mask = rng.random(n_events) < hot_key_frac
+    tok_arrays = _token_lists(rng, n_events)
+    tok_lists = tok_arrays.to_pylist()
+    src_choice = rng.choice(SOURCES, size=n_events)
+    extra_vals = rng.random(n_events)  # reused for DDL-added column choices
+
+    # unordered timing: pair up events so source_ts has duplicates resolved
+    # by sort_keys (SortKey tiebreaker, SortKey.java:26-41); a bounded-window
+    # permutation makes arrival order != logical order.
+    if unordered:
+        offs = np.arange(n_events, dtype=np.int64)
+        W = 16
+        for blk in range(0, n_events - (n_events % W), W):
+            offs[blk : blk + W] = offs[blk : blk + W][rng.permutation(W)]
+        src_ts_off = offs // 2  # duplicates in pairs
+    ddl_iter = iter(ddl)
+    next_ddl = next(ddl_iter, None)
+
+    for i in range(n_events):
+        while next_ddl is not None and next_ddl[0] <= i:
+            _, dt, dop, kw = next_ddl
+            st = states.get(dt)
+            flush()  # DDL barrier: no segment spans a schema change
+            payload_kw: dict = {}
+            if dop == "ALTER_TABLE" and "add" in kw:
+                payload_kw["add"] = kw["add"]
+            if dop == "RENAME_COLUMN":
+                payload_kw["rename"] = kw["rename"]
+            emit(
+                {
+                    "op": dop,
+                    "table": dt,
+                    "ddl_payload": ddl_payload(dop, **payload_kw),
+                }
+            )
+            flush()
+            if st is not None:
+                new_schemas = apply_ddl(
+                    {dt: st.schema}, dt, dop, ddl_payload(dop, **payload_kw), seq
+                )
+                if dop == "ALTER_TABLE" and "add" in kw:
+                    st.extra_cols.append((kw["add"][0], kw.get("choices", ["x", "y", "z"])))
+                if dop == "RENAME_COLUMN":
+                    old, new = kw["rename"]
+                    st.extra_cols = [
+                        (new if n == old else n, c) for n, c in st.extra_cols
+                    ]
+                if dop == "TRUNCATE_TABLE":
+                    st.tokens.clear()
+                if dop == "DROP_TABLE":
+                    del states[dt]
+                else:
+                    st.schema = new_schemas[dt]
+            next_ddl = next(ddl_iter, None)
+
+        t = str(tbl_choice[i])
+        if t not in states:
+            continue
+        st = states[t]
+        op = str(ops[i])
+        row: dict = {"op": op, "table": t}
+        key_col = st.schema.key
+        if op == "INSERT":
+            st.next_id += 1
+            key = f"{t}-doc{st.next_id:08d}"
+        else:
+            rank = 0 if hot_mask[i] else int(key_ranks[i])
+            key = f"{t}-doc{rank:08d}"
+        row[key_col] = key
+        if unordered:
+            row["source_ts"] = ts_of(0) + int(src_ts_off[i]) * 1000 + 10**12
+            row["sort_keys"] = [seq + 1]
+        if op == "DELETE":
+            if track_prev:
+                row["prev_tokens"] = st.tokens.get(key)
+            st.tokens.pop(key, None)
+        else:
+            toks = tok_lists[i]
+            if op == "UPDATE" and track_prev:
+                row["prev_tokens"] = st.tokens.get(key)
+            st.tokens[key] = toks
+            # payload columns under the *current* schema
+            names = {n for n, _ in st.schema.fields}
+            tok_name = "tokens" if "tokens" in names else next(
+                (n for o, n in st.schema.renames.items() if o == "tokens"), "tokens"
+            )
+            row[tok_name] = toks
+            if "n_tok" in names:
+                row["n_tok"] = len(toks)
+            src_name = "source" if "source" in names else st.schema.renames.get(
+                "source", None
+            )
+            if src_name and src_name in names:
+                row[src_name] = str(src_choice[i])
+            for cname, choices in st.extra_cols:
+                if cname in names:
+                    row[cname] = choices[int(extra_vals[i] * len(choices)) % len(choices)]
+        emit(row)
+
+    flush()
+    manifest = {
+        "seed": seed,
+        "n_docs": n_docs,
+        "n_events": n_events,
+        "tables": list(tables),
+        "unordered": unordered,
+        "max_seq": seq,
+        "segments": segments,
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest

@@ -1,0 +1,191 @@
+"""Merge-apply stage: per-(table, partition) last-writer-wins upsert with
+copy-on-write rewrite and idempotent commit.
+
+Semantics contract (EventConsumer.java:39-76): at-least-once delivery +
+idempotent apply ⇒ exactly-once effect.  Here idempotence is structural:
+
+- every change row carries a unique version (__src_ts, __sk, __seq) —
+  (source_ts, sortKeys) for UN_ORDERED sources (SourceProperties.java:29-32,
+  SortKey.java:26-41), else just seq (Sequenced.java:26-53);
+- the lake stores the winning version per key, including DELETE
+  tombstones, so merge = concat(base, changes) → max-version-per-key,
+  which is commutative/associative — re-applying any already-applied
+  change batch is a no-op;
+- the commit record for (partition, seq_lo, seq_hi) is write-once; a
+  retried merge task that finds it skips entirely
+  (DeltaTargetContext.commitOffset:44-58 analog, seq never re-incremented
+  on retry — DeltaPipelineStateStoreBaseTest.java:384-386).
+
+Schema evolution: each data file embeds its effective TableSchema in the
+Parquet key-value metadata; ``evolve_to`` unifies an old file to the
+current schema (rename chains resolved through original-name keys,
+missing columns added as nulls, dropped columns removed) — the Arrow
+translation of applying DDLEvent.schema (DDLEvent.java:49-55).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from deltaray.commit import LakeState
+from deltaray.schemas import TableSchema, code_to_type
+from deltaray.transforms import VERSION_COLS, lww_reduce
+
+SCHEMA_META_KEY = b"deltaray.schema"
+
+LINEAGE_SCHEMA = pa.schema(
+    [
+        ("table", pa.string()),
+        ("part", pa.int32()),
+        ("seq_lo", pa.int64()),
+        ("seq_hi", pa.int64()),
+        ("rows", pa.int64()),
+        ("applied_inserts", pa.int64()),
+        ("applied_updates", pa.int64()),
+        ("applied_deletes", pa.int64()),
+        ("bytes_in", pa.int64()),
+        ("skipped", pa.bool_()),
+    ]
+)
+
+
+def evolve_to(tbl: pa.Table, target: TableSchema) -> pa.Table:
+    """Unify a partition file written under an older effective schema to the
+    current one.  Rename chains: both schemas key their ``renames`` map by
+    the ORIGINAL column name, so old column c maps to original o (where
+    old.renames[o] == c) and then to target.renames.get(o, o)."""
+    meta = tbl.schema.metadata or {}
+    old_json = meta.get(SCHEMA_META_KEY)
+    payload_cols = [c for c in tbl.column_names if c not in VERSION_COLS]
+    if old_json:
+        old = TableSchema.from_json(old_json.decode())
+        cur_for_orig = dict(target.renames)
+        orig_for_old = {n: o for o, n in old.renames.items()}
+        new_names = []
+        for c in tbl.column_names:
+            if c in VERSION_COLS:
+                new_names.append(c)
+            else:
+                o = orig_for_old.get(c, c)
+                new_names.append(cur_for_orig.get(o, o))
+        tbl = tbl.rename_columns(new_names)
+    want = target.column_names()
+    cols = {}
+    for name, codec in target.fields:
+        if name in tbl.column_names:
+            cols[name] = tbl[name]
+        else:
+            cols[name] = pa.nulls(tbl.num_rows, code_to_type(codec))
+    for v in VERSION_COLS:
+        cols[v] = tbl[v]
+    return pa.table(cols)
+
+
+def stamp_schema(tbl: pa.Table, schema: TableSchema) -> pa.Table:
+    meta = dict(tbl.schema.metadata or {})
+    meta[SCHEMA_META_KEY] = schema.to_json().encode()
+    return tbl.replace_schema_metadata(meta)
+
+
+def strip_internal(tbl: pa.Table) -> pa.Table:
+    """Drop tombstones + version columns → the user-visible table."""
+    if "__deleted" in tbl.column_names:
+        tbl = tbl.filter(pc.invert(pc.fill_null(tbl["__deleted"], False)))
+    drop = [c for c in tbl.column_names if c.startswith("__")]
+    return tbl.drop_columns(drop) if drop else tbl
+
+
+def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
+                  effective_json: dict[str, str], num_partitions: int):
+    """Build the ``map_groups`` function for one replay chunk.
+
+    The returned closure runs once per (table, partition) group on a Ray
+    worker.  It is deliberately a pure function of (group, lake files):
+    the per-partition key→latest-version state lives in the partition's
+    Parquet file (read once per chunk), not in actor memory — so any
+    worker can process any partition, task retries are safe, and resume
+    needs no state handoff.  (Ray translation of the reference's ST8
+    "state lives in the target" — EventConsumer.java:58-66.)
+    """
+    effective = {t: TableSchema.from_json(s) for t, s in effective_json.items()}
+
+    def merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return LINEAGE_SCHEMA.empty_table()
+        tname = group["__table"][0].as_py()
+        part = int(group["__shard"][0].as_py()) % num_partitions
+        schema = effective[tname]
+        lake = LakeState(lake_root, generation)
+        import os
+
+        cpath = lake.commit_path(tname, part, chunk_lo, chunk_hi)
+        if os.path.exists(cpath):
+            with open(cpath) as f:
+                rec = json.load(f)
+            return _lineage_row(rec, skipped=True)
+
+        n_ins = pc.sum(group["__n_ins"]).as_py() or 0
+        n_upd = pc.sum(group["__n_upd"]).as_py() or 0
+        n_del = pc.sum(group["__n_del"]).as_py() or 0
+        bytes_in = group.nbytes
+
+        changes = group.drop_columns(
+            ["__shard", "__table", "__op", "__n_ins", "__n_upd", "__n_del"]
+        )
+        # phase-2 LWW over the full shard (phase 1 ran per batch upstream)
+        changes = lww_reduce(changes, schema.key)
+
+        base, _prev_hi = lake.read_partition(tname, part, before_seq=chunk_lo + 1)
+        if base is not None and base.num_rows:
+            base = evolve_to(base, schema)
+            changes = changes.select(base.column_names)  # align order
+            merged = pa.concat_tables([base, changes])
+            merged = lww_reduce(merged, schema.key)
+        else:
+            merged = changes
+        merged = merged.sort_by(schema.key)
+        merged = stamp_schema(merged, schema)
+        counts = {
+            "inserts": int(n_ins),
+            "updates": int(n_upd),
+            "deletes": int(n_del),
+            "bytes_in": int(bytes_in),
+        }
+        rec = lake.try_commit(tname, part, chunk_lo, chunk_hi, merged, counts)
+        lake.write_lineage(
+            tname,
+            part,
+            {
+                "partition": part,
+                "state": "REPLICATING",
+                "last_seq": chunk_hi,
+                "file": rec["file"],
+                "rows": rec["rows"],
+                "counts": counts,
+            },
+        )
+        return _lineage_row(rec, skipped=bool(rec.get("replayed")))
+
+    return merge
+
+
+def _lineage_row(rec: dict, skipped: bool) -> pa.Table:
+    c = rec.get("counts", {})
+    return pa.table(
+        {
+            "table": [rec["table"]],
+            "part": [int(rec["part"])],
+            "seq_lo": [int(rec["seq_lo"])],
+            "seq_hi": [int(rec["seq_hi"])],
+            "rows": [int(rec["rows"])],
+            "applied_inserts": [int(c.get("inserts", 0))],
+            "applied_updates": [int(c.get("updates", 0))],
+            "applied_deletes": [int(c.get("deletes", 0))],
+            "bytes_in": [int(c.get("bytes_in", 0))],
+            "skipped": [skipped],
+        },
+        schema=LINEAGE_SCHEMA,
+    )

@@ -1,0 +1,371 @@
+"""Replay driver: chunk planning, DDL barriers, the one shuffle, merge
+stage, resume, retry.
+
+Ray-native restructuring of the reference's single-threaded
+poll-transform-apply loop (DeltaWorker.run:269-449): the change log is
+data in Parquet, chunks of it stream through
+
+    read_parquet(segments, filter=seq∈chunk, columns=pruned)
+      → map_batches(TransformStage)        # F1-F9 + phase-1 LWW, stateless tasks
+      → groupby("__shard")                 # the ONE all-to-all per chunk
+      → map_groups(merge)                  # per-(table,partition) LWW upsert + commit
+      → take_all()                         # tiny lineage rows only
+
+DDL events are chunk barriers handled on the driver (they are O(1) per
+run and mutate only the schema registry / truncate markers), the Arrow
+analog of in-stream applyDDL (DeltaWorker.java:481-493).
+
+Resume (DeltaWorker.startFromLastCommit:566-592 analog): a chunk-done
+marker skips whole chunks; inside a partially-applied chunk the per
+(partition, seq_range) commit records make re-merges no-ops.  Retry
+(Failsafe policy, DeltaWorker.java:303-403 + RetryConfig.java:25-40):
+chunks are retried within ``retry.max_duration_seconds``;
+``DeltaFailureError`` aborts immediately (DeltaFailureException analog,
+EventConsumer.java:49-57).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from deltaray.commit import LakeState, atomic_write_json
+from deltaray.config import ReplayConfig
+from deltaray.merge import evolve_to, make_merge_fn, strip_internal
+from deltaray.schemas import DDL_OPS, TableSchema, apply_ddl
+from deltaray.transforms import TransformStage, apply_directives_to_schema
+
+
+class DeltaFailureError(RuntimeError):
+    """Fail the pipeline immediately, no retry
+    (delta-api/.../api/DeltaFailureException.java analog)."""
+
+
+@dataclass
+class Segment:
+    path: str
+    seq_lo: int
+    seq_hi: int
+    n_rows: int
+
+
+@dataclass
+class Chunk:
+    kind: str  # "dml" | "ddl"
+    seq_lo: int  # exclusive
+    seq_hi: int  # inclusive
+    ddl: list[dict] = field(default_factory=list)
+
+
+def discover_segments(event_log: str) -> list[Segment]:
+    """Event-log segments with their seq ranges, from manifest.json when
+    present, else from parquet footers (row-group stats)."""
+    mpath = os.path.join(event_log, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            m = json.load(f)
+        return [
+            Segment(s["path"], s["seq_lo"], s["seq_hi"], s["n_rows"])
+            for s in m["segments"]
+        ]
+    segs = []
+    for p in sorted(glob.glob(os.path.join(event_log, "*.parquet"))):
+        md = pq.ParquetFile(p).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            # seq must be the first column; fall back to a read if no stats
+            st = col.statistics
+            if st is None:
+                t = pq.read_table(p, columns=["seq"])
+                lo, hi = pc.min(t["seq"]).as_py(), pc.max(t["seq"]).as_py()
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        segs.append(Segment(p, int(lo), int(hi), md.num_rows))
+    return segs
+
+
+def load_ddl_events(segments: list[Segment]) -> list[dict]:
+    """Driver-side scan for DDL rows (tiny: row-group pushdown on ``op``)."""
+    out: list[dict] = []
+    for s in segments:
+        ds = pads.dataset(s.path)
+        t = ds.to_table(
+            columns=["seq", "op", "table", "ddl_payload"],
+            filter=pc.field("op").isin(list(DDL_OPS)),
+        )
+        out.extend(t.to_pylist())
+    out.sort(key=lambda r: r["seq"])
+    return out
+
+
+def plan_chunks(
+    segments: list[Segment], ddl_rows: list[dict], chunk_max_events: int
+) -> list[Chunk]:
+    """Seq-range chunk plan: DDL seqs are barriers; DML intervals between
+    them are split at ~chunk_max_events using segment row counts."""
+    max_seq = max((s.seq_hi for s in segments), default=0)
+    chunks: list[Chunk] = []
+    pos = 0
+
+    def add_dml(lo: int, hi: int):
+        if hi <= lo:
+            return
+        # split on segment boundaries, approximating event counts
+        acc = 0
+        cur_lo = lo
+        for s in sorted(segments, key=lambda s: s.seq_lo):
+            if s.seq_hi <= cur_lo or s.seq_lo > hi:
+                continue
+            acc += s.n_rows
+            if acc >= chunk_max_events and s.seq_hi < hi:
+                chunks.append(Chunk("dml", cur_lo, min(s.seq_hi, hi)))
+                cur_lo = min(s.seq_hi, hi)
+                acc = 0
+        if cur_lo < hi:
+            chunks.append(Chunk("dml", cur_lo, hi))
+
+    i = 0
+    while i < len(ddl_rows):
+        d = ddl_rows[i]
+        add_dml(pos, d["seq"] - 1)
+        # coalesce consecutive DDL events into one barrier chunk
+        j = i
+        while j + 1 < len(ddl_rows) and ddl_rows[j + 1]["seq"] == ddl_rows[j]["seq"] + 1:
+            j += 1
+        chunks.append(Chunk("ddl", d["seq"] - 1, ddl_rows[j]["seq"], ddl_rows[i : j + 1]))
+        pos = ddl_rows[j]["seq"]
+        i = j + 1
+    add_dml(pos, max_seq)
+    return chunks
+
+
+class ReplaySession:
+    """One replay run over an event log into a lake generation."""
+
+    def __init__(self, cfg: ReplayConfig):
+        self.cfg = cfg
+        self.lake = LakeState(cfg.lake, cfg.generation)
+        self.segments = discover_segments(cfg.event_log)
+        self.ddl_rows = load_ddl_events(self.segments)
+        self.chunks = plan_chunks(self.segments, self.ddl_rows, cfg.chunk_max_events)
+        self.schemas: dict[str, TableSchema] = {}  # DDL-level (pre-directive)
+        self.dropped: set[str] = set()
+
+    # ------------------------------------------------------------ schemas
+    def _effective(self) -> dict[str, TableSchema]:
+        eff = {}
+        for t, s in self.schemas.items():
+            tc = self.cfg.table_config(t)
+            eff[t] = apply_directives_to_schema(s, tc.transformations if tc else [])
+        return eff
+
+    def _apply_ddl_chunk(self, chunk: Chunk) -> None:
+        for row in chunk.ddl:
+            t, op, payload, seq = row["table"], row["op"], row["ddl_payload"], row["seq"]
+            bl = self.cfg.ddl_blacklist_for(t)
+            if op in bl:  # F2 (QueueingEventEmitter.java:96-112)
+                continue
+            if self.cfg.table_names and t not in self.cfg.table_names:
+                continue
+            if op == "TRUNCATE_TABLE":
+                self.lake.write_truncate(t, seq)
+                continue
+            if op == "RENAME_TABLE":
+                d = json.loads(payload or "{}")
+                prev = d.get("prev_table_name")
+                if prev:
+                    old_dir = self.lake.table_dir(prev)
+                    new_dir = self.lake.table_dir(t)
+                    if os.path.isdir(old_dir) and not os.path.isdir(new_dir):
+                        os.rename(old_dir, new_dir)
+            self.schemas = apply_ddl(self.schemas, t, op, payload, seq)
+            if op == "DROP_TABLE":
+                self.dropped.add(t)
+                atomic_write_json(
+                    os.path.join(self.lake.table_dir(t), "_dropped", f"drop-{seq:012d}.json"),
+                    {"seq": seq},
+                )
+            elif t in self.schemas:
+                self.dropped.discard(t)
+                self.lake.write_schema(self._effective()[t])
+
+    # -------------------------------------------------------------- chunk
+    def _run_dml_chunk(self, chunk: Chunk) -> list[dict]:
+        import ray.data
+
+        cfg = self.cfg
+        files = [
+            s.path
+            for s in self.segments
+            if s.seq_hi > chunk.seq_lo and s.seq_lo <= chunk.seq_hi
+        ]
+        if not files or not self.schemas:
+            return []
+        # column pruning at the read (meta + union of live payload columns;
+        # order columns only in UN_ORDERED mode)
+        needed = {"seq", "op", "table"}
+        for s in self.schemas.values():
+            needed.update(s.column_names())
+        if cfg.ordering == "UN_ORDERED":
+            needed.update(["source_ts", "sort_keys"])
+        present = set(pq.read_schema(files[0]).names)
+        columns = sorted(needed & present)
+        flt = (pc.field("seq") > chunk.seq_lo) & (pc.field("seq") <= chunk.seq_hi)
+        ds = ray.data.read_parquet(files, columns=columns, filter=flt)
+        stage = TransformStage(cfg, dict(self.schemas), self._effective())
+        ds = ds.map_batches(stage, batch_format="pyarrow", batch_size=cfg.batch_size)
+        merge = make_merge_fn(
+            cfg.lake,
+            cfg.generation,
+            chunk.seq_lo,
+            chunk.seq_hi,
+            {t: s.to_json() for t, s in self._effective().items()},
+            cfg.num_partitions,
+        )
+        out = ds.groupby("__shard").map_groups(merge, batch_format="pyarrow")
+        return out.take_all()
+
+    # ---------------------------------------------------------------- run
+    def run(self, on_chunk=None) -> dict:
+        cfg = self.cfg
+        lineage_rows: list[dict] = []
+        t0 = time.time()
+        for idx, chunk in enumerate(self.chunks):
+            if chunk.kind == "ddl":
+                # DDL is re-applied on every run (deterministic, idempotent)
+                self._apply_ddl_chunk(chunk)
+                continue
+            marker = os.path.join(
+                self.lake.root, "_chunks", f"chunk-{chunk.seq_lo:012d}-{chunk.seq_hi:012d}.done"
+            )
+            if os.path.exists(marker):
+                continue
+            deadline = t0 + (cfg.retry.max_duration_seconds or 0)
+            while True:
+                try:
+                    rows = self._run_dml_chunk(chunk)
+                    break
+                except DeltaFailureError:
+                    raise
+                except Exception:
+                    if cfg.retry.max_duration_seconds and time.time() < deadline:
+                        time.sleep(cfg.retry.delay_seconds)
+                        continue
+                    raise
+            lineage_rows.extend(rows)
+            atomic_write_json(marker, {"chunk": [chunk.seq_lo, chunk.seq_hi]})
+            if on_chunk is not None:
+                on_chunk(idx, chunk, rows)
+        metrics = collect_metrics(self.lake, list(self.schemas) + sorted(self.dropped))
+        metrics["wall_seconds"] = round(time.time() - t0, 3)
+        self.lake.write_metrics(metrics)
+        return {
+            "chunks": len(self.chunks),
+            "tables": sorted(self.schemas),
+            "lineage": lineage_rows,
+            "metrics": metrics,
+        }
+
+
+def replay(cfg: ReplayConfig, on_chunk=None) -> dict:
+    """Replay the event log into the lake.  Safe to call repeatedly —
+    completed chunks are skipped, partial chunks resume idempotently."""
+    return ReplaySession(cfg).run(on_chunk=on_chunk)
+
+
+# ------------------------------------------------------------------ reads
+def read_table(lake_root: str, table: str, generation: int = 0) -> pa.Table:
+    """Driver-side materialization of one table's final state (small
+    results / tests).  For large tables use ``read_table_ds``."""
+    lake = LakeState(lake_root, generation)
+    schema = lake.current_schema(table)
+    if schema is None:
+        raise KeyError(f"unknown table {table!r}")
+    if os.path.isdir(os.path.join(lake.table_dir(table), "_dropped")):
+        return schema.arrow_schema().empty_table()
+    parts = []
+    for d in sorted(glob.glob(os.path.join(lake.table_dir(table), "part=*"))):
+        part = int(os.path.basename(d).split("=")[1])
+        tbl, _ = lake.read_partition(table, part)
+        if tbl is not None and tbl.num_rows:
+            parts.append(strip_internal(evolve_to(tbl, schema)))
+    if not parts:
+        return schema.arrow_schema().empty_table()
+    out = pa.concat_tables(parts)
+    return out.sort_by(schema.key)
+
+
+def current_data_files(lake_root: str, table: str, generation: int = 0) -> list[str]:
+    lake = LakeState(lake_root, generation)
+    files = []
+    for d in sorted(glob.glob(os.path.join(lake.table_dir(table), "part=*"))):
+        part = int(os.path.basename(d).split("=")[1])
+        c = lake.latest_commit(table, part)
+        if c is None:
+            continue
+        truncs = [s for s in lake.truncate_seqs(table) if s > c["seq_hi"]]
+        if truncs:
+            continue
+        files.append(os.path.join(d, c["file"]))
+    return files
+
+
+def read_table_ds(lake_root: str, table: str, generation: int = 0):
+    """Streaming read of a table's current state as a ray.data.Dataset."""
+    import ray.data
+
+    lake = LakeState(lake_root, generation)
+    schema = lake.current_schema(table)
+    if schema is None:
+        raise KeyError(f"unknown table {table!r}")
+    files = current_data_files(lake_root, table, generation)
+    if not files:
+        import ray.data
+
+        return ray.data.from_arrow(schema.arrow_schema().empty_table())
+    ds = ray.data.read_parquet(files)
+    sj = schema.to_json()
+
+    def fix(batch: pa.Table) -> pa.Table:
+        return strip_internal(evolve_to(batch, TableSchema.from_json(sj)))
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- metrics
+def collect_metrics(lake: LakeState, tables: list[str]) -> dict:
+    """Exact per-table event metrics from the persisted commit records
+    (MetricsHandler.java:46-133 analog: counts survive restarts, retried
+    merges never double-count because a replayed commit is not re-written)."""
+    per_table: dict[str, dict] = {}
+    for t in tables:
+        agg = {"inserts": 0, "updates": 0, "deletes": 0, "bytes_in": 0, "rows": 0}
+        cdir = os.path.join(lake.table_dir(t), "_commits")
+        if not os.path.isdir(cdir):
+            continue
+        for pdir in sorted(os.listdir(cdir)):
+            part = int(pdir.split("=")[1])
+            commits = lake.list_commits(t, part)
+            for c in commits:
+                cc = c.get("counts", {})
+                for k in ("inserts", "updates", "deletes", "bytes_in"):
+                    agg[k] += int(cc.get(k, 0))
+            if commits:
+                agg["rows"] += int(commits[-1]["rows"])
+        per_table[t] = agg
+    total = {
+        k: sum(v[k] for v in per_table.values())
+        for k in ("inserts", "updates", "deletes", "bytes_in")
+    }
+    total["dml_events"] = total["inserts"] + total["updates"] + total["deletes"]
+    return {"tables": per_table, "total": total}

@@ -1,0 +1,258 @@
+"""Arrow schemas + the DDL payload codec.
+
+Event model mirrors the reference's ChangeEvent hierarchy
+(delta-api/.../api/ChangeEvent.java:25-60, DMLEvent.java:33-102,
+DDLEvent.java:31-55, Sequenced.java:26-53) as columns of one Arrow table:
+the sequence number is data (a ``seq`` column), not emitter state
+(ref assigns it in QueueingEventEmitter.java:87 because its sources
+can't; a file-backed log carries it natively).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+# ---------------------------------------------------------------- op types
+# DML op types: delta-api/.../api/DMLOperation.java (INSERT/DELETE/UPDATE).
+DML_OPS = ("INSERT", "UPDATE", "DELETE")
+# DDL op types: delta-api/.../api/DDLOperation.java:30-38, plus RENAME_COLUMN
+# which the reference expresses through the transformation directive surface
+# (TransformationUtil.transformDDLEvent:121-132) but our log carries in-band.
+DDL_OPS = (
+    "CREATE_DATABASE",
+    "DROP_DATABASE",
+    "CREATE_TABLE",
+    "DROP_TABLE",
+    "TRUNCATE_TABLE",
+    "ALTER_TABLE",
+    "RENAME_TABLE",
+    "RENAME_COLUMN",
+)
+
+# Columns every event-log segment carries regardless of payload schema.
+# doc_id/tokens/n_tok/source (+ DDL-added columns) are the *payload* and are
+# whatever the table schema says at that point of the log.
+META_COLUMNS = (
+    "seq",          # int64, strictly increasing, unique (Sequenced.java:26-53)
+    "op",           # string in DML_OPS | DDL_OPS
+    "table",        # logical target table (DMLOperation db.schema.table)
+    "prev_tokens",  # previousRow payload, UPDATE only (DMLEvent.java:66-72)
+    "ingest_ts",    # timestamp[us] (DMLOperation ingestTimestampMillis)
+    "source_ts",    # timestamp[us], required for UN_ORDERED (ChangeEvent.java:51-60)
+    "sort_keys",    # list<int64> tiebreaker (SortKey.java:26-41)
+    "is_snapshot",  # bool (ChangeEvent.java:43-45)
+    "tx_id",        # nullable string (DMLEvent transactionId)
+    "ddl_payload",  # JSON string for DDL rows (DDLEvent schema/primaryKey/rename)
+)
+
+TOKENS = pa.list_(pa.int32())
+
+_TYPE_CODES = {
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "float32": pa.float32(),
+    "float64": pa.float64(),
+    "string": pa.string(),
+    "bool": pa.bool_(),
+    "timestamp[us]": pa.timestamp("us"),
+    "list<int32>": pa.list_(pa.int32()),
+    "list<int64>": pa.list_(pa.int64()),
+    "list<float>": pa.list_(pa.float32()),
+    "list<double>": pa.list_(pa.float64()),
+}
+_CODE_FOR_TYPE = {v: k for k, v in _TYPE_CODES.items()}
+
+
+def type_to_code(t: pa.DataType) -> str:
+    try:
+        return _CODE_FOR_TYPE[t]
+    except KeyError:
+        raise ValueError(f"unsupported payload type: {t}")
+
+
+def code_to_type(code: str) -> pa.DataType:
+    return _TYPE_CODES[code]
+
+
+@dataclass
+class TableSchema:
+    """Logical schema of one replicated table (the lake side).
+
+    Mirrors DDLEvent.schema + primaryKey (DDLEvent.java:49-55): the *full*
+    table schema as of a DDL event, carried in-band.  ``key`` is the
+    single-column primary key (input_hint: doc_id).
+    """
+
+    name: str
+    key: str
+    fields: list[tuple[str, str]]  # (column name, type code) in order
+    # accumulated old->new renames with chain collapsing
+    # (DefaultMutableRowSchema.java:85-130)
+    renames: dict[str, str] = field(default_factory=dict)
+    version_seq: int = 0  # seq of the DDL event that produced this schema
+
+    def arrow_schema(self) -> pa.Schema:
+        return pa.schema([pa.field(n, code_to_type(c)) for n, c in self.fields])
+
+    def column_names(self) -> list[str]:
+        return [n for n, _ in self.fields]
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "name": self.name,
+                "key": self.key,
+                "fields": self.fields,
+                "renames": self.renames,
+                "version_seq": self.version_seq,
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "TableSchema":
+        d = json.loads(s)
+        return TableSchema(
+            name=d["name"],
+            key=d["key"],
+            fields=[tuple(f) for f in d["fields"]],
+            renames=dict(d.get("renames", {})),
+            version_seq=int(d.get("version_seq", 0)),
+        )
+
+    # ---- DDL application -------------------------------------------------
+    def with_added_column(self, name: str, code: str, seq: int) -> "TableSchema":
+        if name in self.column_names():
+            raise ValueError(f"ALTER_TABLE: column {name!r} already exists")
+        return TableSchema(self.name, self.key, self.fields + [(name, code)],
+                           dict(self.renames), seq)
+
+    def with_dropped_column(self, name: str, seq: int) -> "TableSchema":
+        if name == self.key:
+            raise ValueError("cannot drop the key column")
+        return TableSchema(self.name, self.key,
+                           [(n, c) for n, c in self.fields if n != name],
+                           dict(self.renames), seq)
+
+    def with_renamed_column(self, old: str, new: str, seq: int) -> "TableSchema":
+        """Rename with chain collapsing: a->b then b->c records a->c; a->b
+        then b->a cancels (DefaultMutableRowSchema.java:113-130).  Collision
+        check is case-insensitive (DefaultMutableRowSchema.java:103)."""
+        names = self.column_names()
+        if old not in names:
+            raise ValueError(f"RENAME_COLUMN: no column {old!r}")
+        if new != old and new.lower() in {n.lower() for n in names if n != old}:
+            raise ValueError(f"RENAME_COLUMN: column {new!r} already exists")
+        fields = [(new if n == old else n, c) for n, c in self.fields]
+        renames = dict(self.renames)
+        # find the original name that currently maps to `old` (chain collapse)
+        origin = next((o for o, n in renames.items() if n == old), old)
+        if origin == new:
+            renames.pop(origin, None)  # a->b->a cancels
+        else:
+            renames[origin] = new
+        key = new if self.key == old else self.key  # PK rename remap
+        return TableSchema(self.name, key, fields, renames, seq)
+
+
+def default_table_schema(name: str = "docs", seq: int = 0) -> TableSchema:
+    """The input_hint shape: (doc_id, tokens, n_tok, source)."""
+    return TableSchema(
+        name=name,
+        key="doc_id",
+        fields=[
+            ("doc_id", "string"),
+            ("tokens", "list<int32>"),
+            ("n_tok", "int32"),
+            ("source", "string"),
+        ],
+        version_seq=seq,
+    )
+
+
+def event_log_schema(table_schema: TableSchema) -> pa.Schema:
+    """Arrow schema of one event-log segment for a given payload schema."""
+    fields = [
+        pa.field("seq", pa.int64()),
+        pa.field("op", pa.string()),
+        pa.field("table", pa.string()),
+    ]
+    fields += [pa.field(n, code_to_type(c)) for n, c in table_schema.fields]
+    fields += [
+        pa.field("prev_tokens", TOKENS),
+        pa.field("ingest_ts", pa.timestamp("us")),
+        pa.field("source_ts", pa.timestamp("us")),
+        pa.field("sort_keys", pa.list_(pa.int64())),
+        pa.field("is_snapshot", pa.bool_()),
+        pa.field("tx_id", pa.string()),
+        pa.field("ddl_payload", pa.string()),
+    ]
+    return pa.schema(fields)
+
+
+# ---------------------------------------------------------------- DDL codec
+def ddl_payload(
+    op: str,
+    *,
+    schema: TableSchema | None = None,
+    add: tuple[str, str] | None = None,
+    drop: str | None = None,
+    rename: tuple[str, str] | None = None,
+    prev_table_name: str | None = None,
+) -> str:
+    """Serialize a DDL event payload (DDLEvent.java:31-55 analog)."""
+    d: dict = {"op": op}
+    if schema is not None:
+        d["schema"] = {"key": schema.key, "fields": schema.fields}
+    if add is not None:
+        d["add"] = list(add)
+    if drop is not None:
+        d["drop"] = drop
+    if rename is not None:
+        d["rename"] = list(rename)
+    if prev_table_name is not None:
+        d["prev_table_name"] = prev_table_name
+    return json.dumps(d)
+
+
+def apply_ddl(
+    schemas: dict[str, TableSchema], table: str, op: str, payload: str, seq: int
+) -> dict[str, TableSchema]:
+    """Apply one DDL event to the schema registry; returns a new registry.
+
+    CREATE_TABLE / DROP_TABLE / TRUNCATE_TABLE side effects on data files are
+    handled by the engine (commit.py) — this only tracks logical schemas.
+    """
+    d = json.loads(payload) if payload else {}
+    out = dict(schemas)
+    if op == "CREATE_TABLE":
+        sd = d.get("schema")
+        if sd:
+            out[table] = TableSchema(table, sd["key"],
+                                     [tuple(f) for f in sd["fields"]],
+                                     version_seq=seq)
+        else:
+            out[table] = default_table_schema(table, seq)
+    elif op == "DROP_TABLE":
+        out.pop(table, None)
+    elif op == "ALTER_TABLE":
+        if "add" in d:
+            name, code = d["add"]
+            out[table] = out[table].with_added_column(name, code, seq)
+        elif "drop" in d:
+            out[table] = out[table].with_dropped_column(d["drop"], seq)
+    elif op == "RENAME_COLUMN":
+        old, new = d["rename"]
+        out[table] = out[table].with_renamed_column(old, new, seq)
+    elif op == "RENAME_TABLE":
+        prev = d["prev_table_name"]
+        ts = out.pop(prev)
+        out[table] = TableSchema(table, ts.key, list(ts.fields),
+                                 dict(ts.renames), seq)
+    elif op in ("TRUNCATE_TABLE", "CREATE_DATABASE", "DROP_DATABASE"):
+        pass  # no schema change
+    else:
+        raise ValueError(f"unknown DDL op: {op}")
+    return out

@@ -1,0 +1,412 @@
+"""Event-stream transforms: blacklist filters, table filter, column
+whitelist, directive chains, version stamping and two-phase LWW
+pre-reduction.
+
+Reference parity:
+- F1/F2 DML+DDL blacklist filters (QueueingEventEmitter.java:96-125);
+- F3 unknown-table filter (QueueingEventEmitter.java:111,124);
+- F4 column whitelist (SourceTable.java:69-72);
+- F5/F6/F7 directive chains over rows and schemas
+  (DeltaWorker.java:495-564, Transformation.java:27-58,
+  TransformationUtil.parseDirectiveName:46-52 — first token = name);
+- F8/F9 rename/set value+schema ops (MutableRowValue.java:23-51,
+  DefaultMutableRowSchema.java:85-130).
+
+All engine-side functions are vectorized over ``pyarrow`` batches
+(zero-copy from the object store); the row-level variants exist for the
+single-process oracle only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from deltaray.config import ReplayConfig
+from deltaray.schemas import DML_OPS, TableSchema, code_to_type
+
+# version columns stored in the lake next to payload; max-version-wins
+# merge makes replay idempotent and UN_ORDERED late data correct across
+# chunk boundaries (tombstones keep DELETE versions visible).
+VERSION_COLS = ("__seq", "__src_ts", "__sk", "__deleted")
+
+
+# ------------------------------------------------------------- directives
+def parse_directive(directive: str) -> tuple[str, list[str]]:
+    """First whitespace token is the directive name
+    (TransformationUtil.parseDirectiveName:46-52)."""
+    parts = directive.split()
+    if not parts:
+        raise ValueError("empty directive")
+    return parts[0], parts[1:]
+
+
+def apply_directives_to_schema(
+    schema: TableSchema, directives: list[str]
+) -> TableSchema:
+    """transformSchema over the directive chain
+    (DeltaWorker.transformDDLEvent:546-564; rename-chain collapsing per
+    DefaultMutableRowSchema.java:113-130; PK rename remap per
+    TransformationUtil.transformDDLEvent:121-132)."""
+    out = schema
+    for d in directives:
+        name, args = parse_directive(d)
+        if name == "rename":
+            old, new = args
+            if old in out.column_names():
+                out = out.with_renamed_column(old, new, out.version_seq)
+        elif name in ("set-default", "mask"):
+            pass  # value-only directives
+        else:
+            raise ValueError(f"unknown directive: {name}")
+    return out
+
+
+def apply_directives_to_batch(batch: pa.Table, directives: list[str]) -> pa.Table:
+    """Vectorized transformValue over the directive chain (F5/F7)."""
+    for d in directives:
+        name, args = parse_directive(d)
+        if name == "rename":
+            old, new = args
+            if old in batch.column_names:
+                if new in batch.column_names:
+                    raise ValueError(f"rename: column {new!r} exists")
+                batch = batch.rename_columns(
+                    [new if c == old else c for c in batch.column_names]
+                )
+        elif name == "set-default":
+            col, value = args[0], " ".join(args[1:])
+            if col in batch.column_names:
+                filled = pc.fill_null(batch[col], pa.scalar(value, batch[col].type))
+                batch = batch.set_column(
+                    batch.column_names.index(col), col, filled
+                )
+        elif name == "mask":
+            col, start, end = args[0], int(args[1]), int(args[2])
+            if col in batch.column_names:
+                batch = batch.set_column(
+                    batch.column_names.index(col),
+                    col,
+                    _mask_list_range(batch[col], start, end),
+                )
+        else:
+            raise ValueError(f"unknown directive: {name}")
+    return batch
+
+
+def _mask_list_range(col: pa.ChunkedArray | pa.Array, start: int, end: int):
+    """Zero out tokens[start:end] of a list<int32> column, vectorized on the
+    flat values buffer."""
+    if isinstance(col, pa.ChunkedArray):
+        return pa.chunked_array(
+            [_mask_list_range(c, start, end) for c in col.chunks],
+            type=col.type,
+        )
+    arr = col
+    if len(arr) == 0:
+        return arr
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = arr.values.to_numpy(zero_copy_only=False).copy()
+    starts = offsets[:-1]
+    ends = offsets[1:]
+    lo = np.minimum(starts + start, ends)
+    hi = np.minimum(starts + end, ends)
+    # build a mask over the flat values via difference array
+    diff = np.zeros(len(values) + 1, dtype=np.int32)
+    np.add.at(diff, lo, 1)
+    np.add.at(diff, hi, -1)
+    inside = np.cumsum(diff[:-1]) > 0
+    values[inside] = 0
+    out = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32() if isinstance(arr, pa.ListArray) else pa.int64()),
+        pa.array(values, type=arr.values.type),
+    )
+    if arr.null_count:
+        mask = pc.is_null(arr)
+        out = pc.if_else(mask, pa.nulls(len(arr), out.type), out)
+    return out
+
+
+def apply_directives_to_row(row: dict, directives: list[str]) -> dict:
+    """Row-level directive application (oracle only)."""
+    for d in directives:
+        name, args = parse_directive(d)
+        if name == "rename":
+            old, new = args
+            if old in row:
+                row[new] = row.pop(old)
+        elif name == "set-default":
+            col, value = args[0], " ".join(args[1:])
+            if col in row and row[col] is None:
+                row[col] = value
+        elif name == "mask":
+            col, start, end = args[0], int(args[1]), int(args[2])
+            if row.get(col) is not None:
+                toks = list(row[col])
+                for i in range(start, min(end, len(toks))):
+                    toks[i] = 0
+                row[col] = toks
+    return row
+
+
+def stable_hash_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Deterministic FNV-1a-style hash of a UTF-8 string column, vectorized
+    over the flat values buffer (stable across processes/machines — Python
+    hash() is salted and unusable for partitioning).
+
+    Loops over CHARACTER POSITIONS (max string length), not rows: each
+    iteration updates the hash of every row that still has a byte at that
+    position using numpy gather on the Arrow offsets/values buffers.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32, count=len(arr) + 1 + arr.offset)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    starts, ends = offsets[:-1], offsets[1:]
+    lens = ends - starts
+    h = np.full(len(arr), np.uint64(0xCBF29CE484222325))
+    prime = np.uint64(0x100000001B3)
+    maxlen = int(lens.max()) if len(lens) else 0
+    for j in range(maxlen):
+        live = lens > j
+        idx = starts[live] + j
+        hv = h[live]
+        hv = (hv ^ data[idx].astype(np.uint64)) * prime
+        h[live] = hv
+    return h
+
+
+# ------------------------------------------------------- engine transform
+class TransformStage:
+    """The stateless-per-batch event transform: filter → project →
+    directives → version-stamp → per-batch LWW pre-reduce → shard label.
+
+    Used as ``ds.map_batches(TransformStage(cfg, schemas), batch_format=
+    "pyarrow")``.  Construction happens once per worker (actor) when passed
+    as a class — the compiled blacklist sets / directive chains are the
+    reference's per-table init state (DeltaWorker.java:217-267, ST6).
+
+    The per-batch LWW pre-reduction is phase 1 of the two-phase
+    last-writer-wins reduction (north_rule skew handling): within each
+    batch only the max-version event per (table, key) survives, so a hot
+    key contributes at most one row per batch to the shuffle instead of
+    every occurrence.  Phase 2 happens per shard in the merge stage.
+    LWW is associative+commutative over unique versions, so pre-reducing
+    any subset is safe.
+    """
+
+    def __init__(
+        self,
+        cfg: ReplayConfig,
+        schemas: dict[str, TableSchema],
+        effective_schemas: dict[str, TableSchema],
+    ):
+        self.ordering = cfg.ordering
+        self.num_partitions = cfg.num_partitions
+        self.table_set = cfg.table_names  # empty = all tables
+        self.dml_bl = {t: cfg.dml_blacklist_for(t) for t in schemas}
+        self.global_dml_bl = set(cfg.dml_blacklist)
+        self.directives = {
+            t: (cfg.table_config(t).transformations if cfg.table_config(t) else [])
+            for t in schemas
+        }
+        self.whitelist = {
+            t: (cfg.table_config(t).columns if cfg.table_config(t) else None)
+            for t in schemas
+        }
+        self.schemas = schemas              # DDL schema per table (pre-directive)
+        self.effective = effective_schemas  # post-directive lake schema
+        self.table_index = {t: i for i, t in enumerate(sorted(schemas))}
+        # one fixed output schema for every batch (union of all tables'
+        # effective payloads) so the downstream groupby shuffle sees
+        # homogeneous blocks
+        fields: dict[str, pa.DataType] = {}
+        for eff in effective_schemas.values():
+            for n, c in eff.fields:
+                t = code_to_type(c)
+                if n in fields and fields[n] != t:
+                    raise ValueError(f"column {n!r} type conflict across tables")
+                fields[n] = t
+        for n, t in [
+            ("__seq", pa.int64()),
+            ("__src_ts", pa.int64()),
+            ("__sk", pa.int64()),
+            ("__deleted", pa.bool_()),
+            ("__op", pa.string()),
+            ("__n_ins", pa.int64()),
+            ("__n_upd", pa.int64()),
+            ("__n_del", pa.int64()),
+            ("__shard", pa.int64()),
+            ("__table", pa.string()),
+        ]:
+            fields[n] = t
+        self.out_schema = pa.schema(list(fields.items()))
+
+    def _conform(self, tbl: pa.Table | None) -> pa.Table:
+        if tbl is None:
+            return self.out_schema.empty_table()
+        cols = []
+        for f in self.out_schema:
+            if f.name in tbl.column_names:
+                cols.append(tbl[f.name].cast(f.type))
+            else:
+                cols.append(pa.nulls(tbl.num_rows, f.type))
+        return pa.Table.from_arrays(cols, schema=self.out_schema)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return self.out_schema.empty_table()
+        # keep DML only (DDL handled as driver-side barriers)
+        mask = pc.is_in(batch["op"], value_set=pa.array(DML_OPS))
+        # unknown-table filter (QueueingEventEmitter.java:111,124)
+        if self.table_set:
+            mask = pc.and_(
+                mask, pc.is_in(batch["table"], value_set=pa.array(sorted(self.table_set)))
+            )
+        batch = batch.filter(mask)
+        if batch.num_rows == 0:
+            return self.out_schema.empty_table()
+        pieces = []
+        # per-table processing (schemas/blacklists/directives differ per table)
+        tables = pc.unique(batch["table"]).to_pylist()
+        for t in tables:
+            if t not in self.schemas:
+                continue
+            sub = batch if len(tables) == 1 else batch.filter(pc.equal(batch["table"], t))
+            sub = self._one_table(t, sub)
+            if sub is not None and sub.num_rows:
+                pieces.append(self._conform(sub))
+        if not pieces:
+            return self.out_schema.empty_table()
+        return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
+
+    def _one_table(self, t: str, sub: pa.Table) -> pa.Table | None:
+        ts = self.schemas[t]
+        bl = self.dml_bl.get(t, self.global_dml_bl)
+        if bl:
+            sub = sub.filter(
+                pc.invert(pc.is_in(sub["op"], value_set=pa.array(sorted(bl))))
+            )
+        if sub.num_rows == 0:
+            return None
+        # column whitelist projection (F4) — key always kept
+        cols = ts.column_names()
+        wl = self.whitelist.get(t)
+        if wl:
+            cols = [c for c in cols if c in wl or c == ts.key]
+        present = [c for c in cols if c in sub.column_names]
+        payload = sub.select(present)
+        # columns added by later DDL may be missing in old segments → nulls
+        for c in cols:
+            if c not in present:
+                payload = payload.append_column(
+                    c, pa.nulls(len(payload), code_to_type(dict(ts.fields)[c]))
+                )
+        # directive chain (F5/F7)
+        payload = apply_directives_to_batch(payload, self.directives.get(t, []))
+        eff = self.effective[t]
+        key = eff.key
+        # version stamp
+        seq = sub["seq"].cast(pa.int64())
+        if self.ordering == "UN_ORDERED":
+            src_ts = pc.fill_null(sub["source_ts"].cast(pa.int64()), 0)
+            sk = pc.fill_null(pc.list_element(sub["sort_keys"], 0), 0) \
+                if "sort_keys" in sub.column_names else pa.nulls(len(sub), pa.int64())
+            sk = pc.fill_null(sk, 0).cast(pa.int64())
+        else:
+            src_ts = pa.array(np.zeros(len(sub), dtype=np.int64))
+            sk = src_ts
+        deleted = pc.equal(sub["op"], "DELETE")
+        out = payload
+        out = out.append_column("__seq", seq)
+        out = out.append_column("__src_ts", src_ts)
+        out = out.append_column("__sk", sk)
+        out = out.append_column("__deleted", deleted)
+        out = out.append_column("__op", sub["op"])
+        # DELETE rows carry no payload
+        if out.num_rows and pc.any(deleted).as_py():
+            keep = pc.invert(deleted)
+            for c in eff.column_names():
+                if c == key or c not in out.column_names:
+                    continue
+                col = pc.if_else(keep, out[c], pa.nulls(len(out), out[c].type))
+                out = out.set_column(out.column_names.index(c), c, col)
+        # phase-1 LWW pre-reduce within the batch (two-phase reduction),
+        # keeping per-key op counts so reduced-away events still reach the
+        # metrics (EventMetrics consume counts, EventMetrics.java:26-84)
+        out = lww_pre_reduce_with_counts(out, key)
+        # shard id: table_idx * P + hash(key) % P — the ONE shuffle key
+        part = stable_hash_strings(out[key]) % np.uint64(self.num_partitions)
+        tidx = self.table_index[t]
+        shard = pa.array(
+            (part + np.uint64(tidx * self.num_partitions)).astype(np.int64),
+            type=pa.int64(),
+        )
+        out = out.append_column("__shard", shard)
+        out = out.append_column("__table", pa.array([t] * len(out), pa.string()))
+        return out
+
+
+def lww_pre_reduce_with_counts(tbl: pa.Table, key: str) -> pa.Table:
+    """Phase-1 LWW combine: keep the max-version row per key within a batch
+    AND attach per-key op counts (__n_ins/__n_upd/__n_del) so the merge
+    stage's metrics see every consumed event, not only the winners."""
+    import pandas as pd
+
+    order = tbl.sort_by(
+        [("__src_ts", "ascending"), ("__sk", "ascending"), ("__seq", "ascending")]
+    )
+    ids = order[key]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    codes, uniques = pd.factorize(ids.to_numpy(zero_copy_only=False))
+    n = len(uniques)
+    ops = order["__op"].to_numpy(zero_copy_only=False)
+    n_ins = np.bincount(codes[ops == "INSERT"], minlength=n)
+    n_upd = np.bincount(codes[ops == "UPDATE"], minlength=n)
+    n_del = np.bincount(codes[ops == "DELETE"], minlength=n)
+    _, first_rev = np.unique(codes[::-1], return_index=True)
+    last_idx = np.sort(len(codes) - 1 - first_rev)
+    out = order if len(last_idx) == len(codes) else order.take(pa.array(last_idx))
+    wc = codes[last_idx]
+    out = out.append_column("__n_ins", pa.array(n_ins[wc], pa.int64()))
+    out = out.append_column("__n_upd", pa.array(n_upd[wc], pa.int64()))
+    out = out.append_column("__n_del", pa.array(n_del[wc], pa.int64()))
+    return out
+
+
+def lww_reduce(tbl: pa.Table, key: str) -> pa.Table:
+    """Keep the max-version row per key (vectorized).
+
+    Version order = (__src_ts, __sk, __seq); in ORDERED mode __src_ts/__sk
+    are zero so this degenerates to max __seq.  Sort ascending by version
+    (pyarrow sort is stable), factorize the key column to int codes
+    (pandas C hash table — exact, no collision risk), then take the last
+    occurrence of each code.
+    """
+    if tbl.num_rows <= 1:
+        return tbl
+    import pandas as pd
+
+    order = tbl.sort_by(
+        [("__src_ts", "ascending"), ("__sk", "ascending"), ("__seq", "ascending")]
+    )
+    ids = order[key]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    codes, _ = pd.factorize(ids.to_numpy(zero_copy_only=False))
+    _, first_rev = np.unique(codes[::-1], return_index=True)
+    last_idx = np.sort(len(codes) - 1 - first_rev)
+    if len(last_idx) == tbl.num_rows:
+        return order
+    return order.take(pa.array(last_idx))

@@ -60,6 +60,12 @@ def replay_oracle(cfg: ReplayConfig) -> dict[str, pa.Table]:
                     if prev and prev in state:
                         state[t] = state.pop(prev)
                 schemas = apply_ddl(schemas, t, op, row.get("ddl_payload") or "", row["seq"])
+                if op == "RENAME_COLUMN":
+                    # existing rows carry over under the new column name
+                    old, new = json.loads(row["ddl_payload"])["rename"]
+                    for k, (ver, r) in state.get(t, {}).items():
+                        if r is not None and old in r:
+                            r[new] = r.pop(old)
                 if op == "CREATE_TABLE":
                     state.setdefault(t, {})
                     dropped.discard(t)

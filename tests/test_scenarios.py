@@ -1,0 +1,233 @@
+"""Reference-shaped scenario tests (FIXTURES.md §3; reference analogs in
+DeltaPipelineStateStoreBaseTest.java)."""
+
+import pyarrow.compute as pc
+import pytest
+
+from deltaray import ReplayConfig, TableConfig, replay, replay_oracle
+from deltaray.gen import write_event_log
+from deltaray.oracle import tables_equal
+from deltaray.pipeline import DeltaFailureError, ReplaySession, read_table
+
+
+def _check(cfg, tables=("docs",)):
+    replay(cfg)
+    oracle = replay_oracle(cfg)
+    for t in tables:
+        got = read_table(cfg.lake, t, cfg.generation)
+        ok, msg = tables_equal(got, oracle[t], key=oracle[t].column_names[0])
+        assert ok, f"{t}: {msg}"
+
+
+def test_resume_midway(tmp_log, tmp_lake):
+    """Kill the engine after a partial run, restart → resume from
+    per-partition checkpoints, no double-apply, final state equal
+    (testRestartFromOffset:176-232)."""
+    write_event_log(tmp_log, n_docs=200, n_events=3000, seed=21,
+                    segment_max_events=400)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=500)
+
+    class Kill(Exception):
+        pass
+
+    calls = []
+
+    def killer(idx, chunk, rows):
+        calls.append(idx)
+        if len(calls) == 3:
+            raise Kill()
+
+    with pytest.raises(Kill):
+        replay(cfg, on_chunk=killer)
+    # restart: completed chunks are skipped, remainder applied exactly once
+    res = replay(cfg)
+    skipped_chunks = len(calls)
+    assert res["chunks"] > skipped_chunks
+    oracle = replay_oracle(cfg)
+    got = read_table(tmp_lake, "docs")
+    ok, msg = tables_equal(got, oracle["docs"])
+    assert ok, msg
+    # metrics not double-counted (testFailureRetries:388-392): exact totals
+    m = res["metrics"]["total"]
+    assert m["dml_events"] == 3000 + 200
+
+
+def test_retry_idempotent_merge(tmp_log, tmp_lake):
+    """A transiently failing merge stage is retried; committed seq ranges
+    are applied once (testFailureRetries:308-397 / FailureTarget)."""
+    write_event_log(tmp_log, n_docs=100, n_events=1000, seed=23)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=400)
+    cfg.retry.max_duration_seconds = 60
+
+    session = ReplaySession(cfg)
+    orig = session._run_dml_chunk
+    fails = {"n": 0}
+
+    def flaky(chunk):
+        rows = orig(chunk)
+        if fails["n"] < 2:
+            fails["n"] += 1
+            raise RuntimeError("injected transient failure AFTER commit")
+        return rows
+
+    session._run_dml_chunk = flaky
+    session.run()
+    assert fails["n"] == 2
+    oracle = replay_oracle(cfg)
+    got = read_table(tmp_lake, "docs")
+    ok, msg = tables_equal(got, oracle["docs"])
+    assert ok, msg
+    # retried chunk must not double-count (commit records are write-once)
+    m = session.lake.read_metrics()["total"]
+    assert m["dml_events"] == 1100
+
+
+def test_delta_failure_aborts(tmp_log, tmp_lake):
+    """DeltaFailureError ⇒ fail immediately, no retry
+    (testFailImmediately:235-261)."""
+    write_event_log(tmp_log, n_docs=50, n_events=100, seed=25)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2)
+    cfg.retry.max_duration_seconds = 9999
+
+    session = ReplaySession(cfg)
+
+    def boom(chunk):
+        raise DeltaFailureError("unrecoverable")
+
+    session._run_dml_chunk = boom
+    with pytest.raises(DeltaFailureError):
+        session.run()
+
+
+def test_schema_evolution(tmp_log, tmp_lake):
+    """ALTER_TABLE add lang:string; RENAME_COLUMN source→origin; subsequent
+    DMLs use the new schema; Arrow schema unification per partition
+    (DDLOperation.java:30-38, TransformationUtil.transformDDLEvent:121-132)."""
+    write_event_log(
+        tmp_log, n_docs=150, n_events=2000, seed=27,
+        ddl=[
+            (500, "docs", "ALTER_TABLE", {"add": ("lang", "string"),
+                                          "choices": ["en", "de", "fr"]}),
+            (1200, "docs", "RENAME_COLUMN", {"rename": ("source", "origin")}),
+        ],
+    )
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=600)
+    _check(cfg)
+    got = read_table(tmp_lake, "docs")
+    assert "lang" in got.column_names
+    assert "origin" in got.column_names and "source" not in got.column_names
+    # rows last written before the ALTER have null lang; after it, values
+    assert got.filter(pc.is_valid(got["lang"])).num_rows > 0
+
+
+def test_rename_chain_collapse(tmp_log, tmp_lake):
+    """a→b then b→c collapses to a→c; a→b then b→a cancels
+    (DefaultMutableRowSchema.java:113-130)."""
+    write_event_log(
+        tmp_log, n_docs=80, n_events=900, seed=29,
+        ddl=[
+            (200, "docs", "RENAME_COLUMN", {"rename": ("source", "src_a")}),
+            (400, "docs", "RENAME_COLUMN", {"rename": ("src_a", "src_b")}),
+            (600, "docs", "RENAME_COLUMN", {"rename": ("src_b", "source")}),
+        ],
+    )
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=300)
+    _check(cfg)
+    got = read_table(tmp_lake, "docs")
+    assert "source" in got.column_names
+
+
+def test_truncate_table(tmp_log, tmp_lake):
+    write_event_log(
+        tmp_log, n_docs=100, n_events=1000, seed=31,
+        ddl=[(500, "docs", "TRUNCATE_TABLE", {})],
+    )
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=400)
+    _check(cfg)
+
+
+def test_blacklist_filter(tmp_log, tmp_lake):
+    """DML blacklist: DELETE events have no effect
+    (QueueingEventEmitter.java:114-125)."""
+    write_event_log(tmp_log, n_docs=100, n_events=1500, seed=33)
+    cfg = ReplayConfig(
+        event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+        tables=[TableConfig("docs", dml_blacklist={"DELETE"})],
+    )
+    _check(cfg)
+    # with deletes filtered, every doc ever inserted is present
+    got = read_table(tmp_lake, "docs")
+    nodelete = replay_oracle(cfg)["docs"]
+    assert got.num_rows == nodelete.num_rows
+    # sanity: unfiltered replay would have fewer rows
+    cfg2 = ReplayConfig(event_log=tmp_log, lake=tmp_lake + "2", num_partitions=4)
+    replay(cfg2)
+    assert read_table(cfg2.lake, "docs").num_rows < got.num_rows
+
+
+def test_column_whitelist(tmp_log, tmp_lake):
+    """Column whitelist projection (SourceTable.java:69-72): unselected
+    columns come through as nulls."""
+    write_event_log(tmp_log, n_docs=100, n_events=800, seed=35)
+    cfg = ReplayConfig(
+        event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+        tables=[TableConfig("docs", columns=["doc_id", "tokens", "n_tok"])],
+    )
+    _check(cfg)
+    got = read_table(tmp_lake, "docs")
+    assert pc.all(pc.is_null(got["source"])).as_py()
+    assert pc.count(got["tokens"], mode="only_valid").as_py() > 0
+
+
+def test_directives(tmp_log, tmp_lake):
+    """Directive chain: mask token range + rename + set-default
+    (Transformation.java:27-58, MockTransformation.java:52-69)."""
+    write_event_log(tmp_log, n_docs=100, n_events=800, seed=37)
+    cfg = ReplayConfig(
+        event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+        tables=[TableConfig("docs", transformations=[
+            "mask tokens 0 2", "rename source origin",
+        ])],
+    )
+    _check(cfg)
+    got = read_table(tmp_lake, "docs")
+    assert "origin" in got.column_names
+    first_two = pc.list_flatten(pc.list_slice(got["tokens"], 0, 2))
+    assert pc.all(pc.equal(first_two, 0)).as_py()
+
+
+def test_unordered_source(tmp_log, tmp_lake):
+    """UN_ORDERED source: LWW by (source_ts, sort_keys) equals oracle
+    (ChangeEvent.java:51-60, SourceProperties.java:29-32)."""
+    write_event_log(tmp_log, n_docs=150, n_events=2000, seed=39, unordered=True)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=700, ordering="UN_ORDERED")
+    _check(cfg)
+
+
+def test_multi_table(tmp_log, tmp_lake):
+    """Two tables interleaved in one log; independent lakes/checkpoints
+    (testMultipleInstances:400-474)."""
+    write_event_log(tmp_log, n_docs=80, n_events=1500, seed=41,
+                    tables=("taybull", "taybull2"))
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=600)
+    _check(cfg, tables=("taybull", "taybull2"))
+
+
+def test_table_subset_filter(tmp_log, tmp_lake):
+    """Unknown-table filter: only configured tables are replicated
+    (QueueingEventEmitter.java:111,124)."""
+    write_event_log(tmp_log, n_docs=60, n_events=800, seed=43,
+                    tables=("docs", "other"))
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       tables=[TableConfig("docs")])
+    _check(cfg, tables=("docs",))
+    import os
+
+    assert not os.path.isdir(os.path.join(cfg.lake, "gen=0000", "other"))

@@ -1,44 +1,387 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in deltaray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes the engine's operators (SURVEY.md §2) over the
+driver's parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL
+where expressible.  Column names match between both sides (the driver
+hashes values after sorting columns by name).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SF0001 = "/root/testdata/sf0.001"
+
+# event_type → CDC op mapping used by the cdc_apply_events query:
+# 'error' plays DELETE; everything else upserts.
+DELETE_TYPES = ("error",)
+BLACKLIST_TYPES = ("error", "click")
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+# --------------------------------------------------------------- flagship
+def _flagship(sf_dir: str, scratch: str):
+    """CDC replay flagship: synthesize a change log scaled to the sf dir's
+    documents table, replay it through the engine, return the final lake
+    table (rows-only correctness; the pytest oracle covers semantics)."""
+    import pyarrow.parquet as pq
+
+    from deltaray import ReplayConfig, replay
+    from deltaray.gen import write_event_log
+    from deltaray.pipeline import read_table_ds
+
+    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    log = os.path.join(scratch, "events")
+    lake = os.path.join(scratch, "lake")
+    shutil.rmtree(scratch, ignore_errors=True)
+    write_event_log(log, n_docs=n_docs, n_events=n_docs * 4, seed=42,
+                    track_prev=False)
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=16,
+                       chunk_max_events=500_000)
+    replay(cfg)
+    return read_table_ds(lake, "docs")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001; driver smoke-checks rows>=0."""
+    return _flagship(SF0001, "/tmp/deltaray_entry")
+
+
+# ---------------------------------------------------------------- queries
+def _latest_event_per_user(sf_dir: str):
+    from deltaray.functions.cdc_queries import lww_latest
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    return lww_latest(ds, key="user_id", order=["ts", "event_id"],
+                      columns=["event_type", "value"])
+
+
+def _cdc_apply_events(sf_dir: str):
+    from deltaray.functions.cdc_queries import apply_change_stream
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    return apply_change_stream(
+        ds,
+        key="user_id",
+        order=["ts", "event_id"],
+        op_col_expr=lambda b: b["event_type"],
+        delete_ops=set(DELETE_TYPES),
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+
+
+def _event_type_counts(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("event_type").aggregate([([], "count_all")])
+        return t.rename_columns(["event_type", "n_part"])
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.groupby("event_type").aggregate(Sum("n_part", alias_name="n"))
+
+
+def _event_metrics_by_type(sf_dir: str):
+    """A1/A2 metric analog: per type count + first/last ingest timestamp
+    (no float sums — exact under any execution order)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("event_type").aggregate(
+            [([], "count_all"), ("ts", "min"), ("ts", "max")]
+        )
+        return t.rename_columns(["event_type", "n_part", "min_ts_p", "max_ts_p"])
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.groupby("event_type").aggregate(
+        Sum("n_part", alias_name="n"),
+        Min("min_ts_p", alias_name="first_ts"),
+        Max("max_ts_p", alias_name="last_ts"),
+    )
+
+
+def _filter_blacklist_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    bl = pa.array(sorted(BLACKLIST_TYPES))
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(pc.is_in(batch["event_type"], value_set=bl)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _upsert_customers_latest(sf_dir: str):
+    """Snapshot + changes: broadcast the (small) latest-event-per-user set
+    into the customer base — merge-with-base semantics, no shuffle."""
+    from deltaray.functions.cdc_queries import lww_latest, upsert_into_base
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    latest = lww_latest(ev, key="user_id", order=["ts", "event_id"],
+                        columns=["value"])
+    latest_tbl = pa.concat_tables(list(latest.iter_batches(batch_format="pyarrow")))
+    latest_tbl = latest_tbl.select(["user_id", "value"]).rename_columns(
+        ["user_id", "last_value"]
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return upsert_into_base(cust, latest_tbl, base_key="c_custkey",
+                            change_key="user_id", value_cols=["last_value"])
+
+
+def _last_event_per_user_day(sf_dir: str):
+    """Windowed LWW: last event per (user, day) — commit-batch window
+    analog (SURVEY §2.9)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        return batch.append_column("day", pc.floor_temporal(batch["ts"], unit="day"))
+
+    ds = ds.map_batches(add_day, batch_format="pyarrow")
+
+    def last_per_group(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        return g.slice(g.num_rows - 1, 1)
+
+    return ds.groupby(["user_id", "day"]).map_groups(
+        last_per_group, batch_format="pyarrow"
+    )
+
+
+def _dedup_exact_docs(sf_dir: str):
+    from deltaray.functions.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+    out = exact_dedup(ds, text_col="text", id_col="doc_id")
+    return out.drop_columns(["text"])
+
+
+def _token_counts_docs(sf_dir: str):
+    from deltaray.functions.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow") \
+        .drop_columns(["text"])
+
+
+def _quality_scores_docs(sf_dir: str):
+    from deltaray.functions.text import quality_score_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(quality_score_batch, batch_format="pyarrow") \
+        .drop_columns(["text"])
+
+
+def _fingerprint_docs(sf_dir: str):
+    from deltaray.functions.text import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow") \
+        .drop_columns(["text"])
+
+
+def _lang_id_docs(sf_dir: str):
+    from deltaray.functions.text import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2) \
+        .drop_columns(["text"])
+
+
+def _minhash_pairs_docs(sf_dir: str):
+    from deltaray.functions.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, jaccard_threshold=0.5)
+
+
+def _simhash_docs(sf_dir: str):
+    from deltaray.functions.dedup import SimHasher
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2) \
+        .drop_columns(["text"])
+
+
+def _embedding_neardup(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from deltaray.functions.dedup import embedding_neardup_pairs
+
+    dim = len(
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))["embedding"][0]
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, dim=dim, threshold=0.95)
+
+
+def _knn_bruteforce(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from deltaray.functions.knn import knn_bruteforce
+
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).filter(pc.less(pc.field("vec_id"), 4)).sort_by("vec_id")
+    queries_np = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_bruteforce(ds, queries_np, k=5)
+    # query_id == the query's vec_id (they were taken in vec_id order)
+    return out.drop_columns(["cosine"])
+
+
+def _knn_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from deltaray.functions.knn import knn_ivf, train_centroids
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    sample = np.array(tbl["embedding"].to_pylist()[:2048], dtype=np.float32)
+    C = train_centroids(sample, n_centroids=16)
+    qt = tbl.filter(pc.less(pc.field("vec_id"), 4)).sort_by("vec_id")
+    q = np.array(qt["embedding"].to_pylist(), dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_ivf(ds, q, C, k=5, nprobe=4)
+
+
+def _cdc_replay_docs(sf_dir: str):
+    return _flagship(sf_dir, "/tmp/deltaray_q_replay")
+
+
+def _decode_media(sf_dir: str):
+    """Multimodal plumbing demo over a deterministic synthetic media table
+    sized to the sf dir (rows-only check)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from deltaray.functions.multimodal import decode_images, synth_media_table
+
+    n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    tbl = synth_media_table(min(n, 2000))
+    return decode_images(ray.data.from_arrow(tbl), concurrency=2, batch_size=64)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "latest_event_per_user": _latest_event_per_user,
+        "cdc_apply_events": _cdc_apply_events,
+        "event_type_counts": _event_type_counts,
+        "event_metrics_by_type": _event_metrics_by_type,
+        "filter_blacklist_events": _filter_blacklist_events,
+        "upsert_customers_latest": _upsert_customers_latest,
+        "last_event_per_user_day": _last_event_per_user_day,
+        "dedup_exact_docs": _dedup_exact_docs,
+        "token_counts_docs": _token_counts_docs,
+        "quality_scores_docs": _quality_scores_docs,
+        "fingerprint_docs": _fingerprint_docs,
+        "lang_id_docs": _lang_id_docs,
+        "minhash_pairs_docs": _minhash_pairs_docs,
+        "simhash_docs": _simhash_docs,
+        "embedding_neardup": _embedding_neardup,
+        "knn_bruteforce": _knn_bruteforce,
+        "knn_ivf": _knn_ivf,
+        "cdc_replay_docs": _cdc_replay_docs,
+        "decode_media": _decode_media,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bl = ", ".join(f"'{t}'" for t in BLACKLIST_TYPES)
+    return {
+        "latest_event_per_user": """
+            SELECT user_id, ts, event_id, event_type, value FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "cdc_apply_events": f"""
+            SELECT user_id, event_id, ts, event_type, value FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+            AND event_type NOT IN ({", ".join(f"'{t}'" for t in DELETE_TYPES)})
+        """,
+        "event_type_counts": """
+            SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        """,
+        "event_metrics_by_type": """
+            SELECT event_type, count(*) AS n, min(ts) AS first_ts,
+                   max(ts) AS last_ts
+            FROM events GROUP BY event_type
+        """,
+        "filter_blacklist_events": f"""
+            SELECT event_id, user_id, event_type, ts FROM events
+            WHERE event_type NOT IN ({bl})
+        """,
+        "upsert_customers_latest": """
+            SELECT c.c_custkey, c.c_name, l.value AS last_value
+            FROM customer c
+            LEFT JOIN (
+                SELECT user_id, value FROM events
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+            ) l ON c.c_custkey = l.user_id
+        """,
+        "last_event_per_user_day": """
+            SELECT user_id, date_trunc('day', ts) AS day, event_id, ts, value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, date_trunc('day', ts)
+                ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "dedup_exact_docs": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        """,
+        "token_counts_docs": r"""
+            SELECT doc_id,
+                   length(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+                   length(regexp_extract_all(trim(text),
+                          '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "quality_scores_docs": r"""
+            SELECT doc_id,
+                   length(text) AS q_chars,
+                   length(regexp_extract_all(text, '[.,;:!?]')) AS q_punct,
+                   length(regexp_extract_all(text, '[0-9]')) AS q_digit,
+                   length(regexp_extract_all(text, '[A-Z]')) AS q_upper,
+                   length(regexp_extract_all(text,
+                          '\b(the|and|of|a|to|in|is|it)\b')) AS q_stop
+            FROM documents
+        """,
+        "knn_bruteforce": """
+            WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings
+                       WHERE vec_id < 4),
+            s AS (SELECT q.qid AS query_id, e.vec_id,
+                         list_cosine_similarity(q.qe, e.embedding) AS cos
+                  FROM q CROSS JOIN embeddings e)
+            SELECT query_id, rank, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id) AS rank
+                FROM s) WHERE rank <= 5
+        """,
+        # fingerprint/lang_id/minhash/simhash/neardup/knn_ivf/cdc_replay/
+        # media: non-SQL-expressible (custom hashes, models, engine replay)
+        # — rows-only checks.
+    }

@@ -1,0 +1,160 @@
+"""Benchmark harness.
+
+Headline: CDC change-event replay throughput (events/sec) — synthetic
+change log scaled from the sf dir's documents table, replayed into a
+fresh lake.  Secondary: representative training-data queries.
+
+    python bench.py                # one JSON line, $RAY_GRAFT_CPUS (def 32)
+    python bench.py --scaling      # fresh processes at 8 and 32 CPUs +
+                                   # scaling efficiency (sandbox proxy for
+                                   # the N / 4N-node cluster criterion)
+
+The change log is generated once per sf and cached under /tmp; the timed
+section is replay only (lake wiped first).  One untimed read warms the
+page cache so we measure compute + shuffle, not first-touch disk.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+EVENTS_PER_DOC = int(os.environ.get("GRAFT_EVENTS_PER_DOC", "10"))
+
+
+def ensure_event_log() -> tuple[str, dict]:
+    import pyarrow.parquet as pq
+
+    from deltaray.gen import write_event_log
+
+    # documents is small at every sf; scale the stream from lineitem
+    # (~600k rows at sf0.1 → 100k docs, 1M change events — FIXTURES.md §1)
+    n_li = pq.ParquetFile(os.path.join(SF_DIR, "lineitem.parquet")).metadata.num_rows
+    n_docs = max(1000, n_li // 6)
+    n_events = n_docs * EVENTS_PER_DOC
+    tag = os.path.basename(SF_DIR.rstrip("/"))
+    log = f"/tmp/deltaray_bench/{tag}-{n_docs}-{n_events}/events"
+    mpath = os.path.join(log, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            return log, json.load(f)
+    m = write_event_log(log, n_docs=n_docs, n_events=n_events, seed=42,
+                        track_prev=False, segment_max_events=250_000)
+    return log, m
+
+
+def bench_replay(log: str, manifest: dict) -> dict:
+    from deltaray import ReplayConfig, replay
+
+    lake = os.path.join(os.path.dirname(log), f"lake-cpus{NUM_CPUS}")
+    shutil.rmtree(lake, ignore_errors=True)
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=64,
+                       chunk_max_events=2_000_000)
+    t0 = time.perf_counter()
+    res = replay(cfg)
+    sec = time.perf_counter() - t0
+    n_events = manifest["max_seq"]
+    return {"sec": sec, "events": n_events,
+            "events_per_sec": n_events / sec,
+            "dml_events": res["metrics"]["total"]["dml_events"]}
+
+
+def bench_queries() -> dict:
+    import __ray_entry__ as m
+
+    out = {}
+    picks = [
+        "latest_event_per_user",
+        "cdc_apply_events",
+        "event_type_counts",
+        "dedup_exact_docs",
+        "token_counts_docs",
+        "quality_scores_docs",
+        "minhash_pairs_docs",
+        "knn_bruteforce",
+    ]
+    qs = m.queries()
+    for name in picks:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        # consume the pipeline
+        if hasattr(res, "iter_batches"):
+            for _ in res.iter_batches(batch_format="pyarrow"):
+                pass
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_once() -> dict:
+    import ray
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    log, manifest = ensure_event_log()
+    # warm the page cache (untimed)
+    import pyarrow.parquet as pq
+
+    for s in manifest["segments"]:
+        pq.read_table(s["path"])
+
+    replay_stats = bench_replay(log, manifest)
+    queries = bench_queries()
+    ray.shutdown()
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
+    return {
+        "metric": "cdc_replay_events_per_sec",
+        "value": round(replay_stats["sec"], 3),
+        "unit": "sec",
+        "events": replay_stats["events"],
+        "events_per_sec": round(replay_stats["events_per_sec"], 1),
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = sub(lo), sub(hi)
+    tput_lo = r_lo["events_per_sec"]
+    tput_hi = r_hi["events_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "cdc_replay_scaling",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "events_per_sec_lo": tput_lo,
+        "events_per_sec_hi": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

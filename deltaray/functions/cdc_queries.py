@@ -1,0 +1,106 @@
+"""Generic last-writer-wins / change-apply operators over arbitrary keyed
+streams — the engine's merge semantics (SURVEY.md §2.7) exposed as
+reusable Dataset transforms, used by the driver-facing queries over the
+``events`` table.
+
+Pattern: phase-1 combine inside ``map_batches`` (keep only the max-order
+row per key per batch) → small ``groupby(key).map_groups`` phase 2.  The
+pre-reduction bounds shuffle volume by (#keys × #batches), not #events —
+the same two-phase reduction the merge stage uses for hot keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _take_last_per_key(tbl: pa.Table, key: str, order: list[str]) -> pa.Table:
+    """Max-(order tuple) row per key, vectorized (stable sort + factorize)."""
+    if tbl.num_rows <= 1:
+        return tbl
+    tbl = tbl.sort_by([(c, "ascending") for c in order])
+    ids = tbl[key]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    codes, _ = pd.factorize(ids.to_numpy(zero_copy_only=False))
+    _, first_rev = np.unique(codes[::-1], return_index=True)
+    last_idx = np.sort(len(codes) - 1 - first_rev)
+    if len(last_idx) == tbl.num_rows:
+        return tbl
+    return tbl.take(pa.array(last_idx))
+
+
+def lww_latest(ds, key: str, order: list[str], columns: list[str] | None = None):
+    """Latest row per key by (order...) — two-phase LWW over a Dataset.
+
+    Engine-core analog: QueueingEventEmitter sequencing + merge LWW
+    (Sequenced.java:26-53) applied to a generic table.
+    """
+    need = None
+    if columns is not None:
+        need = list(dict.fromkeys([key, *order, *columns]))
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if need is not None:
+            batch = batch.select([c for c in need if c in batch.column_names])
+        return _take_last_per_key(batch, key, order)
+
+    ds = ds.map_batches(combine, batch_format="pyarrow")
+
+    def finalize(group: pa.Table) -> pa.Table:
+        return _take_last_per_key(group, key, order)
+
+    return ds.groupby(key).map_groups(finalize, batch_format="pyarrow")
+
+
+def apply_change_stream(ds, key: str, order: list[str], op_col_expr,
+                        delete_ops: set[str], columns: list[str]):
+    """CDC apply over a generic event table: latest row per key wins; keys
+    whose winning row is a delete-op vanish (merge-stage semantics without
+    a base table).  ``op_col_expr(batch) -> pa.Array`` maps each row to an
+    op label."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        ops = op_col_expr(batch)
+        batch = batch.select([c for c in dict.fromkeys([key, *order, *columns])])
+        batch = batch.append_column("__op", ops)
+        return _take_last_per_key(batch, key, order)
+
+    ds = ds.map_batches(combine, batch_format="pyarrow")
+
+    def finalize(group: pa.Table) -> pa.Table:
+        win = _take_last_per_key(group, key, order)
+        mask = pc.invert(pc.is_in(win["__op"], value_set=pa.array(sorted(delete_ops))))
+        return win.filter(mask).drop_columns(["__op"])
+
+    return ds.groupby(key).map_groups(finalize, batch_format="pyarrow")
+
+
+def upsert_into_base(base_ds, changes_tbl: pa.Table, base_key: str,
+                     change_key: str, value_cols: list[str]):
+    """Broadcast-merge a small change set into a large base Dataset:
+    the Ray translation of the reference's target-side MERGE
+    (EventConsumer.java:58-66) when the change side is small — the change
+    table is put in the object store ONCE (ray.put) and probed per batch;
+    no shuffle of the base."""
+    import ray
+
+    ref = ray.put(changes_tbl)
+
+    class Upsert:
+        def __init__(self):
+            tbl = ray.get(ref)
+            self.lookup = tbl.to_pandas().set_index(change_key)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch[base_key].to_pandas()
+            joined = self.lookup.reindex(keys)
+            for c in value_cols:
+                arr = pa.array(joined[c].to_numpy(), from_pandas=True)
+                batch = batch.append_column(c, arr)
+            return batch
+
+    return base_ds.map_batches(Upsert, batch_format="pyarrow", concurrency=2)

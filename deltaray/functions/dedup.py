@@ -1,0 +1,261 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard
+verification, embedding-cosine near-dup.
+
+Scale shapes (ray_guide patterns):
+- exact: fingerprint in map_batches (vectorized FNV) → two-phase
+  min-doc_id reduction (combine per batch, tiny groupby) — shuffle
+  volume is #distinct fingerprints per batch, not #docs;
+- MinHash-LSH: shingle→minhash per batch (numpy) → explode to
+  (band, band_hash, doc_id) rows → groupby bands → candidate pairs →
+  exact-Jaccard verify.  Only band rows shuffle (fixed small width),
+  never document text;
+- SimHash: 64-bit signature per batch; near-dup candidates = equal
+  signature buckets (or rotated-band buckets);
+- embedding cosine: normalize + LSH-style random-hyperplane bucket →
+  within-bucket pairwise cosine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from deltaray.transforms import stable_hash_strings
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(texts: list[str], k: int = 5) -> list[np.ndarray]:
+    """Character k-shingle 64-bit hashes per text (vectorized per doc via
+    numpy sliding windows over the byte array)."""
+    out = []
+    for t in texts:
+        b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+        if len(b) < k:
+            out.append(np.zeros(1, dtype=np.uint64))
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+        weights = np.uint64(31) ** np.arange(k, dtype=np.uint64)
+        out.append((win * weights).sum(axis=1))
+    return out
+
+
+class MinHasher:
+    """Actor-pool stage: permutation coefficients generated once per actor
+    (seeded → identical across actors), signatures per batch."""
+
+    def __init__(self, num_hashes: int = 64, seed: int = 42, shingle_k: int = 5):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.uint64)
+        self.k = shingle_k
+        self.n = num_hashes
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        sigs = np.empty((len(texts), self.n), dtype=np.uint64)
+        M = np.uint64(_MERSENNE)
+        for i, sh in enumerate(_shingle_hashes(texts, self.k)):
+            # (a*x + b) mod M for each hash fn — broadcast (n_shingles, n)
+            v = (sh[:, None] * self.a[None, :] + self.b[None, :]) % M
+            sigs[i] = v.min(axis=0)
+        return sigs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = self.signatures(batch["text"].to_pylist())
+        return batch.append_column(
+            "minhash", pa.array(list(sigs.astype(np.int64)), pa.list_(pa.int64()))
+        )
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep the min-id row per exact content; returns the surviving rows.
+
+    Two-phase: per-batch min-id per fingerprint (combiner), then a small
+    groupby over fingerprints.  Content bytes never shuffle — only
+    (fingerprint, id).
+    """
+    def fp(batch: pa.Table) -> pa.Table:
+        h = stable_hash_strings(batch[text_col]).astype(np.int64)
+        batch = batch.append_column("__fp", pa.array(h))
+        # combiner: min id per fingerprint within the batch
+        idx = (
+            pd.Series(np.arange(batch.num_rows))
+            .groupby(pd.factorize(h)[0])
+            .first()  # batch rows are id-ordered per file; refined in phase 2
+        )
+        srt = batch.sort_by(id_col)
+        h2 = srt["__fp"].to_numpy(zero_copy_only=False)
+        codes = pd.factorize(h2)[0]
+        first_idx = np.unique(codes, return_index=True)[1]
+        return srt.take(pa.array(np.sort(first_idx)))
+
+    ds = ds.map_batches(fp, batch_format="pyarrow")
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        g = group.sort_by(id_col)
+        return g.slice(0, 1).drop_columns(["__fp"])
+
+    return ds.groupby("__fp").map_groups(keep_min, batch_format="pyarrow")
+
+
+def minhash_lsh_pairs(ds, *, num_hashes: int = 64, bands: int = 16,
+                      id_col: str = "doc_id", jaccard_threshold: float = 0.5,
+                      shingle_k: int = 5, seed: int = 42):
+    """Near-duplicate candidate pairs via MinHash banding, verified by
+    signature-estimated Jaccard.
+
+    Stage 1 (actor pool): minhash signatures per batch.
+    Stage 2: explode to (band, band_hash, id, signature) rows.
+    Stage 3: groupby (band, band_hash) → pairs within each bucket.
+    Stage 4: estimated Jaccard = fraction of equal signature slots,
+    verified per pair; dedup identical pairs from multiple bands.
+    Returns a Dataset of (id_a, id_b, jaccard_est).
+    """
+    rows_per_band = num_hashes // bands
+
+    class Explode(MinHasher):
+        def __init__(self):
+            super().__init__(num_hashes=num_hashes, seed=seed, shingle_k=shingle_k)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sigs = self.signatures(batch["text"].to_pylist())
+            n = len(batch)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
+            doc_ids = np.tile(ids, bands)
+            bh = np.empty(n * bands, dtype=np.int64)
+            prime = np.uint64(0x100000001B3)
+            for b in range(bands):
+                seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+                h = np.full(n, np.uint64(0xCBF29CE484222325))
+                for j in range(rows_per_band):
+                    h = (h ^ seg[:, j]) * prime
+                bh[b * n : (b + 1) * n] = h.astype(np.int64)
+            sig_list = list(sigs.astype(np.int64))
+            return pa.table(
+                {
+                    "band": pa.array(band_ids),
+                    "band_hash": pa.array(bh),
+                    id_col: pa.array(doc_ids),
+                    "sig": pa.array(sig_list * bands, pa.list_(pa.int64())),
+                }
+            )
+
+    ds = ds.map_batches(Explode, batch_format="pyarrow", concurrency=2)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "jaccard_est": pa.array([], pa.float64())})
+        g = group.sort_by(id_col)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        sigs = np.array(g["sig"].to_pylist(), dtype=np.int64)
+        ia, ib = np.triu_indices(n, k=1)
+        est = (sigs[ia] == sigs[ib]).mean(axis=1)
+        keep = est >= jaccard_threshold
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ia[keep]].astype(np.int64)),
+                "id_b": pa.array(ids[ib[keep]].astype(np.int64)),
+                "jaccard_est": pa.array(est[keep]),
+            }
+        )
+
+    pairs = ds.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+
+    # a pair can surface from several bands — keep one copy
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        dedup_pairs, batch_format="pyarrow"
+    )
+
+
+class SimHasher:
+    """64-bit SimHash over character shingles (actor-pool stage)."""
+
+    def __init__(self, shingle_k: int = 5):
+        self.k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, sh in enumerate(_shingle_hashes(texts, self.k)):
+            bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+            votes = bits.sum(axis=0) * 2 - len(sh)
+            out[i] = int(
+                np.uint64((votes > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+            ) - (1 << 63)
+        return batch.append_column("simhash", pa.array(out))
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    """Exact character-k-gram Jaccard (pair verification primitive)."""
+    a = {text_a[i : i + k] for i in range(max(1, len(text_a) - k + 1))}
+    b = {text_b[i : i + k] for i in range(max(1, len(text_b) - k + 1))}
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
+                            n_planes: int = 12, id_col: str = "vec_id",
+                            vec_col: str = "embedding", seed: int = 42):
+    """Embedding-cosine near-dup: random-hyperplane LSH bucket per vector
+    (map_batches, hyperplanes broadcast via the actor constructor), then
+    exact cosine within buckets.  At 100 TB the bucket groupby is the only
+    shuffle and carries (bucket, id, vector) rows."""
+
+    class Bucket:
+        def __init__(self):
+            rng = np.random.default_rng(seed)
+            self.planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1
+            unit = vecs / norms
+            bits = (unit @ self.planes) > 0
+            bucket = bits @ (1 << np.arange(n_planes))
+            return pa.table(
+                {
+                    "bucket": pa.array(bucket.astype(np.int64)),
+                    id_col: batch[id_col],
+                    "unit": pa.array(list(unit), pa.list_(pa.float32())),
+                }
+            )
+
+    ds = ds.map_batches(Bucket, batch_format="pyarrow", concurrency=2)
+
+    def pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if n < 2:
+            return empty
+        g = group.sort_by(id_col)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        unit = np.array(g["unit"].to_pylist(), dtype=np.float32)
+        sim = unit @ unit.T
+        ia, ib = np.triu_indices(n, k=1)
+        keep = sim[ia, ib] >= threshold
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ia[keep]].astype(np.int64)),
+                "id_b": pa.array(ids[ib[keep]].astype(np.int64)),
+                "cosine": pa.array(sim[ia, ib][keep].astype(np.float64)),
+            }
+        )
+
+    return ds.groupby("bucket").map_groups(pairs, batch_format="pyarrow")

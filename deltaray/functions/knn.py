@@ -1,0 +1,160 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_bruteforce``: exact cosine top-k — query matrix broadcast via
+  ``ray.put`` once, numpy matmul per batch (never per row), partial
+  top-k per batch, final top-k reduction on the tiny candidate set.
+- ``knn_ivf``: IVF-style scale path — k-means-ish coarse centroids
+  (sampled, trained once on the driver), each vector assigned to its
+  nearest centroid inside ``map_batches``; queries probe only the
+  ``nprobe`` nearest centroid partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1
+    return m / n
+
+
+def knn_bruteforce(ds, queries: np.ndarray, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """Exact cosine top-k of each query against the whole dataset.
+
+    Returns pa.Table (query_id, rank, vec_id, cosine) sorted by
+    (query_id, rank).  The dataset streams; only ``n_queries × k``
+    candidates per batch come back to the reducer.
+    """
+    import ray
+
+    qref = ray.put(_unit(np.asarray(queries, dtype=np.float64)))
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(qref)  # fetched once per actor, zero-copy
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _unit(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            sim = self.q @ vecs.T  # (nq, nb)
+            kk = min(k, sim.shape[1])
+            top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+            nq = sim.shape[0]
+            qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
+            vid = ids[top.ravel()]
+            cs = sim[np.repeat(np.arange(nq), kk), top.ravel()]
+            return pa.table(
+                {
+                    "query_id": pa.array(qid),
+                    id_col: pa.array(vid.astype(np.int64)),
+                    "cosine": pa.array(cs.astype(np.float64)),
+                }
+            )
+
+    cands = ds.map_batches(Score, batch_format="pyarrow", concurrency=2)
+    # final reduction over the small candidate set (nq × k × n_batches rows)
+    tbl = pa.concat_tables(list(cands.iter_batches(batch_format="pyarrow")))
+    out_rows = {"query_id": [], id_col: [], "cosine": [], "rank": []}
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    for qid, g in df.groupby("query_id"):
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        for r, (_, row) in enumerate(g.iterrows()):
+            out_rows["query_id"].append(int(qid))
+            out_rows[id_col].append(int(row[id_col]))
+            out_rows["cosine"].append(float(row["cosine"]))
+            out_rows["rank"].append(r + 1)
+    return pa.table(
+        {
+            "query_id": pa.array(out_rows["query_id"], pa.int64()),
+            "rank": pa.array(out_rows["rank"], pa.int64()),
+            id_col: pa.array(out_rows[id_col], pa.int64()),
+            "cosine": pa.array(out_rows["cosine"], pa.float64()),
+        }
+    )
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 8,
+                    seed: int = 42) -> np.ndarray:
+    """Mini k-means on a driver-side sample (the IVF coarse quantizer)."""
+    rng = np.random.default_rng(seed)
+    X = _unit(np.asarray(sample, dtype=np.float32))
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+        C = _unit(C)
+    return C
+
+
+def knn_ivf(ds, queries: np.ndarray, centroids: np.ndarray, k: int = 5,
+            nprobe: int = 4, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> pa.Table:
+    """IVF top-k: score only vectors whose coarse cell is among each
+    query's ``nprobe`` nearest cells.  Centroids + queries broadcast once."""
+    import ray
+
+    q = _unit(np.asarray(queries, dtype=np.float32))
+    C = _unit(np.asarray(centroids, dtype=np.float32))
+    probe = np.argsort(-(q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    state = ray.put((q, C, probe))
+
+    class Score:
+        def __init__(self):
+            self.q, self.C, self.probe = ray.get(state)
+            # query set per cell
+            self.cell_queries = {}
+            for qi, cells in enumerate(self.probe):
+                for c in cells:
+                    self.cell_queries.setdefault(int(c), []).append(qi)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _unit(np.array(batch[vec_col].to_pylist(), dtype=np.float32))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            cells = (vecs @ self.C.T).argmax(axis=1)
+            out_q, out_i, out_c = [], [], []
+            for c in np.unique(cells):
+                qs = self.cell_queries.get(int(c))
+                if not qs:
+                    continue
+                m = cells == c
+                sub, sids = vecs[m], ids[m]
+                sim = self.q[qs] @ sub.T
+                kk = min(k, sim.shape[1])
+                top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+                for row, qi in enumerate(qs):
+                    out_q.extend([qi] * kk)
+                    out_i.extend(sids[top[row]].tolist())
+                    out_c.extend(sim[row, top[row]].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(np.array(out_q, dtype=np.int64)),
+                    id_col: pa.array(np.array(out_i, dtype=np.int64)),
+                    "cosine": pa.array(np.array(out_c, dtype=np.float64)),
+                }
+            )
+
+    cands = ds.map_batches(Score, batch_format="pyarrow", concurrency=2)
+    import pandas as pd
+
+    dfs = [b.to_pandas() for b in cands.iter_batches(batch_format="pyarrow")]
+    df = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame(
+        columns=["query_id", id_col, "cosine"]
+    )
+    rows = {"query_id": [], "rank": [], id_col: [], "cosine": []}
+    for qid, g in df.groupby("query_id"):
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        for r, (_, row) in enumerate(g.iterrows()):
+            rows["query_id"].append(int(qid))
+            rows["rank"].append(r + 1)
+            rows[id_col].append(int(row[id_col]))
+            rows["cosine"].append(float(row["cosine"]))
+    return pa.table({k2: pa.array(v) for k2, v in rows.items()})

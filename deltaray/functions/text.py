@@ -1,0 +1,94 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All are stateless vectorized ``map_batches`` transforms over Arrow
+batches; the language-ID stage is a callable class (actor pool) because
+it holds compiled profile tables (the "model loaded once per actor"
+slot).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS = r"\s+"
+# BPE-ish word/number/punct splitter (public GPT-2-style pattern family)
+_BPEISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count + BPE-ish token count per doc (vectorized
+    pyarrow regex kernels)."""
+    text = pc.utf8_trim_whitespace(batch[text_col])
+    ws = pc.list_value_length(pc.split_pattern_regex(text, _WS)).cast(pa.int64())
+    bpe = pc.count_substring_regex(text, _BPEISH).cast(pa.int64())
+    return batch.append_column("n_ws_tokens", ws).append_column("n_bpe_tokens", bpe)
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality heuristics as integer counts (deterministic, oracle-friendly):
+    chars, punctuation, digits, uppercase, stopword hits."""
+    text = batch[text_col]
+    n_chars2 = pc.utf8_length(text).cast(pa.int64())
+    n_punct = pc.count_substring_regex(text, r"[.,;:!?]").cast(pa.int64())
+    n_digit = pc.count_substring_regex(text, r"[0-9]").cast(pa.int64())
+    n_upper = pc.count_substring_regex(text, r"[A-Z]").cast(pa.int64())
+    n_stop = pc.count_substring_regex(
+        text, r"\b(the|and|of|a|to|in|is|it)\b"
+    ).cast(pa.int64())
+    out = batch
+    for name, col in [
+        ("q_chars", n_chars2),
+        ("q_punct", n_punct),
+        ("q_digit", n_digit),
+        ("q_upper", n_upper),
+        ("q_stop", n_stop),
+    ]:
+        out = out.append_column(name, col)
+    return out
+
+
+class LangId:
+    """Character-n-gram language-ID heuristic (actor-pool stage: profiles
+    built once per actor in __init__, scored per batch).
+
+    Tiny built-in profiles — a real deployment would load fastText-style
+    models here; the Ray plumbing (stateful actor pool, vectorized scoring)
+    is the point."""
+
+    PROFILES = {
+        "en": ["the", "and", "ing", "ion", "he ", " th"],
+        "de": ["der", "die", "und", "ein", "sch", "ich"],
+        "fr": ["les", "des", "ent", "que", " de", "ion"],
+        "es": ["que", " de", "los", "ión", "ent", "ar "],
+    }
+
+    def __init__(self):
+        self.langs = sorted(self.PROFILES)
+        self.pats = {l: re.compile("|".join(map(re.escape, g)))
+                     for l, g in self.PROFILES.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        scores = np.zeros((len(texts), len(self.langs)), dtype=np.int64)
+        for j, l in enumerate(self.langs):
+            pat = self.pats[l]
+            scores[:, j] = [len(pat.findall(t or "")) for t in texts]
+        best = scores.argmax(axis=1)
+        none = scores.max(axis=1) == 0
+        guess = np.array(self.langs, dtype=object)[best]
+        guess[none] = "unk"
+        return batch.append_column("lang_guess", pa.array(guess, pa.string()))
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit FNV-1a content fingerprint per document (stable across
+    machines; used as the exact-dedup key)."""
+    from deltaray.transforms import stable_hash_strings
+
+    h = stable_hash_strings(batch[text_col])
+    return batch.append_column("fingerprint", pa.array(h.astype(np.int64)))

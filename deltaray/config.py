@@ -59,6 +59,8 @@ class ReplayConfig:
     retry: RetryConfig = field(default_factory=RetryConfig)
 
     # --- physical knobs (Ray side) ---
+    shuffle: str = "tasks"         # "tasks" (split/merge task exchange) or
+                                   # "sort" (Dataset groupby sort shuffle)
     num_partitions: int = 32       # hash partitions per table (hash(doc_id) % P)
     chunk_max_events: int = 2_000_000  # replay chunk size (resume granularity)
     batch_size: int = 16384        # map_batches batch size for transforms
@@ -77,6 +79,8 @@ class ReplayConfig:
             raise ValueError("lake is required")
         if self.ordering not in ("ORDERED", "UN_ORDERED"):
             raise ValueError(f"bad ordering {self.ordering!r}")
+        if self.shuffle not in ("tasks", "sort"):
+            raise ValueError(f"bad shuffle {self.shuffle!r}")
         if self.num_partitions < 1:
             raise ValueError("num_partitions must be >= 1")
         for bl in [self.ddl_blacklist] + [t.ddl_blacklist for t in self.tables]:

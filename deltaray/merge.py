@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -82,6 +83,48 @@ def evolve_to(tbl: pa.Table, target: TableSchema) -> pa.Table:
     for v in VERSION_COLS:
         cols[v] = tbl[v]
     return pa.table(cols)
+
+
+def upsert_by_version(base: pa.Table, changes: pa.Table, key: str) -> pa.Table:
+    """Merge per-key-unique ``changes`` into per-key-unique ``base``:
+    for a key present in both, the row with the greater version
+    (__src_ts, __sk, __seq) wins; changes win ties (idempotent replay of
+    an identical event).  All comparisons run on int64 numpy views — the
+    fat payload columns are moved once, by the final filter/concat.
+
+    In ORDERED mode every change's __seq exceeds anything in base (chunk
+    reads start past the committed seq), so this degenerates to "change
+    wins"; in UN_ORDERED mode it resolves logically-late arrivals exactly
+    like the reference target's (source_ts, sort_keys) comparison
+    (SourceProperties.java:29-32 builder javadoc :92-99).
+    """
+    bkeys = base[key].combine_chunks()
+    pos = pc.index_in(changes[key].combine_chunks(), value_set=bkeys)
+    pos_np = pos.to_numpy(zero_copy_only=False)  # float ndarray with nan
+    have = ~np.isnan(pos_np)
+    if not have.any():
+        return pa.concat_tables([base, changes], promote_options="none")
+    bidx = pos_np[have].astype(np.int64)
+
+    def ver(tbl: pa.Table, col: str) -> np.ndarray:
+        return tbl[col].to_numpy(zero_copy_only=False)
+
+    c_ts, c_sk, c_sq = (ver(changes, c)[have] for c in ("__src_ts", "__sk", "__seq"))
+    b_ts, b_sk, b_sq = (ver(base, c)[bidx] for c in ("__src_ts", "__sk", "__seq"))
+    # lexicographic (ts, sk, seq) >= — change wins ties
+    wins = (
+        (c_ts > b_ts)
+        | ((c_ts == b_ts) & (c_sk > b_sk))
+        | ((c_ts == b_ts) & (c_sk == b_sk) & (c_sq >= b_sq))
+    )
+    change_keep = np.ones(changes.num_rows, dtype=bool)
+    change_keep[np.flatnonzero(have)[~wins]] = False
+    base_keep = np.ones(base.num_rows, dtype=bool)
+    base_keep[bidx[wins]] = False
+    return pa.concat_tables(
+        [base.filter(pa.array(base_keep)), changes.filter(pa.array(change_keep))],
+        promote_options="none",
+    )
 
 
 def stamp_schema(tbl: pa.Table, schema: TableSchema) -> pa.Table:
@@ -142,11 +185,11 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
         if base is not None and base.num_rows:
             base = evolve_to(base, schema)
             changes = changes.select(base.column_names)  # align order
-            merged = pa.concat_tables([base, changes])
-            merged = lww_reduce(merged, schema.key)
+            merged = upsert_by_version(base, changes, schema.key)
         else:
             merged = changes
-        merged = merged.sort_by(schema.key)
+        # partition files are NOT key-sorted: sorting fat token rows per
+        # chunk is pure overhead (read_table orders at presentation time)
         merged = stamp_schema(merged, schema)
         counts = {
             "inserts": int(n_ins),

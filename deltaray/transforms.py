@@ -42,6 +42,39 @@ def parse_directive(directive: str) -> tuple[str, list[str]]:
     return parts[0], parts[1:]
 
 
+class Directive:
+    """One registered transformation — the Transformation-plugin analog
+    (delta-api/.../transformation/api/Transformation.java:27-58): a
+    ``schema_fn`` (transformSchema) and a vectorized ``batch_fn``
+    (transformValue over a whole Arrow batch); ``row_fn`` serves the
+    single-process oracle.  Any hook may be None (identity)."""
+
+    def __init__(self, name, schema_fn=None, batch_fn=None, row_fn=None):
+        self.name = name
+        self.schema_fn = schema_fn
+        self.batch_fn = batch_fn
+        self.row_fn = row_fn
+
+
+DIRECTIVES: dict[str, Directive] = {}
+
+
+def register_directive(name: str, *, schema_fn=None, batch_fn=None, row_fn=None):
+    """UDF registry entry point (DeltaApp.java:61-66 plugin registration
+    analog).  User code registers custom directives before building the
+    pipeline; TransformStage workers re-import this module so registration
+    must happen at import time of the caller's module."""
+    DIRECTIVES[name] = Directive(name, schema_fn, batch_fn, row_fn)
+    return DIRECTIVES[name]
+
+
+def _lookup(name: str) -> Directive:
+    try:
+        return DIRECTIVES[name]
+    except KeyError:
+        raise ValueError(f"unknown directive: {name}") from None
+
+
 def apply_directives_to_schema(
     schema: TableSchema, directives: list[str]
 ) -> TableSchema:
@@ -52,14 +85,9 @@ def apply_directives_to_schema(
     out = schema
     for d in directives:
         name, args = parse_directive(d)
-        if name == "rename":
-            old, new = args
-            if old in out.column_names():
-                out = out.with_renamed_column(old, new, out.version_seq)
-        elif name in ("set-default", "mask"):
-            pass  # value-only directives
-        else:
-            raise ValueError(f"unknown directive: {name}")
+        fn = _lookup(name).schema_fn
+        if fn is not None:
+            out = fn(out, args)
     return out
 
 
@@ -67,32 +95,115 @@ def apply_directives_to_batch(batch: pa.Table, directives: list[str]) -> pa.Tabl
     """Vectorized transformValue over the directive chain (F5/F7)."""
     for d in directives:
         name, args = parse_directive(d)
-        if name == "rename":
-            old, new = args
-            if old in batch.column_names:
-                if new in batch.column_names:
-                    raise ValueError(f"rename: column {new!r} exists")
-                batch = batch.rename_columns(
-                    [new if c == old else c for c in batch.column_names]
-                )
-        elif name == "set-default":
-            col, value = args[0], " ".join(args[1:])
-            if col in batch.column_names:
-                filled = pc.fill_null(batch[col], pa.scalar(value, batch[col].type))
-                batch = batch.set_column(
-                    batch.column_names.index(col), col, filled
-                )
-        elif name == "mask":
-            col, start, end = args[0], int(args[1]), int(args[2])
-            if col in batch.column_names:
-                batch = batch.set_column(
-                    batch.column_names.index(col),
-                    col,
-                    _mask_list_range(batch[col], start, end),
-                )
-        else:
-            raise ValueError(f"unknown directive: {name}")
+        fn = _lookup(name).batch_fn
+        if fn is not None:
+            batch = fn(batch, args)
     return batch
+
+
+# ---- built-in directives (SURVEY §2.8 set) --------------------------------
+def _rename_schema(schema: TableSchema, args: list[str]) -> TableSchema:
+    old, new = args
+    if old in schema.column_names():
+        return schema.with_renamed_column(old, new, schema.version_seq)
+    return schema
+
+
+def _rename_batch(batch: pa.Table, args: list[str]) -> pa.Table:
+    old, new = args
+    if old in batch.column_names:
+        if new in batch.column_names:
+            raise ValueError(f"rename: column {new!r} exists")
+        batch = batch.rename_columns(
+            [new if c == old else c for c in batch.column_names]
+        )
+    return batch
+
+
+def _rename_row(row: dict, args: list[str]) -> dict:
+    old, new = args
+    if old in row:
+        row[new] = row.pop(old)
+    return row
+
+
+def _set_default_batch(batch: pa.Table, args: list[str]) -> pa.Table:
+    col, value = args[0], " ".join(args[1:])
+    if col in batch.column_names:
+        filled = pc.fill_null(batch[col], pa.scalar(value, batch[col].type))
+        batch = batch.set_column(batch.column_names.index(col), col, filled)
+    return batch
+
+
+def _set_default_row(row: dict, args: list[str]) -> dict:
+    col, value = args[0], " ".join(args[1:])
+    if col in row and row[col] is None:
+        row[col] = value
+    return row
+
+
+def _mask_batch(batch: pa.Table, args: list[str]) -> pa.Table:
+    col, start, end = args[0], int(args[1]), int(args[2])
+    if col in batch.column_names:
+        batch = batch.set_column(
+            batch.column_names.index(col), col,
+            _mask_list_range(batch[col], start, end),
+        )
+    return batch
+
+
+def _mask_row(row: dict, args: list[str]) -> dict:
+    col, start, end = args[0], int(args[1]), int(args[2])
+    if row.get(col) is not None:
+        toks = list(row[col])
+        for i in range(start, min(end, len(toks))):
+            toks[i] = 0
+        row[col] = toks
+    return row
+
+
+def _retok_batch(batch: pa.Table, args: list[str]) -> pa.Table:
+    """retokenize-stub <col> <offset>: deterministic stand-in for a real
+    re-tokenization pass — maps every token id t → t + offset, vectorized
+    on the flat values buffer (zero row loop)."""
+    col, offset = args[0], int(args[1])
+    if col not in batch.column_names:
+        return batch
+    batch = batch.set_column(
+        batch.column_names.index(col), col,
+        _list_add_scalar(batch[col], offset),
+    )
+    return batch
+
+
+def _retok_row(row: dict, args: list[str]) -> dict:
+    col, offset = args[0], int(args[1])
+    if row.get(col) is not None:
+        row[col] = [t + offset for t in row[col]]
+    return row
+
+
+def _list_add_scalar(col: pa.ChunkedArray | pa.Array, offset: int):
+    if isinstance(col, pa.ChunkedArray):
+        return pa.chunked_array(
+            [_list_add_scalar(c, offset) for c in col.chunks], type=col.type
+        )
+    arr = col
+    if len(arr) == 0:
+        return arr
+    values = pc.add(arr.values, pa.scalar(offset, arr.values.type))
+    out = pa.ListArray.from_arrays(arr.offsets, values)
+    if arr.null_count:
+        out = pc.if_else(pc.is_null(arr), pa.nulls(len(arr), out.type), out)
+    return out
+
+
+register_directive("rename", schema_fn=_rename_schema, batch_fn=_rename_batch,
+                   row_fn=_rename_row)
+register_directive("set-default", batch_fn=_set_default_batch,
+                   row_fn=_set_default_row)
+register_directive("mask", batch_fn=_mask_batch, row_fn=_mask_row)
+register_directive("retokenize-stub", batch_fn=_retok_batch, row_fn=_retok_row)
 
 
 def _mask_list_range(col: pa.ChunkedArray | pa.Array, start: int, end: int):
@@ -132,21 +243,9 @@ def apply_directives_to_row(row: dict, directives: list[str]) -> dict:
     """Row-level directive application (oracle only)."""
     for d in directives:
         name, args = parse_directive(d)
-        if name == "rename":
-            old, new = args
-            if old in row:
-                row[new] = row.pop(old)
-        elif name == "set-default":
-            col, value = args[0], " ".join(args[1:])
-            if col in row and row[col] is None:
-                row[col] = value
-        elif name == "mask":
-            col, start, end = args[0], int(args[1]), int(args[2])
-            if row.get(col) is not None:
-                toks = list(row[col])
-                for i in range(start, min(end, len(toks))):
-                    toks[i] = 0
-                row[col] = toks
+        fn = _lookup(name).row_fn
+        if fn is not None:
+            row = fn(row, args)
     return row
 
 
@@ -216,10 +315,18 @@ class TransformStage:
         self.table_set = cfg.table_names  # empty = all tables
         self.dml_bl = {t: cfg.dml_blacklist_for(t) for t in schemas}
         self.global_dml_bl = set(cfg.dml_blacklist)
-        self.directives = {
-            t: (cfg.table_config(t).transformations if cfg.table_config(t) else [])
-            for t in schemas
-        }
+        # resolve directive names HERE (driver side): the compiled chain —
+        # including user-registered Directive callables — ships to workers
+        # via pickle, so registration is only required in the driver
+        # process (plugin registration analog, DeltaApp.java:61-66)
+        self.chains = {}
+        for t in schemas:
+            tc = cfg.table_config(t)
+            chain = []
+            for d in (tc.transformations if tc else []):
+                name, args = parse_directive(d)
+                chain.append((_lookup(name), args))
+            self.chains[t] = chain
         self.whitelist = {
             t: (cfg.table_config(t).columns if cfg.table_config(t) else None)
             for t in schemas
@@ -313,7 +420,9 @@ class TransformStage:
                     c, pa.nulls(len(payload), code_to_type(dict(ts.fields)[c]))
                 )
         # directive chain (F5/F7)
-        payload = apply_directives_to_batch(payload, self.directives.get(t, []))
+        for directive, args in self.chains.get(t, []):
+            if directive.batch_fn is not None:
+                payload = directive.batch_fn(payload, args)
         eff = self.effective[t]
         key = eff.key
         # version stamp
@@ -357,28 +466,47 @@ class TransformStage:
         return out
 
 
+_VERSION_SORT = [("__src_ts", "ascending"), ("__sk", "ascending"),
+                 ("__seq", "ascending")]
+
+
+def _version_order(tbl: pa.Table) -> np.ndarray:
+    """Row permutation sorting by version (__src_ts, __sk, __seq) — computed
+    on the three int64 columns ONLY, so the (fat) token payload is never
+    moved by the sort.  pyarrow sort_indices is stable."""
+    slim = tbl.select(["__src_ts", "__sk", "__seq"])
+    return pc.sort_indices(slim, sort_keys=_VERSION_SORT).to_numpy()
+
+
+def _winner_positions(ids_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(positions-in-sorted-order of each key's last row, key codes of those
+    rows).  Factorize = exact C hash table, no collision risk."""
+    import pandas as pd
+
+    codes, _ = pd.factorize(ids_sorted)
+    _, first_rev = np.unique(codes[::-1], return_index=True)
+    last_pos = len(codes) - 1 - first_rev
+    return last_pos, codes
+
+
 def lww_pre_reduce_with_counts(tbl: pa.Table, key: str) -> pa.Table:
     """Phase-1 LWW combine: keep the max-version row per key within a batch
     AND attach per-key op counts (__n_ins/__n_upd/__n_del) so the merge
     stage's metrics see every consumed event, not only the winners."""
-    import pandas as pd
-
-    order = tbl.sort_by(
-        [("__src_ts", "ascending"), ("__sk", "ascending"), ("__seq", "ascending")]
-    )
-    ids = order[key]
+    order = _version_order(tbl)
+    ids = tbl[key]
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
-    codes, uniques = pd.factorize(ids.to_numpy(zero_copy_only=False))
-    n = len(uniques)
-    ops = order["__op"].to_numpy(zero_copy_only=False)
+    ids_sorted = ids.to_numpy(zero_copy_only=False)[order]
+    last_pos, codes = _winner_positions(ids_sorted)
+    n = int(codes.max()) + 1 if len(codes) else 0
+    ops = tbl["__op"].to_numpy(zero_copy_only=False)[order]
     n_ins = np.bincount(codes[ops == "INSERT"], minlength=n)
     n_upd = np.bincount(codes[ops == "UPDATE"], minlength=n)
     n_del = np.bincount(codes[ops == "DELETE"], minlength=n)
-    _, first_rev = np.unique(codes[::-1], return_index=True)
-    last_idx = np.sort(len(codes) - 1 - first_rev)
-    out = order if len(last_idx) == len(codes) else order.take(pa.array(last_idx))
-    wc = codes[last_idx]
+    winners = order[last_pos]  # original row indices of per-key winners
+    out = tbl if len(winners) == tbl.num_rows else tbl.take(pa.array(winners))
+    wc = codes[last_pos]
     out = out.append_column("__n_ins", pa.array(n_ins[wc], pa.int64()))
     out = out.append_column("__n_upd", pa.array(n_upd[wc], pa.int64()))
     out = out.append_column("__n_del", pa.array(n_del[wc], pa.int64()))
@@ -389,24 +517,18 @@ def lww_reduce(tbl: pa.Table, key: str) -> pa.Table:
     """Keep the max-version row per key (vectorized).
 
     Version order = (__src_ts, __sk, __seq); in ORDERED mode __src_ts/__sk
-    are zero so this degenerates to max __seq.  Sort ascending by version
-    (pyarrow sort is stable), factorize the key column to int codes
-    (pandas C hash table — exact, no collision risk), then take the last
-    occurrence of each code.
+    are zero so this degenerates to max __seq.  Only the three int version
+    columns are sorted (indices); winners are gathered with ONE take, so
+    large token payloads move at most once.
     """
     if tbl.num_rows <= 1:
         return tbl
-    import pandas as pd
-
-    order = tbl.sort_by(
-        [("__src_ts", "ascending"), ("__sk", "ascending"), ("__seq", "ascending")]
-    )
-    ids = order[key]
+    order = _version_order(tbl)
+    ids = tbl[key]
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
-    codes, _ = pd.factorize(ids.to_numpy(zero_copy_only=False))
-    _, first_rev = np.unique(codes[::-1], return_index=True)
-    last_idx = np.sort(len(codes) - 1 - first_rev)
-    if len(last_idx) == tbl.num_rows:
-        return order
-    return order.take(pa.array(last_idx))
+    ids_sorted = ids.to_numpy(zero_copy_only=False)[order]
+    last_pos, _ = _winner_positions(ids_sorted)
+    if len(last_pos) == tbl.num_rows:
+        return tbl
+    return tbl.take(pa.array(order[last_pos]))

@@ -90,6 +90,6 @@ def test_rows_only_queries_run(name):
 
 
 def test_entry_smoke():
-    res = entrymod.entry()
-    assert res.num_rows > 0
-    assert "doc_id" in res.column_names
+    res = entrymod.entry()  # driver contract: a ray.data.Dataset
+    assert res.count() > 0
+    assert "doc_id" in res.schema().names

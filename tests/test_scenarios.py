@@ -231,3 +231,51 @@ def test_table_subset_filter(tmp_log, tmp_lake):
     import os
 
     assert not os.path.isdir(os.path.join(cfg.lake, "gen=0000", "other"))
+
+
+def test_shuffle_modes_equivalent(tmp_log, tmp_lake):
+    """The task-exchange shuffle (default) and the Dataset sort shuffle
+    produce identical lakes; both match the oracle."""
+    write_event_log(tmp_log, n_docs=150, n_events=2000, seed=31,
+                    segment_max_events=700)
+    oracle = None
+    for mode in ("tasks", "sort"):
+        lake = f"{tmp_lake}-{mode}"
+        cfg = ReplayConfig(event_log=tmp_log, lake=lake, num_partitions=4,
+                           chunk_max_events=900, shuffle=mode)
+        replay(cfg)
+        oracle = oracle or replay_oracle(cfg)
+        got = read_table(lake, "docs")
+        ok, msg = tables_equal(got, oracle["docs"])
+        assert ok, f"{mode}: {msg}"
+
+
+def test_custom_directive_registry(tmp_log, tmp_lake):
+    """User-registered directive (Transformation plugin analog,
+    DeltaApp.java:61-66 registration) runs in the replay chain; the
+    built-in retokenize-stub shifts token ids."""
+    from deltaray.transforms import register_directive
+
+    def double_ntok_batch(batch, args):
+        import pyarrow.compute as pc
+        i = batch.column_names.index("n_tok")
+        return batch.set_column(i, "n_tok", pc.multiply(batch["n_tok"], 2))
+
+    def double_ntok_row(row, args):
+        if row.get("n_tok") is not None:
+            row["n_tok"] = row["n_tok"] * 2
+        return row
+
+    register_directive("double-ntok", batch_fn=double_ntok_batch,
+                       row_fn=double_ntok_row)
+    write_event_log(tmp_log, n_docs=60, n_events=400, seed=43)
+    cfg = ReplayConfig(
+        event_log=tmp_log, lake=tmp_lake, num_partitions=2,
+        tables=[TableConfig("docs", transformations=[
+            "retokenize-stub tokens 5", "double-ntok",
+        ])],
+    )
+    _check(cfg)
+    got = read_table(tmp_lake, "docs")
+    # retokenize-stub: every token id >= 5 (gen emits ids >= 0)
+    assert pc.min(pc.list_flatten(got["tokens"])).as_py() >= 5

@@ -282,6 +282,51 @@ def _decode_media(sf_dir: str):
     return decode_images(ray.data.from_arrow(tbl), concurrency=2, batch_size=64)
 
 
+def _audio_features(sf_dir: str):
+    import ray.data
+
+    from deltaray.functions.multimodal import extract_audio_features, synth_audio_table
+
+    return extract_audio_features(
+        ray.data.from_arrow(synth_audio_table(1000)), concurrency=2, batch_size=64
+    )
+
+
+def _video_frames(sf_dir: str):
+    import ray.data
+
+    from deltaray.functions.multimodal import sample_video_frames, synth_audio_table
+
+    vids = synth_audio_table(500).rename_columns(
+        ["media_id", "payload", "mime", "sample_rate", "duration_ms"]
+    )
+    return sample_video_frames(ray.data.from_arrow(vids), concurrency=2,
+                               batch_size=32)
+
+
+def _assess_report(sf_dir: str):
+    """Assessment dry-run (Assessor analog) over a synthetic change log
+    scaled to the sf dir; returns the per-column verdict table."""
+    import pyarrow.parquet as pq
+
+    from deltaray.assess import assess_pipeline
+    from deltaray.config import ReplayConfig
+    from deltaray.gen import write_event_log_fast
+
+    log = "/tmp/deltaray_q_assess/events"
+    if not os.path.exists(os.path.join(log, "manifest.json")):
+        n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+        write_event_log_fast(log, n_docs=min(n, 2000), n_events=min(n, 2000) * 2,
+                             seed=42)
+    rep = assess_pipeline(ReplayConfig(event_log=log, lake="/tmp/deltaray_q_assess/lake"))
+    rows = [
+        {"table": a["table"], "column": c["name"], "type": c["type"],
+         "support": c["support"]}
+        for a in rep["assessments"] for c in a["columns"]
+    ]
+    return pa.Table.from_pylist(rows)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "latest_event_per_user": _latest_event_per_user,
@@ -303,6 +348,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _knn_ivf,
         "cdc_replay_docs": _cdc_replay_docs,
         "decode_media": _decode_media,
+        "audio_features": _audio_features,
+        "video_frames": _video_frames,
+        "assess_report": _assess_report,
     }
 
 

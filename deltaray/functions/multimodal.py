@@ -91,3 +91,119 @@ def decode_images(ds, concurrency: int = 4, batch_size: int = 64,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("payload", pa.binary()),       # opaque encoded audio
+        ("mime", pa.string()),
+        ("sample_rate", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def synth_audio_table(n: int, seed: int = 43, payload_bytes: int = 8192) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes()
+                for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array([f"aud{i:08d}" for i in range(n)]),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/fake"] * n),
+            "sample_rate": pa.array(
+                rng.choice(np.array([16000, 44100], dtype=np.int32), n)
+            ),
+            "duration_ms": pa.array(rng.integers(500, 30000, n, dtype=np.int32)),
+        }
+    )
+
+
+class ExtractAudioFeatures:
+    """Actor-pool stage: audio decode + feature extraction (MFCC-shaped).
+
+    STUB: no audio libs in this container — strict=True raises, default
+    yields a deterministic 13-dim pseudo-MFCC from payload byte stats."""
+
+    def __init__(self, strict: bool = False, n_mfcc: int = 13):
+        self.strict = strict
+        self.n_mfcc = n_mfcc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "audio decode requires librosa/ffmpeg — not available here; "
+                "run with strict=False for the deterministic stub"
+            )
+        feats = []
+        for buf in batch["payload"]:
+            b = np.frombuffer(buf.as_py(), dtype=np.uint8).astype(np.float32)
+            chunks = np.array_split(b, self.n_mfcc)
+            feats.append(np.array([c.std() for c in chunks], dtype=np.float32))
+        out = batch.drop_columns(["payload"])
+        return out.append_column(
+            "mfcc", pa.array([f.tolist() for f in feats], pa.list_(pa.float32()))
+        )
+
+
+class SampleVideoFrames:
+    """Actor-pool stage: sample N frames per video, one OUTPUT ROW PER FRAME
+    (flat_map-shaped: a batch of videos fans out to frames).
+
+    STUB decode; real plumbing — deterministic frame offsets from
+    duration, wide payload dropped before fan-out so only per-frame
+    features flow on."""
+
+    def __init__(self, strict: bool = False, frames_per_video: int = 4):
+        self.strict = strict
+        self.k = frames_per_video
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "video decode requires ffmpeg — not available here; "
+                "run with strict=False for the deterministic stub"
+            )
+        ids, frame_idx, ts_ms, feats = [], [], [], []
+        dur = batch["duration_ms"].to_numpy(zero_copy_only=False)
+        for i, buf in enumerate(batch["payload"]):
+            b = np.frombuffer(buf.as_py(), dtype=np.uint8).astype(np.float32)
+            media_id = batch["media_id"][i].as_py()
+            for j in range(self.k):
+                ids.append(media_id)
+                frame_idx.append(j)
+                ts_ms.append(int(dur[i]) * j // self.k)
+                seg = b[j::self.k]
+                feats.append(float(seg.mean()) if len(seg) else 0.0)
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "ts_ms": pa.array(ts_ms, pa.int64()),
+                "brightness": pa.array(feats, pa.float32()),
+            }
+        )
+
+
+def extract_audio_features(ds, concurrency: int = 4, batch_size: int = 64,
+                           strict: bool = False):
+    return ds.map_batches(
+        ExtractAudioFeatures,
+        fn_constructor_kwargs={"strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_video_frames(ds, concurrency: int = 4, batch_size: int = 32,
+                        strict: bool = False):
+    return ds.map_batches(
+        SampleVideoFrames,
+        fn_constructor_kwargs={"strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

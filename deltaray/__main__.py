@@ -1,0 +1,114 @@
+"""CLI: ``python -m deltaray <cmd>`` — the ray-job-submit entry surface.
+
+Commands own the Ray session (guarded init per driver contract);
+the library itself never calls ray.init.
+
+    python -m deltaray replay  --event-log D --lake D [--partitions N]
+                               [--chunk-events N] [--unordered] [--shuffle M]
+    python -m deltaray assess  --event-log D [--table T]
+    python -m deltaray lineage --lake D [--table T]
+    python -m deltaray gen     --out D --docs N --events N [--seed N] [--fast]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_replay(a) -> int:
+    from deltaray import ReplayConfig, replay
+
+    _init_ray()
+    cfg = ReplayConfig(
+        event_log=a.event_log, lake=a.lake, num_partitions=a.partitions,
+        chunk_max_events=a.chunk_events, shuffle=a.shuffle,
+        ordering="UN_ORDERED" if a.unordered else "ORDERED",
+        generation=a.generation,
+    )
+    res = replay(cfg)
+    print(json.dumps({"chunks": res["chunks"], "tables": res["tables"],
+                      "metrics": res["metrics"]}, default=str))
+    return 0
+
+
+def cmd_assess(a) -> int:
+    from deltaray.assess import assess_pipeline, describe_table
+    from deltaray.config import ReplayConfig
+
+    if a.table:
+        s = describe_table(a.event_log, a.table)
+        print(json.dumps({"table": s.name, "key": s.key, "fields": s.fields,
+                          "renames": s.renames}))
+        return 0
+    rep = assess_pipeline(ReplayConfig(event_log=a.event_log, lake="/tmp/_assess"))
+    print(json.dumps(rep))
+    return 0 if rep["ok"] else 1
+
+
+def cmd_lineage(a) -> int:
+    from deltaray.pipeline import lineage_report
+
+    print(json.dumps(lineage_report(a.lake, a.table, a.generation)))
+    return 0
+
+
+def cmd_gen(a) -> int:
+    from deltaray.gen import write_event_log, write_event_log_fast
+
+    fn = write_event_log_fast if a.fast else write_event_log
+    m = fn(a.out, n_docs=a.docs, n_events=a.events, seed=a.seed)
+    print(json.dumps({"segments": len(m["segments"]), "max_seq": m["max_seq"]}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="deltaray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("replay")
+    r.add_argument("--event-log", required=True)
+    r.add_argument("--lake", required=True)
+    r.add_argument("--partitions", type=int, default=32)
+    r.add_argument("--chunk-events", type=int, default=2_000_000)
+    r.add_argument("--shuffle", choices=["tasks", "sort"], default="tasks")
+    r.add_argument("--unordered", action="store_true")
+    r.add_argument("--generation", type=int, default=0)
+    r.set_defaults(fn=cmd_replay)
+
+    s = sub.add_parser("assess")
+    s.add_argument("--event-log", required=True)
+    s.add_argument("--table")
+    s.set_defaults(fn=cmd_assess)
+
+    li = sub.add_parser("lineage")
+    li.add_argument("--lake", required=True)
+    li.add_argument("--table")
+    li.add_argument("--generation", type=int, default=0)
+    li.set_defaults(fn=cmd_lineage)
+
+    g = sub.add_parser("gen")
+    g.add_argument("--out", required=True)
+    g.add_argument("--docs", type=int, default=1000)
+    g.add_argument("--events", type=int, default=5000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--fast", action="store_true")
+    g.set_defaults(fn=cmd_gen)
+
+    a = p.parse_args(argv)
+    return a.fn(a)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -173,10 +173,12 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
         n_ins = pc.sum(group["__n_ins"]).as_py() or 0
         n_upd = pc.sum(group["__n_upd"]).as_py() or 0
         n_del = pc.sum(group["__n_del"]).as_py() or 0
+        n_snap = pc.sum(group["__n_snap"]).as_py() or 0
         bytes_in = group.nbytes
 
         changes = group.drop_columns(
-            ["__shard", "__table", "__op", "__n_ins", "__n_upd", "__n_del"]
+            ["__shard", "__table", "__op", "__n_ins", "__n_upd", "__n_del",
+             "__n_snap"]
         )
         # phase-2 LWW over the full shard (phase 1 ran per batch upstream)
         changes = lww_reduce(changes, schema.key)
@@ -198,12 +200,16 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
             "bytes_in": int(bytes_in),
         }
         rec = lake.try_commit(tname, part, chunk_lo, chunk_hi, merged, counts)
+        # table replication phase (PipelineStateService.java:40-127 analog):
+        # a batch made only of snapshot events leaves the partition in
+        # SNAPSHOTTING; any streaming event promotes it to REPLICATING
+        state = "SNAPSHOTTING" if n_snap == (n_ins + n_upd + n_del) else "REPLICATING"
         lake.write_lineage(
             tname,
             part,
             {
                 "partition": part,
-                "state": "REPLICATING",
+                "state": state,
                 "last_seq": chunk_hi,
                 "file": rec["file"],
                 "rows": rec["rows"],

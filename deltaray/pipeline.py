@@ -67,6 +67,80 @@ def _split_block(block, n_shards: int):
     )
 
 
+def _read_transform_split(path: str, row_groups: list[int], columns: list[str],
+                          seq_lo: int, seq_hi: int, stage, n_shards: int):
+    """Fused map task: decode a row-group bundle, filter to the chunk's seq
+    range, run the (vectorized) TransformStage, split by shard — one task,
+    one pass, no intermediate materialization.  Fusing read+transform+split
+    halves the object-store traffic vs a Dataset map stage followed by a
+    separate split stage."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(path).read_row_groups(row_groups, columns=columns)
+    mask = pc.and_(pc.greater(t["seq"], seq_lo), pc.less_equal(t["seq"], seq_hi))
+    if not pc.all(mask).as_py():
+        t = t.filter(mask)
+    out = stage(t)
+    return _split_block(out, n_shards)
+
+
+def _plan_read_units(files: list[str], seq_lo: int, seq_hi: int,
+                     target_units: int) -> list[tuple[str, list[int]]]:
+    """Bundle parquet row groups into ~target_units read units, pruning row
+    groups entirely outside the chunk's (seq_lo, seq_hi] via footer stats
+    (seq is written in order, so stats are tight)."""
+    per_file: list[tuple[str, list[int], int]] = []  # (path, rg idxs, rows)
+    total_rows = 0
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        keep, rows = [], 0
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            st = rg.column(0).statistics  # seq is the first column
+            if st is not None and st.has_min_max and (
+                st.min > seq_hi or st.max <= seq_lo
+            ):
+                continue
+            keep.append(i)
+            rows += rg.num_rows
+        if keep:
+            per_file.append((path, keep, rows))
+            total_rows += rows
+    if not per_file:
+        return []
+    unit_rows = max(16384, total_rows // max(1, target_units))
+    units: list[tuple[str, list[int]]] = []
+    for path, keep, rows in per_file:
+        md = pq.ParquetFile(path).metadata
+        bundle: list[int] = []
+        acc = 0
+        for i in keep:
+            bundle.append(i)
+            acc += md.row_group(i).num_rows
+            if acc >= unit_rows:
+                units.append((path, bundle))
+                bundle, acc = [], 0
+        if bundle:
+            units.append((path, bundle))
+    return units
+
+
+def _scan_segment_ddl(path: str) -> list[dict]:
+    """One segment's DDL rows (tiny result; runs as a Ray task so the
+    driver's single-threaded Arrow pool is not the bottleneck)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from deltaray.schemas import DDL_OPS
+
+    t = pads.dataset(path).to_table(
+        columns=["seq", "op", "table", "ddl_payload"],
+        filter=pc.field("op").isin(list(DDL_OPS)),
+    )
+    return t.to_pylist()
+
+
 def _merge_shard(merge_fn, *tables):
     """Reduce side: gather this shard's splits (zero-copy object store
     reads) and run the per-partition merge-apply."""
@@ -126,15 +200,23 @@ def discover_segments(event_log: str) -> list[Segment]:
 
 
 def load_ddl_events(segments: list[Segment]) -> list[dict]:
-    """Driver-side scan for DDL rows (tiny: row-group pushdown on ``op``)."""
+    """Scan for DDL rows (tiny results: row-group pushdown on ``op``).
+    Fanned out as Ray tasks when a cluster is up — the driver process often
+    runs with a single-threaded Arrow pool (OMP_NUM_THREADS=1)."""
     out: list[dict] = []
+    try:
+        import ray
+
+        if ray.is_initialized() and len(segments) > 2:
+            scan = ray.remote(_scan_segment_ddl)
+            for rows in ray.get([scan.remote(s.path) for s in segments]):
+                out.extend(rows)
+            out.sort(key=lambda r: r["seq"])
+            return out
+    except ImportError:
+        pass
     for s in segments:
-        ds = pads.dataset(s.path)
-        t = ds.to_table(
-            columns=["seq", "op", "table", "ddl_payload"],
-            filter=pc.field("op").isin(list(DDL_OPS)),
-        )
-        out.extend(t.to_pylist())
+        out.extend(_scan_segment_ddl(s.path))
     out.sort(key=lambda r: r["seq"])
     return out
 
@@ -191,6 +273,7 @@ class ReplaySession:
         self.chunks = plan_chunks(self.segments, self.ddl_rows, cfg.chunk_max_events)
         self.schemas: dict[str, TableSchema] = {}  # DDL-level (pre-directive)
         self.dropped: set[str] = set()
+        self.errors = 0  # failed apply attempts (dml.errors metric analog)
 
     # ------------------------------------------------------------ schemas
     def _effective(self) -> dict[str, TableSchema]:
@@ -244,28 +327,14 @@ class ReplaySession:
             return []
         # column pruning at the read (meta + union of live payload columns;
         # order columns only in UN_ORDERED mode)
-        needed = {"seq", "op", "table"}
+        needed = {"seq", "op", "table", "is_snapshot"}
         for s in self.schemas.values():
             needed.update(s.column_names())
         if cfg.ordering == "UN_ORDERED":
             needed.update(["source_ts", "sort_keys"])
         present = set(pq.read_schema(files[0]).names)
         columns = sorted(needed & present)
-        flt = (pc.field("seq") > chunk.seq_lo) & (pc.field("seq") <= chunk.seq_hi)
-        # Size read parallelism to the cluster, not the file count: small
-        # chunks land in few segment files, and one read task per file
-        # caps the whole pipeline at len(files) cores.  Segments are
-        # written with small row groups precisely so reads can split.
-        import ray
-
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        n_rows = sum(s.n_rows for s in self.segments if s.path in set(files))
-        blocks = max(len(files), min(2 * ncpu, max(1, n_rows // 16384)))
-        ds = ray.data.read_parquet(
-            files, columns=columns, filter=flt, override_num_blocks=blocks
-        )
         stage = TransformStage(cfg, dict(self.schemas), self._effective())
-        ds = ds.map_batches(stage, batch_format="pyarrow", batch_size=cfg.batch_size)
         merge = make_merge_fn(
             cfg.lake,
             cfg.generation,
@@ -276,8 +345,22 @@ class ReplaySession:
         )
         n_shards = cfg.num_partitions * max(1, len(self.schemas))
         if cfg.shuffle == "sort":
+            import ray
+            import ray.data
+
+            # Size read parallelism to the cluster, not the file count:
+            # segments carry small row groups precisely so reads can split.
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            n_rows = sum(s.n_rows for s in self.segments if s.path in set(files))
+            blocks = max(len(files), min(2 * ncpu, max(1, n_rows // 16384)))
+            flt = (pc.field("seq") > chunk.seq_lo) & (pc.field("seq") <= chunk.seq_hi)
+            ds = ray.data.read_parquet(
+                files, columns=columns, filter=flt, override_num_blocks=blocks
+            )
+            ds = ds.map_batches(stage, batch_format="pyarrow",
+                                batch_size=cfg.batch_size)
             return self._exchange_sort(ds, merge)
-        return self._exchange_tasks(ds, merge, n_shards)
+        return self._exchange_tasks(files, columns, chunk, stage, merge, n_shards)
 
     def _exchange_sort(self, ds, merge) -> list[dict]:
         """Pure-Dataset exchange: groupby(__shard).map_groups(merge) under a
@@ -294,28 +377,32 @@ class ReplaySession:
         finally:
             ctx.shuffle_strategy = prev_strategy
 
-    def _exchange_tasks(self, ds, merge, n_shards: int) -> list[dict]:
-        """Partition exchange as a classic two-stage Ray-task shuffle: the
-        transformed Dataset is materialized (blocks stay in the object
-        store), each block is split once by __shard (``num_returns=S``
-        objects), and one merge task per shard gathers its splits
-        zero-copy.  Payload rows move exactly once — no sort of fat token
-        rows, no reduce-side re-concat through the sort machinery; measured
-        ~3x faster than the Dataset sort shuffle on the 11M-event log.
+    def _exchange_tasks(self, files, columns, chunk, stage, merge,
+                        n_shards: int) -> list[dict]:
+        """Partition exchange as a classic two-stage Ray-task shuffle:
+        fused map tasks (parquet row-group bundle → decode → TransformStage
+        → split by __shard via ``num_returns=S``) feed one merge task per
+        shard that gathers its splits zero-copy.  Payload rows cross the
+        object store exactly once — no sort of fat token rows, no Dataset
+        materialize barrier, no separate split pass; measured ~3x faster
+        than the Dataset sort shuffle on the 11M-event log.
         This is the one place the engine drops below the Dataset API: Ray
         Data's groupby cannot express partition-without-order, which is all
         the merge needs (per-key LWW makes intra-shard order irrelevant,
         SURVEY §2.6)."""
         import ray
 
-        tds = ds.materialize()
-        block_refs = [
-            r for b in tds.iter_internal_ref_bundles() for r in b.block_refs
-        ]
-        if not block_refs:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        units = _plan_read_units(files, chunk.seq_lo, chunk.seq_hi,
+                                 target_units=4 * ncpu)
+        if not units:
             return []
-        split = ray.remote(num_returns=n_shards)(_split_block)
-        parts = [split.remote(r, n_shards) for r in block_refs]
+        rts = ray.remote(num_returns=n_shards)(_read_transform_split)
+        parts = [
+            rts.remote(path, rgs, columns, chunk.seq_lo, chunk.seq_hi,
+                       stage, n_shards)
+            for path, rgs in units
+        ]
         merge_task = ray.remote(_merge_shard)
         out = [
             merge_task.remote(merge, *[parts[b][s] for b in range(len(parts))])
@@ -324,7 +411,7 @@ class ReplaySession:
         lineage: list[dict] = []
         for tbl in ray.get(out):
             lineage.extend(tbl.to_pylist())
-        del parts, tds
+        del parts
         return lineage
 
     # ---------------------------------------------------------------- run
@@ -350,6 +437,7 @@ class ReplaySession:
                 except DeltaFailureError:
                     raise
                 except Exception:
+                    self.errors += 1  # dml.errors analog (EventMetrics.java)
                     if cfg.retry.max_duration_seconds and time.time() < deadline:
                         time.sleep(cfg.retry.delay_seconds)
                         continue
@@ -359,6 +447,7 @@ class ReplaySession:
             if on_chunk is not None:
                 on_chunk(idx, chunk, rows)
         metrics = collect_metrics(self.lake, list(self.schemas) + sorted(self.dropped))
+        metrics["errors"] = self.errors
         metrics["wall_seconds"] = round(time.time() - t0, 3)
         self.lake.write_metrics(metrics)
         return {
@@ -432,6 +521,37 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0):
         return strip_internal(evolve_to(batch, TableSchema.from_json(sj)))
 
     return ds.map_batches(fix, batch_format="pyarrow")
+
+
+def lineage_report(lake_root: str, table: str | None = None,
+                   generation: int = 0) -> dict:
+    """Per-partition lineage summary: state, last applied seq, rows, file —
+    the resume/monitoring view (DBReplicationStateStore analog)."""
+    import re
+
+    lake = LakeState(lake_root, generation)
+    ldir = os.path.join(lake.root, "_lineage")
+    out: dict = {"generation": generation, "tables": {}}
+    if not os.path.isdir(ldir):
+        return out
+    for t in sorted(os.listdir(ldir)):
+        if table and t != table:
+            continue
+        parts = {}
+        for f in sorted(os.listdir(os.path.join(ldir, t))):
+            m = re.match(r"part=(\d+)\.json", f)
+            if not m:
+                continue
+            with open(os.path.join(ldir, t, f)) as fh:
+                parts[int(m.group(1))] = json.load(fh)
+        states = {p["state"] for p in parts.values()}
+        out["tables"][t] = {
+            "partitions": parts,
+            "min_committed_seq": min((p["last_seq"] for p in parts.values()),
+                                     default=0),
+            "states": sorted(states),
+        }
+    return out
 
 
 # ---------------------------------------------------------------- metrics

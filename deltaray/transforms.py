@@ -353,6 +353,7 @@ class TransformStage:
             ("__n_ins", pa.int64()),
             ("__n_upd", pa.int64()),
             ("__n_del", pa.int64()),
+            ("__n_snap", pa.int64()),
             ("__shard", pa.int64()),
             ("__table", pa.string()),
         ]:
@@ -442,6 +443,10 @@ class TransformStage:
         out = out.append_column("__sk", sk)
         out = out.append_column("__deleted", deleted)
         out = out.append_column("__op", sub["op"])
+        snap = (pc.fill_null(sub["is_snapshot"], False)
+                if "is_snapshot" in sub.column_names
+                else pa.array(np.zeros(len(sub), dtype=bool)))
+        out = out.append_column("__snap", snap)
         # DELETE rows carry no payload
         if out.num_rows and pc.any(deleted).as_py():
             keep = pc.invert(deleted)
@@ -501,15 +506,19 @@ def lww_pre_reduce_with_counts(tbl: pa.Table, key: str) -> pa.Table:
     last_pos, codes = _winner_positions(ids_sorted)
     n = int(codes.max()) + 1 if len(codes) else 0
     ops = tbl["__op"].to_numpy(zero_copy_only=False)[order]
+    snaps = tbl["__snap"].to_numpy(zero_copy_only=False)[order].astype(bool)
     n_ins = np.bincount(codes[ops == "INSERT"], minlength=n)
     n_upd = np.bincount(codes[ops == "UPDATE"], minlength=n)
     n_del = np.bincount(codes[ops == "DELETE"], minlength=n)
+    n_snap = np.bincount(codes[snaps], minlength=n)
     winners = order[last_pos]  # original row indices of per-key winners
     out = tbl if len(winners) == tbl.num_rows else tbl.take(pa.array(winners))
+    out = out.drop_columns(["__snap"])
     wc = codes[last_pos]
     out = out.append_column("__n_ins", pa.array(n_ins[wc], pa.int64()))
     out = out.append_column("__n_upd", pa.array(n_upd[wc], pa.int64()))
     out = out.append_column("__n_del", pa.array(n_del[wc], pa.int64()))
+    out = out.append_column("__n_snap", pa.array(n_snap[wc], pa.int64()))
     return out
 
 

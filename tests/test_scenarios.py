@@ -279,3 +279,53 @@ def test_custom_directive_registry(tmp_log, tmp_lake):
     got = read_table(tmp_lake, "docs")
     # retokenize-stub: every token id >= 5 (gen emits ids >= 0)
     assert pc.min(pc.list_flatten(got["tokens"])).as_py() >= 5
+
+
+def test_snapshot_state_and_error_metric(tmp_log, tmp_lake):
+    """Lineage state reflects the replication phase (SNAPSHOTTING while
+    only snapshot events applied, PipelineStateService.java:40-127) and
+    failed applies surface in the errors metric (dml.errors,
+    testDataSizeAndErrorMetric:477-548)."""
+    import glob
+    import json as _json
+
+    # snapshot-only log: 100 snapshot INSERTs, zero streaming events
+    write_event_log(tmp_log, n_docs=100, n_events=0, seed=47)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2)
+    res = replay(cfg)
+    assert res["metrics"]["errors"] == 0
+    states = set()
+    for p in glob.glob(f"{tmp_lake}/gen=0000/_lineage/docs/*.json"):
+        with open(p) as f:
+            states.add(_json.load(f)["state"])
+    assert states == {"SNAPSHOTTING"}
+
+    # streaming events promote partitions to REPLICATING
+    lake2 = tmp_lake + "-2"
+    log2 = tmp_log + "-2"
+    write_event_log(log2, n_docs=100, n_events=500, seed=47)
+    res2 = replay(ReplayConfig(event_log=log2, lake=lake2, num_partitions=2,
+                               chunk_max_events=250))
+    states2 = set()
+    for p in glob.glob(f"{lake2}/gen=0000/_lineage/docs/*.json"):
+        with open(p) as f:
+            states2.add(_json.load(f)["state"])
+    assert "REPLICATING" in states2
+
+
+def test_cli_and_lineage_report(tmp_log, tmp_lake, capsys):
+    """python -m deltaray surface: gen → replay → lineage → assess."""
+    import json as _json
+
+    from deltaray.__main__ import main
+
+    assert main(["gen", "--out", tmp_log, "--docs", "80", "--events", "400",
+                 "--seed", "5"]) == 0
+    assert main(["replay", "--event-log", tmp_log, "--lake", tmp_lake,
+                 "--partitions", "4"]) == 0
+    assert main(["lineage", "--lake", tmp_lake]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rep = _json.loads(out[-1])
+    assert "docs" in rep["tables"]
+    assert rep["tables"]["docs"]["min_committed_seq"] > 0
+    assert main(["assess", "--event-log", tmp_log]) == 0

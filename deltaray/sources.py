@@ -1,0 +1,123 @@
+"""Source adapters: normalize foreign change-log formats into the engine's
+Parquet event-log layout.
+
+Reference parity: DeltaSource plugins tail arbitrary databases and their
+TableRegistry ``standardize()`` converts source-native rows into the
+engine's schema (delta-api/.../api/DeltaSource.java:26-68,
+TableRegistry.java:63-70).  Here the equivalent contract is "produce
+Parquet segments + manifest.json under one directory"; adapters below do
+that for JSONL (and are the template for any other format): a distributed
+``ray.data.read_json`` pass re-encodes each input shard as a seq-ordered
+Parquet segment with small row groups so the replay path can split reads.
+
+The replay engine itself stays format-agnostic — it only ever sees the
+normalized log (pipeline.discover_segments).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from deltaray.schemas import TableSchema, event_log_schema
+
+
+def _conform(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
+    cols = []
+    for f in schema:
+        if f.name in tbl.column_names:
+            cols.append(tbl[f.name].cast(f.type))
+        else:
+            cols.append(pa.nulls(tbl.num_rows, f.type))
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
+def normalize_jsonl_log(src: str, out_dir: str, table_schema: TableSchema,
+                        segment_max_events: int = 1_000_000) -> dict:
+    """Convert a directory (or glob) of JSONL change-event shards into the
+    engine's Parquet event-log layout; returns the manifest.
+
+    Events must carry ``seq``/``op``/``table`` plus payload columns; shards
+    may be unsorted — rows are ordered by seq within each output segment
+    and segments are emitted in global seq order (one pass, distributed
+    read + driver-side ordered write of segment boundaries).
+    """
+    import ray.data
+
+    paths = sorted(glob.glob(src if any(ch in src for ch in "*?[") else
+                             os.path.join(src, "*.jsonl")))
+    if not paths:
+        raise FileNotFoundError(f"no .jsonl shards under {src!r}")
+    os.makedirs(out_dir, exist_ok=True)
+    log_schema = event_log_schema(table_schema)
+
+    ds = ray.data.read_json(paths)
+    # order by seq so segment files carry tight, non-overlapping seq ranges
+    ds = ds.sort("seq")
+    segments: list[dict] = []
+    segid = 0
+    buf: list[pa.Table] = []
+    buffered = 0
+
+    def flush():
+        nonlocal segid, buf, buffered
+        if not buf:
+            return
+        tbl = pa.concat_tables(buf)
+        lo = int(pc.min(tbl["seq"]).as_py())
+        hi = int(pc.max(tbl["seq"]).as_py())
+        path = os.path.join(out_dir, f"events-{segid:05d}-{lo:012d}-{hi:012d}.parquet")
+        pq.write_table(tbl, path, row_group_size=16384)
+        segments.append({"path": path, "seq_lo": lo, "seq_hi": hi,
+                         "n_rows": tbl.num_rows, "columns": tbl.column_names})
+        segid += 1
+        buf, buffered = [], 0
+
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        batch = _conform(batch, log_schema)
+        pos = 0
+        while pos < batch.num_rows:
+            take = min(batch.num_rows - pos, segment_max_events - buffered)
+            buf.append(batch.slice(pos, take))
+            buffered += take
+            pos += take
+            if buffered >= segment_max_events:
+                flush()
+    flush()
+    max_seq = max((s["seq_hi"] for s in segments), default=0)
+    manifest = {"segments": segments, "max_seq": max_seq,
+                "source_format": "jsonl", "source": src}
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def export_table(lake_root: str, table: str, dest: str, fmt: str = "parquet",
+                 generation: int = 0) -> str:
+    """Sink adapter: export a lake table's current state (DeltaTarget
+    analog for downstream consumers that want plain files).  Streams via
+    read_table_ds; partitioned output, never one giant file."""
+    from deltaray.pipeline import read_table_ds
+
+    ds = read_table_ds(lake_root, table, generation)
+    os.makedirs(dest, exist_ok=True)
+    if fmt == "parquet":
+        ds.write_parquet(dest)
+    elif fmt == "csv":
+        # token lists don't fit CSV — stringify them
+        def to_str(batch: pa.Table) -> pa.Table:
+            for c in batch.column_names:
+                if pa.types.is_list(batch[c].type):
+                    col = pa.array([json.dumps(v.as_py()) for v in batch[c]])
+                    batch = batch.set_column(batch.column_names.index(c), c, col)
+            return batch
+
+        ds.map_batches(to_str, batch_format="pyarrow").write_csv(dest)
+    else:
+        raise ValueError(f"unknown format {fmt!r}")
+    return dest

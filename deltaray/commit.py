@@ -241,3 +241,28 @@ class LakeState:
             return None
         with open(path) as f:
             return json.load(f)
+
+    # ------------------------------------------------------------- vacuum
+    def vacuum(self, table: str, part: int) -> list[str]:
+        """Delete superseded copy-on-write data files for one partition.
+
+        Safe rule: keep every data file referenced by ANY commit record
+        whose seq_hi >= the latest FULLY-COMMITTED chunk start could still
+        need — concretely we keep the latest commit's file (the current
+        state) and delete files not referenced by the latest commit.
+        Files older than the latest commit are only ever read as the base
+        of a chunk that is not yet committed for this partition; once a
+        newer commit exists for the partition, that chunk IS committed
+        here, so the older files are unreachable.
+        """
+        last = self.latest_commit(table, part)
+        if last is None:
+            return []
+        keep = {last["file"]}
+        pdir = self.part_dir(table, part)
+        removed = []
+        for f in sorted(os.listdir(pdir)):
+            if f.startswith("data-") and f.endswith(".parquet") and f not in keep:
+                os.remove(os.path.join(pdir, f))
+                removed.append(f)
+        return removed

@@ -142,7 +142,8 @@ def strip_internal(tbl: pa.Table) -> pa.Table:
 
 
 def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
-                  effective_json: dict[str, str], num_partitions: int):
+                  effective_json: dict[str, str], num_partitions: int,
+                  vacuum: bool = True):
     """Build the ``map_groups`` function for one replay chunk.
 
     The returned closure runs once per (table, partition) group on a Ray
@@ -200,6 +201,9 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
             "bytes_in": int(bytes_in),
         }
         rec = lake.try_commit(tname, part, chunk_lo, chunk_hi, merged, counts)
+        if vacuum:
+            # superseded COW files are unreachable once this commit exists
+            lake.vacuum(tname, part)
         # table replication phase (PipelineStateService.java:40-127 analog):
         # a batch made only of snapshot events leaves the partition in
         # SNAPSHOTTING; any streaming event promotes it to REPLICATING

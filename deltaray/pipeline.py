@@ -342,6 +342,7 @@ class ReplaySession:
             chunk.seq_hi,
             {t: s.to_json() for t, s in self._effective().items()},
             cfg.num_partitions,
+            vacuum=cfg.vacuum,
         )
         n_shards = cfg.num_partitions * max(1, len(self.schemas))
         if cfg.shuffle == "sort":

@@ -82,7 +82,10 @@ def _read_transform_split(path: str, row_groups: list[int], columns: list[str],
     if not pc.all(mask).as_py():
         t = t.filter(mask)
     out = stage(t)
-    return _split_block(out, n_shards)
+    splits = _split_block(out, n_shards)
+    # with num_returns=1 Ray treats the whole return value as the single
+    # output, so hand back the bare table rather than a 1-tuple
+    return splits[0] if n_shards == 1 else splits
 
 
 def _plan_read_units(files: list[str], seq_lo: int, seq_hi: int,
@@ -404,6 +407,8 @@ class ReplaySession:
                        stage, n_shards)
             for path, rgs in units
         ]
+        if n_shards == 1:  # num_returns=1 yields a bare ref, not a tuple
+            parts = [[p] for p in parts]
         merge_task = ray.remote(_merge_shard)
         out = [
             merge_task.remote(merge, *[parts[b][s] for b in range(len(parts))])

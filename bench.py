@@ -25,7 +25,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-EVENTS_PER_DOC = int(os.environ.get("GRAFT_EVENTS_PER_DOC", "10"))
+EVENTS_PER_DOC = int(os.environ.get("GRAFT_EVENTS_PER_DOC", "40"))
 
 
 def ensure_event_log(events_per_doc: int = EVENTS_PER_DOC) -> tuple[str, dict]:
@@ -143,7 +143,7 @@ def run_scaling() -> dict:
     bus and disks.  The log is sized (events_per_doc x40, ~40M events) so
     compute dominates fixed per-chunk costs."""
 
-    mult = int(os.environ.get("GRAFT_SCALE_MULT", "40"))
+    mult = int(os.environ.get("GRAFT_SCALE_MULT", "10"))
 
     def sub(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),

@@ -214,6 +214,13 @@ def _minhash_pairs_docs(sf_dir: str):
     return minhash_lsh_pairs(ds, jaccard_threshold=0.5)
 
 
+def _minhash_dedup_docs(sf_dir: str):
+    from deltaray.functions.dedup import minhash_dedup_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup_docs(ds, jaccard_threshold=0.5).drop_columns(["text"])
+
+
 def _simhash_docs(sf_dir: str):
     from deltaray.functions.dedup import SimHasher
 
@@ -342,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": _fingerprint_docs,
         "lang_id_docs": _lang_id_docs,
         "minhash_pairs_docs": _minhash_pairs_docs,
+        "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "embedding_neardup": _embedding_neardup,
         "knn_bruteforce": _knn_bruteforce,

@@ -19,8 +19,28 @@ No function in this package calls ray.init()/ray.shutdown(); callers own
 the Ray session.
 """
 
-from deltaray.config import ReplayConfig, TableConfig
-from deltaray.pipeline import replay
-from deltaray.oracle import replay_oracle
+from deltaray.config import ReplayConfig, RetryConfig, TableConfig, expand_macros
+from deltaray.pipeline import (
+    DeltaFailureError,
+    lineage_report,
+    read_table,
+    read_table_ds,
+    replay,
+)
+from deltaray.oracle import replay_oracle, tables_equal
+from deltaray.transforms import register_directive
 
-__all__ = ["ReplayConfig", "TableConfig", "replay", "replay_oracle"]
+__all__ = [
+    "DeltaFailureError",
+    "ReplayConfig",
+    "RetryConfig",
+    "TableConfig",
+    "expand_macros",
+    "lineage_report",
+    "read_table",
+    "read_table_ds",
+    "register_directive",
+    "replay",
+    "replay_oracle",
+    "tables_equal",
+]

@@ -80,11 +80,6 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         h = stable_hash_strings(batch[text_col]).astype(np.int64)
         batch = batch.append_column("__fp", pa.array(h))
         # combiner: min id per fingerprint within the batch
-        idx = (
-            pd.Series(np.arange(batch.num_rows))
-            .groupby(pd.factorize(h)[0])
-            .first()  # batch rows are id-ordered per file; refined in phase 2
-        )
         srt = batch.sort_by(id_col)
         h2 = srt["__fp"].to_numpy(zero_copy_only=False)
         codes = pd.factorize(h2)[0]
@@ -259,3 +254,37 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
         )
 
     return ds.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+
+
+def minhash_dedup_docs(ds, *, num_hashes: int = 64, bands: int = 16,
+                       id_col: str = "doc_id", jaccard_threshold: float = 0.5,
+                       shingle_k: int = 5, seed: int = 42):
+    """Near-duplicate DEDUP over documents: drop the higher-id side of every
+    verified near-dup pair, keep everything else.
+
+    Greedy pair-wise removal (the standard large-corpus practice — e.g.
+    C4/RefinedWeb-style pipelines), not full connected components: for a
+    chain a~b~c it keeps `a` and may keep `c` if (a,c) never banded
+    together.  The drop SET (ids only, tiny vs the corpus) is collected
+    and broadcast into a filter pass — document text never shuffles.
+    """
+    pairs = minhash_lsh_pairs(
+        ds, num_hashes=num_hashes, bands=bands, id_col=id_col,
+        jaccard_threshold=jaccard_threshold, shingle_k=shingle_k, seed=seed,
+    )
+    drop: set = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        ida = b["id_a"].to_pylist()
+        idb = b["id_b"].to_pylist()
+        drop.update(max(x, y) for x, y in zip(ida, idb))
+    import ray
+
+    drop_ref = ray.put(pa.array(sorted(drop)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        if len(d) == 0:
+            return batch
+        return batch.filter(pc.invert(pc.is_in(batch[id_col], value_set=d)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -57,3 +57,23 @@ def test_ngram_jaccard():
     assert ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
     assert ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
     assert 0.0 < ngram_jaccard("abcdefghij", "abcdefghiX") < 1.0
+
+
+def test_minhash_dedup_docs_drops_near_dups():
+    import ray.data
+
+    from deltaray.functions.dedup import minhash_dedup_docs
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest tonight looking for dinner")
+    texts = [base, base + " extra", "completely different content about "
+             "machine learning pipelines and distributed systems at scale",
+             base]
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "text": pa.array(texts)})
+    out = minhash_dedup_docs(ray.data.from_arrow(tbl), jaccard_threshold=0.5)
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    assert 1 in kept          # min id of the near-dup cluster survives
+    assert 3 in kept          # unrelated doc survives
+    assert 4 not in kept      # exact dup of 1 dropped
+    assert len(kept) <= 3

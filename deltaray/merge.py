@@ -37,6 +37,11 @@ from deltaray.transforms import VERSION_COLS, lww_reduce
 
 SCHEMA_META_KEY = b"deltaray.schema"
 
+# A merge task holds one partition's full state in memory; past this row
+# count the lake needs more num_partitions (re-shard into a new
+# generation).  Surfaced as lineage {"oversized": true}, not an error.
+PARTITION_ROWS_SOFT_LIMIT = 4_000_000
+
 LINEAGE_SCHEMA = pa.schema(
     [
         ("table", pa.string()),
@@ -208,18 +213,17 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
         # a batch made only of snapshot events leaves the partition in
         # SNAPSHOTTING; any streaming event promotes it to REPLICATING
         state = "SNAPSHOTTING" if n_snap == (n_ins + n_upd + n_del) else "REPLICATING"
-        lake.write_lineage(
-            tname,
-            part,
-            {
-                "partition": part,
-                "state": state,
-                "last_seq": chunk_hi,
-                "file": rec["file"],
-                "rows": rec["rows"],
-                "counts": counts,
-            },
-        )
+        lineage = {
+            "partition": part,
+            "state": state,
+            "last_seq": chunk_hi,
+            "file": rec["file"],
+            "rows": rec["rows"],
+            "counts": counts,
+        }
+        if rec["rows"] > PARTITION_ROWS_SOFT_LIMIT:
+            lineage["oversized"] = True
+        lake.write_lineage(tname, part, lineage)
         return _lineage_row(rec, skipped=bool(rec.get("replayed")))
 
     return merge

@@ -189,7 +189,14 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
         # phase-2 LWW over the full shard (phase 1 ran per batch upstream)
         changes = lww_reduce(changes, schema.key)
 
-        base, _prev_hi = lake.read_partition(tname, part, before_seq=chunk_lo + 1)
+        # Base = the partition's LATEST committed state, not "state as of
+        # chunk_lo": after a tail replay re-plans chunk boundaries (new
+        # events appended to the log), the running chunk can overlap an
+        # already-committed range — re-applying those events is a no-op
+        # under the version-compare upsert (identical versions, change
+        # wins ties), while an as-of-chunk-start read would need COW
+        # files that vacuum already deleted.
+        base, _prev_hi = lake.read_partition(tname, part)
         if base is not None and base.num_rows:
             base = evolve_to(base, schema)
             changes = changes.select(base.column_names)  # align order

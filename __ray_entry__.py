@@ -289,6 +289,42 @@ def _decode_media(sf_dir: str):
     return decode_images(ray.data.from_arrow(tbl), concurrency=2, batch_size=64)
 
 
+def _top_sources_by_docs(sf_dir: str):
+    """Top-5 sources by document count (partial count inside map_batches →
+    small groupby → driver-side top-k on the tiny aggregate)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("source").aggregate([([], "count_all")])
+        return t.rename_columns(["source", "n_part"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n_part", alias_name="n_docs"))
+    tbl = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    return tbl.sort_by([("n_docs", "descending"), ("source", "ascending")]) \
+        .slice(0, 5)
+
+
+def _token_len_histogram(sf_dir: str):
+    """n_chars decile-bucket histogram over documents (vectorized derived
+    column → partial counts → small groupby)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(batch["n_chars"], 100)), pa.int64())
+        t = pa.table({"bucket": b}).group_by("bucket").aggregate(
+            [([], "count_all")]
+        )
+        return t.rename_columns(["bucket", "n_part"])
+
+    return ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("n_part", alias_name="n"))
+
+
 def _audio_features(sf_dir: str):
     import ray.data
 
@@ -344,6 +380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upsert_customers_latest": _upsert_customers_latest,
         "last_event_per_user_day": _last_event_per_user_day,
         "dedup_exact_docs": _dedup_exact_docs,
+        "top_sources_by_docs": _top_sources_by_docs,
+        "token_len_histogram": _token_len_histogram,
         "token_counts_docs": _token_counts_docs,
         "quality_scores_docs": _quality_scores_docs,
         "fingerprint_docs": _fingerprint_docs,
@@ -407,6 +445,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT doc_id, lang, source, n_chars FROM documents
             QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        """,
+        "top_sources_by_docs": """
+            SELECT source, count(*) AS n_docs FROM documents
+            GROUP BY source ORDER BY n_docs DESC, source LIMIT 5
+        """,
+        "token_len_histogram": """
+            SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+                   count(*) AS n
+            FROM documents GROUP BY bucket
         """,
         "token_counts_docs": r"""
             SELECT doc_id,

@@ -284,7 +284,9 @@ def write_event_log(
         row[key_col] = key
         if unordered:
             row["source_ts"] = ts_of(0) + int(src_ts_off[i]) * 1000 + 10**12
-            row["sort_keys"] = [seq + 1]
+            # two-component sort keys: sk0 collides within a ts pair so the
+            # second component (and then seq) must break ties
+            row["sort_keys"] = [int(src_ts_off[i]) % 3, seq + 1]
         if op == "DELETE":
             if track_prev:
                 row["prev_tokens"] = st.tokens.get(key)

@@ -114,13 +114,15 @@ def upsert_by_version(base: pa.Table, changes: pa.Table, key: str) -> pa.Table:
     def ver(tbl: pa.Table, col: str) -> np.ndarray:
         return tbl[col].to_numpy(zero_copy_only=False)
 
-    c_ts, c_sk, c_sq = (ver(changes, c)[have] for c in ("__src_ts", "__sk", "__seq"))
-    b_ts, b_sk, b_sq = (ver(base, c)[bidx] for c in ("__src_ts", "__sk", "__seq"))
-    # lexicographic (ts, sk, seq) >= — change wins ties
+    vcols = ("__src_ts", "__sk", "__sk2", "__seq")
+    c_ts, c_sk, c_sk2, c_sq = (ver(changes, c)[have] for c in vcols)
+    b_ts, b_sk, b_sk2, b_sq = (ver(base, c)[bidx] for c in vcols)
+    # lexicographic (ts, sk, sk2, seq) >= — change wins ties
     wins = (
         (c_ts > b_ts)
         | ((c_ts == b_ts) & (c_sk > b_sk))
-        | ((c_ts == b_ts) & (c_sk == b_sk) & (c_sq >= b_sq))
+        | ((c_ts == b_ts) & (c_sk == b_sk) & (c_sk2 > b_sk2))
+        | ((c_ts == b_ts) & (c_sk == b_sk) & (c_sk2 == b_sk2) & (c_sq >= b_sq))
     )
     change_keep = np.ones(changes.num_rows, dtype=bool)
     change_keep[np.flatnonzero(have)[~wins]] = False

@@ -93,10 +93,12 @@ def replay_oracle(cfg: ReplayConfig) -> dict[str, pa.Table]:
             if key is None:
                 continue
             if cfg.ordering == "UN_ORDERED":
-                sk = row.get("sort_keys") or [0]
-                version = (row.get("source_ts") or 0, sk[0], row["seq"])
+                sk = row.get("sort_keys") or []
+                sk0 = sk[0] if len(sk) > 0 else 0
+                sk1 = sk[1] if len(sk) > 1 else 0
+                version = (row.get("source_ts") or 0, sk0, sk1, row["seq"])
             else:
-                version = (0, 0, row["seq"])
+                version = (0, 0, 0, row["seq"])
             cur = state[t].get(key)
             if cur is not None and cur[0] >= version:
                 continue  # older than stored version: no-op

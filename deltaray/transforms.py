@@ -29,7 +29,7 @@ from deltaray.schemas import DML_OPS, TableSchema, code_to_type
 # version columns stored in the lake next to payload; max-version-wins
 # merge makes replay idempotent and UN_ORDERED late data correct across
 # chunk boundaries (tombstones keep DELETE versions visible).
-VERSION_COLS = ("__seq", "__src_ts", "__sk", "__deleted")
+VERSION_COLS = ("__seq", "__src_ts", "__sk", "__sk2", "__deleted")
 
 
 # ------------------------------------------------------------- directives
@@ -348,6 +348,7 @@ class TransformStage:
             ("__seq", pa.int64()),
             ("__src_ts", pa.int64()),
             ("__sk", pa.int64()),
+            ("__sk2", pa.int64()),
             ("__deleted", pa.bool_()),
             ("__op", pa.string()),
             ("__n_ins", pa.int64()),
@@ -430,17 +431,20 @@ class TransformStage:
         seq = sub["seq"].cast(pa.int64())
         if self.ordering == "UN_ORDERED":
             src_ts = pc.fill_null(sub["source_ts"].cast(pa.int64()), 0)
-            sk = pc.fill_null(pc.list_element(sub["sort_keys"], 0), 0) \
-                if "sort_keys" in sub.column_names else pa.nulls(len(sub), pa.int64())
-            sk = pc.fill_null(sk, 0).cast(pa.int64())
+            if "sort_keys" in sub.column_names:
+                sk, sk2 = sort_key_components(sub["sort_keys"], 2)
+            else:
+                sk = sk2 = np.zeros(len(sub), dtype=np.int64)
+            sk, sk2 = pa.array(sk), pa.array(sk2)
         else:
             src_ts = pa.array(np.zeros(len(sub), dtype=np.int64))
-            sk = src_ts
+            sk = sk2 = src_ts
         deleted = pc.equal(sub["op"], "DELETE")
         out = payload
         out = out.append_column("__seq", seq)
         out = out.append_column("__src_ts", src_ts)
         out = out.append_column("__sk", sk)
+        out = out.append_column("__sk2", sk2)
         out = out.append_column("__deleted", deleted)
         out = out.append_column("__op", sub["op"])
         snap = (pc.fill_null(sub["is_snapshot"], False)
@@ -472,14 +476,38 @@ class TransformStage:
 
 
 _VERSION_SORT = [("__src_ts", "ascending"), ("__sk", "ascending"),
-                 ("__seq", "ascending")]
+                 ("__sk2", "ascending"), ("__seq", "ascending")]
+
+
+def sort_key_components(col, k: int) -> list[np.ndarray]:
+    """First k elements of a list<int> column as dense int64 arrays
+    (missing elements / null lists → 0), vectorized on the flat buffers —
+    the multi-element SortKey tiebreak (SortKey.java:26-41) without any
+    per-row Python."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return [np.empty(0, dtype=np.int64) for _ in range(k)]
+    valid = ~np.asarray(pc.is_null(col).to_numpy(zero_copy_only=False))
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = col.values.to_numpy(zero_copy_only=False).astype(np.int64) \
+        if len(col.values) else np.empty(0, dtype=np.int64)
+    lens = offsets[1:] - offsets[:-1]
+    out = []
+    for i in range(k):
+        comp = np.zeros(n, dtype=np.int64)
+        has = valid & (lens > i)
+        comp[has] = values[offsets[:-1][has] + i]
+        out.append(comp)
+    return out
 
 
 def _version_order(tbl: pa.Table) -> np.ndarray:
-    """Row permutation sorting by version (__src_ts, __sk, __seq) — computed
-    on the three int64 columns ONLY, so the (fat) token payload is never
-    moved by the sort.  pyarrow sort_indices is stable."""
-    slim = tbl.select(["__src_ts", "__sk", "__seq"])
+    """Row permutation sorting by version (__src_ts, __sk, __sk2, __seq) —
+    computed on the int64 columns ONLY, so the (fat) token payload is
+    never moved by the sort.  pyarrow sort_indices is stable."""
+    slim = tbl.select(["__src_ts", "__sk", "__sk2", "__seq"])
     return pc.sort_indices(slim, sort_keys=_VERSION_SORT).to_numpy()
 
 

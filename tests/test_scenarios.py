@@ -424,3 +424,54 @@ def test_generation_isolation(tmp_log, tmp_lake):
     # gen 1 replay did real work (no cross-generation checkpoint reuse)
     assert r1["metrics"]["total"]["dml_events"] == \
         r0["metrics"]["total"]["dml_events"] > 0
+
+
+def test_multi_component_sort_keys(tmp_log, tmp_lake):
+    """UN_ORDERED tie-break cascades through sort_keys components
+    (SortKey.java:26-41 — a LIST of tiebreakers): same source_ts and same
+    sk[0] → sk[1] decides, regardless of arrival (seq) order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deltaray.schemas import (ddl_payload, default_table_schema,
+                                  event_log_schema)
+
+    schema = default_table_schema()
+    log_schema = event_log_schema(schema)
+    ts = 1704067200_000000
+
+    def row(seq, op, doc, tok, sk, **kw):
+        r = {"seq": seq, "op": op, "table": "docs", "doc_id": doc,
+             "tokens": tok, "n_tok": len(tok) if tok else None,
+             "source": "web" if tok else None,
+             "ingest_ts": ts + seq, "source_ts": ts, "is_snapshot": False,
+             "sort_keys": sk}
+        r.update(kw)
+        return r
+
+    rows = [
+        {"seq": 1, "op": "CREATE_TABLE", "table": "docs",
+         "ddl_payload": ddl_payload("CREATE_TABLE", schema=schema),
+         "ingest_ts": ts, "source_ts": ts, "is_snapshot": True},
+        # arrival order is the REVERSE of logical order: the logically
+        # newest version (sk=[5,9]) arrives first
+        row(2, "INSERT", "d1", [9, 9, 9], [5, 9]),
+        row(3, "UPDATE", "d1", [1, 1, 1], [5, 3]),   # older by sk[1]
+        row(4, "UPDATE", "d1", [2, 2, 2], [4, 99]),  # older by sk[0]
+        # d2: identical (ts, sk0, sk1) → seq breaks the tie, last wins
+        row(5, "INSERT", "d2", [7], [1, 1]),
+        row(6, "UPDATE", "d2", [8], [1, 1]),
+    ]
+    import os
+    os.makedirs(tmp_log, exist_ok=True)
+    cols = {f.name: [r.get(f.name) for r in rows] for f in log_schema}
+    pq.write_table(pa.table(cols, schema=log_schema),
+                   f"{tmp_log}/events-00000-000000000001-000000000006.parquet",
+                   row_group_size=16384)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2,
+                       ordering="UN_ORDERED")
+    _check(cfg)
+    got = read_table(tmp_lake, "docs")
+    by_id = {r["doc_id"]: r["tokens"] for r in got.to_pylist()}
+    assert by_id["d1"] == [9, 9, 9]   # sk=[5,9] wins despite earliest arrival
+    assert by_id["d2"] == [8]         # full tie → max seq wins

@@ -26,6 +26,7 @@ from deltaray.pipeline import (
     read_table,
     read_table_ds,
     replay,
+    replay_follow,
 )
 from deltaray.oracle import replay_oracle, tables_equal
 from deltaray.transforms import register_directive
@@ -41,6 +42,7 @@ __all__ = [
     "read_table_ds",
     "register_directive",
     "replay",
+    "replay_follow",
     "replay_oracle",
     "tables_equal",
 ]

@@ -29,6 +29,7 @@ def _init_ray():
 
 def cmd_replay(a) -> int:
     from deltaray import ReplayConfig, replay
+    from deltaray.pipeline import replay_follow
 
     _init_ray()
     cfg = ReplayConfig(
@@ -37,7 +38,10 @@ def cmd_replay(a) -> int:
         ordering="UN_ORDERED" if a.unordered else "ORDERED",
         generation=a.generation,
     )
-    res = replay(cfg)
+    if a.follow:
+        res = replay_follow(cfg, poll_seconds=a.poll_seconds, idle_polls=3)
+    else:
+        res = replay(cfg)
     print(json.dumps({"chunks": res["chunks"], "tables": res["tables"],
                       "metrics": res["metrics"]}, default=str))
     return 0
@@ -85,6 +89,9 @@ def main(argv=None) -> int:
     r.add_argument("--shuffle", choices=["tasks", "sort"], default="tasks")
     r.add_argument("--unordered", action="store_true")
     r.add_argument("--generation", type=int, default=0)
+    r.add_argument("--follow", action="store_true",
+                   help="keep tailing the log (stop after 3 idle polls)")
+    r.add_argument("--poll-seconds", type=float, default=5.0)
     r.set_defaults(fn=cmd_replay)
 
     s = sub.add_parser("assess")

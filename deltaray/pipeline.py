@@ -470,6 +470,33 @@ def replay(cfg: ReplayConfig, on_chunk=None) -> dict:
     return ReplaySession(cfg).run(on_chunk=on_chunk)
 
 
+def replay_follow(cfg: ReplayConfig, *, poll_seconds: float = 5.0,
+                  idle_polls: int | None = None, on_cycle=None) -> dict:
+    """Continuously tail the event log: re-plan against the (possibly
+    grown) log each cycle and replay whatever is new — the daemon analog
+    of the reference's EventReader thread (EventReader.java:22-52 +
+    DeltaWorker poll loop :405-440), built on resume semantics: fully
+    committed prefix chunks are skipped, only new tail ranges run.
+
+    Stops after ``idle_polls`` consecutive cycles that applied nothing
+    (None = run until the process is stopped).  Returns the last cycle's
+    replay result.
+    """
+    idle = 0
+    last: dict = {}
+    cycle = 0
+    while True:
+        applied: list = []
+        last = replay(cfg, on_chunk=lambda i, c, rows: applied.append(i))
+        if on_cycle is not None:
+            on_cycle(cycle, applied, last)
+        cycle += 1
+        idle = 0 if applied else idle + 1
+        if idle_polls is not None and idle >= idle_polls:
+            return last
+        time.sleep(poll_seconds)
+
+
 # ------------------------------------------------------------------ reads
 def read_table(lake_root: str, table: str, generation: int = 0) -> pa.Table:
     """Driver-side materialization of one table's final state (small

@@ -475,3 +475,50 @@ def test_multi_component_sort_keys(tmp_log, tmp_lake):
     by_id = {r["doc_id"]: r["tokens"] for r in got.to_pylist()}
     assert by_id["d1"] == [9, 9, 9]   # sk=[5,9] wins despite earliest arrival
     assert by_id["d2"] == [8]         # full tie → max seq wins
+
+
+def test_replay_follow_tails_the_log(tmp_log, tmp_lake):
+    """replay_follow picks up segments appended between polling cycles and
+    stops after the configured idle polls."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from deltaray.pipeline import replay_follow
+
+    ext = tmp_log + "-full"
+    write_event_log(ext, n_docs=100, n_events=1200, seed=97,
+                    segment_max_events=300)
+    with open(f"{ext}/manifest.json") as f:
+        man = _json.load(f)
+
+    def publish(upto):
+        segs = [s for s in man["segments"] if s["seq_hi"] <= upto] or man["segments"]
+        _os.makedirs(tmp_log, exist_ok=True)
+        for s in segs:
+            dst = _os.path.join(tmp_log, _os.path.basename(s["path"]))
+            if not _os.path.exists(dst):
+                _shutil.copy(s["path"], dst)
+        with open(f"{tmp_log}/manifest.json", "w") as f:
+            _json.dump(dict(man, segments=[
+                dict(s, path=_os.path.join(tmp_log, _os.path.basename(s["path"])))
+                for s in segs
+            ], max_seq=max(s["seq_hi"] for s in segs)), f)
+
+    publish(600)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2,
+                       chunk_max_events=300)
+    cycles = []
+
+    def on_cycle(i, applied, res):
+        cycles.append(len(applied))
+        if i == 0:
+            publish(10**9)  # rest of the log arrives after the first cycle
+
+    replay_follow(cfg, poll_seconds=0.01, idle_polls=2, on_cycle=on_cycle)
+    assert cycles[0] > 0 and cycles[1] > 0      # both phases applied work
+    assert cycles[-1] == 0 and cycles[-2] == 0  # stopped on idle
+    ocfg = ReplayConfig(event_log=ext, lake=tmp_lake + "-o", num_partitions=2)
+    ok, msg = tables_equal(read_table(tmp_lake, "docs"),
+                           replay_oracle(ocfg)["docs"])
+    assert ok, msg

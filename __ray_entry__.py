@@ -347,6 +347,66 @@ def _video_frames(sf_dir: str):
                                batch_size=32)
 
 
+def _asof_prev_order(sf_dir: str):
+    """As-of join (custom operator Ray Data lacks): each order matched
+    with the same customer's most recent strictly-earlier order."""
+    from deltaray.functions.joins import asof_join
+
+    cols = ["o_orderkey", "o_custkey", "o_orderdate"]
+    left = _read(sf_dir, "orders", cols)
+    right = _read(sf_dir, "orders", cols)
+    return asof_join(
+        left, right, key="o_custkey",
+        left_on="o_orderdate", right_on="o_orderdate",
+        left_tie="o_orderkey", right_tie="o_orderkey",
+        right_cols={"o_orderkey": "prev_orderkey",
+                    "o_orderdate": "prev_orderdate"},
+    )
+
+
+def _sessionize_events(sf_dir: str):
+    from deltaray.functions.cdc_queries import sessionize
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return sessionize(ds, key="user_id", ts_col="ts", tie_col="event_id",
+                      gap_minutes=60.0)
+
+
+def _ngram_pairs_docs(sf_dir: str):
+    from deltaray.functions.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, k=8, threshold=0.3)
+
+
+def _top_tokens_docs(sf_dir: str):
+    from deltaray.functions.text import token_topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return token_topk(ds, top_k=20)
+
+
+def _enrich_events_customers(sf_dir: str):
+    """Broadcast dimension join: events enriched with customer + nation
+    names; the two-level dim table is built driver-side (tiny) and
+    ray.put ONCE — no shuffle of the stream."""
+    import pyarrow.parquet as pq
+
+    from deltaray.functions.joins import broadcast_enrich
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name", "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    dims = cust.join(nation, keys="c_nationkey", right_keys="n_nationkey",
+                     join_type="left outer").select(
+        ["c_custkey", "c_name", "n_name"])
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return broadcast_enrich(ds, dims, stream_key="user_id",
+                            dim_key="c_custkey",
+                            value_cols=["c_name", "n_name"])
+
+
 def _assess_report(sf_dir: str):
     """Assessment dry-run (Assessor analog) over a synthetic change log
     scaled to the sf dir; returns the per-column verdict table."""
@@ -392,6 +452,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _embedding_neardup,
         "knn_bruteforce": _knn_bruteforce,
         "knn_ivf": _knn_ivf,
+        "asof_prev_order": _asof_prev_order,
+        "sessionize_events": _sessionize_events,
+        "ngram_jaccard_pairs_docs": _ngram_pairs_docs,
+        "top_tokens_docs": _top_tokens_docs,
+        "enrich_events_customers": _enrich_events_customers,
         "cdc_replay_docs": _cdc_replay_docs,
         "decode_media": _decode_media,
         "audio_features": _audio_features,
@@ -471,6 +536,66 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_extract_all(text,
                           '\b(the|and|of|a|to|in|is|it)\b')) AS q_stop
             FROM documents
+        """,
+        "asof_prev_order": """
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   lag(o_orderkey) OVER w AS prev_orderkey,
+                   lag(o_orderdate) OVER w AS prev_orderdate
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        """,
+        "sessionize_events": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - lag(ts) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id)
+                              > INTERVAL 60 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events),
+            s AS (
+                SELECT user_id, ts,
+                       CAST(sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM o)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts
+            FROM s GROUP BY user_id, session_id
+        """,
+        "ngram_jaccard_pairs_docs": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id,
+                       substring(text, CAST(i AS INT), 8) AS s
+                FROM documents,
+                     unnest(range(1, length(text) - 8 + 2)) AS t(i)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT i.doc_a, i.doc_b, i.n_inter,
+                   sa.n + sb.n - i.n_inter AS n_union
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE i.n_inter >= 0.3 * (sa.n + sb.n - i.n_inter)
+        """,
+        "top_tokens_docs": r"""
+            SELECT token, count(*) AS n FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '\s+'))
+                       AS token
+                FROM documents)
+            WHERE token <> ''
+            GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        "enrich_events_customers": """
+            SELECT e.event_id, e.user_id, e.value, c.c_name, n.n_name
+            FROM events e
+            LEFT JOIN customer c ON e.user_id = c.c_custkey
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings

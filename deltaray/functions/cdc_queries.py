@@ -79,6 +79,42 @@ def apply_change_stream(ds, key: str, order: list[str], op_col_expr,
     return ds.groupby(key).map_groups(finalize, batch_format="pyarrow")
 
 
+def sessionize(ds, *, key: str, ts_col: str, tie_col: str,
+               gap_minutes: float = 60.0):
+    """Gap-based session windows per key (SURVEY §2.9 commit-batch window
+    generalized to event-time): sort a key's events by (ts, tie), start a
+    new session whenever the gap to the previous event exceeds
+    ``gap_minutes``, and emit one row per session with
+    (key, session_id, n_events, start_ts, end_ts).
+
+    One hash exchange (groupby key); inside a group everything is numpy —
+    diff → cumsum → unique — so a hot key costs O(events log events).
+    """
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+
+    def sess(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(ts_col, "ascending"), (tie_col, "ascending")])
+        ts = g[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        t = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64()).to_numpy()
+        brk = np.zeros(len(t), dtype=np.int64)
+        brk[1:] = np.diff(t) > gap_us
+        sid = np.cumsum(brk)
+        uniq, first = np.unique(sid, return_index=True)
+        counts = np.diff(np.append(first, len(sid)))
+        last = first + counts - 1
+        return pa.table({
+            key: g[key].take(pa.array(first)),
+            "session_id": pa.array(uniq),
+            "n_events": pa.array(counts.astype(np.int64)),
+            "start_ts": ts.take(pa.array(first)),
+            "end_ts": ts.take(pa.array(last)),
+        })
+
+    return ds.groupby(key).map_groups(sess, batch_format="pyarrow")
+
+
 def upsert_into_base(base_ds, changes_tbl: pa.Table, base_key: str,
                      change_key: str, value_cols: list[str]):
     """Broadcast-merge a small change set into a large base Dataset:

@@ -200,6 +200,75 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return len(a & b) / len(a | b)
 
 
+def ngram_jaccard_pairs(ds, *, k: int = 8, threshold: float = 0.3,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """EXACT character-k-gram Jaccard similarity join via a distributed
+    inverted index (no MinHash estimation): explode each document into its
+    distinct k-shingles → groupby shingle → co-occurrence pairs → count
+    per pair → Jaccard = |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
+
+    Output: (doc_a, doc_b, n_inter, n_union) — integers only, so the
+    result hashes deterministically.  Documents shorter than ``k``
+    characters produce no shingles and never pair.
+
+    Scale note: co-occurrence volume is Σ_s df(s)², so at corpus scale
+    this needs a document-frequency cut or prefix filtering on the
+    inverted lists (drop shingles with df > cap and bound the Jaccard
+    error, the standard similarity-join practice); exact small-scale form
+    kept here because it is the oracle-checkable one.
+    """
+    from ray.data.aggregate import Count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        shingles: list[str] = []
+        sizes: list[int] = []
+        for d, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            t = t or ""
+            if len(t) < k:
+                continue
+            ss = {t[j:j + k] for j in range(len(t) - k + 1)}
+            ids.extend([d] * len(ss))
+            shingles.extend(ss)
+            sizes.extend([len(ss)] * len(ss))
+        return pa.table({
+            "s": pa.array(shingles, pa.string()),
+            id_col: pa.array(ids, pa.int64()),
+            "n": pa.array(sizes, pa.int64()),
+        })
+
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+
+    def cooccur(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m < 2:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "na": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64())})
+        g = group.sort_by(id_col)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        ns = g["n"].to_numpy(zero_copy_only=False)
+        ia, ib = np.triu_indices(m, k=1)
+        return pa.table({"doc_a": pa.array(ids[ia]), "doc_b": pa.array(ids[ib]),
+                         "na": pa.array(ns[ia]), "nb": pa.array(ns[ib])})
+
+    co = rows.groupby("s").map_groups(cooccur, batch_format="pyarrow")
+    agg = co.groupby(["doc_a", "doc_b", "na", "nb"]).aggregate(
+        Count(alias_name="n_inter"))
+
+    def jaccard_filter(batch: pa.Table) -> pa.Table:
+        inter = batch["n_inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        union = (batch["na"].to_numpy(zero_copy_only=False)
+                 + batch["nb"].to_numpy(zero_copy_only=False) - inter)
+        keep = inter >= threshold * union
+        out = pa.table({"doc_a": batch["doc_a"], "doc_b": batch["doc_b"],
+                        "n_inter": pa.array(inter), "n_union": pa.array(union)})
+        return out.filter(pa.array(keep))
+
+    return agg.map_batches(jaccard_filter, batch_format="pyarrow")
+
+
 def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
                             n_planes: int = 12, id_col: str = "vec_id",
                             vec_col: str = "embedding", seed: int = 42):

@@ -52,6 +52,31 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+def token_topk(ds, *, text_col: str = "text", top_k: int = 20) -> pa.Table:
+    """Global top-k token frequency (distributed wordcount): lowercase →
+    whitespace split → flatten → per-batch partial counts (the combiner
+    that bounds shuffle volume by vocabulary, not corpus size) → small
+    groupby-sum → driver-side top-k on the tiny aggregate.  Empty tokens
+    (leading/trailing whitespace artifacts) are dropped on both the engine
+    and oracle sides.  Ties at rank k break by token text ascending so the
+    result is deterministic."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), _WS)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        t = pa.table({"token": flat}).group_by("token").aggregate(
+            [([], "count_all")])
+        return t.rename_columns(["token", "n_part"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n_part", alias_name="n"))
+    tbl = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    return tbl.sort_by([("n", "descending"), ("token", "ascending")]) \
+        .slice(0, top_k)
+
+
 class LangId:
     """Character-n-gram language-ID heuristic (actor-pool stage: profiles
     built once per actor in __init__, scored per batch).

@@ -77,3 +77,126 @@ def test_minhash_dedup_docs_drops_near_dups():
     assert 3 in kept          # unrelated doc survives
     assert 4 not in kept      # exact dup of 1 dropped
     assert len(kept) <= 3
+
+
+def test_asof_join_semantics():
+    import ray.data
+
+    from deltaray.functions.joins import asof_join
+
+    trades = pa.table({
+        "sym": pa.array(["A", "A", "A", "B"]),
+        "t": pa.array([10, 20, 30, 15], pa.int64()),
+        "trade_id": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    quotes = pa.table({
+        "sym": pa.array(["A", "A", "B", "C"]),
+        "t": pa.array([10, 25, 99, 1], pa.int64()),
+        "px": pa.array([1.0, 2.0, 3.0, 4.0]),
+    })
+    out = asof_join(
+        ray.data.from_arrow(trades), ray.data.from_arrow(quotes),
+        key="sym", left_on="t", right_on="t",
+        right_cols={"px": "last_px"}, allow_exact=True,
+    ).to_pandas().sort_values("trade_id").reset_index(drop=True)
+    # trade@10 matches quote@10 (exact allowed), @20/@30 match 1.0/2.0,
+    # B@15 has no quote <= 15, C never appears on the left
+    assert out["last_px"].tolist()[:3] == [1.0, 1.0, 2.0]
+    assert np.isnan(out["last_px"][3])
+
+    strict = asof_join(
+        ray.data.from_arrow(trades), ray.data.from_arrow(quotes),
+        key="sym", left_on="t", right_on="t",
+        right_cols={"px": "last_px"}, allow_exact=False,
+    ).to_pandas().sort_values("trade_id").reset_index(drop=True)
+    assert np.isnan(strict["last_px"][0])  # exact match excluded
+
+
+def test_asof_join_tie_break():
+    import ray.data
+
+    from deltaray.functions.joins import asof_join
+
+    orders = pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "d": pa.array([5, 5, 7], pa.int64()),
+        "oid": pa.array([10, 11, 12], pa.int64()),
+    })
+    out = asof_join(
+        ray.data.from_arrow(orders), ray.data.from_arrow(orders),
+        key="k", left_on="d", right_on="d", left_tie="oid", right_tie="oid",
+        right_cols={"oid": "prev_oid"},
+    ).to_pandas().sort_values("oid").reset_index(drop=True)
+    # strict lexicographic (d, oid): 10→none, 11→10 (same d, smaller oid),
+    # 12→11 (latest of the d=5 pair)
+    assert np.isnan(out["prev_oid"][0])
+    assert out["prev_oid"].tolist()[1:] == [10.0, 11.0]
+
+
+def test_sessionize():
+    import ray.data
+
+    from deltaray.functions.cdc_queries import sessionize
+
+    t0 = 1_700_000_000_000_000  # us epoch
+    m = 60 * 1_000_000
+    ts = pa.array([t0, t0 + 5 * m, t0 + 200 * m, t0 + 205 * m, t0],
+                  pa.timestamp("us"))
+    tbl = pa.table({
+        "user": pa.array([7, 7, 7, 7, 8], pa.int64()),
+        "ts": ts,
+        "eid": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    out = sessionize(ray.data.from_arrow(tbl), key="user", ts_col="ts",
+                     tie_col="eid", gap_minutes=60.0) \
+        .to_pandas().sort_values(["user", "session_id"]).reset_index(drop=True)
+    # user 7: [e1,e2] then 195-min gap → [e3,e4]; user 8: one session
+    assert out["n_events"].tolist() == [2, 2, 1]
+    assert out["session_id"].tolist() == [0, 1, 0]
+
+
+def test_ngram_jaccard_pairs_exact():
+    import ray.data
+
+    from deltaray.functions.dedup import ngram_jaccard, ngram_jaccard_pairs
+
+    a = "the quick brown fox jumps over the lazy dog tonight"
+    b = a + " again"
+    c = "zz"  # shorter than k: never pairs
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array([a, b, c])})
+    out = ngram_jaccard_pairs(ray.data.from_arrow(tbl), k=5, threshold=0.3) \
+        .to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["doc_a"], row["doc_b"]) == (1, 2)
+    # exact Jaccard matches the scalar primitive
+    assert row["n_inter"] / row["n_union"] == pytest.approx(
+        ngram_jaccard(a, b, k=5))
+
+
+def test_token_topk():
+    import ray.data
+
+    from deltaray.functions.text import token_topk
+
+    tbl = pa.table({"text": pa.array(["a b b", "  b A c", ""])})
+    out = token_topk(ray.data.from_arrow(tbl), top_k=2)
+    assert out["token"].to_pylist() == ["b", "a"]
+    assert out["n"].to_pylist() == [3, 2]
+
+
+def test_broadcast_enrich_missing_keys_null():
+    import ray.data
+
+    from deltaray.functions.joins import broadcast_enrich
+
+    stream = pa.table({"uid": pa.array([1, 2, 99], pa.int64())})
+    dims = pa.table({"uid": pa.array([1, 2], pa.int64()),
+                     "name": pa.array(["x", "y"])})
+    out = broadcast_enrich(ray.data.from_arrow(stream), dims,
+                           stream_key="uid", dim_key="uid",
+                           value_cols=["name"]).to_pandas() \
+        .sort_values("uid").reset_index(drop=True)
+    assert out["name"].tolist()[:2] == ["x", "y"]
+    assert out["name"][2] is None or out["name"].isna()[2]

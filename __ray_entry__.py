@@ -376,7 +376,7 @@ def _ngram_pairs_docs(sf_dir: str):
     from deltaray.functions.dedup import ngram_jaccard_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ngram_jaccard_pairs(ds, k=8, threshold=0.3)
+    return ngram_jaccard_pairs(ds, k=8, threshold=0.3, max_df=100)
 
 
 def _top_tokens_docs(sf_dir: str):
@@ -571,10 +571,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents,
                      unnest(range(1, length(text) - 8 + 2)) AS t(i)),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            -- df-cut (max_df=100): intersections over rare shingles only,
+            -- union sizes full — mirrors the engine's conservative bound
+            keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+            sh2 AS (SELECT sh.* FROM sh JOIN keep USING (s)),
             inter AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                        count(*) AS n_inter
-                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
             SELECT i.doc_a, i.doc_b, i.n_inter,
                    sa.n + sb.n - i.n_inter AS n_union

@@ -85,6 +85,9 @@ def bench_queries() -> dict:
         "quality_scores_docs",
         "minhash_pairs_docs",
         "knn_bruteforce",
+        "asof_prev_order",
+        "sessionize_events",
+        "enrich_events_customers",
     ]
     qs = m.queries()
     for name in picks:

@@ -201,6 +201,7 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 
 
 def ngram_jaccard_pairs(ds, *, k: int = 8, threshold: float = 0.3,
+                        max_df: int | None = None,
                         id_col: str = "doc_id", text_col: str = "text"):
     """EXACT character-k-gram Jaccard similarity join via a distributed
     inverted index (no MinHash estimation): explode each document into its
@@ -211,11 +212,13 @@ def ngram_jaccard_pairs(ds, *, k: int = 8, threshold: float = 0.3,
     result hashes deterministically.  Documents shorter than ``k``
     characters produce no shingles and never pair.
 
-    Scale note: co-occurrence volume is Σ_s df(s)², so at corpus scale
-    this needs a document-frequency cut or prefix filtering on the
-    inverted lists (drop shingles with df > cap and bound the Jaccard
-    error, the standard similarity-join practice); exact small-scale form
-    kept here because it is the oracle-checkable one.
+    Scale: co-occurrence volume is Σ_s df(s)², quadratic in stop-shingle
+    frequency, so ``max_df`` (the standard similarity-join df-cut) drops
+    inverted lists longer than the cap before pairing, bounding pair work
+    by max_df · Σ_s df(s).  Intersections then count only surviving
+    (rare) shingles while union sizes stay full, making the reported
+    Jaccard a conservative lower bound — with ``max_df=None`` the metric
+    is exact.
     """
     from ray.data.aggregate import Count
 
@@ -241,7 +244,7 @@ def ngram_jaccard_pairs(ds, *, k: int = 8, threshold: float = 0.3,
 
     def cooccur(group: pa.Table) -> pa.Table:
         m = group.num_rows
-        if m < 2:
+        if m < 2 or (max_df is not None and m > max_df):
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
                              "na": pa.array([], pa.int64()),

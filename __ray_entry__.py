@@ -150,21 +150,17 @@ def _upsert_customers_latest(sf_dir: str):
 
 def _last_event_per_user_day(sf_dir: str):
     """Windowed LWW: last event per (user, day) — commit-batch window
-    analog (SURVEY §2.9)."""
+    analog (SURVEY §2.9), via the composite-key two-phase LWW operator."""
+    from deltaray.functions.cdc_queries import lww_latest
+
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
 
     def add_day(batch: pa.Table) -> pa.Table:
         return batch.append_column("day", pc.floor_temporal(batch["ts"], unit="day"))
 
     ds = ds.map_batches(add_day, batch_format="pyarrow")
-
-    def last_per_group(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
-        return g.slice(g.num_rows - 1, 1)
-
-    return ds.groupby(["user_id", "day"]).map_groups(
-        last_per_group, batch_format="pyarrow"
-    )
+    return lww_latest(ds, key=["user_id", "day"], order=["ts", "event_id"],
+                      columns=["event_id", "value"])
 
 
 def _dedup_exact_docs(sf_dir: str):

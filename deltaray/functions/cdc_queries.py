@@ -12,20 +12,25 @@ the same two-phase reduction the merge stage uses for hot keys.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from deltaray.functions.partition import group_codes, hash_partitioned
 
-def _take_last_per_key(tbl: pa.Table, key: str, order: list[str]) -> pa.Table:
-    """Max-(order tuple) row per key, vectorized (stable sort + factorize)."""
+
+def _as_keys(key) -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
+def _take_last_per_key(tbl: pa.Table, key, order: list[str]) -> pa.Table:
+    """Max-(order tuple) row per (possibly composite) key, vectorized
+    (stable sort + factorize) — handles any number of keys per block, so
+    it serves both as the per-batch combiner and as the partition-wise
+    finalizer."""
     if tbl.num_rows <= 1:
         return tbl
     tbl = tbl.sort_by([(c, "ascending") for c in order])
-    ids = tbl[key]
-    if isinstance(ids, pa.ChunkedArray):
-        ids = ids.combine_chunks()
-    codes, _ = pd.factorize(ids.to_numpy(zero_copy_only=False))
+    codes = group_codes(tbl, _as_keys(key))
     _, first_rev = np.unique(codes[::-1], return_index=True)
     last_idx = np.sort(len(codes) - 1 - first_rev)
     if len(last_idx) == tbl.num_rows:
@@ -33,27 +38,30 @@ def _take_last_per_key(tbl: pa.Table, key: str, order: list[str]) -> pa.Table:
     return tbl.take(pa.array(last_idx))
 
 
-def lww_latest(ds, key: str, order: list[str], columns: list[str] | None = None):
-    """Latest row per key by (order...) — two-phase LWW over a Dataset.
+def lww_latest(ds, key, order: list[str], columns: list[str] | None = None,
+               num_partitions: int = 64):
+    """Latest row per (possibly composite) key by (order...) — two-phase
+    LWW over a Dataset.
 
     Engine-core analog: QueueingEventEmitter sequencing + merge LWW
-    (Sequenced.java:26-53) applied to a generic table.
+    (Sequenced.java:26-53) applied to a generic table.  The finalizer
+    runs partition-wise (O(P) UDF calls), not per key — key cardinality
+    never shows up as Python-call overhead.
     """
+    keys = _as_keys(key)
     need = None
     if columns is not None:
-        need = list(dict.fromkeys([key, *order, *columns]))
+        need = list(dict.fromkeys([*keys, *order, *columns]))
 
     def combine(batch: pa.Table) -> pa.Table:
         if need is not None:
             batch = batch.select([c for c in need if c in batch.column_names])
-        return _take_last_per_key(batch, key, order)
+        return _take_last_per_key(batch, keys, order)
 
     ds = ds.map_batches(combine, batch_format="pyarrow")
-
-    def finalize(group: pa.Table) -> pa.Table:
-        return _take_last_per_key(group, key, order)
-
-    return ds.groupby(key).map_groups(finalize, batch_format="pyarrow")
+    return hash_partitioned(ds, keys,
+                            lambda g: _take_last_per_key(g, keys, order),
+                            num_partitions=num_partitions)
 
 
 def apply_change_stream(ds, key: str, order: list[str], op_col_expr,
@@ -63,56 +71,71 @@ def apply_change_stream(ds, key: str, order: list[str], op_col_expr,
     a base table).  ``op_col_expr(batch) -> pa.Array`` maps each row to an
     op label."""
 
+    keys = _as_keys(key)
+
     def combine(batch: pa.Table) -> pa.Table:
         ops = op_col_expr(batch)
-        batch = batch.select([c for c in dict.fromkeys([key, *order, *columns])])
+        batch = batch.select([c for c in dict.fromkeys([*keys, *order, *columns])])
         batch = batch.append_column("__op", ops)
-        return _take_last_per_key(batch, key, order)
+        return _take_last_per_key(batch, keys, order)
 
     ds = ds.map_batches(combine, batch_format="pyarrow")
 
-    def finalize(group: pa.Table) -> pa.Table:
-        win = _take_last_per_key(group, key, order)
+    def finalize(block: pa.Table) -> pa.Table:
+        win = _take_last_per_key(block, keys, order)
         mask = pc.invert(pc.is_in(win["__op"], value_set=pa.array(sorted(delete_ops))))
         return win.filter(mask).drop_columns(["__op"])
 
-    return ds.groupby(key).map_groups(finalize, batch_format="pyarrow")
+    return hash_partitioned(ds, keys, finalize)
 
 
 def sessionize(ds, *, key: str, ts_col: str, tie_col: str,
-               gap_minutes: float = 60.0):
+               gap_minutes: float = 60.0, num_partitions: int = 64):
     """Gap-based session windows per key (SURVEY §2.9 commit-batch window
     generalized to event-time): sort a key's events by (ts, tie), start a
     new session whenever the gap to the previous event exceeds
     ``gap_minutes``, and emit one row per session with
     (key, session_id, n_events, start_ts, end_ts).
 
-    One hash exchange (groupby key); inside a group everything is numpy —
-    diff → cumsum → unique — so a hot key costs O(events log events).
+    One hash exchange; each partition block (MANY keys) is processed by a
+    single fully-vectorized pass — sort → factorize → diff → cumsum —
+    with zero per-key Python calls, so key cardinality only affects
+    shuffle volume, never scheduler or interpreter overhead.
     """
     gap_us = int(gap_minutes * 60 * 1_000_000)
 
-    def sess(group: pa.Table) -> pa.Table:
-        g = group.sort_by([(ts_col, "ascending"), (tie_col, "ascending")])
+    def sess_block(block: pa.Table) -> pa.Table:
+        g = block.sort_by([(key, "ascending"), (ts_col, "ascending"),
+                           (tie_col, "ascending")])
         ts = g[ts_col]
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
         t = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64()).to_numpy()
-        brk = np.zeros(len(t), dtype=np.int64)
-        brk[1:] = np.diff(t) > gap_us
-        sid = np.cumsum(brk)
-        uniq, first = np.unique(sid, return_index=True)
-        counts = np.diff(np.append(first, len(sid)))
-        last = first + counts - 1
+        codes = group_codes(g, [key])
+        n = len(t)
+        newkey = np.ones(n, dtype=bool)
+        newkey[1:] = codes[1:] != codes[:-1]
+        brk = newkey.copy()
+        brk[1:] |= np.diff(t) > gap_us           # session start markers
+        starts = np.nonzero(brk)[0]
+        counts = np.diff(np.append(starts, n))
+        # per-key 0-based session index: session ordinal minus the ordinal
+        # of its key's first session
+        sess_ord = np.arange(len(starts))
+        key_first = newkey[starts]
+        key_of_sess = np.cumsum(key_first) - 1
+        session_id = sess_ord - sess_ord[key_first][key_of_sess]
+        last = starts + counts - 1
         return pa.table({
-            key: g[key].take(pa.array(first)),
-            "session_id": pa.array(uniq),
+            key: g[key].take(pa.array(starts)),
+            "session_id": pa.array(session_id.astype(np.int64)),
             "n_events": pa.array(counts.astype(np.int64)),
-            "start_ts": ts.take(pa.array(first)),
+            "start_ts": ts.take(pa.array(starts)),
             "end_ts": ts.take(pa.array(last)),
         })
 
-    return ds.groupby(key).map_groups(sess, batch_format="pyarrow")
+    return hash_partitioned(ds, [key], sess_block,
+                            num_partitions=num_partitions)
 
 
 def upsert_into_base(base_ds, changes_tbl: pa.Table, base_key: str,

@@ -22,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from deltaray.functions.partition import group_codes, hash_partitioned
 from deltaray.transforms import stable_hash_strings
 
 _MERSENNE = (1 << 61) - 1
@@ -88,11 +89,15 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     ds = ds.map_batches(fp, batch_format="pyarrow")
 
-    def keep_min(group: pa.Table) -> pa.Table:
-        g = group.sort_by(id_col)
-        return g.slice(0, 1).drop_columns(["__fp"])
+    def keep_min_block(block: pa.Table) -> pa.Table:
+        # one vectorized pass over a whole hash partition of fingerprints:
+        # sorted by id, the first row per fingerprint code is the min id
+        g = block.sort_by(id_col)
+        codes = group_codes(g, ["__fp"])
+        first = np.unique(codes, return_index=True)[1]
+        return g.take(pa.array(np.sort(first))).drop_columns(["__fp"])
 
-    return ds.groupby("__fp").map_groups(keep_min, batch_format="pyarrow")
+    return hash_partitioned(ds, ["__fp"], keep_min_block)
 
 
 def minhash_lsh_pairs(ds, *, num_hashes: int = 64, bands: int = 16,
@@ -138,39 +143,47 @@ def minhash_lsh_pairs(ds, *, num_hashes: int = 64, bands: int = 16,
                 }
             )
 
+    from ray.data.aggregate import Max
+
     ds = ds.map_batches(Explode, batch_format="pyarrow", concurrency=2)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n < 2:
+    def bucket_pairs_block(block: pa.Table) -> pa.Table:
+        # one call per hash partition of (band, band_hash) buckets; only
+        # buckets with >=2 members cost anything
+        g = block.sort_by([("band", "ascending"), ("band_hash", "ascending"),
+                           (id_col, "ascending")])
+        codes = group_codes(g, ["band", "band_hash"])
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        sigs = np.array(g["sig"].to_pylist(), dtype=np.int64)
+        first = np.unique(codes, return_index=True)[1]
+        ends = np.append(first[1:], len(codes))
+        out_a, out_b, out_est = [], [], []
+        for s, e in zip(first, ends):
+            n = e - s
+            if n < 2:
+                continue
+            ia, ib = np.triu_indices(n, k=1)
+            est = (sigs[s + ia] == sigs[s + ib]).mean(axis=1)
+            keep = est >= jaccard_threshold
+            out_a.append(ids[s + ia[keep]])
+            out_b.append(ids[s + ib[keep]])
+            out_est.append(est[keep])
+        if not out_a:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
                              "jaccard_est": pa.array([], pa.float64())})
-        g = group.sort_by(id_col)
-        ids = g[id_col].to_numpy(zero_copy_only=False)
-        sigs = np.array(g["sig"].to_pylist(), dtype=np.int64)
-        ia, ib = np.triu_indices(n, k=1)
-        est = (sigs[ia] == sigs[ib]).mean(axis=1)
-        keep = est >= jaccard_threshold
-        return pa.table(
-            {
-                "id_a": pa.array(ids[ia[keep]].astype(np.int64)),
-                "id_b": pa.array(ids[ib[keep]].astype(np.int64)),
-                "jaccard_est": pa.array(est[keep]),
-            }
-        )
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "id_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+            "jaccard_est": pa.array(np.concatenate(out_est)),
+        })
 
-    pairs = ds.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
+    pairs = hash_partitioned(ds, ["band", "band_hash"], bucket_pairs_block)
 
-    # a pair can surface from several bands — keep one copy
-    def dedup_pairs(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        dedup_pairs, batch_format="pyarrow"
-    )
+    # a pair can surface from several bands (same estimate each time) —
+    # native vectorized aggregate keeps one copy
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("jaccard_est", alias_name="jaccard_est"))
 
 
 class SimHasher:
@@ -242,21 +255,36 @@ def ngram_jaccard_pairs(ds, *, k: int = 8, threshold: float = 0.3,
 
     rows = ds.map_batches(explode, batch_format="pyarrow")
 
-    def cooccur(group: pa.Table) -> pa.Table:
-        m = group.num_rows
-        if m < 2 or (max_df is not None and m > max_df):
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64()),
-                             "na": pa.array([], pa.int64()),
-                             "nb": pa.array([], pa.int64())})
-        g = group.sort_by(id_col)
+    def cooccur_block(block: pa.Table) -> pa.Table:
+        # one call per hash partition of the shingle space; pair-emitting
+        # shingles (df >= 2) get numpy triu, the df == 2 majority is fully
+        # vectorized in one shot
+        g = block.sort_by([("s", "ascending"), (id_col, "ascending")])
+        codes = group_codes(g, ["s"])
         ids = g[id_col].to_numpy(zero_copy_only=False)
         ns = g["n"].to_numpy(zero_copy_only=False)
-        ia, ib = np.triu_indices(m, k=1)
-        return pa.table({"doc_a": pa.array(ids[ia]), "doc_b": pa.array(ids[ib]),
-                         "na": pa.array(ns[ia]), "nb": pa.array(ns[ib])})
+        first = np.unique(codes, return_index=True)[1]
+        ends = np.append(first[1:], len(codes))
+        sizes = ends - first
+        cap = max_df if max_df is not None else np.iinfo(np.int64).max
+        two = first[(sizes == 2)]
+        out_a = [ids[two]]
+        out_b = [ids[two + 1]]
+        out_na = [ns[two]]
+        out_nb = [ns[two + 1]]
+        for s, e in zip(first[(sizes > 2) & (sizes <= cap)],
+                        ends[(sizes > 2) & (sizes <= cap)]):
+            ia, ib = np.triu_indices(e - s, k=1)
+            out_a.append(ids[s + ia])
+            out_b.append(ids[s + ib])
+            out_na.append(ns[s + ia])
+            out_nb.append(ns[s + ib])
+        return pa.table({"doc_a": pa.array(np.concatenate(out_a)),
+                         "doc_b": pa.array(np.concatenate(out_b)),
+                         "na": pa.array(np.concatenate(out_na)),
+                         "nb": pa.array(np.concatenate(out_nb))})
 
-    co = rows.groupby("s").map_groups(cooccur, batch_format="pyarrow")
+    co = hash_partitioned(rows, ["s"], cooccur_block)
     agg = co.groupby(["doc_a", "doc_b", "na", "nb"]).aggregate(
         Count(alias_name="n_inter"))
 

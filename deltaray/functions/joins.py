@@ -39,7 +39,7 @@ def _as_int64(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
 def asof_join(left_ds, right_ds, *, key: str, left_on: str, right_on: str,
               left_tie: str | None = None, right_tie: str | None = None,
               right_cols: dict[str, str] | None = None,
-              allow_exact: bool = False):
+              allow_exact: bool = False, num_partitions: int = 64):
     """As-of join two Datasets on ``key``; ordering by (on, tie).
 
     Returns every left row with the matched right row's ``right_cols``
@@ -47,7 +47,13 @@ def asof_join(left_ds, right_ds, *, key: str, left_on: str, right_on: str,
     exists.  ``allow_exact=True`` lets an exactly-equal (on, tie) tuple
     match (useful when left and right are distinct streams); the default
     strict mode is what a self-join ("previous row per key") needs.
+
+    The merge runs once per HASH PARTITION of the key space (not once per
+    key): a partition block holds both sides for many keys, sorted once;
+    per key only the numpy ``searchsorted`` runs.  Key cardinality
+    therefore never multiplies scheduler or interpreter overhead.
     """
+    from deltaray.functions.partition import hash_partitioned
     left_schema = left_ds.schema()   # ray.data Schema: parallel names/types
     right_schema = right_ds.schema()
     if right_cols is None:
@@ -64,7 +70,7 @@ def asof_join(left_ds, right_ds, *, key: str, left_on: str, right_on: str,
         n = batch.num_rows
         cols = {"__k": batch[key], "__on": _as_int64(batch[left_on])}
         cols["__tie"] = (_as_int64(batch[left_tie]) if left_tie
-                         else pa.nulls(n, pa.int64()))
+                         else pa.array(np.zeros(n, dtype=np.int64)))
         cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
         for name in left_names:
             cols[f"l_{name}"] = batch[name]
@@ -76,7 +82,7 @@ def asof_join(left_ds, right_ds, *, key: str, left_on: str, right_on: str,
         n = batch.num_rows
         cols = {"__k": batch[key], "__on": _as_int64(batch[right_on])}
         cols["__tie"] = (_as_int64(batch[right_tie]) if right_tie
-                         else pa.nulls(n, pa.int64()))
+                         else pa.array(np.zeros(n, dtype=np.int64)))
         cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
         for name in left_names:
             cols[f"l_{name}"] = pa.nulls(n, left_types[name])
@@ -87,44 +93,54 @@ def asof_join(left_ds, right_ds, *, key: str, left_on: str, right_on: str,
     both = left_ds.map_batches(prep_left, batch_format="pyarrow").union(
         right_ds.map_batches(prep_right, batch_format="pyarrow")
     )
+    has_tie = bool(left_tie or right_tie)
 
-    def merge(group: pa.Table) -> pa.Table:
-        side = group["__side"].to_numpy(zero_copy_only=False)
-        left = group.filter(pa.array(side == 0))
-        out_cols = {name: left[f"l_{name}"] for name in left_names}
-        right = group.filter(pa.array(side == 1))
-        nl = left.num_rows
-        if nl == 0:
-            return pa.table(
-                {**{n: pa.nulls(0, left_types[n]) for n in left_names},
-                 **{n: pa.nulls(0, right_types[n]) for n in out_right}})
-        if right.num_rows == 0:
-            for name in out_right:
-                out_cols[name] = pa.nulls(nl, right_types[name])
-            return pa.table(out_cols)
-        right = right.sort_by([("__on", "ascending"), ("__tie", "ascending")])
-        r_on = right["__on"].to_numpy(zero_copy_only=False)
-        r_tie = right["__tie"].to_numpy(zero_copy_only=False)
-        l_on = left["__on"].to_numpy(zero_copy_only=False)
-        l_tie = left["__tie"].to_numpy(zero_copy_only=False)
-        lo = np.searchsorted(r_on, l_on, side="left")
-        idx = np.searchsorted(r_on, l_on, side=side_search)
-        if left_tie or right_tie:
-            hi = np.searchsorted(r_on, l_on, side="right")
-            idx = lo.copy()
-            for j in np.nonzero(hi > lo)[0]:  # only rows with on-ties
-                idx[j] = lo[j] + np.searchsorted(
-                    r_tie[lo[j]:hi[j]], l_tie[j], side=side_search)
-        match = idx - 1
-        have = pa.array(match >= 0)
-        taken = np.maximum(match, 0)
+    def merge_block(block: pa.Table) -> pa.Table:
+        from deltaray.functions.partition import group_codes
+
+        # one sort for ALL keys in the partition: key, then left-before-
+        # right, each side ordered by (on, tie)
+        g = block.sort_by([("__k", "ascending"), ("__side", "ascending"),
+                          ("__on", "ascending"), ("__tie", "ascending")])
+        kcodes = group_codes(g, ["__k"])
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        on = g["__on"].to_numpy(zero_copy_only=False)
+        tie = g["__tie"].to_numpy(zero_copy_only=False)
+        first = np.unique(kcodes, return_index=True)[1]
+        ends = np.append(first[1:], len(kcodes))
+        match = np.full(len(kcodes), -1, dtype=np.int64)  # global right idx
+        for s, e in zip(first, ends):
+            mid = s + np.searchsorted(side[s:e], 1)  # left rows: [s, mid)
+            if mid == s or mid == e:                 # no left or no right
+                continue
+            r_on, r_tie = on[mid:e], tie[mid:e]
+            l_on, l_tie = on[s:mid], tie[s:mid]
+            lo = np.searchsorted(r_on, l_on, side="left")
+            if has_tie:
+                hi = np.searchsorted(r_on, l_on, side="right")
+                idx = lo.copy()
+                for j in np.nonzero(hi > lo)[0]:  # only rows with on-ties
+                    idx[j] = lo[j] + np.searchsorted(
+                        r_tie[lo[j]:hi[j]], l_tie[j], side=side_search)
+            else:
+                idx = np.searchsorted(r_on, l_on, side=side_search)
+            m = idx - 1
+            match[s:mid] = np.where(m >= 0, mid + m, -1)
+        left_rows = np.nonzero(side == 0)[0]
+        left_tbl = g.take(pa.array(left_rows))
+        out_cols = {name: left_tbl[f"l_{name}"] for name in left_names}
+        nl = len(left_rows)
+        match_l = match[left_rows]
+        have = pa.array(match_l >= 0)
+        taken = pa.array(np.maximum(match_l, 0))
         for name in out_right:
-            col = right[name].take(pa.array(taken))
+            col = g[name].take(taken)
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
             out_cols[name] = pc.if_else(have, col, pa.nulls(nl, right_types[name]))
         return pa.table(out_cols)
 
-    return both.groupby("__k").map_groups(merge, batch_format="pyarrow")
+    return hash_partitioned(both, ["__k"], merge_block,
+                            num_partitions=num_partitions)
 
 
 def broadcast_enrich(ds, dims: pa.Table, *, stream_key: str, dim_key: str,

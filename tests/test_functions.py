@@ -200,3 +200,39 @@ def test_broadcast_enrich_missing_keys_null():
         .sort_values("uid").reset_index(drop=True)
     assert out["name"].tolist()[:2] == ["x", "y"]
     assert out["name"][2] is None or out["name"].isna()[2]
+
+
+def test_hash_partitioned_key_colocation():
+    import ray.data
+
+    from deltaray.functions.partition import group_codes, hash_partitioned
+
+    # every key's rows must land in exactly one fn call
+    n = 10_000
+    tbl = pa.table({"k": pa.array([f"key{i % 997}" for i in range(n)]),
+                    "v": pa.array(np.arange(n))})
+
+    def per_key_counts(block: pa.Table) -> pa.Table:
+        codes = group_codes(block, ["k"])
+        _, first, counts = np.unique(codes, return_index=True,
+                                     return_counts=True)
+        return pa.table({"k": block["k"].take(pa.array(first)),
+                         "n": pa.array(counts)})
+
+    out = hash_partitioned(ray.data.from_arrow(tbl), ["k"], per_key_counts,
+                           num_partitions=16).to_pandas()
+    # one output row per key (no key split across partitions), full counts
+    assert len(out) == 997
+    assert out["n"].sum() == n
+
+
+def test_group_codes_composite_key():
+    from deltaray.functions.partition import group_codes
+
+    tbl = pa.table({"a": pa.array([1, 1, 2, 2, 1], pa.int64()),
+                    "b": pa.array(["x", "y", "x", "x", "x"])})
+    codes = group_codes(tbl, ["a", "b"])
+    # (1,x) (1,y) (2,x) (2,x) (1,x) -> 3 distinct groups, 0/4 equal, 2/3 equal
+    assert codes[0] == codes[4]
+    assert codes[2] == codes[3]
+    assert len(set(codes.tolist())) == 3

@@ -382,6 +382,15 @@ def _top_tokens_docs(sf_dir: str):
     return token_topk(ds, top_k=20)
 
 
+def _value_percentiles_events(sf_dir: str):
+    """Exact distributed quantile_disc over events.value via iterative
+    histogram refinement — no global sort, no full materialization."""
+    from deltaray.functions.stats import exact_percentiles
+
+    ds = _read(sf_dir, "events", ["value"])
+    return exact_percentiles(ds, "value", [0.1, 0.5, 0.9, 0.99])
+
+
 def _enrich_events_customers(sf_dir: str):
     """Broadcast dimension join: events enriched with customer + nation
     names; the two-level dim table is built driver-side (tiny) and
@@ -453,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs_docs": _ngram_pairs_docs,
         "top_tokens_docs": _top_tokens_docs,
         "enrich_events_customers": _enrich_events_customers,
+        "value_percentiles_events": _value_percentiles_events,
         "cdc_replay_docs": _cdc_replay_docs,
         "decode_media": _decode_media,
         "audio_features": _audio_features,
@@ -596,6 +606,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             LEFT JOIN customer c ON e.user_id = c.c_custkey
             LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "value_percentiles_events": """
+            SELECT CAST(0.1 AS DOUBLE) AS q,
+                   quantile_disc(value, 0.1) AS value FROM events
+            UNION ALL SELECT 0.5, quantile_disc(value, 0.5) FROM events
+            UNION ALL SELECT 0.9, quantile_disc(value, 0.9) FROM events
+            UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM events
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings

@@ -1,0 +1,162 @@
+"""Distributed exact order statistics without a global sort.
+
+``exact_percentiles`` computes exact discrete quantiles (the value at
+0-based rank ``floor((n-1)*q)``, matching DuckDB/ANSI ``quantile_disc``)
+over a Dataset column in a constant number of streaming passes:
+
+1. one aggregate pass for (min, max, non-null count);
+2. up to ``max_iters`` histogram passes, each narrowing every quantile's
+   candidate range to one bucket of a ``num_bins`` histogram — per-pass
+   reduce volume is O(num_bins · #quantiles), independent of data size;
+3. one final pass pulling only the rows inside the (tiny) final ranges,
+   finished locally with ``np.partition``.
+
+A global ``ds.sort`` would shuffle every row; this moves only histogram
+counts plus a bounded candidate set, so it holds at 10^10 rows.  Ranges
+are half-open ``[rlo, rhi)`` except the current global top, which is
+closed — exactly mirroring the bin-assignment rule, so counts and pulls
+always agree.  A range that collapses to zero width (massive duplicates)
+resolves immediately to that value.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def exact_percentiles(ds, col: str, qs: list[float], *, num_bins: int = 8192,
+                      max_iters: int = 6, max_pull: int = 4_000_000) -> pa.Table:
+    """Exact ``quantile_disc`` values for each q in ``qs`` over ``ds[col]``.
+
+    Returns (q: float64, value: float64), one row per quantile in the
+    given order.  Nulls are ignored (SQL aggregate semantics).
+    """
+    def _col(batch: pa.Table) -> np.ndarray:
+        v = batch[col].drop_null()
+        return v.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+
+    # ---- pass 1: min / max / count ------------------------------------
+    def minmax(batch: pa.Table) -> pa.Table:
+        arr = _col(batch)
+        if len(arr) == 0:
+            return pa.table({"mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"mn": [float(arr.min())], "mx": [float(arr.max())],
+                         "n": [len(arr)]})
+
+    lo, hi, n = np.inf, -np.inf, 0
+    for t in ds.map_batches(minmax, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        if t.num_rows:
+            lo = min(lo, min(t["mn"].to_pylist()))
+            hi = max(hi, max(t["mx"].to_pylist()))
+            n += sum(t["n"].to_pylist())
+    if n == 0:
+        return pa.table({"q": pa.array(qs, pa.float64()),
+                         "value": pa.nulls(len(qs), pa.float64())})
+
+    # state per quantile: candidate range, rank within it, rows in it
+    state = [{"rlo": lo, "rhi": hi, "top": True,
+              "k": int(np.floor((n - 1) * q)), "count": n, "value": None}
+             for q in qs]
+    for s in state:
+        if s["rlo"] == s["rhi"]:
+            s["value"] = s["rlo"]
+
+    def mask(arr: np.ndarray, s: dict) -> np.ndarray:
+        if s["top"]:
+            return (arr >= s["rlo"]) & (arr <= s["rhi"])
+        return (arr >= s["rlo"]) & (arr < s["rhi"])
+
+    # ---- histogram refinement passes ----------------------------------
+    for _ in range(max_iters):
+        active = [j for j, s in enumerate(state)
+                  if s["value"] is None and s["count"] > max_pull]
+        if not active:
+            break
+        edges = {j: np.linspace(state[j]["rlo"], state[j]["rhi"],
+                                num_bins + 1) for j in active}
+        snap = {j: dict(state[j]) for j in active}
+
+        def hist(batch: pa.Table) -> pa.Table:
+            arr = _col(batch)
+            js, bins, cnts = [], [], []
+            for j in active:
+                a = arr[mask(arr, snap[j])]
+                if len(a) == 0:
+                    continue
+                idx = np.clip(np.searchsorted(edges[j], a, side="right") - 1,
+                              0, num_bins - 1)
+                b, c = np.unique(idx, return_counts=True)
+                js.append(np.full(len(b), j, dtype=np.int32))
+                bins.append(b.astype(np.int32))
+                cnts.append(c.astype(np.int64))
+            if not js:
+                return pa.table({"j": pa.array([], pa.int32()),
+                                 "bin": pa.array([], pa.int32()),
+                                 "cnt": pa.array([], pa.int64())})
+            return pa.table({"j": pa.array(np.concatenate(js)),
+                             "bin": pa.array(np.concatenate(bins)),
+                             "cnt": pa.array(np.concatenate(cnts))})
+
+        totals = {j: np.zeros(num_bins, dtype=np.int64) for j in active}
+        for t in ds.map_batches(hist, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            if t.num_rows == 0:
+                continue
+            tj = t["j"].to_numpy(zero_copy_only=False)
+            tb = t["bin"].to_numpy(zero_copy_only=False)
+            tc = t["cnt"].to_numpy(zero_copy_only=False)
+            for j in np.unique(tj):
+                sel = tj == j
+                np.add.at(totals[int(j)], tb[sel], tc[sel])
+
+        for j in active:
+            s, e = state[j], edges[j]
+            cum = np.cumsum(totals[j])
+            b = int(np.searchsorted(cum, s["k"], side="right"))
+            s["k"] -= int(cum[b - 1]) if b > 0 else 0
+            s["count"] = int(totals[j][b])
+            s["top"] = s["top"] and b == num_bins - 1
+            s["rlo"], s["rhi"] = float(e[b]), float(e[b + 1])
+            if s["rlo"] == s["rhi"] or s["count"] == 0:
+                s["value"] = s["rlo"]
+
+    # ---- final pass: pull candidate rows, select k-th smallest --------
+    pending = [j for j, s in enumerate(state) if s["value"] is None]
+    if pending:
+        snap = {j: dict(state[j]) for j in pending}
+
+        def pull(batch: pa.Table) -> pa.Table:
+            arr = _col(batch)
+            js, vals = [], []
+            for j in pending:
+                a = arr[mask(arr, snap[j])]
+                if len(a):
+                    js.append(np.full(len(a), j, dtype=np.int32))
+                    vals.append(a)
+            if not js:
+                return pa.table({"j": pa.array([], pa.int32()),
+                                 "v": pa.array([], pa.float64())})
+            return pa.table({"j": pa.array(np.concatenate(js)),
+                             "v": pa.array(np.concatenate(vals))})
+
+        acc: dict[int, list[np.ndarray]] = {j: [] for j in pending}
+        for t in ds.map_batches(pull, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            if t.num_rows == 0:
+                continue
+            tj = t["j"].to_numpy(zero_copy_only=False)
+            tv = t["v"].to_numpy(zero_copy_only=False)
+            for j in np.unique(tj):
+                acc[int(j)].append(tv[tj == j])
+        for j in pending:
+            vals = np.concatenate(acc[j]) if acc[j] else np.array([])
+            s = state[j]
+            s["value"] = float(np.partition(vals, s["k"])[s["k"]])
+
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "value": pa.array([s["value"] for s in state],
+                                       pa.float64())})

@@ -236,3 +236,37 @@ def test_group_codes_composite_key():
     assert codes[0] == codes[4]
     assert codes[2] == codes[3]
     assert len(set(codes.tolist())) == 3
+
+
+def test_exact_percentiles_refinement():
+    import ray.data
+
+    from deltaray.functions.stats import exact_percentiles
+
+    rng = np.random.default_rng(7)
+    vals = rng.standard_normal(20_000) * 100
+    vals[::97] = np.nan  # nulls must be ignored
+    tbl = pa.table({"value": pa.array(vals, from_pandas=True)})
+    clean = np.sort(vals[~np.isnan(vals)])
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    # tiny max_pull + few bins force several histogram refinement passes
+    out = exact_percentiles(ray.data.from_arrow(tbl), "value", qs,
+                            num_bins=16, max_pull=50)
+    want = [clean[int(np.floor((len(clean) - 1) * q))] for q in qs]
+    assert out["value"].to_pylist() == pytest.approx(want, abs=0)
+    assert out["q"].to_pylist() == qs
+
+
+def test_exact_percentiles_duplicates_and_empty():
+    import ray.data
+
+    from deltaray.functions.stats import exact_percentiles
+
+    const = pa.table({"value": pa.array([3.5] * 5000)})
+    out = exact_percentiles(ray.data.from_arrow(const), "value", [0.5],
+                            num_bins=8, max_pull=10)
+    assert out["value"].to_pylist() == [3.5]
+
+    empty = pa.table({"value": pa.array([], pa.float64())})
+    out2 = exact_percentiles(ray.data.from_arrow(empty), "value", [0.5])
+    assert out2["value"].to_pylist() == [None]

@@ -382,6 +382,36 @@ def _top_tokens_docs(sf_dir: str):
     return token_topk(ds, top_k=20)
 
 
+def _simhash_pairs_docs(sf_dir: str):
+    from deltaray.functions.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3, bands=4)
+
+
+def _lineitem_qty_by_flag(sf_dir: str):
+    """Classic pricing-summary groupby (combiner-first, exact integer
+    sums so the result hashes deterministically under any task order)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(batch["l_quantity"], pa.int64())
+        t = pa.table({"l_returnflag": batch["l_returnflag"],
+                      "l_linestatus": batch["l_linestatus"], "q": qty})
+        agg = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("q", "sum"), ([], "count_all")])
+        return agg.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty_p", "n_p"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("sum_qty_p", alias_name="sum_qty"),
+            Sum("n_p", alias_name="n"))
+
+
 def _value_percentiles_events(sf_dir: str):
     """Exact distributed quantile_disc over events.value via iterative
     histogram refinement — no global sort, no full materialization."""
@@ -463,6 +493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_docs": _top_tokens_docs,
         "enrich_events_customers": _enrich_events_customers,
         "value_percentiles_events": _value_percentiles_events,
+        "simhash_pairs_docs": _simhash_pairs_docs,
+        "lineitem_qty_by_flag": _lineitem_qty_by_flag,
         "cdc_replay_docs": _cdc_replay_docs,
         "decode_media": _decode_media,
         "audio_features": _audio_features,
@@ -606,6 +638,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             LEFT JOIN customer c ON e.user_id = c.c_custkey
             LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "lineitem_qty_by_flag": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "value_percentiles_events": """
             SELECT CAST(0.1 AS DOUBLE) AS q,

@@ -204,6 +204,87 @@ class SimHasher:
         return batch.append_column("simhash", pa.array(out))
 
 
+def simhash_pairs(ds, *, max_hamming: int = 3, bands: int = 4,
+                  id_col: str = "doc_id", shingle_k: int = 5):
+    """SimHash near-dup pairs: band the 64-bit signature into ``bands``
+    segments (a pair within hamming distance < bands must agree on at
+    least one whole segment — the pigeonhole guarantee), bucket by
+    (band, segment value), verify exact hamming distance within buckets.
+
+    Output: (id_a, id_b, hamming).  Only (band-id, segment, doc-id,
+    signature) rows shuffle; signatures are 8 bytes, so shuffle volume is
+    ~constant per document regardless of text size.
+    """
+    seg_bits = 64 // bands
+    seg_mask = np.uint64((1 << seg_bits) - 1)
+    _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                         axis=1).sum(axis=1).astype(np.uint8)
+
+    def hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        x = (a.astype(np.uint64) ^ b.astype(np.uint64)).view(np.uint8)
+        return _POP[x.reshape(len(a), 8)].sum(axis=1).astype(np.int64)
+
+    class Explode(SimHasher):
+        def __init__(self):
+            super().__init__(shingle_k=shingle_k)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            with_sig = super().__call__(batch)
+            sig = with_sig["simhash"].to_numpy(zero_copy_only=False)
+            # stored int64 = unsigned sig with bit 63 flipped (mod-2^64
+            # shift); reinterpret bits — hamming and banding are invariant
+            # under a consistent single-bit flip
+            u = np.ascontiguousarray(sig).view(np.uint64)
+            n = len(sig)
+            band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
+            segs = np.concatenate([
+                ((u >> np.uint64(b * seg_bits)) & seg_mask).astype(np.int64)
+                for b in range(bands)])
+            return pa.table({
+                "band": pa.array(band_ids),
+                "seg": pa.array(segs),
+                id_col: pa.array(np.tile(
+                    batch[id_col].to_numpy(zero_copy_only=False), bands)),
+                "sig": pa.array(np.tile(sig, bands)),
+            })
+
+    rows = ds.map_batches(Explode, batch_format="pyarrow", concurrency=2)
+
+    def bucket_pairs_block(block: pa.Table) -> pa.Table:
+        g = block.sort_by([("band", "ascending"), ("seg", "ascending"),
+                          (id_col, "ascending")])
+        codes = group_codes(g, ["band", "seg"])
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        sigs = g["sig"].to_numpy(zero_copy_only=False)
+        first = np.unique(codes, return_index=True)[1]
+        ends = np.append(first[1:], len(codes))
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(first, ends):
+            n = e - s
+            if n < 2:
+                continue
+            ia, ib = np.triu_indices(n, k=1)
+            h = hamming(sigs[s + ia], sigs[s + ib])
+            keep = h <= max_hamming
+            out_a.append(ids[s + ia[keep]])
+            out_b.append(ids[s + ib[keep]])
+            out_h.append(h[keep])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+                         "id_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+                         "hamming": pa.array(np.concatenate(out_h))})
+
+    from ray.data.aggregate import Min
+
+    pairs = hash_partitioned(rows, ["band", "seg"], bucket_pairs_block)
+    # same pair can surface from several bands (same distance each time)
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     """Exact character-k-gram Jaccard (pair verification primitive)."""
     a = {text_a[i : i + k] for i in range(max(1, len(text_a) - k + 1))}

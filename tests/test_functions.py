@@ -270,3 +270,23 @@ def test_exact_percentiles_duplicates_and_empty():
     empty = pa.table({"value": pa.array([], pa.float64())})
     out2 = exact_percentiles(ray.data.from_arrow(empty), "value", [0.5])
     assert out2["value"].to_pylist() == [None]
+
+
+def test_simhash_pairs_near_dups():
+    import ray.data
+
+    from deltaray.functions.dedup import simhash_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest tonight looking for dinner")
+    texts = [base, base + "!", "totally unrelated words about distributed "
+             "query engines and columnar formats and object stores", base]
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "text": pa.array(texts)})
+    # short texts give coarse 64-bit signatures (even unrelated docs sit
+    # within ~2 bits here), so test at the strictest threshold: only the
+    # exact duplicate survives max_hamming=1
+    out = simhash_pairs(ray.data.from_arrow(tbl), max_hamming=1).to_pandas()
+    pairs = {tuple(p) for p in out[["id_a", "id_b"]].itertuples(index=False)}
+    assert pairs == {(1, 4)}         # identical text -> distance 0
+    assert out["hamming"].tolist() == [0]

@@ -412,6 +412,38 @@ def _lineitem_qty_by_flag(sf_dir: str):
             Sum("n_p", alias_name="n"))
 
 
+def _lineitem_ship_window(sf_dir: str):
+    """Range (interval) join: each lineitem matched to its order when the
+    ship date falls inside [order date, order date + 90 days]."""
+    from deltaray.functions.joins import range_join
+
+    points = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_linenumber", "l_shipdate"])
+
+    def pkey(batch: pa.Table) -> pa.Table:
+        return batch.append_column("okey", batch["l_orderkey"]) \
+            .drop_columns(["l_orderkey"])
+
+    ivals = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def ikey(batch: pa.Table) -> pa.Table:
+        end = pc.add(batch["o_orderdate"],
+                     pa.scalar(90 * 86_400_000_000, pa.duration("us")))
+        return pa.table({"okey": batch["o_orderkey"],
+                         "o_orderdate": batch["o_orderdate"],
+                         "o_end": end})
+
+    return range_join(
+        points.map_batches(pkey, batch_format="pyarrow"),
+        ivals.map_batches(ikey, batch_format="pyarrow"),
+        key="okey", point_col="l_shipdate",
+        start_col="o_orderdate", end_col="o_end",
+        point_cols={"l_linenumber": "l_linenumber",
+                    "l_shipdate": "l_shipdate"},
+        interval_cols={"o_orderdate": "o_orderdate"},
+    )
+
+
 def _value_percentiles_events(sf_dir: str):
     """Exact distributed quantile_disc over events.value via iterative
     histogram refinement — no global sort, no full materialization."""
@@ -495,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentiles_events": _value_percentiles_events,
         "simhash_pairs_docs": _simhash_pairs_docs,
         "lineitem_qty_by_flag": _lineitem_qty_by_flag,
+        "lineitem_ship_window": _lineitem_ship_window,
         "cdc_replay_docs": _cdc_replay_docs,
         "decode_media": _decode_media,
         "audio_features": _audio_features,
@@ -644,6 +677,13 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "lineitem_ship_window": """
+            SELECT l.l_orderkey AS okey, l.l_linenumber, l.l_shipdate,
+                   o.o_orderdate
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= o.o_orderdate
+              AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
         """,
         "value_percentiles_events": """
             SELECT CAST(0.1 AS DOUBLE) AS q,

@@ -143,6 +143,135 @@ def asof_join(left_ds, right_ds, *, key: str, left_on: str, right_on: str,
                             num_partitions=num_partitions)
 
 
+def range_join(points_ds, intervals_ds, *, point_col: str, start_col: str,
+               end_col: str, key: str | None = None,
+               point_cols: dict[str, str] | None = None,
+               interval_cols: dict[str, str] | None = None,
+               bucket_width: int | None = None, num_partitions: int = 64):
+    """Interval join: every (point, interval) pair with
+    ``start <= point <= end`` (and equal ``key`` when given).
+
+    Partitioning: with a ``key``, co-location is by key hash (one
+    exchange, like the as-of join).  Without one, time is cut into
+    ``bucket_width`` buckets (same units as the columns after int64
+    normalization): each POINT goes to exactly one bucket, each INTERVAL
+    is replicated to every bucket it overlaps — so matches are found
+    exactly once and no pair-dedup pass is needed.  Choose bucket_width
+    ≈ the typical interval length; replication factor is
+    len(interval)/bucket_width + 1.
+
+    Output: renamed ``point_cols`` + ``interval_cols``  (plus the key).
+    Within a partition block the verify is vectorized: intervals sorted
+    by start, candidate prefix per point via ``searchsorted``, end-bound
+    checked on the bounded candidate set.
+    """
+    from deltaray.functions.partition import group_codes, hash_partitioned
+
+    if key is None and bucket_width is None:
+        raise ValueError("unkeyed range_join requires bucket_width")
+    p_schema = points_ds.schema()
+    i_schema = intervals_ds.schema()
+    if point_cols is None:
+        point_cols = {n: f"p_{n}" for n in p_schema.names}
+    if interval_cols is None:
+        interval_cols = {n: f"i_{n}" for n in i_schema.names}
+    p_types = {point_cols[s]: dict(zip(p_schema.names, p_schema.types))[s]
+               for s in point_cols}
+    i_types = {interval_cols[s]: dict(zip(i_schema.names, i_schema.types))[s]
+               for s in interval_cols}
+    out_p, out_i = list(point_cols.values()), list(interval_cols.values())
+
+    def prep_points(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        p = _as_int64(batch[point_col]).to_numpy() if n else np.array([], np.int64)
+        cols = {"__b": pa.array((p // bucket_width) if bucket_width
+                                else np.zeros(n, np.int64)),
+                "__p": pa.array(p), "__s": pa.array(np.full(n, 0, np.int64)),
+                "__e": pa.array(np.full(n, 0, np.int64)),
+                "__side": pa.array(np.zeros(n, np.int8))}
+        if key:
+            cols["__k"] = batch[key]
+        for s, o in point_cols.items():
+            cols[o] = batch[s]
+        for o in out_i:
+            cols[o] = pa.nulls(n, i_types[o])
+        return pa.table(cols)
+
+    def prep_intervals(batch: pa.Table) -> pa.Table:
+        s_ = _as_int64(batch[start_col]).to_numpy()
+        e_ = _as_int64(batch[end_col]).to_numpy()
+        if bucket_width:
+            reps = (e_ // bucket_width - s_ // bucket_width + 1).clip(min=1)
+            idx = np.repeat(np.arange(len(s_)), reps)
+            off = np.arange(len(idx)) - np.repeat(
+                np.cumsum(reps) - reps, reps)
+            buckets = s_[idx] // bucket_width + off
+            batch = batch.take(pa.array(idx))
+            s_, e_ = s_[idx], e_[idx]
+        else:
+            buckets = np.zeros(len(s_), np.int64)
+        n = batch.num_rows
+        cols = {"__b": pa.array(buckets), "__p": pa.array(np.full(n, 0, np.int64)),
+                "__s": pa.array(s_), "__e": pa.array(e_),
+                "__side": pa.array(np.ones(n, np.int8))}
+        if key:
+            cols["__k"] = batch[key]
+        for o in out_p:
+            cols[o] = pa.nulls(n, p_types[o])
+        for s, o in interval_cols.items():
+            cols[o] = batch[s]
+        return pa.table(cols)
+
+    both = points_ds.map_batches(prep_points, batch_format="pyarrow").union(
+        intervals_ds.map_batches(prep_intervals, batch_format="pyarrow"))
+    part_keys = ["__k", "__b"] if key else ["__b"]
+
+    def match_block(block: pa.Table) -> pa.Table:
+        g = block.sort_by([*((c, "ascending") for c in part_keys),
+                           ("__side", "ascending"), ("__s", "ascending")])
+        codes = group_codes(g, part_keys)
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        pp = g["__p"].to_numpy(zero_copy_only=False)
+        ss = g["__s"].to_numpy(zero_copy_only=False)
+        ee = g["__e"].to_numpy(zero_copy_only=False)
+        first = np.unique(codes, return_index=True)[1]
+        ends = np.append(first[1:], len(codes))
+        pt_idx, iv_idx = [], []
+        for s, e in zip(first, ends):
+            mid = s + np.searchsorted(side[s:e], 1)
+            if mid == s or mid == e:
+                continue
+            # points in this bucket vs intervals sorted by start
+            cand_hi = np.searchsorted(ss[mid:e], pp[s:mid], side="right")
+            for pi, hi in zip(range(s, mid), cand_hi):
+                if hi == 0:
+                    continue
+                sel = np.nonzero(ee[mid:mid + hi] >= pp[pi])[0]
+                if len(sel):
+                    pt_idx.append(np.full(len(sel), pi, np.int64))
+                    iv_idx.append(mid + sel)
+        if not pt_idx:
+            cols = {}
+            if key:
+                cols[key] = pa.nulls(0, g["__k"].type)
+            cols.update({o: pa.nulls(0, p_types[o]) for o in out_p})
+            cols.update({o: pa.nulls(0, i_types[o]) for o in out_i})
+            return pa.table(cols)
+        pts = pa.array(np.concatenate(pt_idx))
+        ivs = pa.array(np.concatenate(iv_idx))
+        cols = {}
+        if key:
+            cols[key] = g["__k"].take(pts)
+        for o in out_p:
+            cols[o] = g[o].take(pts)
+        for o in out_i:
+            cols[o] = g[o].take(ivs)
+        return pa.table(cols)
+
+    return hash_partitioned(both, part_keys, match_block,
+                            num_partitions=num_partitions)
+
+
 def broadcast_enrich(ds, dims: pa.Table, *, stream_key: str, dim_key: str,
                      value_cols: list[str], concurrency: int = 2):
     """LEFT-join a stream Dataset against a small dimension table with no

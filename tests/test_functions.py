@@ -290,3 +290,47 @@ def test_simhash_pairs_near_dups():
     pairs = {tuple(p) for p in out[["id_a", "id_b"]].itertuples(index=False)}
     assert pairs == {(1, 4)}         # identical text -> distance 0
     assert out["hamming"].tolist() == [0]
+
+
+def test_range_join_unkeyed_buckets():
+    import ray.data
+
+    from deltaray.functions.joins import range_join
+
+    # intervals span several buckets (width 10); each match must appear
+    # exactly once even when the interval is replicated to many buckets
+    points = pa.table({"t": pa.array([5, 12, 25, 99], pa.int64()),
+                       "pid": pa.array([1, 2, 3, 4], pa.int64())})
+    ivals = pa.table({"s": pa.array([0, 11, 50], pa.int64()),
+                      "e": pa.array([30, 13, 60], pa.int64()),
+                      "iid": pa.array([10, 20, 30], pa.int64())})
+    out = range_join(
+        ray.data.from_arrow(points), ray.data.from_arrow(ivals),
+        point_col="t", start_col="s", end_col="e", bucket_width=10,
+        point_cols={"pid": "pid", "t": "t"},
+        interval_cols={"iid": "iid"},
+    ).to_pandas().sort_values(["pid", "iid"]).reset_index(drop=True)
+    got = list(out[["pid", "iid"]].itertuples(index=False, name=None))
+    # p5,p12,p25 in [0,30]; p12 also in [11,13]; p99 matches nothing
+    assert got == [(1, 10), (2, 10), (2, 20), (3, 10)]
+
+
+def test_range_join_keyed():
+    import ray.data
+
+    from deltaray.functions.joins import range_join
+
+    points = pa.table({"k": pa.array(["a", "a", "b"]),
+                       "t": pa.array([5, 50, 5], pa.int64())})
+    ivals = pa.table({"k": pa.array(["a", "b"]),
+                      "s": pa.array([0, 10], pa.int64()),
+                      "e": pa.array([10, 20], pa.int64()),
+                      "iid": pa.array([1, 2], pa.int64())})
+    out = range_join(
+        ray.data.from_arrow(points), ray.data.from_arrow(ivals),
+        key="k", point_col="t", start_col="s", end_col="e",
+        point_cols={"t": "t"}, interval_cols={"iid": "iid"},
+    ).to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    # only (a, 5) lands in a's [0,10]; b's point 5 is outside b's [10,20]
+    assert list(out[["k", "t", "iid"]].itertuples(index=False, name=None)) \
+        == [("a", 5, 1)]

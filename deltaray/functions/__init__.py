@@ -1,4 +1,51 @@
 """Training-data pipeline operators built on the same Ray-Data-first
 patterns as the CDC engine: vectorized Arrow batch transforms, partial
-(combiner) aggregation before any shuffle, broadcast small sides.
+(combiner) aggregation before any shuffle, broadcast small sides, and
+partition-wise grouping (never per-key ``map_groups`` — see
+``partition.hash_partitioned``).
 """
+
+from deltaray.functions.cdc_queries import (
+    apply_change_stream,
+    lww_latest,
+    sessionize,
+    upsert_into_base,
+)
+from deltaray.functions.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_dedup_docs,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from deltaray.functions.joins import asof_join, broadcast_enrich, range_join
+from deltaray.functions.knn import knn_bruteforce, knn_ivf, train_centroids
+from deltaray.functions.partition import group_codes, hash_partitioned
+from deltaray.functions.stats import exact_percentiles
+from deltaray.functions.text import token_topk
+
+__all__ = [
+    "apply_change_stream",
+    "asof_join",
+    "broadcast_enrich",
+    "embedding_neardup_pairs",
+    "exact_dedup",
+    "exact_percentiles",
+    "group_codes",
+    "hash_partitioned",
+    "knn_bruteforce",
+    "knn_ivf",
+    "lww_latest",
+    "minhash_dedup_docs",
+    "minhash_lsh_pairs",
+    "ngram_jaccard",
+    "ngram_jaccard_pairs",
+    "range_join",
+    "sessionize",
+    "simhash_pairs",
+    "token_topk",
+    "train_centroids",
+    "upsert_into_base",
+]

@@ -382,6 +382,15 @@ def _top_tokens_docs(sf_dir: str):
     return token_topk(ds, top_k=20)
 
 
+def _events_user_hourly(sf_dir: str):
+    """Tumbling 1-hour event-time windows per user (combiner-first)."""
+    from deltaray.functions.cdc_queries import tumbling_window_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return tumbling_window_agg(ds, key="user_id", ts_col="ts",
+                               window_minutes=60)
+
+
 def _simhash_pairs_docs(sf_dir: str):
     from deltaray.functions.dedup import simhash_pairs
 
@@ -526,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enrich_events_customers": _enrich_events_customers,
         "value_percentiles_events": _value_percentiles_events,
         "simhash_pairs_docs": _simhash_pairs_docs,
+        "events_user_hourly": _events_user_hourly,
         "lineitem_qty_by_flag": _lineitem_qty_by_flag,
         "lineitem_ship_window": _lineitem_ship_window,
         "cdc_replay_docs": _cdc_replay_docs,
@@ -677,6 +687,11 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_user_hourly": """
+            SELECT user_id, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n
+            FROM events GROUP BY user_id, window_start
         """,
         "lineitem_ship_window": """
             SELECT l.l_orderkey AS okey, l.l_linenumber, l.l_shipdate,

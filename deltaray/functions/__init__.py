@@ -9,6 +9,7 @@ from deltaray.functions.cdc_queries import (
     apply_change_stream,
     lww_latest,
     sessionize,
+    tumbling_window_agg,
     upsert_into_base,
 )
 from deltaray.functions.dedup import (
@@ -47,5 +48,6 @@ __all__ = [
     "simhash_pairs",
     "token_topk",
     "train_centroids",
+    "tumbling_window_agg",
     "upsert_into_base",
 ]

@@ -138,6 +138,27 @@ def sessionize(ds, *, key: str, ts_col: str, tie_col: str,
                             num_partitions=num_partitions)
 
 
+def tumbling_window_agg(ds, *, key: str, ts_col: str,
+                        window_minutes: int = 60):
+    """Tumbling event-time windows: count of events per (key, window).
+
+    Combiner-first: the window label is a derived column and per-batch
+    partial counts collapse before the (small) groupby-sum, so shuffle
+    volume is bounded by #(key, window) pairs per batch, not #events.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch[ts_col], multiple=window_minutes,
+                              unit="minute")
+        t = pa.table({key: batch[key], "window_start": w})
+        agg = t.group_by([key, "window_start"]).aggregate([([], "count_all")])
+        return agg.rename_columns([key, "window_start", "n_p"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([key, "window_start"]).aggregate(Sum("n_p", alias_name="n"))
+
+
 def upsert_into_base(base_ds, changes_tbl: pa.Table, base_key: str,
                      change_key: str, value_cols: list[str]):
     """Broadcast-merge a small change set into a large base Dataset:

@@ -437,27 +437,50 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
     return ds.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
 
 
+def _union_find_drops(pair_iter) -> set:
+    """Connected components over near-dup pairs (path-halving union-find);
+    drop everything but the min id of each component.  The pair set is
+    tiny relative to the corpus, so this runs driver-side; the output is
+    only the drop id-set."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            parent[r] = parent.get(parent[r], parent[r])
+            r = parent[r]
+        parent[x] = r
+        return r
+
+    members: set = set()
+    for a, b in pair_iter:
+        members.add(a)
+        members.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # smaller root wins so the component representative = min id
+            lo, hi_ = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi_] = lo
+    return {x for x in members if find(x) != x}
+
+
 def minhash_dedup_docs(ds, *, num_hashes: int = 64, bands: int = 16,
                        id_col: str = "doc_id", jaccard_threshold: float = 0.5,
                        shingle_k: int = 5, seed: int = 42):
-    """Near-duplicate DEDUP over documents: drop the higher-id side of every
-    verified near-dup pair, keep everything else.
-
-    Greedy pair-wise removal (the standard large-corpus practice — e.g.
-    C4/RefinedWeb-style pipelines), not full connected components: for a
-    chain a~b~c it keeps `a` and may keep `c` if (a,c) never banded
-    together.  The drop SET (ids only, tiny vs the corpus) is collected
-    and broadcast into a filter pass — document text never shuffles.
+    """Near-duplicate DEDUP over documents: cluster verified near-dup
+    pairs into connected components (union-find over the pair set — so a
+    chain a~b~c keeps only `a` even if (a, c) never banded together) and
+    keep the min-id document of every component.  The drop SET (ids only,
+    tiny vs the corpus) is broadcast into a filter pass — document text
+    never shuffles.
     """
     pairs = minhash_lsh_pairs(
         ds, num_hashes=num_hashes, bands=bands, id_col=id_col,
         jaccard_threshold=jaccard_threshold, shingle_k=shingle_k, seed=seed,
     )
-    drop: set = set()
-    for b in pairs.iter_batches(batch_format="pyarrow"):
-        ida = b["id_a"].to_pylist()
-        idb = b["id_b"].to_pylist()
-        drop.update(max(x, y) for x, y in zip(ida, idb))
+    drop = _union_find_drops(
+        (a, b) for t in pairs.iter_batches(batch_format="pyarrow")
+        for a, b in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
     import ray
 
     drop_ref = ray.put(pa.array(sorted(drop)))

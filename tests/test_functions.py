@@ -334,3 +334,25 @@ def test_range_join_keyed():
     # only (a, 5) lands in a's [0,10]; b's point 5 is outside b's [10,20]
     assert list(out[["k", "t", "iid"]].itertuples(index=False, name=None)) \
         == [("a", 5, 1)]
+
+
+def test_minhash_dedup_connected_components():
+    from deltaray.functions.dedup import _union_find_drops
+
+    # chain a~b~c plus isolated pair (x, y): keep min of each component
+    drops = _union_find_drops([(2, 1), (2, 3), (9, 8)])
+    assert drops == {2, 3, 9}
+
+
+def test_tumbling_window_agg():
+    import ray.data
+
+    from deltaray.functions.cdc_queries import tumbling_window_agg
+
+    h = 3_600_000_000
+    ts = pa.array([0, 10, h, h + 5, 3 * h], pa.timestamp("us"))
+    tbl = pa.table({"u": pa.array([1, 1, 1, 2, 2], pa.int64()), "ts": ts})
+    out = tumbling_window_agg(ray.data.from_arrow(tbl), key="u",
+                              ts_col="ts", window_minutes=60) \
+        .to_pandas().sort_values(["u", "window_start"]).reset_index(drop=True)
+    assert out["n"].tolist() == [2, 1, 1, 1]

@@ -88,6 +88,8 @@ def bench_queries() -> dict:
         "asof_prev_order",
         "sessionize_events",
         "enrich_events_customers",
+        "lineitem_qty_by_flag",
+        "value_percentiles_events",
     ]
     qs = m.queries()
     for name in picks:

@@ -80,3 +80,103 @@ def test_random_replay_equals_oracle(case, tmp_path_factory):
     key = oracle["docs"].column_names[0]
     ok, msg = tables_equal(got, oracle["docs"], key=key)
     assert ok, f"{msg}; case={case}"
+
+
+# ---- operator-level properties: random data vs pure-numpy/pandas oracles
+
+
+@st.composite
+def keyed_series(draw):
+    n = draw(st.integers(1, 400))
+    n_keys = draw(st.integers(1, 20))
+    seed = draw(st.integers(0, 2**31 - 1))
+    return n, n_keys, seed
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(case=keyed_series())
+def test_asof_join_matches_bruteforce(case):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from deltaray.functions.joins import asof_join
+
+    n, n_keys, seed = case
+    rng = np.random.default_rng(seed)
+    left = pa.table({"k": pa.array(rng.integers(0, n_keys, n)),
+                     "t": pa.array(rng.integers(0, 50, n)),
+                     "lid": pa.array(np.arange(n))})
+    m = max(1, n // 2)
+    right = pa.table({"k": pa.array(rng.integers(0, n_keys, m)),
+                      "t": pa.array(rng.integers(0, 50, m)),
+                      "rid": pa.array(np.arange(m))})
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    key="k", left_on="t", right_on="t",
+                    left_tie="lid", right_tie="rid",
+                    right_cols={"rid": "match_rid"}) \
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    lk, lt, lid = (left[c].to_numpy() for c in ("k", "t", "lid"))
+    rk, rt, rid = (right[c].to_numpy() for c in ("k", "t", "rid"))
+    for i in range(n):
+        # brute force: max (t, rid) strictly below (lt, lid) with same key
+        cand = [(rt[j], rid[j]) for j in range(m)
+                if rk[j] == lk[i] and (rt[j], rid[j]) < (lt[i], lid[i])]
+        want = max(cand)[1] if cand else None
+        got = out["match_rid"][i]
+        got = None if got != got else int(got)  # NaN -> None
+        assert got == want, (i, got, want, case)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(case=keyed_series())
+def test_sessionize_matches_bruteforce(case):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from deltaray.functions.cdc_queries import sessionize
+
+    n, n_keys, seed = case
+    rng = np.random.default_rng(seed)
+    gap_us = 60 * 60 * 1_000_000
+    t = np.sort(rng.integers(0, 100 * gap_us, n))
+    k = rng.integers(0, n_keys, n)
+    tbl = pa.table({"u": pa.array(k), "ts": pa.array(t, pa.timestamp("us")),
+                    "eid": pa.array(np.arange(n))})
+    out = sessionize(ray.data.from_arrow(tbl), key="u", ts_col="ts",
+                     tie_col="eid", gap_minutes=60.0).to_pandas()
+    # brute force per key
+    want_rows = 0
+    for key in np.unique(k):
+        ts_k = np.sort(t[k == key])
+        brk = 1 + int(np.sum(np.diff(ts_k) > gap_us))
+        want_rows += brk
+        sub = out[out["u"] == key]
+        assert len(sub) == brk, (key, case)
+        assert sub["n_events"].sum() == len(ts_k)
+    assert len(out) == want_rows
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(n=st.integers(1, 5000), seed=st.integers(0, 2**31 - 1),
+       q=st.floats(0.0, 1.0))
+def test_exact_percentiles_matches_numpy(n, seed, q):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from deltaray.functions.stats import exact_percentiles
+
+    rng = np.random.default_rng(seed)
+    # duplicates-heavy mix to stress bin/rank bookkeeping
+    v = np.concatenate([rng.integers(0, max(1, n // 10), n).astype(float),
+                        rng.standard_normal(n)])
+    out = exact_percentiles(ray.data.from_arrow(pa.table({"x": pa.array(v)})),
+                            "x", [q], num_bins=32, max_pull=64)
+    sv = np.sort(v)
+    want = sv[int(np.floor((len(v) - 1) * q))]
+    assert out["value"].to_pylist() == [want], (n, seed, q)

@@ -382,6 +382,23 @@ def _top_tokens_docs(sf_dir: str):
     return token_topk(ds, top_k=20)
 
 
+def _distinct_event_users(sf_dir: str):
+    """Exact distinct count, two-phase: per-batch unique (combiner — the
+    shuffle carries at most #distinct per batch), tiny groupby, count."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch["user_id"])
+        return pa.table({"user_id": u})
+
+    distinct = ds.map_batches(uniq, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Count(alias_name="c"))
+    n = sum(b.num_rows for b in distinct.iter_batches(batch_format="pyarrow"))
+    return pa.table({"n_users": pa.array([n], pa.int64())})
+
+
 def _events_user_hourly(sf_dir: str):
     """Tumbling 1-hour event-time windows per user (combiner-first)."""
     from deltaray.functions.cdc_queries import tumbling_window_agg
@@ -536,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentiles_events": _value_percentiles_events,
         "simhash_pairs_docs": _simhash_pairs_docs,
         "events_user_hourly": _events_user_hourly,
+        "distinct_event_users": _distinct_event_users,
         "lineitem_qty_by_flag": _lineitem_qty_by_flag,
         "lineitem_ship_window": _lineitem_ship_window,
         "cdc_replay_docs": _cdc_replay_docs,
@@ -687,6 +705,9 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "distinct_event_users": """
+            SELECT count(DISTINCT user_id) AS n_users FROM events
         """,
         "events_user_hourly": """
             SELECT user_id, date_trunc('hour', ts) AS window_start,

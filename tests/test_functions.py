@@ -356,3 +356,22 @@ def test_tumbling_window_agg():
                               ts_col="ts", window_minutes=60) \
         .to_pandas().sort_values(["u", "window_start"]).reset_index(drop=True)
     assert out["n"].tolist() == [2, 1, 1, 1]
+
+
+def test_knn_ivf_full_probe_equals_bruteforce():
+    import ray.data
+
+    from deltaray.functions.knn import knn_bruteforce, knn_ivf, train_centroids
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(np.arange(300)),
+                    "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+    q = vecs[:3]
+    C = train_centroids(vecs, n_centroids=8)
+    # probing every cell makes IVF exhaustive -> must equal brute force
+    ivf = knn_ivf(ray.data.from_arrow(tbl), q, C, k=5, nprobe=8) \
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    brute = knn_bruteforce(ray.data.from_arrow(tbl), q.astype(np.float64), k=5) \
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert ivf["vec_id"].tolist() == brute["vec_id"].tolist()

@@ -22,7 +22,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from deltaray.functions.partition import group_codes, hash_partitioned
+from deltaray.functions.partition import (group_codes, hash_partitioned,
+                                           take_first_per_key)
 from deltaray.transforms import stable_hash_strings
 
 _MERSENNE = (1 << 61) - 1
@@ -143,8 +144,6 @@ def minhash_lsh_pairs(ds, *, num_hashes: int = 64, bands: int = 16,
                 }
             )
 
-    from ray.data.aggregate import Max
-
     ds = ds.map_batches(Explode, batch_format="pyarrow", concurrency=2)
 
     def bucket_pairs_block(block: pa.Table) -> pa.Table:
@@ -181,9 +180,10 @@ def minhash_lsh_pairs(ds, *, num_hashes: int = 64, bands: int = 16,
     pairs = hash_partitioned(ds, ["band", "band_hash"], bucket_pairs_block)
 
     # a pair can surface from several bands (same estimate each time) —
-    # native vectorized aggregate keeps one copy
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("jaccard_est", alias_name="jaccard_est"))
+    # one more partition-wise exchange keeps the first copy
+    return hash_partitioned(
+        pairs, ["id_a", "id_b"],
+        lambda b: take_first_per_key(b, ["id_a", "id_b"]))
 
 
 class SimHasher:
@@ -277,12 +277,11 @@ def simhash_pairs(ds, *, max_hamming: int = 3, bands: int = 4,
                          "id_b": pa.array(np.concatenate(out_b).astype(np.int64)),
                          "hamming": pa.array(np.concatenate(out_h))})
 
-    from ray.data.aggregate import Min
-
     pairs = hash_partitioned(rows, ["band", "seg"], bucket_pairs_block)
     # same pair can surface from several bands (same distance each time)
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    return hash_partitioned(
+        pairs, ["id_a", "id_b"],
+        lambda b: take_first_per_key(b, ["id_a", "id_b"]))
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -366,8 +365,19 @@ def ngram_jaccard_pairs(ds, *, k: int = 8, threshold: float = 0.3,
                          "nb": pa.array(np.concatenate(out_nb))})
 
     co = hash_partitioned(rows, ["s"], cooccur_block)
-    agg = co.groupby(["doc_a", "doc_b", "na", "nb"]).aggregate(
-        Count(alias_name="n_inter"))
+
+    def count_block(block: pa.Table) -> pa.Table:
+        g = block.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+        codes = group_codes(g, ["doc_a", "doc_b"])
+        _, first, counts = np.unique(codes, return_index=True,
+                                     return_counts=True)
+        sel = pa.array(first)
+        return pa.table({"doc_a": g["doc_a"].take(sel),
+                         "doc_b": g["doc_b"].take(sel),
+                         "na": g["na"].take(sel), "nb": g["nb"].take(sel),
+                         "n_inter": pa.array(counts.astype(np.int64))})
+
+    agg = hash_partitioned(co, ["doc_a", "doc_b"], count_block)
 
     def jaccard_filter(batch: pa.Table) -> pa.Table:
         inter = batch["n_inter"].to_numpy(zero_copy_only=False).astype(np.int64)

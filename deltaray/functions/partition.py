@@ -55,18 +55,89 @@ def group_codes(tbl: pa.Table, cols: list[str]) -> np.ndarray:
     return codes
 
 
-def hash_partitioned(ds, key_cols: list[str], fn, *, num_partitions: int = 64):
+def take_first_per_key(tbl: pa.Table, cols: list[str]) -> pa.Table:
+    """First row per (multi-)key in key-sorted order, vectorized — the
+    block-fn building block for distinct / pair-dedup reductions."""
+    g = tbl.sort_by([(c, "ascending") for c in cols])
+    codes = group_codes(g, cols)
+    first = np.unique(codes, return_index=True)[1]
+    if len(first) == g.num_rows:
+        return g
+    return g.take(pa.array(np.sort(first)))
+
+
+def _split_by_part(block: pa.Table, num_partitions: int):
+    """One upstream block → ``num_partitions`` filtered slices (filter is
+    type-preserving, so empty slices keep the input schema)."""
+    if "__part" not in block.column_names:
+        # Ray passes zero-row blocks through without running the tag UDF
+        empty = block.slice(0, 0)
+        return (tuple(empty for _ in range(num_partitions))
+                if num_partitions > 1 else empty)
+    part = block["__part"].to_numpy(zero_copy_only=False)
+    body = block.drop_columns(["__part"])
+    out = []
+    for p in range(num_partitions):
+        out.append(body.filter(pa.array(part == p)))
+    return tuple(out) if num_partitions > 1 else out[0]
+
+
+def _merge_part(fn, *splits: pa.Table) -> pa.Table:
+    nonempty = [s for s in splits if s.num_rows]
+    if nonempty:
+        block = pa.concat_tables(nonempty, promote_options="default")
+    else:
+        # all-empty partition: hand fn a SCHEMA-FUL empty block (Ray
+        # canonicalizes empty blocks to zero columns; skip those)
+        with_schema = [s for s in splits if s.num_columns]
+        block = with_schema[0] if with_schema else splits[0]
+    return fn(block)
+
+
+def hash_partitioned(ds, key_cols: list[str], fn, *, num_partitions: int = 64,
+                     via: str = "tasks"):
     """Apply ``fn(block: pa.Table) -> pa.Table`` to complete hash
     partitions of the key space.  ``fn`` sees every row of every key that
     hashes into its partition (and nothing else) and must group
-    internally — use :func:`group_codes`."""
+    internally — use :func:`group_codes`.
+
+    ``via="tasks"`` (default) runs the exchange as the classic two-stage
+    Ray-task shuffle the engine core uses (pipeline._exchange_tasks):
+    each upstream block is split once by partition (``num_returns=P``)
+    and one merge task per partition gathers its splits zero-copy — no
+    sort of the rows, no Dataset all-to-all.  The result is re-wrapped
+    with ``from_arrow_refs`` so downstream Dataset ops keep chaining.
+    ``via="sort"`` falls back to the pure-Dataset groupby exchange.
+    """
 
     def tag(batch: pa.Table) -> pa.Table:
         part = (_hash_cols(batch, key_cols) % np.uint64(num_partitions))
         return batch.append_column("__part", pa.array(part.astype(np.int32)))
 
-    def run(group: pa.Table) -> pa.Table:
-        return fn(group.drop_columns(["__part"]))
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    if via == "sort":
+        def run(group: pa.Table) -> pa.Table:
+            return fn(group.drop_columns(["__part"]))
 
-    return ds.map_batches(tag, batch_format="pyarrow") \
-        .groupby("__part").map_groups(run, batch_format="pyarrow")
+        return tagged.groupby("__part").map_groups(run, batch_format="pyarrow")
+
+    import ray
+    import ray.data
+
+    block_refs = [
+        br for bundle in tagged.iter_internal_ref_bundles()
+        for br in bundle.block_refs
+    ]
+    if not block_refs:
+        return tagged.drop_columns(["__part"])
+    split = ray.remote(num_returns=num_partitions)(_split_by_part)
+    parts = [split.remote(b, num_partitions) for b in block_refs]
+    if num_partitions == 1:  # num_returns=1 yields a bare ref, not a tuple
+        parts = [[p] for p in parts]
+    fn_ref = ray.put(fn)
+    merge = ray.remote(_merge_part)
+    outs = [
+        merge.remote(fn_ref, *[parts[b][p] for b in range(len(parts))])
+        for p in range(num_partitions)
+    ]
+    return ray.data.from_arrow_refs(outs)

@@ -282,7 +282,10 @@ def _decode_media(sf_dir: str):
 
     n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
     tbl = synth_media_table(min(n, 2000))
-    return decode_images(ray.data.from_arrow(tbl), concurrency=2, batch_size=64)
+    # split the in-memory table into several blocks so the actor pool
+    # actually parallelizes (a single block feeds a single actor)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    return decode_images(ds, concurrency=2, batch_size=64)
 
 
 def _top_sources_by_docs(sf_dir: str):
@@ -326,9 +329,8 @@ def _audio_features(sf_dir: str):
 
     from deltaray.functions.multimodal import extract_audio_features, synth_audio_table
 
-    return extract_audio_features(
-        ray.data.from_arrow(synth_audio_table(1000)), concurrency=2, batch_size=64
-    )
+    ds = ray.data.from_arrow(synth_audio_table(1000)).repartition(4)
+    return extract_audio_features(ds, concurrency=2, batch_size=64)
 
 
 def _video_frames(sf_dir: str):
@@ -339,8 +341,8 @@ def _video_frames(sf_dir: str):
     vids = synth_audio_table(500).rename_columns(
         ["media_id", "payload", "mime", "sample_rate", "duration_ms"]
     )
-    return sample_video_frames(ray.data.from_arrow(vids), concurrency=2,
-                               batch_size=32)
+    ds = ray.data.from_arrow(vids).repartition(4)
+    return sample_video_frames(ds, concurrency=2, batch_size=32)
 
 
 def _asof_prev_order(sf_dir: str):

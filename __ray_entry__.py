@@ -472,6 +472,14 @@ def _lineitem_ship_window(sf_dir: str):
     )
 
 
+def _user_value_median(sf_dir: str):
+    """Per-key exact median (grouped quantile_disc) over events.value."""
+    from deltaray.functions.stats import grouped_percentiles
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    return grouped_percentiles(ds, key="user_id", col="value", q=0.5)
+
+
 def _value_percentiles_events(sf_dir: str):
     """Exact distributed quantile_disc over events.value via iterative
     histogram refinement — no global sort, no full materialization."""
@@ -553,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_docs": _top_tokens_docs,
         "enrich_events_customers": _enrich_events_customers,
         "value_percentiles_events": _value_percentiles_events,
+        "user_value_median": _user_value_median,
         "simhash_pairs_docs": _simhash_pairs_docs,
         "events_user_hourly": _events_user_hourly,
         "distinct_event_users": _distinct_event_users,
@@ -722,6 +731,10 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE l.l_shipdate >= o.o_orderdate
               AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+        """,
+        "user_value_median": """
+            SELECT user_id, quantile_disc(value, 0.5) AS value
+            FROM events GROUP BY user_id
         """,
         "value_percentiles_events": """
             SELECT CAST(0.1 AS DOUBLE) AS q,

@@ -421,30 +421,42 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
 
     ds = ds.map_batches(Bucket, batch_format="pyarrow", concurrency=2)
 
-    def pairs(group: pa.Table) -> pa.Table:
-        n = group.num_rows
+    def pairs_block(block: pa.Table) -> pa.Table:
+        # one call per hash partition of buckets; per bucket a single
+        # gram-matrix (the bucket width is bounded by the LSH planes)
         empty = pa.table({"id_a": pa.array([], pa.int64()),
                           "id_b": pa.array([], pa.int64()),
                           "cosine": pa.array([], pa.float64())})
-        if n < 2:
+        if block.num_rows < 2:
             return empty
-        g = group.sort_by(id_col)
+        g = block.sort_by([("bucket", "ascending"), (id_col, "ascending")])
+        codes = group_codes(g, ["bucket"])
         ids = g[id_col].to_numpy(zero_copy_only=False)
         unit = np.array(g["unit"].to_pylist(), dtype=np.float32)
-        sim = unit @ unit.T
-        ia, ib = np.triu_indices(n, k=1)
-        keep = sim[ia, ib] >= threshold
-        if not keep.any():
+        first = np.unique(codes, return_index=True)[1]
+        ends = np.append(first[1:], len(codes))
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(first, ends):
+            n = e - s
+            if n < 2:
+                continue
+            sim = unit[s:e] @ unit[s:e].T
+            ia, ib = np.triu_indices(n, k=1)
+            keep = sim[ia, ib] >= threshold
+            if not keep.any():
+                continue
+            out_a.append(ids[s + ia[keep]])
+            out_b.append(ids[s + ib[keep]])
+            out_c.append(sim[ia, ib][keep])
+        if not out_a:
             return empty
-        return pa.table(
-            {
-                "id_a": pa.array(ids[ia[keep]].astype(np.int64)),
-                "id_b": pa.array(ids[ib[keep]].astype(np.int64)),
-                "cosine": pa.array(sim[ia, ib][keep].astype(np.float64)),
-            }
-        )
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "id_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+            "cosine": pa.array(np.concatenate(out_c).astype(np.float64)),
+        })
 
-    return ds.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+    return hash_partitioned(ds, ["bucket"], pairs_block)
 
 
 def _union_find_drops(pair_iter) -> set:

@@ -25,6 +25,33 @@ import numpy as np
 import pyarrow as pa
 
 
+def grouped_percentiles(ds, *, key: str, col: str, q: float,
+                        num_partitions: int = 64):
+    """Exact per-key ``quantile_disc`` (value at 0-based rank
+    ``floor((n_key - 1) * q)`` within each key's values, nulls ignored).
+
+    One hash exchange; inside a partition block the whole computation is
+    a single sort + factorize + gather — no per-key Python.  Assumes one
+    key's values fit in a worker (same contract as every grouped
+    operator here); for a single giant key use :func:`exact_percentiles`
+    on that key's filtered Dataset instead.
+    """
+    from deltaray.functions.partition import group_codes, hash_partitioned
+
+    def block_fn(block: pa.Table) -> pa.Table:
+        g = block.drop_null().sort_by([(key, "ascending"),
+                                       (col, "ascending")])
+        codes = group_codes(g, [key])
+        _, first, counts = np.unique(codes, return_index=True,
+                                     return_counts=True)
+        pick = first + np.floor((counts - 1) * q).astype(np.int64)
+        return pa.table({key: g[key].take(pa.array(first)),
+                         "value": g[col].take(pa.array(pick))})
+
+    return hash_partitioned(ds, [key], block_fn,
+                            num_partitions=num_partitions)
+
+
 def exact_percentiles(ds, col: str, qs: list[float], *, num_bins: int = 8192,
                       max_iters: int = 6, max_pull: int = 4_000_000) -> pa.Table:
     """Exact ``quantile_disc`` values for each q in ``qs`` over ``ds[col]``.

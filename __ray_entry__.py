@@ -472,6 +472,16 @@ def _lineitem_ship_window(sf_dir: str):
     )
 
 
+def _top_docs_per_source(sf_dir: str):
+    """Best-3 documents per source by length (top-k-per-key operator)."""
+    from deltaray.functions.cdc_queries import top_k_per_key
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return top_k_per_key(ds, key="source",
+                         order=[("n_chars", "descending"),
+                                ("doc_id", "ascending")], k=3)
+
+
 def _user_value_median(sf_dir: str):
     """Per-key exact median (grouped quantile_disc) over events.value."""
     from deltaray.functions.stats import grouped_percentiles
@@ -562,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enrich_events_customers": _enrich_events_customers,
         "value_percentiles_events": _value_percentiles_events,
         "user_value_median": _user_value_median,
+        "top_docs_per_source": _top_docs_per_source,
         "simhash_pairs_docs": _simhash_pairs_docs,
         "events_user_hourly": _events_user_hourly,
         "distinct_event_users": _distinct_event_users,
@@ -731,6 +742,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE l.l_shipdate >= o.o_orderdate
               AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+        """,
+        "top_docs_per_source": """
+            SELECT doc_id, source, n_chars FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 3
         """,
         "user_value_median": """
             SELECT user_id, quantile_disc(value, 0.5) AS value

@@ -9,6 +9,7 @@ from deltaray.functions.cdc_queries import (
     apply_change_stream,
     lww_latest,
     sessionize,
+    top_k_per_key,
     tumbling_window_agg,
     upsert_into_base,
 )
@@ -24,7 +25,7 @@ from deltaray.functions.dedup import (
 from deltaray.functions.joins import asof_join, broadcast_enrich, range_join
 from deltaray.functions.knn import knn_bruteforce, knn_ivf, train_centroids
 from deltaray.functions.partition import group_codes, hash_partitioned
-from deltaray.functions.stats import exact_percentiles
+from deltaray.functions.stats import exact_percentiles, grouped_percentiles
 from deltaray.functions.text import token_topk
 
 __all__ = [
@@ -35,6 +36,7 @@ __all__ = [
     "exact_dedup",
     "exact_percentiles",
     "group_codes",
+    "grouped_percentiles",
     "hash_partitioned",
     "knn_bruteforce",
     "knn_ivf",
@@ -47,6 +49,7 @@ __all__ = [
     "sessionize",
     "simhash_pairs",
     "token_topk",
+    "top_k_per_key",
     "train_centroids",
     "tumbling_window_agg",
     "upsert_into_base",

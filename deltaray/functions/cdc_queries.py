@@ -138,6 +138,36 @@ def sessionize(ds, *, key: str, ts_col: str, tie_col: str,
                             num_partitions=num_partitions)
 
 
+def top_k_per_key(ds, *, key: str, order: list[tuple[str, str]], k: int,
+                  num_partitions: int = 64):
+    """Best-k rows per key by an (column, direction) order spec — e.g.
+    keep the 3 highest-quality documents per source.
+
+    The same vectorized block function serves as the per-batch combiner
+    (bounding shuffle volume to k rows per key per batch) and the
+    partition-wise finalizer; selection is sort + factorize + a
+    repeat/arange gather, no per-key Python.
+    """
+    sort_spec = [(key, "ascending"), *order]
+
+    def block_topk(block: pa.Table) -> pa.Table:
+        if block.num_rows <= 1:
+            return block
+        g = block.sort_by(sort_spec)
+        codes = group_codes(g, [key])
+        _, first, counts = np.unique(codes, return_index=True,
+                                     return_counts=True)
+        take = np.minimum(counts, k)
+        starts = np.repeat(first, take)
+        within = np.arange(take.sum()) - np.repeat(
+            np.cumsum(take) - take, take)
+        return g.take(pa.array(starts + within))
+
+    ds = ds.map_batches(block_topk, batch_format="pyarrow")
+    return hash_partitioned(ds, [key], block_topk,
+                            num_partitions=num_partitions)
+
+
 def tumbling_window_agg(ds, *, key: str, ts_col: str,
                         window_minutes: int = 60):
     """Tumbling event-time windows: count of events per (key, window).

@@ -375,3 +375,20 @@ def test_knn_ivf_full_probe_equals_bruteforce():
     brute = knn_bruteforce(ray.data.from_arrow(tbl), q.astype(np.float64), k=5) \
         .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert ivf["vec_id"].tolist() == brute["vec_id"].tolist()
+
+
+def test_top_k_per_key():
+    import ray.data
+
+    from deltaray.functions.cdc_queries import top_k_per_key
+
+    tbl = pa.table({"g": pa.array(["a"] * 5 + ["b"] * 2),
+                    "v": pa.array([5, 3, 9, 9, 1, 2, 7], pa.int64()),
+                    "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64())})
+    out = top_k_per_key(ray.data.from_arrow(tbl), key="g",
+                        order=[("v", "descending"), ("id", "ascending")],
+                        k=2).to_pandas().sort_values(["g", "id"]) \
+        .reset_index(drop=True)
+    # a: v=9 ids 3,4 (tie broken by id); b: both rows survive (k > size)
+    assert list(out[["g", "id"]].itertuples(index=False, name=None)) \
+        == [("a", 3), ("a", 4), ("b", 6), ("b", 7)]

@@ -49,14 +49,51 @@ def normalize_jsonl_log(src: str, out_dir: str, table_schema: TableSchema,
     """
     import ray.data
 
+    paths = _shards(src, "*.jsonl")
+    ds = ray.data.read_json(paths)
+    return _write_segments(ds, out_dir, table_schema, segment_max_events,
+                           source_format="jsonl", src=src)
+
+
+def normalize_csv_log(src: str, out_dir: str, table_schema: TableSchema,
+                      segment_max_events: int = 1_000_000,
+                      list_cols: tuple = ("tokens", "prev_tokens")) -> dict:
+    """Same contract for CSV shards.  List-typed payload columns (e.g.
+    ``tokens``) must be JSON-encoded strings in the CSV; they are parsed
+    back into Arrow lists during normalization."""
+    import ray.data
+
+    paths = _shards(src, "*.csv")
+
+    def parse_lists(batch: pa.Table) -> pa.Table:
+        for c in list_cols:
+            if c in batch.column_names and pa.types.is_string(batch[c].type):
+                vals = [None if not v else json.loads(v)
+                        for v in batch[c].to_pylist()]  # "" = absent
+                batch = batch.set_column(
+                    batch.column_names.index(c), c,
+                    pa.array(vals, pa.list_(pa.int32())))
+        return batch
+
+    ds = ray.data.read_csv(paths).map_batches(parse_lists,
+                                              batch_format="pyarrow")
+    return _write_segments(ds, out_dir, table_schema, segment_max_events,
+                           source_format="csv", src=src)
+
+
+def _shards(src: str, pattern: str) -> list[str]:
     paths = sorted(glob.glob(src if any(ch in src for ch in "*?[") else
-                             os.path.join(src, "*.jsonl")))
+                             os.path.join(src, pattern)))
     if not paths:
-        raise FileNotFoundError(f"no .jsonl shards under {src!r}")
+        raise FileNotFoundError(f"no {pattern} shards under {src!r}")
+    return paths
+
+
+def _write_segments(ds, out_dir: str, table_schema: TableSchema,
+                    segment_max_events: int, *, source_format: str,
+                    src: str) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     log_schema = event_log_schema(table_schema)
-
-    ds = ray.data.read_json(paths)
     # order by seq so segment files carry tight, non-overlapping seq ranges
     ds = ds.sort("seq")
     segments: list[dict] = []
@@ -91,7 +128,7 @@ def normalize_jsonl_log(src: str, out_dir: str, table_schema: TableSchema,
     flush()
     max_seq = max((s["seq_hi"] for s in segments), default=0)
     manifest = {"segments": segments, "max_seq": max_seq,
-                "source_format": "jsonl", "source": src}
+                "source_format": source_format, "source": src}
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest

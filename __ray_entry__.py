@@ -370,11 +370,25 @@ def _sessionize_events(sf_dir: str):
                       gap_minutes=60.0)
 
 
+def _collect(ds, schema: pa.Schema) -> pa.Table:
+    """Materialize a (small) result Dataset into a pyarrow Table whose
+    schema survives even when the result is EMPTY — Ray drops the schema
+    of fully-empty datasets at collection, which would fail the driver's
+    column comparison for legitimately-empty results."""
+    tbls = [t for t in ds.iter_batches(batch_format="pyarrow")
+            if t.num_columns]
+    return pa.concat_tables(tbls) if tbls else schema.empty_table()
+
+
 def _ngram_pairs_docs(sf_dir: str):
     from deltaray.functions.dedup import ngram_jaccard_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ngram_jaccard_pairs(ds, k=8, threshold=0.3, max_df=100)
+    out = ngram_jaccard_pairs(ds, k=8, threshold=0.3, max_df=100)
+    return _collect(out, pa.schema([("doc_a", pa.int64()),
+                                    ("doc_b", pa.int64()),
+                                    ("n_inter", pa.int64()),
+                                    ("n_union", pa.int64())]))
 
 
 def _top_tokens_docs(sf_dir: str):
@@ -461,7 +475,7 @@ def _lineitem_ship_window(sf_dir: str):
                          "o_orderdate": batch["o_orderdate"],
                          "o_end": end})
 
-    return range_join(
+    out = range_join(
         points.map_batches(pkey, batch_format="pyarrow"),
         ivals.map_batches(ikey, batch_format="pyarrow"),
         key="okey", point_col="l_shipdate",
@@ -470,6 +484,10 @@ def _lineitem_ship_window(sf_dir: str):
                     "l_shipdate": "l_shipdate"},
         interval_cols={"o_orderdate": "o_orderdate"},
     )
+    return _collect(out, pa.schema([("okey", pa.int64()),
+                                    ("l_linenumber", pa.int32()),
+                                    ("l_shipdate", pa.timestamp("us")),
+                                    ("o_orderdate", pa.timestamp("us"))]))
 
 
 def _top_docs_per_source(sf_dir: str):

@@ -180,3 +180,36 @@ def test_exact_percentiles_matches_numpy(n, seed, q):
     sv = np.sort(v)
     want = sv[int(np.floor((len(v) - 1) * q))]
     assert out["value"].to_pylist() == [want], (n, seed, q)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(n=st.integers(1, 120), m=st.integers(1, 60),
+       width=st.sampled_from([3, 10, 37]), seed=st.integers(0, 2**31 - 1))
+def test_range_join_matches_bruteforce(n, m, width, seed):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from deltaray.functions.joins import range_join
+
+    rng = np.random.default_rng(seed)
+    pts = pa.table({"t": pa.array(rng.integers(0, 200, n)),
+                    "pid": pa.array(np.arange(n))})
+    s = rng.integers(0, 200, m)
+    ln = rng.integers(0, 80, m)
+    ivals = pa.table({"s": pa.array(s), "e": pa.array(s + ln),
+                      "iid": pa.array(np.arange(m))})
+    out = range_join(
+        ray.data.from_arrow(pts), ray.data.from_arrow(ivals),
+        point_col="t", start_col="s", end_col="e", bucket_width=width,
+        point_cols={"pid": "pid"}, interval_cols={"iid": "iid"},
+    ).to_pandas()
+    # Ray drops the schema of fully-empty datasets — no columns = no pairs
+    got = ([] if out.empty else
+           sorted(map(tuple, out[["pid", "iid"]].itertuples(index=False,
+                                                            name=None))))
+    t = pts["t"].to_numpy()
+    want = sorted((int(pi), int(ii)) for pi in range(n) for ii in range(m)
+                  if s[ii] <= t[pi] <= s[ii] + ln[ii])
+    assert got == want, (n, m, width, seed)

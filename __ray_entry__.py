@@ -199,7 +199,10 @@ def _lang_id_docs(sf_dir: str):
     from deltaray.functions.text import LangId
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2) \
+    from deltaray.util import auto_concurrency
+
+    return ds.map_batches(LangId, batch_format="pyarrow",
+                          concurrency=auto_concurrency()) \
         .drop_columns(["text"])
 
 
@@ -221,7 +224,10 @@ def _simhash_docs(sf_dir: str):
     from deltaray.functions.dedup import SimHasher
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2) \
+    from deltaray.util import auto_concurrency
+
+    return ds.map_batches(SimHasher, batch_format="pyarrow",
+                          concurrency=auto_concurrency()) \
         .drop_columns(["text"])
 
 
@@ -285,7 +291,7 @@ def _decode_media(sf_dir: str):
     # split the in-memory table into several blocks so the actor pool
     # actually parallelizes (a single block feeds a single actor)
     ds = ray.data.from_arrow(tbl).repartition(4)
-    return decode_images(ds, concurrency=2, batch_size=64)
+    return decode_images(ds, batch_size=64)
 
 
 def _top_sources_by_docs(sf_dir: str):
@@ -330,7 +336,7 @@ def _audio_features(sf_dir: str):
     from deltaray.functions.multimodal import extract_audio_features, synth_audio_table
 
     ds = ray.data.from_arrow(synth_audio_table(1000)).repartition(4)
-    return extract_audio_features(ds, concurrency=2, batch_size=64)
+    return extract_audio_features(ds, batch_size=64)
 
 
 def _video_frames(sf_dir: str):
@@ -342,7 +348,7 @@ def _video_frames(sf_dir: str):
         ["media_id", "payload", "mime", "sample_rate", "duration_ms"]
     )
     ds = ray.data.from_arrow(vids).repartition(4)
-    return sample_video_frames(ds, concurrency=2, batch_size=32)
+    return sample_video_frames(ds, batch_size=32)
 
 
 def _asof_prev_order(sf_dir: str):
@@ -741,8 +747,10 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
         """,
         "lineitem_qty_by_flag": """
+            -- outer CAST: DuckDB sum(BIGINT) yields HUGEINT, which would
+            -- hash differently from the engine's int64 even at equal values
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,

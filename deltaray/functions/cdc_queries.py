@@ -194,23 +194,34 @@ def upsert_into_base(base_ds, changes_tbl: pa.Table, base_key: str,
     """Broadcast-merge a small change set into a large base Dataset:
     the Ray translation of the reference's target-side MERGE
     (EventConsumer.java:58-66) when the change side is small — the change
-    table is put in the object store ONCE (ray.put) and probed per batch;
-    no shuffle of the base."""
+    table is put in the object store ONCE (ray.put) and probed per batch
+    with pure-Arrow ``pc.index_in`` + ``take`` (type-preserving: an int
+    value column with unmatched base keys stays int-with-nulls, never
+    float64/NaN); no shuffle of the base.  Duplicate change keys resolve
+    to the first occurrence."""
     import ray
+
+    from deltaray.functions.partition import dedup_first_by_key
+    from deltaray.util import auto_concurrency
 
     ref = ray.put(changes_tbl)
 
     class Upsert:
         def __init__(self):
-            tbl = ray.get(ref)
-            self.lookup = tbl.to_pandas().set_index(change_key)
+            tbl = dedup_first_by_key(ray.get(ref), change_key)
+            self.keys = tbl[change_key].combine_chunks()
+            self.vals = {c: tbl[c].combine_chunks() for c in value_cols}
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch[base_key].to_pandas()
-            joined = self.lookup.reindex(keys)
+            bk = batch[base_key]
+            if bk.type != self.keys.type:
+                bk = pc.cast(bk, self.keys.type)
+            pos = pc.index_in(bk, value_set=self.keys)
+            if isinstance(pos, pa.ChunkedArray):
+                pos = pos.combine_chunks()
             for c in value_cols:
-                arr = pa.array(joined[c].to_numpy(), from_pandas=True)
-                batch = batch.append_column(c, arr)
+                batch = batch.append_column(c, self.vals[c].take(pos))
             return batch
 
-    return base_ds.map_batches(Upsert, batch_format="pyarrow", concurrency=2)
+    return base_ds.map_batches(Upsert, batch_format="pyarrow",
+                               concurrency=auto_concurrency())

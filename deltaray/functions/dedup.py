@@ -26,6 +26,8 @@ from deltaray.functions.partition import (group_codes, hash_partitioned,
                                            take_first_per_key)
 from deltaray.transforms import stable_hash_strings
 
+from deltaray.util import auto_concurrency
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -144,7 +146,8 @@ def minhash_lsh_pairs(ds, *, num_hashes: int = 64, bands: int = 16,
                 }
             )
 
-    ds = ds.map_batches(Explode, batch_format="pyarrow", concurrency=2)
+    ds = ds.map_batches(Explode, batch_format="pyarrow",
+                        concurrency=auto_concurrency())
 
     def bucket_pairs_block(block: pa.Table) -> pa.Table:
         # one call per hash partition of (band, band_hash) buckets; only
@@ -248,7 +251,8 @@ def simhash_pairs(ds, *, max_hamming: int = 3, bands: int = 4,
                 "sig": pa.array(np.tile(sig, bands)),
             })
 
-    rows = ds.map_batches(Explode, batch_format="pyarrow", concurrency=2)
+    rows = ds.map_batches(Explode, batch_format="pyarrow",
+                          concurrency=auto_concurrency())
 
     def bucket_pairs_block(block: pa.Table) -> pa.Table:
         g = block.sort_by([("band", "ascending"), ("seg", "ascending"),
@@ -419,7 +423,8 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
                 }
             )
 
-    ds = ds.map_batches(Bucket, batch_format="pyarrow", concurrency=2)
+    ds = ds.map_batches(Bucket, batch_format="pyarrow",
+                        concurrency=auto_concurrency())
 
     def pairs_block(block: pa.Table) -> pa.Table:
         # one call per hash partition of buckets; per bucket a single

@@ -273,29 +273,40 @@ def range_join(points_ds, intervals_ds, *, point_col: str, start_col: str,
 
 
 def broadcast_enrich(ds, dims: pa.Table, *, stream_key: str, dim_key: str,
-                     value_cols: list[str], concurrency: int = 2):
+                     value_cols: list[str], concurrency=None):
     """LEFT-join a stream Dataset against a small dimension table with no
     shuffle: the dimension is placed in the object store once (``ray.put``)
-    and each actor builds its probe index once in ``__init__``."""
-    import pandas as pd
+    and each actor builds its probe index once in ``__init__``.
+
+    The probe is pure Arrow — ``pc.index_in`` + ``take`` per batch, no
+    pandas conversion in the hot loop.  Duplicate dimension keys are
+    defined to resolve to the FIRST occurrence (deduped once per actor).
+    """
     import ray
+
+    from deltaray.functions.partition import dedup_first_by_key
+    from deltaray.util import auto_concurrency
 
     ref = ray.put(dims)
 
     class Enrich:
         def __init__(self):
             tbl: pa.Table = ray.get(ref)
-            self.lookup = tbl.to_pandas().set_index(dim_key)[value_cols]
-            self.types = {c: tbl.schema.field(c).type for c in value_cols}
+            tbl = dedup_first_by_key(tbl, dim_key)
+            self.keys = tbl[dim_key].combine_chunks()
+            self.vals = {c: tbl[c].combine_chunks() for c in value_cols}
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch[stream_key].to_pandas()
-            joined = self.lookup.reindex(keys)
+            sk = batch[stream_key]
+            if sk.type != self.keys.type:
+                sk = pc.cast(sk, self.keys.type)
+            pos = pc.index_in(sk, value_set=self.keys)
+            if isinstance(pos, pa.ChunkedArray):
+                pos = pos.combine_chunks()
             for c in value_cols:
-                batch = batch.append_column(
-                    c, pa.array(joined[c].to_numpy(), type=self.types[c],
-                                from_pandas=True))
+                # take with null indices yields nulls — LEFT-join semantics
+                batch = batch.append_column(c, self.vals[c].take(pos))
             return batch
 
     return ds.map_batches(Enrich, batch_format="pyarrow",
-                          concurrency=concurrency)
+                          concurrency=concurrency or auto_concurrency())

@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from deltaray.util import auto_concurrency
+
 
 def _unit(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -55,7 +57,8 @@ def knn_bruteforce(ds, queries: np.ndarray, k: int = 5,
                 }
             )
 
-    cands = ds.map_batches(Score, batch_format="pyarrow", concurrency=2)
+    cands = ds.map_batches(Score, batch_format="pyarrow",
+                           concurrency=auto_concurrency())
     # final reduction over the small candidate set (nq × k × n_batches rows)
     tbl = pa.concat_tables(list(cands.iter_batches(batch_format="pyarrow")))
     out_rows = {"query_id": [], id_col: [], "cosine": [], "rank": []}
@@ -142,7 +145,8 @@ def knn_ivf(ds, queries: np.ndarray, centroids: np.ndarray, k: int = 5,
                 }
             )
 
-    cands = ds.map_batches(Score, batch_format="pyarrow", concurrency=2)
+    cands = ds.map_batches(Score, batch_format="pyarrow",
+                           concurrency=auto_concurrency())
     import pandas as pd
 
     dfs = [b.to_pandas() for b in cands.iter_batches(batch_format="pyarrow")]

@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from deltaray.util import auto_concurrency
+
 IMAGE_SCHEMA = pa.schema(
     [
         ("media_id", pa.string()),
@@ -80,7 +82,7 @@ class DecodeImage:
         )
 
 
-def decode_images(ds, concurrency: int = 4, batch_size: int = 64,
+def decode_images(ds, concurrency=None, batch_size: int = 64,
                   strict: bool = False):
     """The plumbing: actor pool, small batches, binary column dropped after
     decode so the wide payload never flows further down the pipeline."""
@@ -89,7 +91,7 @@ def decode_images(ds, concurrency: int = 4, batch_size: int = 64,
         fn_constructor_kwargs={"strict": strict},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or auto_concurrency(),
     )
 
 
@@ -187,23 +189,23 @@ class SampleVideoFrames:
         )
 
 
-def extract_audio_features(ds, concurrency: int = 4, batch_size: int = 64,
+def extract_audio_features(ds, concurrency=None, batch_size: int = 64,
                            strict: bool = False):
     return ds.map_batches(
         ExtractAudioFeatures,
         fn_constructor_kwargs={"strict": strict},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or auto_concurrency(),
     )
 
 
-def sample_video_frames(ds, concurrency: int = 4, batch_size: int = 32,
+def sample_video_frames(ds, concurrency=None, batch_size: int = 32,
                         strict: bool = False):
     return ds.map_batches(
         SampleVideoFrames,
         fn_constructor_kwargs={"strict": strict},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or auto_concurrency(),
     )

@@ -55,6 +55,19 @@ def group_codes(tbl: pa.Table, cols: list[str]) -> np.ndarray:
     return codes
 
 
+def dedup_first_by_key(tbl: pa.Table, key: str) -> pa.Table:
+    """Drop rows with duplicate ``key``, keeping the FIRST occurrence in
+    table order (broadcast-probe precondition)."""
+    col = tbl[key]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    codes = pd.factorize(col.to_numpy(zero_copy_only=False))[0]
+    first = np.unique(codes, return_index=True)[1]
+    if len(first) == tbl.num_rows:
+        return tbl
+    return tbl.take(pa.array(np.sort(first)))
+
+
 def take_first_per_key(tbl: pa.Table, cols: list[str]) -> pa.Table:
     """First row per (multi-)key in key-sorted order, vectorized — the
     block-fn building block for distinct / pair-dedup reductions."""

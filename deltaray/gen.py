@@ -141,16 +141,16 @@ def write_event_log(
         segid += 1
 
     def union_schema() -> pa.Schema:
-        """Union of meta + all live tables' payload columns."""
+        """Union of meta + all live tables' payload columns.  With every
+        table dropped (DDL-only buffer) fall back to the default payload
+        shape — the rows carry only meta columns anyway."""
         fields: dict[str, pa.Field] = {}
-        merged = None
-        for st in states.values():
+        live = states.values() or [_TableState(tables[0], 0, rng)]
+        for st in live:
             s = event_log_schema(st.schema)
             for f in s:
                 if f.name not in fields:
                     fields[f.name] = f
-            merged = s
-        assert merged is not None
         # stable order: seq/op/table, payload cols in first-seen order, meta tail
         names = list(fields)
         return pa.schema([fields[n] for n in names])
@@ -241,6 +241,11 @@ def write_event_log(
                 payload_kw["add"] = kw["add"]
             if dop == "RENAME_COLUMN":
                 payload_kw["rename"] = kw["rename"]
+            if dop == "CREATE_TABLE" and st is None:
+                # mid-stream recreate (after DROP_TABLE): fresh empty table
+                st = _TableState(dt, 0, rng)
+                states[dt] = st
+                payload_kw["schema"] = st.schema
             emit(
                 {
                     "op": dop,

@@ -29,6 +29,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -308,12 +309,23 @@ class ReplaySession:
             self.schemas = apply_ddl(self.schemas, t, op, payload, seq)
             if op == "DROP_TABLE":
                 self.dropped.add(t)
+                # truncate-style barrier at the drop seq: merges after a
+                # later CREATE_TABLE of the same name start from empty
+                # state instead of resurrecting pre-drop commits (the
+                # oracle resets state on DROP)
+                self.lake.write_truncate(t, seq)
                 atomic_write_json(
                     os.path.join(self.lake.table_dir(t), "_dropped", f"drop-{seq:012d}.json"),
                     {"seq": seq},
                 )
             elif t in self.schemas:
                 self.dropped.discard(t)
+                if op == "CREATE_TABLE":
+                    # recreate-after-drop: clear the dropped marker so
+                    # reads see the (empty, then re-replicated) table
+                    ddir = os.path.join(self.lake.table_dir(t), "_dropped")
+                    if os.path.isdir(ddir):
+                        shutil.rmtree(ddir)
                 self.lake.write_schema(self._effective()[t])
 
     # -------------------------------------------------------------- chunk
@@ -420,9 +432,36 @@ class ReplaySession:
         del parts
         return lineage
 
+    def _check_generation_meta(self) -> None:
+        """Persist the physical sharding config on first commit and fail
+        fast on mismatch: re-running replay with a different
+        ``num_partitions`` (or ordering/sort-key width) would re-key
+        hash(key) % P while old per-partition commits remain, silently
+        duplicating keys across partition files.  Re-sharding requires a
+        new generation."""
+        path = os.path.join(self.lake.root, "_meta.json")
+        meta = {
+            "num_partitions": self.cfg.num_partitions,
+            "ordering": self.cfg.ordering,
+            "sort_key_components": getattr(self.cfg, "sort_key_components", 2),
+        }
+        if os.path.exists(path):
+            with open(path) as f:
+                have = json.load(f)
+            diffs = {k: (have.get(k), v) for k, v in meta.items()
+                     if have.get(k) != v}
+            if diffs:
+                raise ValueError(
+                    f"generation config mismatch vs existing lake {path}: "
+                    f"{diffs} — re-shard into a new generation instead"
+                )
+        else:
+            atomic_write_json(path, meta)
+
     # ---------------------------------------------------------------- run
     def run(self, on_chunk=None) -> dict:
         cfg = self.cfg
+        self._check_generation_meta()
         lineage_rows: list[dict] = []
         t0 = time.time()
         for idx, chunk in enumerate(self.chunks):

@@ -459,6 +459,14 @@ class TransformStage:
                     continue
                 col = pc.if_else(keep, out[c], pa.nulls(len(out), out[c].type))
                 out = out.set_column(out.column_names.index(c), c, col)
+        # null-key DML rows are skipped, matching the oracle (oracle.py
+        # `if key is None: continue`) — external source adapters (CSV/
+        # JSONL) don't validate keys, and factorize would emit code -1
+        keymask = pc.is_valid(out[key])
+        if not pc.all(keymask).as_py():
+            out = out.filter(keymask)
+            if out.num_rows == 0:
+                return None
         # phase-1 LWW pre-reduce within the batch (two-phase reduction),
         # keeping per-key op counts so reduced-away events still reach the
         # metrics (EventMetrics consume counts, EventMetrics.java:26-84)
@@ -540,9 +548,18 @@ def lww_pre_reduce_with_counts(tbl: pa.Table, key: str) -> pa.Table:
     n_del = np.bincount(codes[ops == "DELETE"], minlength=n)
     n_snap = np.bincount(codes[snaps], minlength=n)
     winners = order[last_pos]  # original row indices of per-key winners
-    out = tbl if len(winners) == tbl.num_rows else tbl.take(pa.array(winners))
+    if len(winners) == tbl.num_rows:
+        # every key unique in the batch: keep the original row order, but
+        # scatter the (winner-order) count arrays back to row order —
+        # row i is winner j where winners[j] == i
+        out = tbl
+        inv = np.empty(len(winners), dtype=np.int64)
+        inv[winners] = np.arange(len(winners))
+        wc = codes[last_pos][inv]
+    else:
+        out = tbl.take(pa.array(winners))
+        wc = codes[last_pos]
     out = out.drop_columns(["__snap"])
-    wc = codes[last_pos]
     out = out.append_column("__n_ins", pa.array(n_ins[wc], pa.int64()))
     out = out.append_column("__n_upd", pa.array(n_upd[wc], pa.int64()))
     out = out.append_column("__n_del", pa.array(n_del[wc], pa.int64()))

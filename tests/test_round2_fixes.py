@@ -1,0 +1,157 @@
+"""Round-2 regression tests for the judge/advisor findings:
+
+- per-row op-count alignment in the unique-key fast path of
+  ``lww_pre_reduce_with_counts`` (ADVICE transforms.py:543);
+- null-primary-key DML rows are skipped, not a crash (ADVICE :538,
+  matching the oracle's ``if key is None: continue``);
+- DROP_TABLE then CREATE_TABLE of the same name recreates an empty
+  table — no resurrection of pre-drop rows (ADVICE pipeline.py:508);
+- generation-level physical config (num_partitions) is persisted and a
+  mismatched re-run fails fast (ADVICE config.py:64);
+- broadcast upsert/enrich probes preserve Arrow types on unmatched keys
+  and define duplicate-key behavior (ADVICE cdc_queries.py:212).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from deltaray import ReplayConfig, replay, replay_oracle
+from deltaray.gen import write_event_log
+from deltaray.oracle import tables_equal
+from deltaray.pipeline import read_table
+from deltaray.schemas import default_table_schema
+from deltaray.transforms import TransformStage, lww_pre_reduce_with_counts
+
+
+def _mini_cfg(tmp_path_str="/tmp/x"):
+    return ReplayConfig(event_log=tmp_path_str, lake=tmp_path_str)
+
+
+def test_lww_precount_unique_key_fast_path_alignment():
+    """All-unique-key batch: every row keeps ITS OWN op count (the fast
+    path used to attach counts in winner order to rows in input order)."""
+    n = 6
+    ops = ["INSERT", "UPDATE", "DELETE", "UPDATE", "INSERT", "DELETE"]
+    tbl = pa.table({
+        "doc_id": pa.array([f"k{i}" for i in [3, 1, 5, 0, 4, 2]]),
+        "__seq": pa.array(np.arange(n, dtype=np.int64)),
+        "__src_ts": pa.array(np.zeros(n, dtype=np.int64)),
+        "__sk": pa.array(np.zeros(n, dtype=np.int64)),
+        "__sk2": pa.array(np.zeros(n, dtype=np.int64)),
+        "__deleted": pa.array([o == "DELETE" for o in ops]),
+        "__op": pa.array(ops),
+        "__snap": pa.array([False] * n),
+    })
+    out = lww_pre_reduce_with_counts(tbl, "doc_id")
+    assert out.num_rows == n
+    for i in range(n):
+        op = out["__op"][i].as_py()
+        counts = {c: out[f"__n_{c}"][i].as_py()
+                  for c in ("ins", "upd", "del")}
+        want = {"ins": 0, "upd": 0, "del": 0}
+        want[{"INSERT": "ins", "UPDATE": "upd", "DELETE": "del"}[op]] = 1
+        assert counts == want, f"row {i}: op={op} counts={counts}"
+
+
+def test_null_key_rows_skipped():
+    """A DML row with a null primary key is silently dropped (oracle
+    semantics), not a bincount crash."""
+    schema = default_table_schema("docs")
+    cfg = _mini_cfg()
+    stage = TransformStage(cfg, {"docs": schema}, {"docs": schema})
+    batch = pa.table({
+        "seq": pa.array([1, 2, 3], pa.int64()),
+        "op": pa.array(["INSERT", "INSERT", "UPDATE"]),
+        "table": pa.array(["docs"] * 3),
+        "doc_id": pa.array(["a", None, "c"]),
+        "tokens": pa.array([[1, 2], [3], [4]], pa.list_(pa.int32())),
+        "n_tok": pa.array([2, 1, 1], pa.int32()),
+        "source": pa.array(["web"] * 3),
+    })
+    out = stage(batch)
+    assert out.num_rows == 2
+    assert sorted(out["doc_id"].to_pylist()) == ["a", "c"]
+    # all-null-key batch must yield an empty (not crashing) result
+    batch_null = batch.set_column(
+        batch.column_names.index("doc_id"), "doc_id",
+        pa.array([None, None, None], pa.string()))
+    out2 = stage(batch_null)
+    assert out2.num_rows == 0
+
+
+def test_drop_then_recreate_table(tmp_log, tmp_lake):
+    """DROP_TABLE then CREATE_TABLE of the same name: the recreated table
+    starts empty and replicates only post-recreate events — pre-drop rows
+    must not resurrect from old commits (oracle resets state on DROP)."""
+    write_event_log(
+        tmp_log, n_docs=40, n_events=600, seed=71,
+        ddl=[(200, "docs", "DROP_TABLE", {}),
+             (320, "docs", "CREATE_TABLE", {})],
+    )
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=150)
+    replay(cfg)
+    oracle = replay_oracle(cfg)
+    got = read_table(tmp_lake, "docs")
+    ok, msg = tables_equal(got, oracle["docs"])
+    assert ok, msg
+    assert got.num_rows > 0  # post-recreate stream actually replicated
+    # replay again (resume no-op) — still equal, still no resurrection
+    replay(cfg)
+    got2 = read_table(tmp_lake, "docs")
+    ok, msg = tables_equal(got2, oracle["docs"])
+    assert ok, msg
+
+
+def test_generation_meta_mismatch_fails_fast(tmp_log, tmp_lake):
+    write_event_log(tmp_log, n_docs=20, n_events=100, seed=73)
+    replay(ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4))
+    with pytest.raises(ValueError, match="generation config mismatch"):
+        replay(ReplayConfig(event_log=tmp_log, lake=tmp_lake,
+                            num_partitions=8))
+    # same config resumes fine
+    replay(ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4))
+
+
+def test_upsert_into_base_type_preserving_and_dup_keys(ray_session):
+    import ray.data
+
+    from deltaray.functions.cdc_queries import upsert_into_base
+
+    base = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "name": pa.array(["a", "b", "c", "d"]),
+    }))
+    changes = pa.table({
+        "ck": pa.array([2, 2, 4], pa.int64()),          # duplicate key 2
+        "v": pa.array([20, 99, 40], pa.int64()),        # int values
+    })
+    out = pa.concat_tables(list(
+        upsert_into_base(base, changes, base_key="k", change_key="ck",
+                         value_cols=["v"]).iter_batches(batch_format="pyarrow")
+    )).sort_by("k")
+    # int64 stays int64 (null, not NaN/float64, where unmatched)
+    assert out["v"].type == pa.int64()
+    assert out["v"].to_pylist() == [None, 20, None, 40]  # first dup wins
+
+
+def test_broadcast_enrich_dup_dim_keys(ray_session):
+    import ray.data
+
+    from deltaray.functions.joins import broadcast_enrich
+
+    stream = ray.data.from_arrow(pa.table({
+        "sk": pa.array([10, 11, 12], pa.int32()),
+        "x": pa.array([1.0, 2.0, 3.0]),
+    }))
+    dims = pa.table({
+        "dk": pa.array([11, 11, 12], pa.int64()),
+        "label": pa.array(["first", "second", "z"]),
+    })
+    out = pa.concat_tables(list(
+        broadcast_enrich(stream, dims, stream_key="sk", dim_key="dk",
+                         value_cols=["label"])
+        .iter_batches(batch_format="pyarrow")
+    )).sort_by("sk")
+    assert out["label"].to_pylist() == [None, "first", "z"]

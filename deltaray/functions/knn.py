@@ -61,25 +61,35 @@ def knn_bruteforce(ds, queries: np.ndarray, k: int = 5,
                            concurrency=auto_concurrency())
     # final reduction over the small candidate set (nq × k × n_batches rows)
     tbl = pa.concat_tables(list(cands.iter_batches(batch_format="pyarrow")))
-    out_rows = {"query_id": [], id_col: [], "cosine": [], "rank": []}
-    import pandas as pd
+    return _topk_reduce(tbl, k, id_col)
 
-    df = tbl.to_pandas()
-    for qid, g in df.groupby("query_id"):
-        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
-        for r, (_, row) in enumerate(g.iterrows()):
-            out_rows["query_id"].append(int(qid))
-            out_rows[id_col].append(int(row[id_col]))
-            out_rows["cosine"].append(float(row["cosine"]))
-            out_rows["rank"].append(r + 1)
-    return pa.table(
-        {
-            "query_id": pa.array(out_rows["query_id"], pa.int64()),
-            "rank": pa.array(out_rows["rank"], pa.int64()),
-            id_col: pa.array(out_rows[id_col], pa.int64()),
-            "cosine": pa.array(out_rows["cosine"], pa.float64()),
-        }
-    )
+
+def _topk_reduce(tbl: pa.Table, k: int, id_col: str) -> pa.Table:
+    """Vectorized final top-k per query over the (small) candidate union:
+    one sort + factorize + repeat/arange gather (the ``top_k_per_key``
+    pattern) — no pandas, no per-row Python, so thousands of queries stay
+    cheap."""
+    from deltaray.functions.partition import group_codes
+
+    if tbl.num_rows == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    g = tbl.sort_by([("query_id", "ascending"), ("cosine", "descending"),
+                     (id_col, "ascending")])
+    codes = group_codes(g, ["query_id"])
+    _, first, counts = np.unique(codes, return_index=True, return_counts=True)
+    take = np.minimum(counts, k)
+    starts = np.repeat(first, take)
+    within = np.arange(int(take.sum())) - np.repeat(np.cumsum(take) - take, take)
+    sel = g.take(pa.array(starts + within))
+    return pa.table({
+        "query_id": sel["query_id"],
+        "rank": pa.array((within + 1).astype(np.int64)),
+        id_col: sel[id_col],
+        "cosine": sel["cosine"],
+    })
 
 
 def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 8,
@@ -147,18 +157,5 @@ def knn_ivf(ds, queries: np.ndarray, centroids: np.ndarray, k: int = 5,
 
     cands = ds.map_batches(Score, batch_format="pyarrow",
                            concurrency=auto_concurrency())
-    import pandas as pd
-
-    dfs = [b.to_pandas() for b in cands.iter_batches(batch_format="pyarrow")]
-    df = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame(
-        columns=["query_id", id_col, "cosine"]
-    )
-    rows = {"query_id": [], "rank": [], id_col: [], "cosine": []}
-    for qid, g in df.groupby("query_id"):
-        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
-        for r, (_, row) in enumerate(g.iterrows()):
-            rows["query_id"].append(int(qid))
-            rows["rank"].append(r + 1)
-            rows[id_col].append(int(row[id_col]))
-            rows["cosine"].append(float(row["cosine"]))
-    return pa.table({k2: pa.array(v) for k2, v in rows.items()})
+    tbl = pa.concat_tables(list(cands.iter_batches(batch_format="pyarrow")))
+    return _topk_reduce(tbl, k, id_col)

@@ -92,40 +92,50 @@ def _shards(src: str, pattern: str) -> list[str]:
 def _write_segments(ds, out_dir: str, table_schema: TableSchema,
                     segment_max_events: int, *, source_format: str,
                     src: str) -> dict:
+    """Distributed segment sink: after the (distributed) ``sort("seq")``,
+    every ~``segment_max_events``-row batch is written to its own Parquet
+    segment BY THE MAP TASK that holds it — rows never stream through the
+    driver; only the tiny per-segment manifest rows do.  Segment names
+    embed the batch's (seq_lo, seq_hi), which are globally unique and
+    non-overlapping because ``seq`` is unique, so concurrent writers never
+    collide and a re-run overwrites deterministically (atomic tmp+rename).
+    Assumes ``out_dir`` is on the shared lake filesystem (same contract as
+    the commit log)."""
+    import tempfile
+
+    import ray.data
+
     os.makedirs(out_dir, exist_ok=True)
     log_schema = event_log_schema(table_schema)
-    # order by seq so segment files carry tight, non-overlapping seq ranges
-    ds = ds.sort("seq")
-    segments: list[dict] = []
-    segid = 0
-    buf: list[pa.Table] = []
-    buffered = 0
+    manifest_schema = pa.schema([("path", pa.string()), ("seq_lo", pa.int64()),
+                                 ("seq_hi", pa.int64()), ("n_rows", pa.int64())])
 
-    def flush():
-        nonlocal segid, buf, buffered
-        if not buf:
-            return
-        tbl = pa.concat_tables(buf)
+    def write_one(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return manifest_schema.empty_table()
+        tbl = _conform(batch, log_schema)
         lo = int(pc.min(tbl["seq"]).as_py())
         hi = int(pc.max(tbl["seq"]).as_py())
-        path = os.path.join(out_dir, f"events-{segid:05d}-{lo:012d}-{hi:012d}.parquet")
-        pq.write_table(tbl, path, row_group_size=16384)
-        segments.append({"path": path, "seq_lo": lo, "seq_hi": hi,
-                         "n_rows": tbl.num_rows, "columns": tbl.column_names})
-        segid += 1
-        buf, buffered = [], 0
+        path = os.path.join(out_dir, f"events-{lo:012d}-{hi:012d}.parquet")
+        fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".tmp")
+        os.close(fd)
+        # small row groups: the replay path splits one segment across many
+        # read tasks (row group = the parquet split unit)
+        pq.write_table(tbl, tmp, row_group_size=16384)
+        os.replace(tmp, path)
+        return pa.table({"path": [path], "seq_lo": [lo], "seq_hi": [hi],
+                         "n_rows": [tbl.num_rows]}, schema=manifest_schema)
 
-    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-        batch = _conform(batch, log_schema)
-        pos = 0
-        while pos < batch.num_rows:
-            take = min(batch.num_rows - pos, segment_max_events - buffered)
-            buf.append(batch.slice(pos, take))
-            buffered += take
-            pos += take
-            if buffered >= segment_max_events:
-                flush()
-    flush()
+    # order by seq so segment files carry tight, non-overlapping seq ranges
+    seg_rows = ds.sort("seq").map_batches(
+        write_one, batch_format="pyarrow", batch_size=segment_max_events
+    ).take_all()  # tiny: one row per written segment
+    segments = [
+        {"path": r["path"], "seq_lo": int(r["seq_lo"]),
+         "seq_hi": int(r["seq_hi"]), "n_rows": int(r["n_rows"]),
+         "columns": log_schema.names}
+        for r in sorted(seg_rows, key=lambda r: r["seq_lo"])
+    ]
     max_seq = max((s["seq_hi"] for s in segments), default=0)
     manifest = {"segments": segments, "max_seq": max_seq,
                 "source_format": source_format, "source": src}

@@ -104,11 +104,12 @@ def assess_table(cfg: ReplayConfig, table: str,
         missing = set(tc.columns) - set(schema.column_names())
         for m in sorted(missing):
             ta.errors.append(f"whitelisted column {m!r} does not exist")
-        if schema.key not in tc.columns:
+        missing_pk = [k for k in schema.keys if k not in tc.columns]
+        if missing_pk:
             ta.warnings.append(
-                f"primary key {schema.key!r} is not in the column whitelist; "
+                f"primary key {missing_pk!r} is not in the column whitelist; "
                 "upserts cannot be keyed — it will be selected anyway")
-        keep = set(tc.columns) | {schema.key}
+        keep = set(tc.columns) | set(schema.keys)
         schema = TableSchema(schema.name, schema.key,
                              [(n, c) for n, c in schema.fields if n in keep],
                              dict(schema.renames), schema.version_seq)

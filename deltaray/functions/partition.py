@@ -18,41 +18,19 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from deltaray.transforms import stable_hash_strings
+from deltaray.transforms import key_codes, stable_hash_cols
 
 
 def _hash_cols(batch: pa.Table, cols: list[str]) -> np.ndarray:
-    """Stable uint64 hash of one or more key columns (vectorized)."""
-    h = np.zeros(batch.num_rows, dtype=np.uint64)
-    for c in cols:
-        col = batch[c]
-        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            v = stable_hash_strings(col)
-        else:
-            v = col.to_numpy(zero_copy_only=False).astype(np.uint64,
-                                                          copy=False)
-        # FNV-style mix so (a, b) != (b, a)
-        h = (h ^ v) * np.uint64(0x100000001B3)
-    return h
+    """Stable uint64 hash of one or more key columns (vectorized) — the
+    engine-core kernel (transforms.stable_hash_cols)."""
+    return stable_hash_cols(batch, cols)
 
 
 def group_codes(tbl: pa.Table, cols: list[str]) -> np.ndarray:
-    """First-appearance group codes for a (multi-)column key, vectorized.
-
-    Single column → plain pandas factorize; multiple → factorize each and
-    mix into one int64 code space.
-    """
-    codes = None
-    for c in cols:
-        col = tbl[c]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        ci, uniq = pd.factorize(col.to_numpy(zero_copy_only=False))
-        ci = ci.astype(np.int64)
-        codes = ci if codes is None else codes * np.int64(len(uniq)) + ci
-    if len(cols) > 1:  # re-densify the mixed code space
-        codes = pd.factorize(codes)[0].astype(np.int64)
-    return codes
+    """First-appearance group codes for a (multi-)column key, vectorized —
+    the engine-core kernel (transforms.key_codes)."""
+    return key_codes(tbl, cols)
 
 
 def dedup_first_by_key(tbl: pa.Table, key: str) -> pa.Table:

@@ -90,12 +90,37 @@ def evolve_to(tbl: pa.Table, target: TableSchema) -> pa.Table:
     return pa.table(cols)
 
 
-def upsert_by_version(base: pa.Table, changes: pa.Table, key: str) -> pa.Table:
+def _base_positions(base: pa.Table, changes: pa.Table, keys: list[str]) -> np.ndarray:
+    """For each change row, the base row index holding the same (possibly
+    composite) key, or -1 — vectorized.  Single column: ``pc.index_in``;
+    composite: shared factorize over the concatenated key columns + an
+    exact code→row lookup table (base is per-key-unique)."""
+    if len(keys) == 1:
+        k = keys[0]
+        pos = pc.index_in(changes[k].combine_chunks(),
+                          value_set=base[k].combine_chunks())
+        pos_np = pos.to_numpy(zero_copy_only=False)  # float ndarray w/ nan
+        return np.where(np.isnan(pos_np), -1, pos_np).astype(np.int64)
+    from deltaray.transforms import key_codes
+
+    allk = pa.concat_tables(
+        [base.select(keys), changes.select(keys)], promote_options="none"
+    )
+    codes = key_codes(allk, keys)
+    bcodes, ccodes = codes[: base.num_rows], codes[base.num_rows:]
+    lut = np.full(int(codes.max()) + 1 if len(codes) else 1, -1, np.int64)
+    lut[bcodes] = np.arange(len(bcodes), dtype=np.int64)
+    return lut[ccodes]
+
+
+def upsert_by_version(base: pa.Table, changes: pa.Table, key) -> pa.Table:
     """Merge per-key-unique ``changes`` into per-key-unique ``base``:
     for a key present in both, the row with the greater version
     (__src_ts, __sk, __seq) wins; changes win ties (idempotent replay of
     an identical event).  All comparisons run on int64 numpy views — the
     fat payload columns are moved once, by the final filter/concat.
+    ``key`` is a column name or a list of them (composite primary key,
+    DDLEvent.java:31-55 primaryKey list).
 
     In ORDERED mode every change's __seq exceeds anything in base (chunk
     reads start past the committed seq), so this degenerates to "change
@@ -103,13 +128,12 @@ def upsert_by_version(base: pa.Table, changes: pa.Table, key: str) -> pa.Table:
     like the reference target's (source_ts, sort_keys) comparison
     (SourceProperties.java:29-32 builder javadoc :92-99).
     """
-    bkeys = base[key].combine_chunks()
-    pos = pc.index_in(changes[key].combine_chunks(), value_set=bkeys)
-    pos_np = pos.to_numpy(zero_copy_only=False)  # float ndarray with nan
-    have = ~np.isnan(pos_np)
+    keys = [key] if isinstance(key, str) else list(key)
+    pos_np = _base_positions(base, changes, keys)
+    have = pos_np >= 0
     if not have.any():
         return pa.concat_tables([base, changes], promote_options="none")
-    bidx = pos_np[have].astype(np.int64)
+    bidx = pos_np[have]
 
     def ver(tbl: pa.Table, col: str) -> np.ndarray:
         return tbl[col].to_numpy(zero_copy_only=False)

@@ -82,15 +82,17 @@ def replay_oracle(cfg: ReplayConfig) -> dict[str, pa.Table]:
             tc = cfg.table_config(t)
             directives = tc.transformations if tc else []
             eff = apply_directives_to_schema(ts, directives)
-            key_col = eff.key
+            key_cols = eff.keys
             # column whitelist on the DDL-level schema (key always kept)
             cols = ts.column_names()
             if tc and tc.columns:
-                cols = [c for c in cols if c in tc.columns or c == ts.key]
+                cols = [c for c in cols if c in tc.columns or c in ts.keys]
             payload = {c: row.get(c) for c in cols}
             payload = apply_directives_to_row(payload, directives)
-            key = payload.get(key_col)
-            if key is None:
+            # composite keys: state keyed by the component tuple; any null
+            # component skips the row (engine mirrors this)
+            key = tuple(payload.get(k) for k in key_cols)
+            if any(v is None for v in key):
                 continue
             if cfg.ordering == "UN_ORDERED":
                 sk = row.get("sort_keys") or []

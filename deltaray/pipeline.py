@@ -555,7 +555,7 @@ def read_table(lake_root: str, table: str, generation: int = 0) -> pa.Table:
     if not parts:
         return schema.arrow_schema().empty_table()
     out = pa.concat_tables(parts)
-    return out.sort_by(schema.key)
+    return out.sort_by([(k, "ascending") for k in schema.keys])
 
 
 def current_data_files(lake_root: str, table: str, generation: int = 0) -> list[str]:

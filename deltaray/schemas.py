@@ -83,16 +83,23 @@ class TableSchema:
 
     Mirrors DDLEvent.schema + primaryKey (DDLEvent.java:49-55): the *full*
     table schema as of a DDL event, carried in-band.  ``key`` is the
-    single-column primary key (input_hint: doc_id).
+    primary key — a single column name (input_hint: doc_id) or a LIST of
+    column names for a composite key (primaryKey: List<String>,
+    DDLEvent.java:31-55 exercised via RowIdKey.java:27-36).
     """
 
     name: str
-    key: str
+    key: str | list[str]
     fields: list[tuple[str, str]]  # (column name, type code) in order
     # accumulated old->new renames with chain collapsing
     # (DefaultMutableRowSchema.java:85-130)
     renames: dict[str, str] = field(default_factory=dict)
     version_seq: int = 0  # seq of the DDL event that produced this schema
+
+    @property
+    def keys(self) -> list[str]:
+        """Primary-key components as a list (len 1 for scalar keys)."""
+        return [self.key] if isinstance(self.key, str) else list(self.key)
 
     def arrow_schema(self) -> pa.Schema:
         return pa.schema([pa.field(n, code_to_type(c)) for n, c in self.fields])
@@ -130,8 +137,8 @@ class TableSchema:
                            dict(self.renames), seq)
 
     def with_dropped_column(self, name: str, seq: int) -> "TableSchema":
-        if name == self.key:
-            raise ValueError("cannot drop the key column")
+        if name in self.keys:
+            raise ValueError("cannot drop a key column")
         return TableSchema(self.name, self.key,
                            [(n, c) for n, c in self.fields if n != name],
                            dict(self.renames), seq)
@@ -153,7 +160,11 @@ class TableSchema:
             renames.pop(origin, None)  # a->b->a cancels
         else:
             renames[origin] = new
-        key = new if self.key == old else self.key  # PK rename remap
+        # PK rename remap — any composite component tracks the rename
+        if isinstance(self.key, str):
+            key: str | list[str] = new if self.key == old else self.key
+        else:
+            key = [new if k == old else k for k in self.key]
         return TableSchema(self.name, key, fields, renames, seq)
 
 

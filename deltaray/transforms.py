@@ -285,6 +285,45 @@ def stable_hash_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return h
 
 
+def stable_hash_cols(tbl: pa.Table, cols: list[str]) -> np.ndarray:
+    """Deterministic uint64 hash of one or more key columns (vectorized):
+    strings via the FNV-1a kernel, numerics via their int64 bits, mixed
+    FNV-style so (a, b) != (b, a).  THE partitioning function — identical
+    across workers/processes (Python hash() is salted and unusable)."""
+    h = np.zeros(tbl.num_rows, dtype=np.uint64)
+    for c in cols:
+        col = tbl[c]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            v = stable_hash_strings(col)
+        else:
+            v = col.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        h = (h ^ v) * np.uint64(0x100000001B3)
+    return h
+
+
+def key_codes(tbl: pa.Table, cols: list[str]) -> np.ndarray:
+    """First-appearance group codes for a (possibly composite) key,
+    vectorized: factorize each component (exact C hash table, no collision
+    risk) and mix into one dense int64 code space."""
+    import pandas as pd
+
+    codes = None
+    for c in cols:
+        col = tbl[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ci, uniq = pd.factorize(col.to_numpy(zero_copy_only=False))
+        ci = ci.astype(np.int64)
+        codes = ci if codes is None else codes * np.int64(len(uniq)) + ci
+    if len(cols) > 1:  # re-densify the mixed code space
+        codes = pd.factorize(codes)[0].astype(np.int64)
+    return codes
+
+
+def _as_key_list(key) -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
 # ------------------------------------------------------- engine transform
 class TransformStage:
     """The stateless-per-batch event transform: filter → project →
@@ -412,7 +451,7 @@ class TransformStage:
         cols = ts.column_names()
         wl = self.whitelist.get(t)
         if wl:
-            cols = [c for c in cols if c in wl or c == ts.key]
+            cols = [c for c in cols if c in wl or c in ts.keys]
         present = [c for c in cols if c in sub.column_names]
         payload = sub.select(present)
         # columns added by later DDL may be missing in old segments → nulls
@@ -426,7 +465,7 @@ class TransformStage:
             if directive.batch_fn is not None:
                 payload = directive.batch_fn(payload, args)
         eff = self.effective[t]
-        key = eff.key
+        keys = eff.keys
         # version stamp
         seq = sub["seq"].cast(pa.int64())
         if self.ordering == "UN_ORDERED":
@@ -455,14 +494,16 @@ class TransformStage:
         if out.num_rows and pc.any(deleted).as_py():
             keep = pc.invert(deleted)
             for c in eff.column_names():
-                if c == key or c not in out.column_names:
+                if c in keys or c not in out.column_names:
                     continue
                 col = pc.if_else(keep, out[c], pa.nulls(len(out), out[c].type))
                 out = out.set_column(out.column_names.index(c), c, col)
         # null-key DML rows are skipped, matching the oracle (oracle.py
         # `if key is None: continue`) — external source adapters (CSV/
         # JSONL) don't validate keys, and factorize would emit code -1
-        keymask = pc.is_valid(out[key])
+        keymask = pc.is_valid(out[keys[0]])
+        for kc in keys[1:]:
+            keymask = pc.and_(keymask, pc.is_valid(out[kc]))
         if not pc.all(keymask).as_py():
             out = out.filter(keymask)
             if out.num_rows == 0:
@@ -470,9 +511,9 @@ class TransformStage:
         # phase-1 LWW pre-reduce within the batch (two-phase reduction),
         # keeping per-key op counts so reduced-away events still reach the
         # metrics (EventMetrics consume counts, EventMetrics.java:26-84)
-        out = lww_pre_reduce_with_counts(out, key)
+        out = lww_pre_reduce_with_counts(out, keys)
         # shard id: table_idx * P + hash(key) % P — the ONE shuffle key
-        part = stable_hash_strings(out[key]) % np.uint64(self.num_partitions)
+        part = stable_hash_cols(out, keys) % np.uint64(self.num_partitions)
         tidx = self.table_index[t]
         shard = pa.array(
             (part + np.uint64(tidx * self.num_partitions)).astype(np.int64),
@@ -530,15 +571,13 @@ def _winner_positions(ids_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return last_pos, codes
 
 
-def lww_pre_reduce_with_counts(tbl: pa.Table, key: str) -> pa.Table:
-    """Phase-1 LWW combine: keep the max-version row per key within a batch
-    AND attach per-key op counts (__n_ins/__n_upd/__n_del) so the merge
-    stage's metrics see every consumed event, not only the winners."""
+def lww_pre_reduce_with_counts(tbl: pa.Table, key) -> pa.Table:
+    """Phase-1 LWW combine: keep the max-version row per (possibly
+    composite) key within a batch AND attach per-key op counts
+    (__n_ins/__n_upd/__n_del) so the merge stage's metrics see every
+    consumed event, not only the winners."""
     order = _version_order(tbl)
-    ids = tbl[key]
-    if isinstance(ids, pa.ChunkedArray):
-        ids = ids.combine_chunks()
-    ids_sorted = ids.to_numpy(zero_copy_only=False)[order]
+    ids_sorted = key_codes(tbl, _as_key_list(key))[order]
     last_pos, codes = _winner_positions(ids_sorted)
     n = int(codes.max()) + 1 if len(codes) else 0
     ops = tbl["__op"].to_numpy(zero_copy_only=False)[order]
@@ -567,8 +606,8 @@ def lww_pre_reduce_with_counts(tbl: pa.Table, key: str) -> pa.Table:
     return out
 
 
-def lww_reduce(tbl: pa.Table, key: str) -> pa.Table:
-    """Keep the max-version row per key (vectorized).
+def lww_reduce(tbl: pa.Table, key) -> pa.Table:
+    """Keep the max-version row per (possibly composite) key (vectorized).
 
     Version order = (__src_ts, __sk, __seq); in ORDERED mode __src_ts/__sk
     are zero so this degenerates to max __seq.  Only the three int version
@@ -578,10 +617,7 @@ def lww_reduce(tbl: pa.Table, key: str) -> pa.Table:
     if tbl.num_rows <= 1:
         return tbl
     order = _version_order(tbl)
-    ids = tbl[key]
-    if isinstance(ids, pa.ChunkedArray):
-        ids = ids.combine_chunks()
-    ids_sorted = ids.to_numpy(zero_copy_only=False)[order]
+    ids_sorted = key_codes(tbl, _as_key_list(key))[order]
     last_pos, _ = _winner_positions(ids_sorted)
     if len(last_pos) == tbl.num_rows:
         return tbl

@@ -1,0 +1,90 @@
+"""Composite primary keys end-to-end (reference: DDLEvent.java:31-55
+primaryKey is List<String>; exercised by the state-store base tests'
+multi-column schemas).  The engine must replicate a table keyed by
+(k1, k2): shard by the composite hash, LWW per key tuple, upsert by
+version against the lake base, and skip rows with any null component."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from deltaray import ReplayConfig, replay, replay_oracle
+from deltaray.oracle import tables_equal
+from deltaray.pipeline import read_table
+from deltaray.schemas import TableSchema, ddl_payload, event_log_schema
+
+PAIRS = TableSchema(
+    "pairs", ["k1", "k2"],
+    [("k1", "string"), ("k2", "int64"), ("v", "int64")],
+)
+
+
+def _write_composite_log(out_dir: str, *, n_events: int = 600, seed: int = 7,
+                         with_null_keys: bool = True) -> None:
+    log_schema = event_log_schema(PAIRS)
+    rng = np.random.default_rng(seed)
+    rows = [{
+        "seq": 1, "op": "CREATE_TABLE", "table": "pairs",
+        "ddl_payload": ddl_payload("CREATE_TABLE", schema=PAIRS),
+        "is_snapshot": True,
+    }]
+    seq = 1
+    for i in range(n_events):
+        seq += 1
+        op = ("INSERT", "UPDATE", "DELETE")[int(rng.integers(0, 3))]
+        row = {
+            "seq": seq, "op": op, "table": "pairs",
+            "k1": f"g{int(rng.integers(0, 6))}",
+            "k2": int(rng.integers(0, 25)),
+            "is_snapshot": False,
+        }
+        if op != "DELETE":
+            row["v"] = int(rng.integers(0, 1000))
+        if with_null_keys and i % 97 == 0:
+            row["k2"] = None  # null component: both sides must skip it
+        rows.append(row)
+    tbl = pa.table(
+        {f.name: [r.get(f.name) for r in rows] for f in log_schema},
+        schema=log_schema,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        tbl, os.path.join(out_dir, f"events-00000-{1:012d}-{seq:012d}.parquet"),
+        row_group_size=128,
+    )
+
+
+def _sorted_pair(t: pa.Table) -> pa.Table:
+    return t.sort_by([("k1", "ascending"), ("k2", "ascending")])
+
+
+def test_composite_key_replay_equals_oracle(tmp_log, tmp_lake):
+    _write_composite_log(tmp_log)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=150)
+    replay(cfg)
+    oracle = replay_oracle(cfg)["pairs"]
+    got = read_table(tmp_lake, "pairs")
+    ok, msg = tables_equal(_sorted_pair(got), _sorted_pair(oracle), key="k1")
+    assert ok, msg
+    assert got.num_rows > 0
+    # per-tuple uniqueness: no duplicate composite keys in the lake
+    uniq = {(a, b) for a, b in zip(got["k1"].to_pylist(),
+                                   got["k2"].to_pylist())}
+    assert len(uniq) == got.num_rows
+    # idempotent re-replay
+    replay(cfg)
+    got2 = read_table(tmp_lake, "pairs")
+    ok, msg = tables_equal(_sorted_pair(got2), _sorted_pair(oracle), key="k1")
+    assert ok, msg
+
+
+def test_composite_key_pk_rename_remap(tmp_log, tmp_lake):
+    """RENAME_COLUMN of one composite component remaps that component in
+    the key list (TransformationUtil.transformDDLEvent:121-132)."""
+    s2 = PAIRS.with_renamed_column("k2", "k2x", 5)
+    assert s2.keys == ["k1", "k2x"]
+    s3 = s2.with_renamed_column("k1", "kA", 6)
+    assert s3.keys == ["kA", "k2x"]

@@ -56,6 +56,10 @@ class ReplayConfig:
     dml_blacklist: set[str] = field(default_factory=set)     # global
     ddl_blacklist: set[str] = field(default_factory=lambda: {"DROP_DATABASE"})
     ordering: str = "ORDERED"      # or "UN_ORDERED"
+    # number of SortKey tiebreak components honored in UN_ORDERED mode
+    # (SortKey.java:26-41 models an arbitrary-length list; version order
+    # is (source_ts, sk[0..n), seq))
+    sort_key_components: int = 2
     retry: RetryConfig = field(default_factory=RetryConfig)
 
     # --- physical knobs (Ray side) ---
@@ -84,6 +88,8 @@ class ReplayConfig:
             raise ValueError(f"bad shuffle {self.shuffle!r}")
         if self.num_partitions < 1:
             raise ValueError("num_partitions must be >= 1")
+        if self.sort_key_components < 1:
+            raise ValueError("sort_key_components must be >= 1")
         for bl in [self.ddl_blacklist] + [t.ddl_blacklist for t in self.tables]:
             # CREATE_TABLE can never be blacklisted
             # (QueueingEventEmitter.java:101-104 does remove(CREATE_TABLE))

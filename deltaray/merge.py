@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 
 from deltaray.commit import LakeState
 from deltaray.schemas import TableSchema, code_to_type
-from deltaray.transforms import VERSION_COLS, lww_reduce
+from deltaray.transforms import lww_reduce, version_col_names
 
 SCHEMA_META_KEY = b"deltaray.schema"
 
@@ -65,14 +65,13 @@ def evolve_to(tbl: pa.Table, target: TableSchema) -> pa.Table:
     old.renames[o] == c) and then to target.renames.get(o, o)."""
     meta = tbl.schema.metadata or {}
     old_json = meta.get(SCHEMA_META_KEY)
-    payload_cols = [c for c in tbl.column_names if c not in VERSION_COLS]
     if old_json:
         old = TableSchema.from_json(old_json.decode())
         cur_for_orig = dict(target.renames)
         orig_for_old = {n: o for o, n in old.renames.items()}
         new_names = []
         for c in tbl.column_names:
-            if c in VERSION_COLS:
+            if c.startswith("__"):  # engine-internal columns keep their name
                 new_names.append(c)
             else:
                 o = orig_for_old.get(c, c)
@@ -85,8 +84,9 @@ def evolve_to(tbl: pa.Table, target: TableSchema) -> pa.Table:
             cols[name] = tbl[name]
         else:
             cols[name] = pa.nulls(tbl.num_rows, code_to_type(codec))
-    for v in VERSION_COLS:
-        cols[v] = tbl[v]
+    for v in tbl.column_names:
+        if v.startswith("__"):
+            cols[v] = tbl[v]
     return pa.table(cols)
 
 
@@ -138,16 +138,14 @@ def upsert_by_version(base: pa.Table, changes: pa.Table, key) -> pa.Table:
     def ver(tbl: pa.Table, col: str) -> np.ndarray:
         return tbl[col].to_numpy(zero_copy_only=False)
 
-    vcols = ("__src_ts", "__sk", "__sk2", "__seq")
-    c_ts, c_sk, c_sk2, c_sq = (ver(changes, c)[have] for c in vcols)
-    b_ts, b_sk, b_sk2, b_sq = (ver(base, c)[bidx] for c in vcols)
-    # lexicographic (ts, sk, sk2, seq) >= — change wins ties
-    wins = (
-        (c_ts > b_ts)
-        | ((c_ts == b_ts) & (c_sk > b_sk))
-        | ((c_ts == b_ts) & (c_sk == b_sk) & (c_sk2 > b_sk2))
-        | ((c_ts == b_ts) & (c_sk == b_sk) & (c_sk2 == b_sk2) & (c_sq >= b_sq))
-    )
+    vcols = version_col_names(changes.column_names)
+    c_arr = [ver(changes, c)[have] for c in vcols]
+    b_arr = [ver(base, c)[bidx] for c in vcols]
+    # lexicographic (ts, sk0.., seq) >= — change wins ties; built from the
+    # last component (seq, ties -> change) backwards
+    wins = c_arr[-1] >= b_arr[-1]
+    for cv, bv in zip(reversed(c_arr[:-1]), reversed(b_arr[:-1])):
+        wins = (cv > bv) | ((cv == bv) & wins)
     change_keep = np.ones(changes.num_rows, dtype=bool)
     change_keep[np.flatnonzero(have)[~wins]] = False
     base_keep = np.ones(base.num_rows, dtype=bool)

@@ -94,13 +94,13 @@ def replay_oracle(cfg: ReplayConfig) -> dict[str, pa.Table]:
             key = tuple(payload.get(k) for k in key_cols)
             if any(v is None for v in key):
                 continue
+            n_sk = max(1, int(getattr(cfg, "sort_key_components", 2)))
             if cfg.ordering == "UN_ORDERED":
                 sk = row.get("sort_keys") or []
-                sk0 = sk[0] if len(sk) > 0 else 0
-                sk1 = sk[1] if len(sk) > 1 else 0
-                version = (row.get("source_ts") or 0, sk0, sk1, row["seq"])
+                comps = tuple(sk[i] if len(sk) > i else 0 for i in range(n_sk))
+                version = (row.get("source_ts") or 0, *comps, row["seq"])
             else:
-                version = (0, 0, 0, row["seq"])
+                version = (0,) * (n_sk + 1) + (row["seq"],)
             cur = state[t].get(key)
             if cur is not None and cur[0] >= version:
                 continue  # older than stored version: no-op

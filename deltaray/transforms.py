@@ -28,8 +28,17 @@ from deltaray.schemas import DML_OPS, TableSchema, code_to_type
 
 # version columns stored in the lake next to payload; max-version-wins
 # merge makes replay idempotent and UN_ORDERED late data correct across
-# chunk boundaries (tombstones keep DELETE versions visible).
-VERSION_COLS = ("__seq", "__src_ts", "__sk", "__sk2", "__deleted")
+# chunk boundaries (tombstones keep DELETE versions visible).  Sort-key
+# tiebreaks are __sk0..__sk{n-1} (configurable width, SortKey.java:26-41
+# list semantics); every "__"-prefixed column is engine-internal.
+VERSION_COLS = ("__seq", "__src_ts", "__deleted")
+
+
+def sk_names(cols) -> list[str]:
+    """The __sk<i> columns present, in component order."""
+    out = [c for c in cols
+           if c.startswith("__sk") and c[4:].isdigit()]
+    return sorted(out, key=lambda c: int(c[4:]))
 
 
 # ------------------------------------------------------------- directives
@@ -350,6 +359,7 @@ class TransformStage:
         effective_schemas: dict[str, TableSchema],
     ):
         self.ordering = cfg.ordering
+        self.n_sk = max(1, int(getattr(cfg, "sort_key_components", 2)))
         self.num_partitions = cfg.num_partitions
         self.table_set = cfg.table_names  # empty = all tables
         self.dml_bl = {t: cfg.dml_blacklist_for(t) for t in schemas}
@@ -386,8 +396,7 @@ class TransformStage:
         for n, t in [
             ("__seq", pa.int64()),
             ("__src_ts", pa.int64()),
-            ("__sk", pa.int64()),
-            ("__sk2", pa.int64()),
+            *[(f"__sk{i}", pa.int64()) for i in range(self.n_sk)],
             ("__deleted", pa.bool_()),
             ("__op", pa.string()),
             ("__n_ins", pa.int64()),
@@ -471,19 +480,20 @@ class TransformStage:
         if self.ordering == "UN_ORDERED":
             src_ts = pc.fill_null(sub["source_ts"].cast(pa.int64()), 0)
             if "sort_keys" in sub.column_names:
-                sk, sk2 = sort_key_components(sub["sort_keys"], 2)
+                sks = [pa.array(a) for a in
+                       sort_key_components(sub["sort_keys"], self.n_sk)]
             else:
-                sk = sk2 = np.zeros(len(sub), dtype=np.int64)
-            sk, sk2 = pa.array(sk), pa.array(sk2)
+                z = pa.array(np.zeros(len(sub), dtype=np.int64))
+                sks = [z] * self.n_sk
         else:
             src_ts = pa.array(np.zeros(len(sub), dtype=np.int64))
-            sk = sk2 = src_ts
+            sks = [src_ts] * self.n_sk
         deleted = pc.equal(sub["op"], "DELETE")
         out = payload
         out = out.append_column("__seq", seq)
         out = out.append_column("__src_ts", src_ts)
-        out = out.append_column("__sk", sk)
-        out = out.append_column("__sk2", sk2)
+        for i, a in enumerate(sks):
+            out = out.append_column(f"__sk{i}", a)
         out = out.append_column("__deleted", deleted)
         out = out.append_column("__op", sub["op"])
         snap = (pc.fill_null(sub["is_snapshot"], False)
@@ -524,10 +534,6 @@ class TransformStage:
         return out
 
 
-_VERSION_SORT = [("__src_ts", "ascending"), ("__sk", "ascending"),
-                 ("__sk2", "ascending"), ("__seq", "ascending")]
-
-
 def sort_key_components(col, k: int) -> list[np.ndarray]:
     """First k elements of a list<int> column as dense int64 arrays
     (missing elements / null lists → 0), vectorized on the flat buffers —
@@ -552,12 +558,20 @@ def sort_key_components(col, k: int) -> list[np.ndarray]:
     return out
 
 
+def version_col_names(cols) -> list[str]:
+    """Version order = (__src_ts, __sk0.., __seq), derived from the columns
+    actually present so width follows cfg.sort_key_components."""
+    return ["__src_ts", *sk_names(cols), "__seq"]
+
+
 def _version_order(tbl: pa.Table) -> np.ndarray:
-    """Row permutation sorting by version (__src_ts, __sk, __sk2, __seq) —
+    """Row permutation sorting by version (__src_ts, __sk0.., __seq) —
     computed on the int64 columns ONLY, so the (fat) token payload is
     never moved by the sort.  pyarrow sort_indices is stable."""
-    slim = tbl.select(["__src_ts", "__sk", "__sk2", "__seq"])
-    return pc.sort_indices(slim, sort_keys=_VERSION_SORT).to_numpy()
+    names = version_col_names(tbl.column_names)
+    slim = tbl.select(names)
+    return pc.sort_indices(
+        slim, sort_keys=[(n, "ascending") for n in names]).to_numpy()
 
 
 def _winner_positions(ids_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -609,10 +623,10 @@ def lww_pre_reduce_with_counts(tbl: pa.Table, key) -> pa.Table:
 def lww_reduce(tbl: pa.Table, key) -> pa.Table:
     """Keep the max-version row per (possibly composite) key (vectorized).
 
-    Version order = (__src_ts, __sk, __seq); in ORDERED mode __src_ts/__sk
-    are zero so this degenerates to max __seq.  Only the three int version
-    columns are sorted (indices); winners are gathered with ONE take, so
-    large token payloads move at most once.
+    Version order = (__src_ts, __sk0.., __seq); in ORDERED mode the
+    ts/sk columns are zero so this degenerates to max __seq.  Only the
+    int version columns are sorted (indices); winners are gathered with
+    ONE take, so large token payloads move at most once.
     """
     if tbl.num_rows <= 1:
         return tbl

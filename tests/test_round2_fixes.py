@@ -37,8 +37,8 @@ def test_lww_precount_unique_key_fast_path_alignment():
         "doc_id": pa.array([f"k{i}" for i in [3, 1, 5, 0, 4, 2]]),
         "__seq": pa.array(np.arange(n, dtype=np.int64)),
         "__src_ts": pa.array(np.zeros(n, dtype=np.int64)),
-        "__sk": pa.array(np.zeros(n, dtype=np.int64)),
-        "__sk2": pa.array(np.zeros(n, dtype=np.int64)),
+        "__sk0": pa.array(np.zeros(n, dtype=np.int64)),
+        "__sk1": pa.array(np.zeros(n, dtype=np.int64)),
         "__deleted": pa.array([o == "DELETE" for o in ops]),
         "__op": pa.array(ops),
         "__snap": pa.array([False] * n),
@@ -155,3 +155,48 @@ def test_broadcast_enrich_dup_dim_keys(ray_session):
         .iter_batches(batch_format="pyarrow")
     )).sort_by("sk")
     assert out["label"].to_pylist() == [None, "first", "z"]
+
+
+def test_three_component_sort_keys(tmp_log, tmp_lake):
+    """cfg.sort_key_components=3: the THIRD SortKey tiebreak is honored
+    (SortKey.java:26-41 models an arbitrary-length list; the engine used
+    to hardcode two components)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from deltaray.schemas import (ddl_payload, default_table_schema,
+                                  event_log_schema)
+
+    schema = default_table_schema()
+    log_schema = event_log_schema(schema)
+    ts = 1704067200_000000
+
+    def row(seq, op, doc, tok, sk):
+        return {"seq": seq, "op": op, "table": "docs", "doc_id": doc,
+                "tokens": tok, "n_tok": len(tok), "source": "web",
+                "ingest_ts": ts + seq, "source_ts": ts,
+                "is_snapshot": False, "sort_keys": sk}
+
+    rows = [
+        {"seq": 1, "op": "CREATE_TABLE", "table": "docs",
+         "ddl_payload": ddl_payload("CREATE_TABLE", schema=schema),
+         "ingest_ts": ts, "source_ts": ts, "is_snapshot": True},
+        # equal (ts, sk0, sk1): sk2 must decide, against arrival order
+        row(2, "INSERT", "d1", [9, 9], [1, 2, 7]),   # logically newest
+        row(3, "UPDATE", "d1", [1, 1], [1, 2, 3]),   # older by sk[2]
+        # with only 2 components honored, seq would (wrongly) pick seq=3
+    ]
+    os.makedirs(tmp_log, exist_ok=True)
+    cols = {f.name: [r.get(f.name) for r in rows] for f in log_schema}
+    pq.write_table(pa.table(cols, schema=log_schema),
+                   f"{tmp_log}/events-00000-000000000001-000000000003.parquet")
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2,
+                       ordering="UN_ORDERED", sort_key_components=3)
+    replay(cfg)
+    oracle = replay_oracle(cfg)
+    got = read_table(tmp_lake, "docs")
+    ok, msg = tables_equal(got, oracle["docs"])
+    assert ok, msg
+    by_id = {r["doc_id"]: r["tokens"] for r in got.to_pylist()}
+    assert by_id["d1"] == [9, 9]  # sk[2]=7 beats sk[2]=3 despite lower seq

@@ -60,6 +60,11 @@ class ReplayConfig:
     # (SortKey.java:26-41 models an arbitrary-length list; version order
     # is (source_ts, sk[0..n), seq))
     sort_key_components: int = 2
+    # carry each winning event's before-image (DMLEvent.previousRow,
+    # DMLEvent.java:66-72 — set on UPDATE, needed by audit/delete-
+    # semantics targets) into the lake as an internal column, exposed by
+    # read_table(with_previous=True)
+    track_previous: bool = False
     retry: RetryConfig = field(default_factory=RetryConfig)
 
     # --- physical knobs (Ray side) ---
@@ -72,8 +77,19 @@ class ReplayConfig:
     vacuum: bool = True            # delete superseded COW files after commit
     generation: int = 0            # run generation; isolates recreated pipelines
                                    # (DeltaWorker.java:140-150)
+    # ${key} macro values, evaluated at config construction — the plugin-
+    # instantiation-time macro evaluation of DeltaWorker.java:208-213
+    runtime_args: dict[str, str] = field(default_factory=dict)
 
     def __post_init__(self):
+        if self.runtime_args:
+            self.event_log = expand_macros(self.event_log, self.runtime_args)
+            self.lake = expand_macros(self.lake, self.runtime_args)
+            for t in self.tables:
+                t.transformations = [
+                    expand_macros(d, self.runtime_args)
+                    for d in t.transformations
+                ]
         self.validate()
 
     def validate(self) -> None:

@@ -162,12 +162,20 @@ def stamp_schema(tbl: pa.Table, schema: TableSchema) -> pa.Table:
     return tbl.replace_schema_metadata(meta)
 
 
-def strip_internal(tbl: pa.Table) -> pa.Table:
-    """Drop tombstones + version columns → the user-visible table."""
+def strip_internal(tbl: pa.Table, with_previous: bool = False) -> pa.Table:
+    """Drop tombstones + version columns → the user-visible table.
+    ``with_previous=True`` surfaces the stored before-image column as
+    ``prev_tokens`` (previousRow, DMLEvent.java:66-72)."""
     if "__deleted" in tbl.column_names:
         tbl = tbl.filter(pc.invert(pc.fill_null(tbl["__deleted"], False)))
+    prev = (tbl["__prev_tokens"]
+            if with_previous and "__prev_tokens" in tbl.column_names else None)
     drop = [c for c in tbl.column_names if c.startswith("__")]
-    return tbl.drop_columns(drop) if drop else tbl
+    if drop:
+        tbl = tbl.drop_columns(drop)
+    if prev is not None:
+        tbl = tbl.append_column("prev_tokens", prev)
+    return tbl
 
 
 def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,

@@ -89,6 +89,8 @@ def replay_oracle(cfg: ReplayConfig) -> dict[str, pa.Table]:
                 cols = [c for c in cols if c in tc.columns or c in ts.keys]
             payload = {c: row.get(c) for c in cols}
             payload = apply_directives_to_row(payload, directives)
+            if getattr(cfg, "track_previous", False):
+                payload["prev_tokens"] = row.get("prev_tokens")
             # composite keys: state keyed by the component tuple; any null
             # component skips the row (engine mirrors this)
             key = tuple(payload.get(k) for k in key_cols)
@@ -125,6 +127,9 @@ def replay_oracle(cfg: ReplayConfig) -> dict[str, pa.Table]:
             cols[name] = pa.array(
                 [r.get(name) for r in live], type=code_to_type(codec)
             )
+        if getattr(cfg, "track_previous", False):
+            cols["prev_tokens"] = pa.array(
+                [r.get("prev_tokens") for r in live], pa.list_(pa.int32()))
         out[t] = pa.table(cols)
     return out
 

@@ -347,6 +347,8 @@ class ReplaySession:
             needed.update(s.column_names())
         if cfg.ordering == "UN_ORDERED":
             needed.update(["source_ts", "sort_keys"])
+        if cfg.track_previous:
+            needed.add("prev_tokens")
         present = set(pq.read_schema(files[0]).names)
         columns = sorted(needed & present)
         stage = TransformStage(cfg, dict(self.schemas), self._effective())
@@ -444,6 +446,7 @@ class ReplaySession:
             "num_partitions": self.cfg.num_partitions,
             "ordering": self.cfg.ordering,
             "sort_key_components": getattr(self.cfg, "sort_key_components", 2),
+            "track_previous": bool(getattr(self.cfg, "track_previous", False)),
         }
         if os.path.exists(path):
             with open(path) as f:
@@ -537,23 +540,32 @@ def replay_follow(cfg: ReplayConfig, *, poll_seconds: float = 5.0,
 
 
 # ------------------------------------------------------------------ reads
-def read_table(lake_root: str, table: str, generation: int = 0) -> pa.Table:
+def read_table(lake_root: str, table: str, generation: int = 0,
+               with_previous: bool = False) -> pa.Table:
     """Driver-side materialization of one table's final state (small
-    results / tests).  For large tables use ``read_table_ds``."""
+    results / tests).  For large tables use ``read_table_ds``.
+    ``with_previous=True`` (requires a lake replayed with
+    ``track_previous``) appends each live row's before-image as
+    ``prev_tokens`` (DMLEvent.previousRow analog)."""
     lake = LakeState(lake_root, generation)
     schema = lake.current_schema(table)
     if schema is None:
         raise KeyError(f"unknown table {table!r}")
+    out_schema = schema.arrow_schema()
+    if with_previous:
+        out_schema = out_schema.append(pa.field("prev_tokens",
+                                                pa.list_(pa.int32())))
     if os.path.isdir(os.path.join(lake.table_dir(table), "_dropped")):
-        return schema.arrow_schema().empty_table()
+        return out_schema.empty_table()
     parts = []
     for d in sorted(glob.glob(os.path.join(lake.table_dir(table), "part=*"))):
         part = int(os.path.basename(d).split("=")[1])
         tbl, _ = lake.read_partition(table, part)
         if tbl is not None and tbl.num_rows:
-            parts.append(strip_internal(evolve_to(tbl, schema)))
+            parts.append(strip_internal(evolve_to(tbl, schema),
+                                        with_previous=with_previous))
     if not parts:
-        return schema.arrow_schema().empty_table()
+        return out_schema.empty_table()
     out = pa.concat_tables(parts)
     return out.sort_by([(k, "ascending") for k in schema.keys])
 
@@ -573,7 +585,8 @@ def current_data_files(lake_root: str, table: str, generation: int = 0) -> list[
     return files
 
 
-def read_table_ds(lake_root: str, table: str, generation: int = 0):
+def read_table_ds(lake_root: str, table: str, generation: int = 0,
+                  with_previous: bool = False):
     """Streaming read of a table's current state as a ray.data.Dataset."""
     import ray.data
 
@@ -590,7 +603,8 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0):
     sj = schema.to_json()
 
     def fix(batch: pa.Table) -> pa.Table:
-        return strip_internal(evolve_to(batch, TableSchema.from_json(sj)))
+        return strip_internal(evolve_to(batch, TableSchema.from_json(sj)),
+                              with_previous=with_previous)
 
     return ds.map_batches(fix, batch_format="pyarrow")
 

@@ -359,6 +359,7 @@ class TransformStage:
         effective_schemas: dict[str, TableSchema],
     ):
         self.ordering = cfg.ordering
+        self.track_previous = bool(getattr(cfg, "track_previous", False))
         self.n_sk = max(1, int(getattr(cfg, "sort_key_components", 2)))
         self.num_partitions = cfg.num_partitions
         self.table_set = cfg.table_names  # empty = all tables
@@ -397,6 +398,8 @@ class TransformStage:
             ("__seq", pa.int64()),
             ("__src_ts", pa.int64()),
             *[(f"__sk{i}", pa.int64()) for i in range(self.n_sk)],
+            *([("__prev_tokens", pa.list_(pa.int32()))]
+              if self.track_previous else []),
             ("__deleted", pa.bool_()),
             ("__op", pa.string()),
             ("__n_ins", pa.int64()),
@@ -494,6 +497,14 @@ class TransformStage:
         out = out.append_column("__src_ts", src_ts)
         for i, a in enumerate(sks):
             out = out.append_column(f"__sk{i}", a)
+        if self.track_previous:
+            # before-image of THIS event (previousRow, DMLEvent.java:66-72);
+            # note directive chains are applied to the row, not the
+            # before-image (the audit column carries source-side values)
+            prev = (sub["prev_tokens"].cast(pa.list_(pa.int32()))
+                    if "prev_tokens" in sub.column_names
+                    else pa.nulls(len(sub), pa.list_(pa.int32())))
+            out = out.append_column("__prev_tokens", prev)
         out = out.append_column("__deleted", deleted)
         out = out.append_column("__op", sub["op"])
         snap = (pc.fill_null(sub["is_snapshot"], False)

@@ -200,3 +200,45 @@ def test_three_component_sort_keys(tmp_log, tmp_lake):
     assert ok, msg
     by_id = {r["doc_id"]: r["tokens"] for r in got.to_pylist()}
     assert by_id["d1"] == [9, 9]  # sk[2]=7 beats sk[2]=3 despite lower seq
+
+
+def test_previous_row_tracking(tmp_log, tmp_lake):
+    """track_previous carries each winning event's before-image
+    (DMLEvent.previousRow, DMLEvent.java:66-72) into the lake; the final
+    table's prev_tokens matches the oracle's row-for-row."""
+    write_event_log(tmp_log, n_docs=80, n_events=1200, seed=79,
+                    track_prev=True)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=400, track_previous=True)
+    replay(cfg)
+    oracle = replay_oracle(cfg)
+    got = read_table(tmp_lake, "docs", with_previous=True)
+    assert "prev_tokens" in got.column_names
+    ok, msg = tables_equal(got, oracle["docs"])
+    assert ok, msg
+    # updated rows actually carry a non-null before-image
+    n_prev = sum(v is not None for v in got["prev_tokens"].to_pylist())
+    assert n_prev > 0
+    # the default read hides the audit column
+    plain = read_table(tmp_lake, "docs")
+    assert "prev_tokens" not in plain.column_names
+
+
+def test_macro_expansion_in_config():
+    """${key} macros in paths and directive chains resolve from
+    runtime_args at config construction (DeltaWorker.java:208-213 macro
+    evaluation at plugin instantiation)."""
+    from deltaray import TableConfig
+
+    cfg = ReplayConfig(
+        event_log="/tmp/${env}/events", lake="/tmp/${env}/lake",
+        tables=[TableConfig("docs",
+                            transformations=["mask tokens 0 ${mask_n}"])],
+        runtime_args={"env": "prod", "mask_n": "4"},
+    )
+    assert cfg.event_log == "/tmp/prod/events"
+    assert cfg.lake == "/tmp/prod/lake"
+    assert cfg.tables[0].transformations == ["mask tokens 0 4"]
+    with pytest.raises(KeyError):
+        ReplayConfig(event_log="/tmp/${missing}/e", lake="/tmp/l",
+                     runtime_args={"env": "x"})

@@ -232,6 +232,11 @@ def _simhash_docs(sf_dir: str):
 
 
 def _embedding_neardup(sf_dir: str):
+    """The driver's synthetic embeddings contain no true near-dups (max
+    pairwise cosine ~0.51), so the query PLANTS deterministic twins of the
+    first 8 vectors (vec_id + 1_000_000, per-id seeded noise, cosine
+    ~0.999) and the operator must recover exactly those 8 pairs — the
+    output is a real check, not a vacuous empty set."""
     import pyarrow.parquet as pq
 
     from deltaray.functions.dedup import embedding_neardup_pairs
@@ -239,7 +244,28 @@ def _embedding_neardup(sf_dir: str):
     dim = len(
         pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))["embedding"][0]
     )
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant_twins(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.less(batch["vec_id"], 8))
+        if sel.num_rows == 0:
+            return batch
+        ids = sel["vec_id"].to_numpy(zero_copy_only=False)
+        vecs = np.array(sel["embedding"].to_pylist(), dtype=np.float32)
+        twins = []
+        for vid, row in zip(ids, vecs):
+            g = np.random.default_rng(10_000 + int(vid)).standard_normal(
+                len(row)).astype(np.float32)
+            twins.append(row + 0.02 * np.linalg.norm(row) * g / np.linalg.norm(g))
+        extra = pa.table({
+            "vec_id": pa.array((ids + 1_000_000).astype(np.int64)),
+            "embedding": pa.array([t.tolist() for t in twins],
+                                  batch["embedding"].type),
+        })
+        return pa.concat_tables([batch.select(["vec_id", "embedding"]), extra],
+                                promote_options="default")
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(plant_twins, batch_format="pyarrow")
     return embedding_neardup_pairs(ds, dim=dim, threshold=0.95)
 
 

@@ -396,30 +396,44 @@ def ngram_jaccard_pairs(ds, *, k: int = 8, threshold: float = 0.3,
 
 
 def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
-                            n_planes: int = 12, id_col: str = "vec_id",
+                            n_planes: int = 12, n_tables: int = 4,
+                            id_col: str = "vec_id",
                             vec_col: str = "embedding", seed: int = 42):
     """Embedding-cosine near-dup: random-hyperplane LSH bucket per vector
     (map_batches, hyperplanes broadcast via the actor constructor), then
-    exact cosine within buckets.  At 100 TB the bucket groupby is the only
-    shuffle and carries (bucket, id, vector) rows."""
+    exact cosine within buckets.  ``n_tables`` independent hyperplane
+    tables raise recall multiplicatively (a θ-close pair collides in ≥1
+    table with prob 1-(1-(1-θ/π)^planes)^tables); pairs found by several
+    tables are deduped by one more tiny exchange.  Precision is exact —
+    every emitted pair is verified by true cosine ≥ threshold.  At 100 TB
+    the bucket groupby is the only wide shuffle and carries
+    (table, bucket, id, unit-vector) rows."""
 
     class Bucket:
         def __init__(self):
             rng = np.random.default_rng(seed)
-            self.planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+            self.planes = rng.standard_normal(
+                (n_tables, dim, n_planes)).astype(np.float32)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             norms[norms == 0] = 1
             unit = vecs / norms
-            bits = (unit @ self.planes) > 0
-            bucket = bits @ (1 << np.arange(n_planes))
+            n = len(unit)
+            pows = 1 << np.arange(n_planes)
+            buckets = np.concatenate([
+                ((unit @ self.planes[t]) > 0) @ pows for t in range(n_tables)
+            ])
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
             return pa.table(
                 {
-                    "bucket": pa.array(bucket.astype(np.int64)),
-                    id_col: batch[id_col],
-                    "unit": pa.array(list(unit), pa.list_(pa.float32())),
+                    "ltable": pa.array(
+                        np.repeat(np.arange(n_tables, dtype=np.int32), n)),
+                    "bucket": pa.array(buckets.astype(np.int64)),
+                    id_col: pa.array(np.tile(ids, n_tables)),
+                    "unit": pa.array(list(unit) * n_tables,
+                                     pa.list_(pa.float32())),
                 }
             )
 
@@ -434,8 +448,9 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
                           "cosine": pa.array([], pa.float64())})
         if block.num_rows < 2:
             return empty
-        g = block.sort_by([("bucket", "ascending"), (id_col, "ascending")])
-        codes = group_codes(g, ["bucket"])
+        g = block.sort_by([("ltable", "ascending"), ("bucket", "ascending"),
+                           (id_col, "ascending")])
+        codes = group_codes(g, ["ltable", "bucket"])
         ids = g[id_col].to_numpy(zero_copy_only=False)
         unit = np.array(g["unit"].to_pylist(), dtype=np.float32)
         first = np.unique(codes, return_index=True)[1]
@@ -461,7 +476,11 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
             "cosine": pa.array(np.concatenate(out_c).astype(np.float64)),
         })
 
-    return hash_partitioned(ds, ["bucket"], pairs_block)
+    pairs = hash_partitioned(ds, ["ltable", "bucket"], pairs_block)
+    # a pair can collide in several tables (same cosine each time)
+    return hash_partitioned(
+        pairs, ["id_a", "id_b"],
+        lambda b: take_first_per_key(b, ["id_a", "id_b"]))
 
 
 def _union_find_drops(pair_iter) -> set:

@@ -392,3 +392,45 @@ def test_top_k_per_key():
     # a: v=9 ids 3,4 (tie broken by id); b: both rows survive (k > size)
     assert list(out[["g", "id"]].itertuples(index=False, name=None)) \
         == [("a", 3), ("a", 4), ("b", 6), ("b", 7)]
+
+
+def test_embedding_neardup_vs_bruteforce(ray_session):
+    """LSH near-dup pairs vs an O(n²) brute-force oracle: precision is
+    exact by construction (every pair verified by true cosine) and the
+    multi-table hyperplane scheme recovers every planted near-dup pair
+    (deterministic seeds → deterministic buckets)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from deltaray.functions.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    dim, n = 32, 200
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    twins = []
+    for i in range(10):  # plant 10 near-dups of vectors 0..9 (cos ~0.9995)
+        g = rng.standard_normal(dim).astype(np.float32)
+        twins.append(base[i] + 0.03 * np.linalg.norm(base[i]) * g / np.linalg.norm(g))
+    vecs = np.vstack([base, np.stack(twins)])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    threshold = 0.95
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sim = unit @ unit.T
+    ia, ib = np.triu_indices(len(vecs), 1)
+    keep = sim[ia, ib] >= threshold
+    want = {(int(a), int(b)) for a, b in zip(ia[keep], ib[keep])}
+    assert len(want) >= 10
+
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array([v.tolist() for v in vecs],
+                                          pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = pa.concat_tables(list(
+        embedding_neardup_pairs(ds, dim=dim, threshold=threshold,
+                                n_planes=8, n_tables=8)
+        .iter_batches(batch_format="pyarrow")))
+    got = {(min(a, b), max(a, b))
+           for a, b in zip(out["id_a"].to_pylist(), out["id_b"].to_pylist())}
+    assert got <= want            # exact precision
+    assert got == want            # full recall on this fixture

@@ -483,6 +483,108 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
         lambda b: take_first_per_key(b, ["id_a", "id_b"]))
 
 
+def connected_components(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
+                         num_partitions: int = 64, max_rounds: int = 50):
+    """Distributed connected components over an edge Dataset via
+    alternating large-star / small-star rounds (the MapReduce CC
+    algorithm of Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — public algorithm).  Each round is two
+    hash-partitioned exchanges over the EDGE set only (16 bytes/edge);
+    convergence is O(log n) rounds.  Returns a Dataset of
+    (node, root) rows, root = the component's min node id; singleton
+    nodes (no edges) never appear.
+
+    This is the scale path for near-dup clustering when the pair set
+    exceeds driver memory — the union-find in ``_union_find_drops``
+    handles the common small case.
+    """
+    import ray.data
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": batch[id_a].cast(pa.int64()),
+                         "v": batch[id_b].cast(pa.int64())})
+
+    edges = pairs_ds.map_batches(normalize, batch_format="pyarrow")
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = batch["u"].combine_chunks() if isinstance(batch["u"], pa.ChunkedArray) else batch["u"]
+        v = batch["v"].combine_chunks() if isinstance(batch["v"], pa.ChunkedArray) else batch["v"]
+        return pa.table({"u": pa.concat_arrays([u, v]),
+                         "v": pa.concat_arrays([v, u])})
+
+    def orient_max_first(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"u": pa.array(np.maximum(u, v)),
+                         "v": pa.array(np.minimum(u, v))})
+
+    def _grouped(block: pa.Table):
+        g = take_first_per_key(block, ["u", "v"])  # sorted + deduped
+        u = g["u"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        codes = group_codes(g, ["u"])
+        first = np.unique(codes, return_index=True)[1]
+        ends = np.append(first[1:], len(codes))
+        m = np.minimum(np.minimum.reduceat(v, first), u[first])
+        return u, v, first, ends, np.repeat(m, ends - first)
+
+    def large_star_block(block: pa.Table) -> pa.Table:
+        """(v, min(N(u) ∪ u)) for every neighbor v > u."""
+        if block.num_rows == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        u, v, first, ends, mrep = _grouped(block)
+        mask = v > u
+        return pa.table({"u": pa.array(v[mask]), "v": pa.array(mrep[mask])})
+
+    def small_star_block(block: pa.Table) -> pa.Table:
+        """Edges oriented u ≥ v; link every neighbor AND u itself to the
+        group min."""
+        if block.num_rows == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        u, v, first, ends, mrep = _grouped(block)
+        out_u = np.concatenate([v, u[first]])
+        out_v = np.concatenate([mrep, mrep[first]])  # group min for u itself
+        keep = out_u != out_v
+        return pa.table({"u": pa.array(out_u[keep]),
+                         "v": pa.array(out_v[keep])})
+
+    def fingerprint(ds) -> tuple[int, int]:
+        def fp(batch: pa.Table) -> pa.Table:
+            u = batch["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            v = batch["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = ((u * np.uint64(0x9E3779B97F4A7C15)) ^ v) \
+                * np.uint64(0x100000001B3)
+            return pa.table({"n": pa.array([len(u)], pa.int64()),
+                             "h": pa.array([int(h.sum(dtype=np.uint64))],
+                                           pa.uint64())})
+        rows = ds.map_batches(fp, batch_format="pyarrow").take_all()
+        return (sum(r["n"] for r in rows),
+                sum(int(r["h"]) for r in rows) & (2**64 - 1))
+
+    prev_fp = None
+    for _ in range(max_rounds):
+        both = edges.map_batches(both_dirs, batch_format="pyarrow")
+        edges = hash_partitioned(both, ["u"], large_star_block,
+                                 num_partitions=num_partitions)
+        oriented = edges.map_batches(orient_max_first, batch_format="pyarrow")
+        edges = hash_partitioned(oriented, ["u"], small_star_block,
+                                 num_partitions=num_partitions)
+        cur_fp = fingerprint(edges)
+        if cur_fp == prev_fp:
+            break
+        prev_fp = cur_fp
+
+    def to_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["u"], "root": batch["v"]})
+
+    labels = edges.map_batches(to_labels, batch_format="pyarrow")
+    return hash_partitioned(labels, ["node"],
+                            lambda b: take_first_per_key(b, ["node", "root"]),
+                            num_partitions=num_partitions)
+
+
 def _union_find_drops(pair_iter) -> set:
     """Connected components over near-dup pairs (path-halving union-find);
     drop everything but the min id of each component.  The pair set is
@@ -512,29 +614,84 @@ def _union_find_drops(pair_iter) -> set:
 
 def minhash_dedup_docs(ds, *, num_hashes: int = 64, bands: int = 16,
                        id_col: str = "doc_id", jaccard_threshold: float = 0.5,
-                       shingle_k: int = 5, seed: int = 42):
+                       shingle_k: int = 5, seed: int = 42,
+                       pair_budget: int = 2_000_000,
+                       stats_out: dict | None = None):
     """Near-duplicate DEDUP over documents: cluster verified near-dup
-    pairs into connected components (union-find over the pair set — so a
-    chain a~b~c keeps only `a` even if (a, c) never banded together) and
-    keep the min-id document of every component.  The drop SET (ids only,
-    tiny vs the corpus) is broadcast into a filter pass — document text
-    never shuffles.
+    pairs into connected components (so a chain a~b~c keeps only ``a``
+    even if (a, c) never banded together) and keep the min-id document of
+    every component.
+
+    Two clustering paths, switched on the measured pair count
+    (``pair_budget``, default 2M ≈ tens of MB of driver memory):
+    - pairs ≤ budget: driver-side union-find, drop-id set broadcast into
+      a filter pass (document text never shuffles);
+    - pairs > budget (high-dup corpus at scale): fully distributed —
+      alternating large-star/small-star :func:`connected_components`
+      over the edge Dataset, then a hash-partitioned ANTI-JOIN of the
+      corpus against the (node → root) labels, so neither the pair set
+      nor the drop set ever materializes on the driver.
+    ``stats_out`` (optional dict) receives {"n_pairs", "path"}.
     """
     pairs = minhash_lsh_pairs(
         ds, num_hashes=num_hashes, bands=bands, id_col=id_col,
         jaccard_threshold=jaccard_threshold, shingle_k=shingle_k, seed=seed,
     )
-    drop = _union_find_drops(
-        (a, b) for t in pairs.iter_batches(batch_format="pyarrow")
-        for a, b in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
-    import ray
+    n_pairs = pairs.count()  # pairs is materialized block refs — cheap
+    if stats_out is not None:
+        stats_out["n_pairs"] = int(n_pairs)
 
-    drop_ref = ray.put(pa.array(sorted(drop)))
+    if n_pairs <= pair_budget:
+        if stats_out is not None:
+            stats_out["path"] = "union_find"
+        drop = _union_find_drops(
+            (a, b) for t in pairs.iter_batches(batch_format="pyarrow")
+            for a, b in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
+        import ray
 
-    def keep(batch: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        if len(d) == 0:
-            return batch
-        return batch.filter(pc.invert(pc.is_in(batch[id_col], value_set=d)))
+        drop_ref = ray.put(pa.array(sorted(drop)))
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+        def keep(batch: pa.Table) -> pa.Table:
+            d = ray.get(drop_ref)
+            if len(d) == 0:
+                return batch
+            return batch.filter(
+                pc.invert(pc.is_in(batch[id_col], value_set=d)))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    if stats_out is not None:
+        stats_out["path"] = "distributed_cc"
+    labels = connected_components(pairs)  # (node, root): every non-root
+    schema = ds.schema()
+    doc_types = dict(zip(schema.names, schema.types))
+    doc_cols = list(schema.names)
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        return batch.select(doc_cols).append_column(
+            "__drop", pa.array(np.zeros(batch.num_rows, dtype=bool)))
+
+    def tag_drops(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for c in doc_cols:
+            if c == id_col:
+                cols[c] = batch["node"].cast(doc_types[c])
+            else:
+                cols[c] = pa.nulls(n, doc_types[c])
+        cols["__drop"] = pa.array(np.ones(n, dtype=bool))
+        return pa.table(cols)
+
+    both = ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        labels.map_batches(tag_drops, batch_format="pyarrow"))
+
+    def anti_block(block: pa.Table) -> pa.Table:
+        is_drop = pc.fill_null(block["__drop"], False)
+        docs = block.filter(pc.invert(is_drop)).drop_columns(["__drop"])
+        drops = pc.unique(block.filter(is_drop)[id_col])
+        if len(drops) == 0:
+            return docs
+        return docs.filter(
+            pc.invert(pc.is_in(docs[id_col], value_set=drops)))
+
+    return hash_partitioned(both, [id_col], anti_block)

@@ -434,3 +434,74 @@ def test_embedding_neardup_vs_bruteforce(ray_session):
            for a, b in zip(out["id_a"].to_pylist(), out["id_b"].to_pylist())}
     assert got <= want            # exact precision
     assert got == want            # full recall on this fixture
+
+
+def test_distributed_connected_components(ray_session):
+    """Alternating large-star/small-star CC over an edge Dataset equals a
+    single-process union-find on a random graph."""
+    import ray.data
+
+    from deltaray.functions.dedup import connected_components
+
+    rng = np.random.default_rng(11)
+    # 40 clusters of 1..8 nodes connected by random spanning chains + noise
+    edges, offset = [], 0
+    comp_of = {}
+    for c in range(40):
+        size = int(rng.integers(1, 9))
+        nodes = list(range(offset, offset + size))
+        offset += size + int(rng.integers(0, 3))  # id gaps
+        for n in nodes:
+            comp_of[n] = min(nodes)
+        for a, b in zip(nodes, nodes[1:]):
+            edges.append((a, b))
+        for _ in range(int(rng.integers(0, 3))):  # redundant intra edges
+            if size > 1:
+                a, b = rng.choice(nodes, 2, replace=False)
+                if a != b:
+                    edges.append((int(a), int(b)))
+    rng.shuffle(edges)
+    tbl = pa.table({"id_a": pa.array([a for a, _ in edges], pa.int64()),
+                    "id_b": pa.array([b for _, b in edges], pa.int64())})
+    labels = pa.concat_tables(list(
+        connected_components(ray.data.from_arrow(tbl).repartition(4),
+                             num_partitions=8)
+        .iter_batches(batch_format="pyarrow")))
+    got = dict(zip(labels["node"].to_pylist(), labels["root"].to_pylist()))
+    # every non-root node labeled with its component min; roots absent
+    want = {n: r for n, r in comp_of.items() if n != r and _has_edge(n, edges)}
+    assert got == want
+
+
+def _has_edge(n, edges):
+    return any(n in e for e in edges)
+
+
+def test_minhash_dedup_distributed_path_agrees(ray_session):
+    """High-dup corpus: the distributed CC + anti-join path (pair_budget
+    forced to 0) keeps exactly the same documents as the driver-side
+    union-find path, and the pair count is surfaced."""
+    import ray.data
+
+    from deltaray.functions.dedup import minhash_dedup_docs
+
+    words = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+             "eiusmod tempor incididunt ut labore et dolore magna aliqua")
+    texts, ids = [], []
+    for c in range(12):           # 12 clusters of 5 near-identical docs
+        base = words + f" cluster marker {c} unique content tail {c * 7}"
+        for j in range(5):
+            ids.append(c * 10 + j)
+            texts.append(base + (" x" * j))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts)})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    s1, s2 = {}, {}
+    kept_uf = sorted(r["doc_id"] for r in minhash_dedup_docs(
+        ds, jaccard_threshold=0.5, stats_out=s1).take_all())
+    kept_cc = sorted(r["doc_id"] for r in minhash_dedup_docs(
+        ds, jaccard_threshold=0.5, pair_budget=0, stats_out=s2).take_all())
+    assert s1["path"] == "union_find" and s2["path"] == "distributed_cc"
+    assert s1["n_pairs"] == s2["n_pairs"] > 0
+    assert kept_uf == kept_cc
+    assert len(kept_uf) < len(ids)  # dedup actually dropped docs

@@ -219,7 +219,7 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
              "__n_snap"]
         )
         # phase-2 LWW over the full shard (phase 1 ran per batch upstream)
-        changes = lww_reduce(changes, schema.key)
+        changes = lww_reduce(changes, schema.keys)
 
         # Base = the partition's LATEST committed state, not "state as of
         # chunk_lo": after a tail replay re-plans chunk boundaries (new
@@ -232,7 +232,7 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
         if base is not None and base.num_rows:
             base = evolve_to(base, schema)
             changes = changes.select(base.column_names)  # align order
-            merged = upsert_by_version(base, changes, schema.key)
+            merged = upsert_by_version(base, changes, schema.keys)
         else:
             merged = changes
         # partition files are NOT key-sorted: sorting fat token rows per

@@ -48,6 +48,9 @@ META_COLUMNS = (
     "ddl_payload",  # JSON string for DDL rows (DDLEvent schema/primaryKey/rename)
 )
 
+# implicit key column of rowId-keyed tables (DMLEvent.rowId analog)
+ROW_ID_COL = "row_id"
+
 TOKENS = pa.list_(pa.int32())
 
 _TYPE_CODES = {
@@ -83,22 +86,35 @@ class TableSchema:
 
     Mirrors DDLEvent.schema + primaryKey (DDLEvent.java:49-55): the *full*
     table schema as of a DDL event, carried in-band.  ``key`` is the
-    primary key — a single column name (input_hint: doc_id) or a LIST of
+    primary key — a single column name (input_hint: doc_id), a LIST of
     column names for a composite key (primaryKey: List<String>,
-    DDLEvent.java:31-55 exercised via RowIdKey.java:27-36).
+    DDLEvent.java:31-55), or ``None`` for ROW-ID KEYED tables
+    (SourceProperties.rowIdSupported + DMLEvent.rowId,
+    SourceProperties.java:24-51 / DMLEvent.java:78-85): the source keys
+    rows by an opaque ``row_id`` string instead of a declared PK — the
+    engine materializes it as a ``row_id`` payload column and keys all
+    merge/upsert state on it.
     """
 
     name: str
-    key: str | list[str]
+    key: str | list[str] | None  # None = rowId-keyed (DMLEvent.rowId)
     fields: list[tuple[str, str]]  # (column name, type code) in order
     # accumulated old->new renames with chain collapsing
     # (DefaultMutableRowSchema.java:85-130)
     renames: dict[str, str] = field(default_factory=dict)
     version_seq: int = 0  # seq of the DDL event that produced this schema
 
+    def __post_init__(self):
+        # rowId-keyed table: ensure the implicit row_id column exists
+        if self.key is None and ROW_ID_COL not in {n for n, _ in self.fields}:
+            self.fields = [(ROW_ID_COL, "string")] + list(self.fields)
+
     @property
     def keys(self) -> list[str]:
-        """Primary-key components as a list (len 1 for scalar keys)."""
+        """Primary-key components as a list (len 1 for scalar keys;
+        the implicit [row_id] for rowId-keyed tables)."""
+        if self.key is None:
+            return [ROW_ID_COL]
         return [self.key] if isinstance(self.key, str) else list(self.key)
 
     def arrow_schema(self) -> pa.Schema:
@@ -161,8 +177,10 @@ class TableSchema:
         else:
             renames[origin] = new
         # PK rename remap — any composite component tracks the rename
-        if isinstance(self.key, str):
-            key: str | list[str] = new if self.key == old else self.key
+        if self.key is None:
+            key: str | list[str] | None = None
+        elif isinstance(self.key, str):
+            key = new if self.key == old else self.key
         else:
             key = [new if k == old else k for k in self.key]
         return TableSchema(self.name, key, fields, renames, seq)

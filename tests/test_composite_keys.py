@@ -88,3 +88,46 @@ def test_composite_key_pk_rename_remap(tmp_log, tmp_lake):
     assert s2.keys == ["k1", "k2x"]
     s3 = s2.with_renamed_column("k1", "kA", 6)
     assert s3.keys == ["kA", "k2x"]
+
+
+def test_row_id_keyed_table(tmp_log, tmp_lake):
+    """rowId-keyed mode (SourceProperties.rowIdSupported +
+    DMLEvent.rowId, SourceProperties.java:24-51 / DMLEvent.java:78-85):
+    a table with NO declared primary key replicates keyed by the opaque
+    per-row ``row_id`` the source supplies."""
+    ts = TableSchema("audit", None, [("v", "int64"), ("tag", "string")])
+    assert ts.keys == ["row_id"]
+    assert ts.column_names()[0] == "row_id"  # implicit key column added
+    log_schema = event_log_schema(ts)
+    rng = np.random.default_rng(13)
+    rows = [{
+        "seq": 1, "op": "CREATE_TABLE", "table": "audit",
+        "ddl_payload": ddl_payload("CREATE_TABLE", schema=ts),
+        "is_snapshot": True,
+    }]
+    seq = 1
+    for i in range(500):
+        seq += 1
+        op = ("INSERT", "UPDATE", "DELETE")[int(rng.integers(0, 3))]
+        row = {"seq": seq, "op": op, "table": "audit",
+               "row_id": f"r{int(rng.integers(0, 60)):04d}",
+               "is_snapshot": False}
+        if op != "DELETE":
+            row["v"] = int(rng.integers(0, 100))
+            row["tag"] = f"t{int(rng.integers(0, 4))}"
+        rows.append(row)
+    tbl = pa.table({f.name: [r.get(f.name) for r in rows] for f in log_schema},
+                   schema=log_schema)
+    os.makedirs(tmp_log, exist_ok=True)
+    pq.write_table(tbl, os.path.join(
+        tmp_log, f"events-00000-{1:012d}-{seq:012d}.parquet"),
+        row_group_size=128)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=120)
+    replay(cfg)
+    oracle = replay_oracle(cfg)["audit"]
+    got = read_table(tmp_lake, "audit")
+    ok, msg = tables_equal(got, oracle, key="row_id")
+    assert ok, msg
+    assert got.num_rows > 0
+    assert len(set(got["row_id"].to_pylist())) == got.num_rows

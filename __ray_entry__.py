@@ -224,10 +224,7 @@ def _simhash_docs(sf_dir: str):
     from deltaray.functions.dedup import SimHasher
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    from deltaray.util import auto_concurrency
-
-    return ds.map_batches(SimHasher, batch_format="pyarrow",
-                          concurrency=auto_concurrency()) \
+    return ds.map_batches(SimHasher(), batch_format="pyarrow") \
         .drop_columns(["text"])
 
 

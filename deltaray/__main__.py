@@ -8,6 +8,9 @@ the library itself never calls ray.init.
     python -m deltaray assess  --event-log D [--table T]
     python -m deltaray lineage --lake D [--table T]
     python -m deltaray gen     --out D --docs N --events N [--seed N] [--fast]
+    python -m deltaray drafts  --root D {list|get|save|delete|assess} [--name N]
+                               [--config-json FILE] [--args k=v ...]
+    python -m deltaray generations --lake D
 """
 
 from __future__ import annotations
@@ -77,6 +80,35 @@ def cmd_gen(a) -> int:
     return 0
 
 
+def cmd_drafts(a) -> int:
+    from deltaray.drafts import DraftStore
+
+    store = DraftStore(a.root)
+    args = dict(kv.split("=", 1) for kv in (a.args or []))
+    if a.action == "list":
+        print(json.dumps(store.list()))
+    elif a.action == "get":
+        print(json.dumps(store.get(a.name)))
+    elif a.action == "save":
+        with open(a.config_json) as f:
+            print(json.dumps(store.save(a.name, json.load(f))))
+    elif a.action == "delete":
+        print(json.dumps({"deleted": store.delete(a.name)}))
+    elif a.action == "assess":
+        rep = store.assess(a.name, runtime_args=args)
+        print(json.dumps(rep))
+        return 0 if rep["ok"] else 1
+    return 0
+
+
+def cmd_generations(a) -> int:
+    from deltaray.commit import latest_generation, list_generations
+
+    print(json.dumps({"generations": list_generations(a.lake),
+                      "latest": latest_generation(a.lake)}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="deltaray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -112,6 +144,19 @@ def main(argv=None) -> int:
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--fast", action="store_true")
     g.set_defaults(fn=cmd_gen)
+
+    d = sub.add_parser("drafts")
+    d.add_argument("--root", required=True)
+    d.add_argument("action", choices=["list", "get", "save", "delete",
+                                      "assess"])
+    d.add_argument("--name")
+    d.add_argument("--config-json")
+    d.add_argument("--args", nargs="*", help="macro values k=v")
+    d.set_defaults(fn=cmd_drafts)
+
+    ge = sub.add_parser("generations")
+    ge.add_argument("--lake", required=True)
+    ge.set_defaults(fn=cmd_generations)
 
     a = p.parse_args(argv)
     return a.fn(a)

@@ -266,3 +266,26 @@ class LakeState:
                 os.remove(os.path.join(pdir, f))
                 removed.append(f)
         return removed
+
+
+# ------------------------------------------------------- generation scans
+def list_generations(lake: str) -> list[int]:
+    """All generations present under a lake root (ascending) — the
+    max-generation / instance scan surface (DeltaWorker.java:140-150
+    getGeneration; A4 in SURVEY §2)."""
+    if not os.path.isdir(lake):
+        return []
+    out = []
+    for d in os.listdir(lake):
+        if d.startswith("gen=") and os.path.isdir(os.path.join(lake, d)):
+            try:
+                out.append(int(d.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def latest_generation(lake: str) -> int | None:
+    """Highest generation in the lake, None for an empty/absent lake."""
+    gens = list_generations(lake)
+    return gens[-1] if gens else None

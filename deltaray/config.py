@@ -152,3 +152,64 @@ def expand_macros(value: str, args: dict[str, str]) -> str:
         return args[k]
 
     return _MACRO.sub(sub, value)
+
+
+# ------------------------------------------------------- (de)serialization
+def config_to_dict(cfg: ReplayConfig) -> dict:
+    """JSON-safe dict of a ReplayConfig (draft persistence / CLI surface —
+    the DeltaConfig JSON codec analog, DeltaConfig.java:42-127)."""
+    return {
+        "event_log": cfg.event_log,
+        "lake": cfg.lake,
+        "tables": [
+            {
+                "name": t.name,
+                "columns": t.columns,
+                "dml_blacklist": sorted(t.dml_blacklist),
+                "ddl_blacklist": sorted(t.ddl_blacklist),
+                "transformations": list(t.transformations),
+            }
+            for t in cfg.tables
+        ],
+        "dml_blacklist": sorted(cfg.dml_blacklist),
+        "ddl_blacklist": sorted(cfg.ddl_blacklist),
+        "ordering": cfg.ordering,
+        "sort_key_components": cfg.sort_key_components,
+        "track_previous": cfg.track_previous,
+        "retry": {"max_duration_seconds": cfg.retry.max_duration_seconds,
+                  "delay_seconds": cfg.retry.delay_seconds},
+        "shuffle": cfg.shuffle,
+        "num_partitions": cfg.num_partitions,
+        "chunk_max_events": cfg.chunk_max_events,
+        "batch_size": cfg.batch_size,
+        "vacuum": cfg.vacuum,
+        "generation": cfg.generation,
+    }
+
+
+def config_from_dict(d: dict, runtime_args: dict[str, str] | None = None) -> ReplayConfig:
+    """Rebuild a ReplayConfig from :func:`config_to_dict` output; macros in
+    the stored draft resolve against ``runtime_args`` at build time
+    (DeltaWorker.java:208-213)."""
+    tables = [
+        TableConfig(
+            name=t["name"],
+            columns=t.get("columns"),
+            dml_blacklist=set(t.get("dml_blacklist", [])),
+            ddl_blacklist=set(t.get("ddl_blacklist", [])),
+            transformations=list(t.get("transformations", [])),
+        )
+        for t in d.get("tables", [])
+    ]
+    retry = RetryConfig(**d.get("retry", {}))
+    kw = {k: d[k] for k in (
+        "event_log", "lake", "ordering", "sort_key_components",
+        "track_previous", "shuffle", "num_partitions", "chunk_max_events",
+        "batch_size", "vacuum", "generation") if k in d}
+    return ReplayConfig(
+        tables=tables, retry=retry,
+        dml_blacklist=set(d.get("dml_blacklist", [])),
+        ddl_blacklist=set(d.get("ddl_blacklist", ["DROP_DATABASE"])),
+        runtime_args=dict(runtime_args or {}),
+        **kw,
+    )

@@ -202,26 +202,21 @@ def upsert_into_base(base_ds, changes_tbl: pa.Table, base_key: str,
     import ray
 
     from deltaray.functions.partition import dedup_first_by_key
-    from deltaray.util import auto_concurrency
 
-    ref = ray.put(changes_tbl)
+    deduped = dedup_first_by_key(changes_tbl, change_key)
+    ref = ray.put((deduped[change_key].combine_chunks(),
+                   {c: deduped[c].combine_chunks() for c in value_cols}))
 
-    class Upsert:
-        def __init__(self):
-            tbl = dedup_first_by_key(ray.get(ref), change_key)
-            self.keys = tbl[change_key].combine_chunks()
-            self.vals = {c: tbl[c].combine_chunks() for c in value_cols}
+    def upsert(batch: pa.Table) -> pa.Table:
+        keys, vals = ray.get(ref)  # zero-copy local lookup after 1st fetch
+        bk = batch[base_key]
+        if bk.type != keys.type:
+            bk = pc.cast(bk, keys.type)
+        pos = pc.index_in(bk, value_set=keys)
+        if isinstance(pos, pa.ChunkedArray):
+            pos = pos.combine_chunks()
+        for c in value_cols:
+            batch = batch.append_column(c, vals[c].take(pos))
+        return batch
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bk = batch[base_key]
-            if bk.type != self.keys.type:
-                bk = pc.cast(bk, self.keys.type)
-            pos = pc.index_in(bk, value_set=self.keys)
-            if isinstance(pos, pa.ChunkedArray):
-                pos = pos.combine_chunks()
-            for c in value_cols:
-                batch = batch.append_column(c, self.vals[c].take(pos))
-            return batch
-
-    return base_ds.map_batches(Upsert, batch_format="pyarrow",
-                               concurrency=auto_concurrency())
+    return base_ds.map_batches(upsert, batch_format="pyarrow")

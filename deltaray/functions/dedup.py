@@ -26,8 +26,6 @@ from deltaray.functions.partition import (group_codes, hash_partitioned,
                                            take_first_per_key)
 from deltaray.transforms import stable_hash_strings
 
-from deltaray.util import auto_concurrency
-
 _MERSENNE = (1 << 61) - 1
 
 
@@ -47,8 +45,9 @@ def _shingle_hashes(texts: list[str], k: int = 5) -> list[np.ndarray]:
 
 
 class MinHasher:
-    """Actor-pool stage: permutation coefficients generated once per actor
-    (seeded → identical across actors), signatures per batch."""
+    """Stateful batch stage: permutation coefficients generated once (in
+    the driver when passed as an INSTANCE to a task-pool map, or once per
+    actor when passed as a class), signatures per batch."""
 
     def __init__(self, num_hashes: int = 64, seed: int = 42, shingle_k: int = 5):
         rng = np.random.default_rng(seed)
@@ -109,7 +108,8 @@ def minhash_lsh_pairs(ds, *, num_hashes: int = 64, bands: int = 16,
     """Near-duplicate candidate pairs via MinHash banding, verified by
     signature-estimated Jaccard.
 
-    Stage 1 (actor pool): minhash signatures per batch.
+    Stage 1 (task-pool map, coefficients built once driver-side):
+    minhash signatures per batch.
     Stage 2: explode to (band, band_hash, id, signature) rows.
     Stage 3: groupby (band, band_hash) → pairs within each bucket.
     Stage 4: estimated Jaccard = fraction of equal signature slots,
@@ -146,8 +146,10 @@ def minhash_lsh_pairs(ds, *, num_hashes: int = 64, bands: int = 16,
                 }
             )
 
-    ds = ds.map_batches(Explode, batch_format="pyarrow",
-                        concurrency=auto_concurrency())
+    # instance → task-pool map: the seeded coefficients are built once on
+    # the driver and ship inside the pickled callable (tiny); parallelism
+    # follows block count with zero actor-spawn cost
+    ds = ds.map_batches(Explode(), batch_format="pyarrow")
 
     def bucket_pairs_block(block: pa.Table) -> pa.Table:
         # one call per hash partition of (band, band_hash) buckets; only
@@ -190,7 +192,8 @@ def minhash_lsh_pairs(ds, *, num_hashes: int = 64, bands: int = 16,
 
 
 class SimHasher:
-    """64-bit SimHash over character shingles (actor-pool stage)."""
+    """64-bit SimHash over character shingles (stateful batch stage —
+    pass an instance for a task-pool map)."""
 
     def __init__(self, shingle_k: int = 5):
         self.k = shingle_k
@@ -251,8 +254,7 @@ def simhash_pairs(ds, *, max_hamming: int = 3, bands: int = 4,
                 "sig": pa.array(np.tile(sig, bands)),
             })
 
-    rows = ds.map_batches(Explode, batch_format="pyarrow",
-                          concurrency=auto_concurrency())
+    rows = ds.map_batches(Explode(), batch_format="pyarrow")
 
     def bucket_pairs_block(block: pa.Table) -> pa.Table:
         g = block.sort_by([("band", "ascending"), ("seg", "ascending"),
@@ -437,8 +439,7 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
                 }
             )
 
-    ds = ds.map_batches(Bucket, batch_format="pyarrow",
-                        concurrency=auto_concurrency())
+    ds = ds.map_batches(Bucket(), batch_format="pyarrow")
 
     def pairs_block(block: pa.Table) -> pa.Table:
         # one call per hash partition of buckets; per bucket a single

@@ -17,8 +17,8 @@ pipeline needs on top of that:
   for skewed keys pre-filter the right side to the needed time range.
 - ``broadcast_enrich``: LEFT-join a large stream against small dimension
   table(s) without any shuffle — the dimension is ``ray.put`` ONCE and
-  probed per batch inside an actor pool (the pattern the reference uses
-  for its per-event table-definition lookups).
+  probed per batch by a task-pool map (zero-copy local plasma reads; the
+  pattern the reference uses for its per-event table-definition lookups).
 """
 
 from __future__ import annotations
@@ -273,7 +273,7 @@ def range_join(points_ds, intervals_ds, *, point_col: str, start_col: str,
 
 
 def broadcast_enrich(ds, dims: pa.Table, *, stream_key: str, dim_key: str,
-                     value_cols: list[str], concurrency=None):
+                     value_cols: list[str]):
     """LEFT-join a stream Dataset against a small dimension table with no
     shuffle: the dimension is placed in the object store once (``ray.put``)
     and each actor builds its probe index once in ``__init__``.
@@ -285,28 +285,26 @@ def broadcast_enrich(ds, dims: pa.Table, *, stream_key: str, dim_key: str,
     import ray
 
     from deltaray.functions.partition import dedup_first_by_key
-    from deltaray.util import auto_concurrency
 
-    ref = ray.put(dims)
+    deduped = dedup_first_by_key(dims, dim_key)
+    dim_keys = deduped[dim_key].combine_chunks()
+    ref = ray.put((dim_keys, {c: deduped[c].combine_chunks()
+                              for c in value_cols}))
 
-    class Enrich:
-        def __init__(self):
-            tbl: pa.Table = ray.get(ref)
-            tbl = dedup_first_by_key(tbl, dim_key)
-            self.keys = tbl[dim_key].combine_chunks()
-            self.vals = {c: tbl[c].combine_chunks() for c in value_cols}
+    def enrich(batch: pa.Table) -> pa.Table:
+        # task-pool probe: ray.get of the broadcast is a zero-copy local
+        # plasma lookup after the first fetch per node; parallelism follows
+        # block count with no actor-spawn cost
+        keys, vals = ray.get(ref)
+        sk = batch[stream_key]
+        if sk.type != keys.type:
+            sk = pc.cast(sk, keys.type)
+        pos = pc.index_in(sk, value_set=keys)
+        if isinstance(pos, pa.ChunkedArray):
+            pos = pos.combine_chunks()
+        for c in value_cols:
+            # take with null indices yields nulls — LEFT-join semantics
+            batch = batch.append_column(c, vals[c].take(pos))
+        return batch
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            sk = batch[stream_key]
-            if sk.type != self.keys.type:
-                sk = pc.cast(sk, self.keys.type)
-            pos = pc.index_in(sk, value_set=self.keys)
-            if isinstance(pos, pa.ChunkedArray):
-                pos = pos.combine_chunks()
-            for c in value_cols:
-                # take with null indices yields nulls — LEFT-join semantics
-                batch = batch.append_column(c, self.vals[c].take(pos))
-            return batch
-
-    return ds.map_batches(Enrich, batch_format="pyarrow",
-                          concurrency=concurrency or auto_concurrency())
+    return ds.map_batches(enrich, batch_format="pyarrow")

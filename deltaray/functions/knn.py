@@ -1,8 +1,9 @@
 """Similarity search over an embedding column (list<float>).
 
-- ``knn_bruteforce``: exact cosine top-k — query matrix broadcast via
-  ``ray.put`` once, numpy matmul per batch (never per row), partial
-  top-k per batch, final top-k reduction on the tiny candidate set.
+- ``knn_bruteforce``: exact cosine top-k — the (small) query matrix
+  ships in the serialized task closure once per worker process, numpy
+  matmul per batch (never per row), partial top-k per batch, final
+  top-k reduction on the tiny candidate set.
 - ``knn_ivf``: IVF-style scale path — k-means-ish coarse centroids
   (sampled, trained once on the driver), each vector assigned to its
   nearest centroid inside ``map_batches``; queries probe only the
@@ -13,8 +14,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-
-from deltaray.util import auto_concurrency
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
@@ -31,34 +30,31 @@ def knn_bruteforce(ds, queries: np.ndarray, k: int = 5,
     (query_id, rank).  The dataset streams; only ``n_queries × k``
     candidates per batch come back to the reducer.
     """
-    import ray
+    q = _unit(np.asarray(queries, dtype=np.float64))
 
-    qref = ray.put(_unit(np.asarray(queries, dtype=np.float64)))
+    def score(batch: pa.Table) -> pa.Table:
+        # task-pool stage: the (small) query matrix ships inside the
+        # serialized function ONCE per worker process — parallelism follows
+        # block count with zero actor-spawn cost (actor pools here paid
+        # ~0.5-1s spawn per actor on short inputs, measured)
+        vecs = _unit(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sim = q @ vecs.T  # (nq, nb)
+        kk = min(k, sim.shape[1])
+        top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+        nq = sim.shape[0]
+        qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        vid = ids[top.ravel()]
+        cs = sim[np.repeat(np.arange(nq), kk), top.ravel()]
+        return pa.table(
+            {
+                "query_id": pa.array(qid),
+                id_col: pa.array(vid.astype(np.int64)),
+                "cosine": pa.array(cs.astype(np.float64)),
+            }
+        )
 
-    class Score:
-        def __init__(self):
-            self.q = ray.get(qref)  # fetched once per actor, zero-copy
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _unit(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            sim = self.q @ vecs.T  # (nq, nb)
-            kk = min(k, sim.shape[1])
-            top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
-            nq = sim.shape[0]
-            qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
-            vid = ids[top.ravel()]
-            cs = sim[np.repeat(np.arange(nq), kk), top.ravel()]
-            return pa.table(
-                {
-                    "query_id": pa.array(qid),
-                    id_col: pa.array(vid.astype(np.int64)),
-                    "cosine": pa.array(cs.astype(np.float64)),
-                }
-            )
-
-    cands = ds.map_batches(Score, batch_format="pyarrow",
-                           concurrency=auto_concurrency())
+    cands = ds.map_batches(score, batch_format="pyarrow")
     # final reduction over the small candidate set (nq × k × n_batches rows)
     tbl = pa.concat_tables(list(cands.iter_batches(batch_format="pyarrow")))
     return _topk_reduce(tbl, k, id_col)
@@ -113,49 +109,41 @@ def knn_ivf(ds, queries: np.ndarray, centroids: np.ndarray, k: int = 5,
             vec_col: str = "embedding") -> pa.Table:
     """IVF top-k: score only vectors whose coarse cell is among each
     query's ``nprobe`` nearest cells.  Centroids + queries broadcast once."""
-    import ray
-
     q = _unit(np.asarray(queries, dtype=np.float32))
     C = _unit(np.asarray(centroids, dtype=np.float32))
     probe = np.argsort(-(q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    state = ray.put((q, C, probe))
+    cell_queries: dict[int, list[int]] = {}
+    for qi, cells_ in enumerate(probe):
+        for c in cells_:
+            cell_queries.setdefault(int(c), []).append(qi)
 
-    class Score:
-        def __init__(self):
-            self.q, self.C, self.probe = ray.get(state)
-            # query set per cell
-            self.cell_queries = {}
-            for qi, cells in enumerate(self.probe):
-                for c in cells:
-                    self.cell_queries.setdefault(int(c), []).append(qi)
+    def score(batch: pa.Table) -> pa.Table:
+        # task-pool stage; (q, C, probe map) ship in the serialized fn once
+        vecs = _unit(np.array(batch[vec_col].to_pylist(), dtype=np.float32))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cells = (vecs @ C.T).argmax(axis=1)
+        out_q, out_i, out_c = [], [], []
+        for c in np.unique(cells):
+            qs = cell_queries.get(int(c))
+            if not qs:
+                continue
+            m = cells == c
+            sub, sids = vecs[m], ids[m]
+            sim = q[qs] @ sub.T
+            kk = min(k, sim.shape[1])
+            top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+            for row, qi in enumerate(qs):
+                out_q.extend([qi] * kk)
+                out_i.extend(sids[top[row]].tolist())
+                out_c.extend(sim[row, top[row]].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(np.array(out_q, dtype=np.int64)),
+                id_col: pa.array(np.array(out_i, dtype=np.int64)),
+                "cosine": pa.array(np.array(out_c, dtype=np.float64)),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _unit(np.array(batch[vec_col].to_pylist(), dtype=np.float32))
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            cells = (vecs @ self.C.T).argmax(axis=1)
-            out_q, out_i, out_c = [], [], []
-            for c in np.unique(cells):
-                qs = self.cell_queries.get(int(c))
-                if not qs:
-                    continue
-                m = cells == c
-                sub, sids = vecs[m], ids[m]
-                sim = self.q[qs] @ sub.T
-                kk = min(k, sim.shape[1])
-                top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
-                for row, qi in enumerate(qs):
-                    out_q.extend([qi] * kk)
-                    out_i.extend(sids[top[row]].tolist())
-                    out_c.extend(sim[row, top[row]].tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(np.array(out_q, dtype=np.int64)),
-                    id_col: pa.array(np.array(out_i, dtype=np.int64)),
-                    "cosine": pa.array(np.array(out_c, dtype=np.float64)),
-                }
-            )
-
-    cands = ds.map_batches(Score, batch_format="pyarrow",
-                           concurrency=auto_concurrency())
+    cands = ds.map_batches(score, batch_format="pyarrow")
     tbl = pa.concat_tables(list(cands.iter_batches(batch_format="pyarrow")))
     return _topk_reduce(tbl, k, id_col)

@@ -242,3 +242,47 @@ def test_macro_expansion_in_config():
     with pytest.raises(KeyError):
         ReplayConfig(event_log="/tmp/${missing}/e", lake="/tmp/l",
                      runtime_args={"env": "x"})
+
+
+def test_draft_store_crud_and_assess(tmp_path, tmp_log):
+    """DraftService analog: CRUD drafts of pipeline configs, macro-resolved
+    instantiation, dry-run assessment (DraftService.java:42-101,
+    AssessmentHandler.java:77-311)."""
+    from deltaray import TableConfig
+    from deltaray.drafts import DraftStore
+
+    write_event_log(tmp_log, n_docs=20, n_events=60, seed=83)
+    store = DraftStore(str(tmp_path / "drafts"))
+    cfg = ReplayConfig(event_log=tmp_log, lake="/tmp/${env}/lake",
+                       tables=[TableConfig("docs")],
+                       runtime_args={"env": "keepme"})
+    store.save("p1", cfg)
+    assert store.list() == ["p1"]
+    got = store.get("p1")
+    assert got["event_log"] == tmp_log
+    # round-trip: dict -> config preserves tables/knobs
+    cfg2 = store.to_config("p1")
+    assert cfg2.table_names == {"docs"}
+    assert cfg2.num_partitions == cfg.num_partitions
+    # a draft saved with unresolved macros resolves at instantiation
+    raw = got | {"lake": "/tmp/${env}/lake"}
+    store.save("p2", raw)
+    cfg3 = store.to_config("p2", runtime_args={"env": "prod"})
+    assert cfg3.lake == "/tmp/prod/lake"
+    rep = store.assess("p2", runtime_args={"env": "prod"})
+    assert rep["ok"] and rep["assessments"]
+    assert store.delete("p1") and not store.delete("p1")
+    assert store.list() == ["p2"]
+
+
+def test_generation_scans(tmp_log, tmp_lake):
+    from deltaray.commit import latest_generation, list_generations
+
+    assert list_generations(tmp_lake) == []
+    assert latest_generation(tmp_lake) is None
+    write_event_log(tmp_log, n_docs=10, n_events=30, seed=89)
+    for g in (0, 2):
+        replay(ReplayConfig(event_log=tmp_log, lake=tmp_lake, generation=g,
+                            num_partitions=2))
+    assert list_generations(tmp_lake) == [0, 2]
+    assert latest_generation(tmp_lake) == 2

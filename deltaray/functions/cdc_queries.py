@@ -185,8 +185,17 @@ def tumbling_window_agg(ds, *, key: str, ts_col: str,
         agg = t.group_by([key, "window_start"]).aggregate([([], "count_all")])
         return agg.rename_columns([key, "window_start", "n_p"])
 
-    return ds.map_batches(partial, batch_format="pyarrow") \
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby([key, "window_start"]).aggregate(Sum("n_p", alias_name="n"))
+
+    def fix_unit(batch: pa.Table) -> pa.Table:
+        # Ray's aggregate can downcast the window label to timestamp[s];
+        # pin [us] so the result type matches SQL oracles exactly
+        i = batch.column_names.index("window_start")
+        return batch.set_column(
+            i, "window_start", batch["window_start"].cast(pa.timestamp("us")))
+
+    return agg.map_batches(fix_unit, batch_format="pyarrow")
 
 
 def upsert_into_base(base_ds, changes_tbl: pa.Table, base_key: str,

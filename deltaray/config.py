@@ -73,7 +73,6 @@ class ReplayConfig:
     num_partitions: int = 32       # hash partitions per table (hash(doc_id) % P)
     chunk_max_events: int = 2_000_000  # replay chunk size (resume granularity)
     batch_size: int = 16384        # map_batches batch size for transforms
-    merge_concurrency: int | None = None  # actor/task parallelism of merge stage
     vacuum: bool = True            # delete superseded COW files after commit
     generation: int = 0            # run generation; isolates recreated pipelines
                                    # (DeltaWorker.java:140-150)

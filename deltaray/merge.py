@@ -113,7 +113,8 @@ def _base_positions(base: pa.Table, changes: pa.Table, keys: list[str]) -> np.nd
     return lut[ccodes]
 
 
-def upsert_by_version(base: pa.Table, changes: pa.Table, key) -> pa.Table:
+def upsert_by_version(base: pa.Table, changes: pa.Table, key,
+                      stats: dict | None = None) -> pa.Table:
     """Merge per-key-unique ``changes`` into per-key-unique ``base``:
     for a key present in both, the row with the greater version
     (__src_ts, __sk, __seq) wins; changes win ties (idempotent replay of
@@ -132,6 +133,8 @@ def upsert_by_version(base: pa.Table, changes: pa.Table, key) -> pa.Table:
     pos_np = _base_positions(base, changes, keys)
     have = pos_np >= 0
     if not have.any():
+        if stats is not None:
+            stats["stale_changes"] = 0
         return pa.concat_tables([base, changes], promote_options="none")
     bidx = pos_np[have]
 
@@ -146,6 +149,11 @@ def upsert_by_version(base: pa.Table, changes: pa.Table, key) -> pa.Table:
     wins = c_arr[-1] >= b_arr[-1]
     for cv, bv in zip(reversed(c_arr[:-1]), reversed(b_arr[:-1])):
         wins = (cv > bv) | ((cv == bv) & wins)
+    if stats is not None:
+        # change rows that LOST to already-committed state = late arrivals
+        # superseded across chunk boundaries (UN_ORDERED replication-lag
+        # signal; always 0 for ORDERED sources)
+        stats["stale_changes"] = int((~wins).sum())
     change_keep = np.ones(changes.num_rows, dtype=bool)
     change_keep[np.flatnonzero(have)[~wins]] = False
     base_keep = np.ones(base.num_rows, dtype=bool)
@@ -228,11 +236,13 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
         # under the version-compare upsert (identical versions, change
         # wins ties), while an as-of-chunk-start read would need COW
         # files that vacuum already deleted.
+        ustats: dict = {}
         base, _prev_hi = lake.read_partition(tname, part)
         if base is not None and base.num_rows:
             base = evolve_to(base, schema)
             changes = changes.select(base.column_names)  # align order
-            merged = upsert_by_version(base, changes, schema.keys)
+            merged = upsert_by_version(base, changes, schema.keys,
+                                       stats=ustats)
         else:
             merged = changes
         # partition files are NOT key-sorted: sorting fat token rows per
@@ -243,6 +253,9 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
             "updates": int(n_upd),
             "deletes": int(n_del),
             "bytes_in": int(bytes_in),
+            # late/stale arrivals superseded by committed state (A2 analog:
+            # replication-lag signal for UN_ORDERED sources)
+            "late_events": int(ustats.get("stale_changes", 0)),
         }
         rec = lake.try_commit(tname, part, chunk_lo, chunk_hi, merged, counts)
         if vacuum:
@@ -252,10 +265,14 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
         # a batch made only of snapshot events leaves the partition in
         # SNAPSHOTTING; any streaming event promotes it to REPLICATING
         state = "SNAPSHOTTING" if n_snap == (n_ins + n_upd + n_del) else "REPLICATING"
+        # per-partition event-time watermark: everything at or below this
+        # source_ts for this partition's keys has been applied
+        wm = pc.max(changes["__src_ts"]).as_py() if changes.num_rows else None
         lineage = {
             "partition": part,
             "state": state,
             "last_seq": chunk_hi,
+            "watermark_src_ts": int(wm or 0),
             "file": rec["file"],
             "rows": rec["rows"],
             "counts": counts,

@@ -635,6 +635,11 @@ def lineage_report(lake_root: str, table: str | None = None,
             "partitions": parts,
             "min_committed_seq": min((p["last_seq"] for p in parts.values()),
                                      default=0),
+            # table watermark = min over partitions: every event at or
+            # below this source_ts is applied in EVERY partition
+            "watermark_src_ts": min(
+                (p.get("watermark_src_ts", 0) for p in parts.values()),
+                default=0),
             "states": sorted(states),
         }
     return out
@@ -647,7 +652,8 @@ def collect_metrics(lake: LakeState, tables: list[str]) -> dict:
     merges never double-count because a replayed commit is not re-written)."""
     per_table: dict[str, dict] = {}
     for t in tables:
-        agg = {"inserts": 0, "updates": 0, "deletes": 0, "bytes_in": 0, "rows": 0}
+        agg = {"inserts": 0, "updates": 0, "deletes": 0, "bytes_in": 0,
+               "late_events": 0, "rows": 0}
         cdir = os.path.join(lake.table_dir(t), "_commits")
         if not os.path.isdir(cdir):
             continue
@@ -656,7 +662,8 @@ def collect_metrics(lake: LakeState, tables: list[str]) -> dict:
             commits = lake.list_commits(t, part)
             for c in commits:
                 cc = c.get("counts", {})
-                for k in ("inserts", "updates", "deletes", "bytes_in"):
+                for k in ("inserts", "updates", "deletes", "bytes_in",
+                          "late_events"):
                     agg[k] += int(cc.get(k, 0))
             if commits:
                 agg["rows"] += int(commits[-1]["rows"])

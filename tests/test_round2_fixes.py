@@ -286,3 +286,55 @@ def test_generation_scans(tmp_log, tmp_lake):
                             num_partitions=2))
     assert list_generations(tmp_lake) == [0, 2]
     assert latest_generation(tmp_lake) == 2
+
+
+def test_watermark_and_late_event_metrics(tmp_log, tmp_lake):
+    """UN_ORDERED replication-lag signals: per-partition watermark
+    (max applied source_ts; table watermark = min over partitions) and a
+    late_events counter for arrivals superseded by already-committed
+    state across chunk boundaries."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from deltaray.pipeline import lineage_report
+    from deltaray.schemas import (ddl_payload, default_table_schema,
+                                  event_log_schema)
+
+    schema = default_table_schema()
+    log_schema = event_log_schema(schema)
+    ts0 = 1704067200_000000
+
+    def row(seq, doc, tok, src_ts):
+        return {"seq": seq, "op": "UPDATE", "table": "docs", "doc_id": doc,
+                "tokens": tok, "n_tok": len(tok), "source": "web",
+                "ingest_ts": ts0 + seq, "source_ts": src_ts,
+                "is_snapshot": False, "sort_keys": [0, 0]}
+
+    rows = [
+        {"seq": 1, "op": "CREATE_TABLE", "table": "docs",
+         "ddl_payload": ddl_payload("CREATE_TABLE", schema=schema),
+         "ingest_ts": ts0, "source_ts": ts0, "is_snapshot": True},
+        row(2, "d1", [1], ts0 + 500),   # chunk 1
+        row(3, "d2", [2], ts0 + 900),
+        row(4, "d1", [9], ts0 + 100),   # chunk 2: LATE — loses to seq 2
+        row(5, "d2", [8], ts0 + 950),   # chunk 2: on-time update
+    ]
+    os.makedirs(tmp_log, exist_ok=True)
+    # two segments → two chunks (chunk planning splits on segment
+    # boundaries), so the seq-4 late arrival merges against COMMITTED state
+    for name, seg in [("events-00000-000000000001-000000000003", rows[:3]),
+                      ("events-00001-000000000004-000000000005", rows[3:])]:
+        cols = {f.name: [r.get(f.name) for r in seg] for f in log_schema}
+        pq.write_table(pa.table(cols, schema=log_schema),
+                       f"{tmp_log}/{name}.parquet", row_group_size=2)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=1,
+                       ordering="UN_ORDERED", chunk_max_events=1)
+    res = replay(cfg)
+    oracle = replay_oracle(cfg)
+    got = read_table(tmp_lake, "docs")
+    ok, msg = tables_equal(got, oracle["docs"])
+    assert ok, msg
+    assert res["metrics"]["tables"]["docs"]["late_events"] == 1
+    rep = lineage_report(tmp_lake, "docs")
+    assert rep["tables"]["docs"]["watermark_src_ts"] == ts0 + 950

@@ -519,6 +519,33 @@ def _lineitem_ship_window(sf_dir: str):
                                     ("o_orderdate", pa.timestamp("us"))]))
 
 
+def _orders_customer_join(sf_dir: str):
+    """Distributed large-x-large hash equi-join (one exchange, Arrow
+    hash-join kernel per partition block) — orders joined to customer."""
+    from deltaray.functions.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                     how="inner")
+
+
+def _customers_without_orders(sf_dir: str):
+    """Distributed anti-join: customers that never placed an order (the
+    right side ships key columns only)."""
+    from deltaray.functions.joins import semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    out = semi_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                    anti=True)
+    # may legitimately return no rows (every customer ordered) — keep the
+    # schema through an empty collection
+    return _collect(out, pa.schema([("c_custkey", pa.int64()),
+                                    ("c_name", pa.string())]))
+
+
 def _top_docs_per_source(sf_dir: str):
     """Best-3 documents per source by length (top-k-per-key operator)."""
     from deltaray.functions.cdc_queries import top_k_per_key
@@ -619,6 +646,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enrich_events_customers": _enrich_events_customers,
         "value_percentiles_events": _value_percentiles_events,
         "user_value_median": _user_value_median,
+        "orders_customer_join": _orders_customer_join,
+        "customers_without_orders": _customers_without_orders,
         "top_docs_per_source": _top_docs_per_source,
         "simhash_pairs_docs": _simhash_pairs_docs,
         "events_user_hourly": _events_user_hourly,
@@ -791,6 +820,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE l.l_shipdate >= o.o_orderdate
               AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+        """,
+        "orders_customer_join": """
+            SELECT o.o_custkey, o.o_orderkey, o.o_orderdate, c.c_name
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         """,
         "top_docs_per_source": """
             SELECT doc_id, source, n_chars FROM documents

@@ -308,3 +308,136 @@ def broadcast_enrich(ds, dims: pa.Table, *, stream_key: str, dim_key: str,
         return batch
 
     return ds.map_batches(enrich, batch_format="pyarrow")
+
+
+def hash_join(left_ds, right_ds, *, on, right_on=None, how: str = "inner",
+              left_cols: dict[str, str] | None = None,
+              right_cols: dict[str, str] | None = None,
+              num_partitions: int = 64):
+    """Distributed equi-join of two Datasets (inner / left outer) — the
+    large-×-large complement of ``broadcast_enrich``.
+
+    One hash exchange co-locates both sides by key; within each partition
+    block the sides are split by a tag column and joined with the Arrow
+    C++ hash-join kernel (``pa.Table.join``), so the per-block work is
+    fully vectorized.  ``on`` may be a column name or a list (composite
+    equi-key); ``right_on`` defaults to ``on``.  Output columns =
+    renamed ``left_cols`` + ``right_cols`` (defaults: every left column
+    under its own name, every non-key right column under its own name —
+    pass maps to disambiguate collisions).
+    """
+    from deltaray.functions.partition import hash_partitioned
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    lkeys = [on] if isinstance(on, str) else list(on)
+    rkeys = ([right_on] if isinstance(right_on, str) else list(right_on)) \
+        if right_on is not None else lkeys
+    ls, rs = left_ds.schema(), right_ds.schema()
+    if left_cols is None:
+        left_cols = {n: n for n in ls.names if n not in lkeys}
+    if right_cols is None:
+        right_cols = {n: n for n in rs.names if n not in rkeys}
+    overlap = set(left_cols.values()) & set(right_cols.values())
+    if overlap:
+        raise ValueError(f"output column collision: {sorted(overlap)}")
+    l_types = dict(zip(ls.names, ls.types))
+    r_types = dict(zip(rs.names, rs.types))
+    key_names = [f"__k{i}" for i in range(len(lkeys))]
+    out_l, out_r = list(left_cols.values()), list(right_cols.values())
+    l_out_types = {o: l_types[s] for s, o in left_cols.items()}
+    r_out_types = {o: r_types[s] for s, o in right_cols.items()}
+
+    def prep(keys, col_map, other_out, other_types, side):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {kn: batch[src] for kn, src in zip(key_names, keys)}
+            cols["__side"] = pa.array(np.full(n, side, np.int8))
+            for src, o in col_map.items():
+                cols[o] = batch[src]
+            for o in other_out:
+                cols[o] = pa.nulls(n, other_types[o])
+            return pa.table(cols)
+        return fn
+
+    both = left_ds.map_batches(
+        prep(lkeys, left_cols, out_r, r_out_types, 0),
+        batch_format="pyarrow",
+    ).union(right_ds.map_batches(
+        prep(rkeys, right_cols, out_l, l_out_types, 1),
+        batch_format="pyarrow"))
+    join_type = "inner" if how == "inner" else "left outer"
+
+    def join_block(block: pa.Table) -> pa.Table:
+        is_r = pc.equal(block["__side"], 1)
+        left = block.filter(pc.invert(is_r)).select(key_names + out_l)
+        right = block.filter(is_r).select(key_names + out_r)
+        return left.join(right, keys=key_names, join_type=join_type)
+
+    out = hash_partitioned(both, key_names, join_block,
+                           num_partitions=num_partitions)
+    user_keys = dict(zip(key_names, lkeys))
+
+    def restore_keys(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [user_keys.get(c, c) for c in batch.column_names])
+
+    return out.map_batches(restore_keys, batch_format="pyarrow")
+
+
+def semi_join(left_ds, right_ds, *, on, right_on=None, anti: bool = False,
+              num_partitions: int = 64):
+    """Distributed semi-join (keep left rows WITH a right match) or
+    anti-join (``anti=True``: keep left rows WITHOUT one) on an equi-key.
+    Same one-exchange co-location as :func:`hash_join`; the right side
+    ships only its (deduplicated) key columns — never its payload."""
+    from deltaray.functions.partition import hash_partitioned, take_first_per_key
+
+    lkeys = [on] if isinstance(on, str) else list(on)
+    rkeys = ([right_on] if isinstance(right_on, str) else list(right_on)) \
+        if right_on is not None else lkeys
+    ls = left_ds.schema()
+    l_types = dict(zip(ls.names, ls.types))
+    key_names = [f"__k{i}" for i in range(len(lkeys))]
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        cols = {kn: batch[src] for kn, src in zip(key_names, lkeys)}
+        cols["__side"] = pa.array(np.zeros(batch.num_rows, np.int8))
+        for c in ls.names:
+            cols[f"l_{c}"] = batch[c]
+        return pa.table(cols)
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        # keys only — dedup per batch bounds shuffle volume
+        t = pa.table({kn: batch[src] for kn, src in zip(key_names, rkeys)})
+        t = take_first_per_key(t, key_names)
+        cols = dict({kn: t[kn] for kn in key_names})
+        cols["__side"] = pa.array(np.ones(t.num_rows, np.int8))
+        for c in ls.names:
+            cols[f"l_{c}"] = pa.nulls(t.num_rows, l_types[c])
+        return pa.table(cols)
+
+    both = left_ds.map_batches(prep_left, batch_format="pyarrow").union(
+        right_ds.map_batches(prep_right, batch_format="pyarrow"))
+
+    def filter_block(block: pa.Table) -> pa.Table:
+        from deltaray.functions.partition import group_codes
+
+        is_r = pc.equal(block["__side"], 1)
+        left = block.filter(pc.invert(is_r))
+        right = block.filter(is_r)
+        lout = pa.table({c: left[f"l_{c}"] for c in ls.names})
+        if right.num_rows == 0:
+            return lout if anti else lout.slice(0, 0)
+        if left.num_rows == 0:
+            return lout
+        codes = group_codes(
+            pa.concat_tables([left.select(key_names),
+                              right.select(key_names)],
+                             promote_options="none"), key_names)
+        lcodes, rcodes = codes[: left.num_rows], codes[left.num_rows:]
+        have = np.isin(lcodes, rcodes)
+        return lout.filter(pa.array(~have if anti else have))
+
+    return hash_partitioned(both, key_names, filter_block,
+                            num_partitions=num_partitions)

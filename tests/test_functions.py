@@ -505,3 +505,35 @@ def test_minhash_dedup_distributed_path_agrees(ray_session):
     assert s1["n_pairs"] == s2["n_pairs"] > 0
     assert kept_uf == kept_cc
     assert len(kept_uf) < len(ids)  # dedup actually dropped docs
+
+
+def test_hash_join_and_semi_anti(ray_session):
+    import ray.data
+
+    from deltaray.functions.joins import hash_join, semi_join
+
+    left = pa.table({"k": pa.array([1, 2, 2, 3, 5], pa.int64()),
+                     "lv": pa.array(["a", "b", "c", "d", "e"])})
+    right = pa.table({"rk": pa.array([2, 3, 3, 4], pa.int64()),
+                      "rv": pa.array([20, 30, 31, 40], pa.int64())})
+    lds = ray.data.from_arrow(left).repartition(2)
+    rds = ray.data.from_arrow(right).repartition(2)
+
+    inner = hash_join(lds, rds, on="k", right_on="rk", how="inner",
+                      num_partitions=4).to_pandas() \
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    assert list(inner.itertuples(index=False, name=None)) == [
+        (2, "b", 20), (2, "c", 20), (3, "d", 30), (3, "d", 31)]
+
+    louter = hash_join(lds, rds, on="k", right_on="rk", how="left",
+                       num_partitions=4).to_pandas()
+    assert len(louter) == 6  # 4 matches + unmatched k=1, k=5
+    unmatched = louter[louter["rv"].isna()]["k"].tolist()
+    assert sorted(unmatched) == [1, 5]
+
+    semi = semi_join(lds, rds, on="k", right_on="rk",
+                     num_partitions=4).to_pandas()
+    assert sorted(semi["k"].tolist()) == [2, 2, 3]
+    anti = semi_join(lds, rds, on="k", right_on="rk", anti=True,
+                     num_partitions=4).to_pandas()
+    assert sorted(anti["k"].tolist()) == [1, 5]

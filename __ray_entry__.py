@@ -453,6 +453,48 @@ def _events_user_hourly(sf_dir: str):
                                window_minutes=60)
 
 
+def _events_sliding_2h(sf_dir: str):
+    """Sliding (hopping) event-time windows: 2-hour windows advancing
+    hourly, per user — count + integer value sum (window fan-out happens
+    inside the per-batch combiner, never in the shuffle)."""
+    from deltaray.functions.cdc_queries import sliding_window_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(batch["value"]), pa.int64())
+        return pa.table({"user_id": batch["user_id"], "ts": batch["ts"],
+                         "value_i": v})
+
+    ds = ds.map_batches(to_int, batch_format="pyarrow")
+    return sliding_window_agg(ds, key="user_id", ts_col="ts",
+                              value_col="value_i", window_minutes=120,
+                              hop_minutes=60)
+
+
+def _corpus_clean_docs(sf_dir: str):
+    """Composed training-corpus cleaning pipeline: quality scoring →
+    threshold filter → exact dedup (min doc_id per content) — the classic
+    filter-then-dedup corpus pass, every stage streaming."""
+    from deltaray.functions.dedup import exact_dedup
+    from deltaray.functions.text import quality_score_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
+    ds = ds.map_batches(quality_score_batch, batch_format="pyarrow")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(batch["q_chars"], 150),
+                    pc.greater_equal(batch["q_stop"], 3)),
+            pc.less_equal(batch["q_digit"], 40))
+        return batch.filter(m)
+
+    ds = ds.map_batches(keep, batch_format="pyarrow")
+    out = exact_dedup(ds, text_col="text", id_col="doc_id")
+    return out.drop_columns(["text", "q_punct", "q_digit", "q_upper",
+                             "q_stop"])
+
+
 def _simhash_pairs_docs(sf_dir: str):
     from deltaray.functions.dedup import simhash_pairs
 
@@ -649,6 +691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join": _orders_customer_join,
         "customers_without_orders": _customers_without_orders,
         "top_docs_per_source": _top_docs_per_source,
+        "events_sliding_2h": _events_sliding_2h,
+        "corpus_clean_docs": _corpus_clean_docs,
         "simhash_pairs_docs": _simhash_pairs_docs,
         "events_user_hourly": _events_user_hourly,
         "distinct_event_users": _distinct_event_users,
@@ -813,6 +857,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, date_trunc('hour', ts) AS window_start,
                    count(*) AS n
             FROM events GROUP BY user_id, window_start
+        """,
+        "events_sliding_2h": """
+            SELECT user_id,
+                   time_bucket(INTERVAL 60 MINUTE, ts)
+                     - j * (INTERVAL 60 MINUTE) AS window_start,
+                   CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT)
+                     AS sum_value,
+                   count(*) AS n
+            FROM events, unnest(range(0, 2)) t(j)
+            GROUP BY user_id, window_start
+        """,
+        "corpus_clean_docs": r"""
+            WITH q AS (
+                SELECT doc_id, text, source, n_chars,
+                       length(text) AS q_chars,
+                       length(regexp_extract_all(text,
+                              '\b(the|and|of|a|to|in|is|it)\b')) AS q_stop,
+                       length(regexp_extract_all(text, '[0-9]')) AS q_digit
+                FROM documents),
+            f AS (SELECT * FROM q
+                  WHERE q_chars >= 150 AND q_stop >= 3 AND q_digit <= 40)
+            SELECT doc_id, source, n_chars, q_chars FROM f
+            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
         """,
         "lineitem_ship_window": """
             SELECT l.l_orderkey AS okey, l.l_linenumber, l.l_shipdate,

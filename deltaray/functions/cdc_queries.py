@@ -229,3 +229,58 @@ def upsert_into_base(base_ds, changes_tbl: pa.Table, base_key: str,
         return batch
 
     return base_ds.map_batches(upsert, batch_format="pyarrow")
+
+
+def sliding_window_agg(ds, *, key: str, ts_col: str, value_col: str,
+                       window_minutes: int, hop_minutes: int):
+    """Sliding (hopping) event-time windows: per (key, window_start),
+    count + sum(value) over every window of ``window_minutes`` advancing
+    by ``hop_minutes``.
+
+    Each event belongs to ``window/hop`` windows; the replication happens
+    INSIDE the per-batch combiner and collapses to per-(key, window)
+    partials immediately, so shuffle volume is bounded by
+    #(key, window) pairs per batch — the window fan-out never reaches
+    the exchange.  (The tumbling case is hop == window.)
+    """
+    from ray.data.aggregate import Sum
+
+    if window_minutes % hop_minutes:
+        raise ValueError("window_minutes must be a multiple of hop_minutes")
+    k = window_minutes // hop_minutes
+    hop_us = hop_minutes * 60 * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        keys = batch[key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        # last hop bucket whose window contains ts: floor(ts/hop); the
+        # window starting at (b - j) * hop contains ts for j in [0, k)
+        b = ts // hop_us
+        n = len(ts)
+        starts = ((np.repeat(b, k) - np.tile(np.arange(k), n)) * hop_us)
+        rep_keys = keys.take(pa.array(np.repeat(np.arange(n), k)))
+        rep_vals = np.repeat(vals, k)
+        t = pa.table({
+            key: rep_keys,
+            "window_start": pa.array(starts).cast(pa.timestamp("us")),
+            "v": pa.array(rep_vals),
+        })
+        agg = t.group_by([key, "window_start"]).aggregate(
+            [("v", "sum"), ([], "count_all")])
+        return agg.rename_columns([key, "window_start", "sum_p", "n_p"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([key, "window_start"]).aggregate(
+            Sum("sum_p", alias_name="sum_value"),
+            Sum("n_p", alias_name="n"))
+
+    def fix_unit(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("window_start")
+        return batch.set_column(
+            i, "window_start", batch["window_start"].cast(pa.timestamp("us")))
+
+    return agg.map_batches(fix_unit, batch_format="pyarrow")

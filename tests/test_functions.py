@@ -537,3 +537,21 @@ def test_hash_join_and_semi_anti(ray_session):
     anti = semi_join(lds, rds, on="k", right_on="rk", anti=True,
                      num_partitions=4).to_pandas()
     assert sorted(anti["k"].tolist()) == [1, 5]
+
+
+def test_sliding_window_agg(ray_session):
+    import ray.data
+
+    from deltaray.functions.cdc_queries import sliding_window_agg
+
+    h = 3_600_000_000  # 1 hour in us
+    ts = pa.array([0, 10, h + 5, 2 * h + 1], pa.timestamp("us"))
+    tbl = pa.table({"u": pa.array([1, 1, 1, 1], pa.int64()), "ts": ts,
+                    "v": pa.array([1, 2, 4, 8], pa.int64())})
+    out = sliding_window_agg(ray.data.from_arrow(tbl), key="u", ts_col="ts",
+                             value_col="v", window_minutes=120,
+                             hop_minutes=60) \
+        .to_pandas().sort_values("window_start").reset_index(drop=True)
+    # windows (start, len 2h): -1h:{1,2}, 0h:{1,2,4}, 1h:{4,8}, 2h:{8}
+    assert out["sum_value"].tolist() == [3, 7, 12, 8]
+    assert out["n"].tolist() == [2, 3, 2, 1]

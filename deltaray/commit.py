@@ -39,6 +39,9 @@ import pyarrow.parquet as pq
 
 from deltaray.schemas import TableSchema
 
+# Parquet key-value metadata slot holding the file's effective TableSchema
+SCHEMA_META_KEY = b"deltaray.schema"
+
 
 def _seq12(s: int) -> str:
     return f"{int(s):012d}"
@@ -162,6 +165,30 @@ class LakeState:
         c = self.latest_commit(table, part)
         return int(c["seq_hi"]) if c else 0
 
+    def live_commits(self, table: str, part: int,
+                     before_seq: int | None = None) -> list[dict]:
+        """The commits whose data files make up the partition's CURRENT
+        state: the last ``base`` (full-state) commit plus every ``delta``
+        commit after it, honoring TRUNCATE markers (a marker hides every
+        commit whose range precedes it).  Merge-on-read: concatenating
+        these files and LWW-reducing per key reproduces the exact state —
+        LWW over unique versions is associative, so base+deltas ≡ the
+        fully compacted file."""
+        commits = self.list_commits(table, part)
+        if before_seq is not None:
+            commits = [c for c in commits if c["seq_hi"] < before_seq]
+        bi = None
+        for i, c in enumerate(commits):
+            if c.get("kind", "base") == "base":
+                bi = i
+        sel = commits if bi is None else commits[bi:]
+        truncs = [t for t in self.truncate_seqs(table)
+                  if before_seq is None or t < before_seq]
+        if truncs:
+            tmax = max(truncs)
+            sel = [c for c in sel if c["seq_hi"] >= tmax]
+        return sel
+
     def try_commit(
         self,
         table: str,
@@ -170,8 +197,14 @@ class LakeState:
         hi: int,
         data_tbl: pa.Table,
         counts: dict,
+        kind: str = "base",
+        state_rows: int | None = None,
     ) -> dict:
-        """Write the COW data file then the write-once commit record.
+        """Write the data file then the write-once commit record.
+        ``kind``: "base" = the file holds the partition's full state;
+        "delta" = only this chunk's reduced changes (merge-on-read).
+        ``state_rows`` records the partition's live state row count
+        (incl. tombstones) after this commit.
 
         Idempotent: if the commit record already exists the merge was
         already applied (a Ray task retry or a resumed run) — return the
@@ -193,7 +226,10 @@ class LakeState:
             "seq_lo": int(lo),
             "seq_hi": int(hi),
             "file": os.path.basename(dpath),
+            "kind": kind,
             "rows": int(data_tbl.num_rows),
+            "state_rows": int(state_rows if state_rows is not None
+                              else data_tbl.num_rows),
             "counts": counts,
             "replayed": False,
         }
@@ -202,20 +238,41 @@ class LakeState:
 
     # -------------------------------------------------------------- reads
     def read_partition(self, table: str, part: int, before_seq: int | None = None) -> tuple[pa.Table | None, int]:
-        """Current state of a partition: the data file of the latest commit
-        (optionally the latest with seq_hi < before_seq), honoring
-        TRUNCATE markers.  Returns (table_or_None, committed_hi)."""
+        """Current state of a partition, merged-on-read: the last base
+        file plus subsequent delta files, unified to the newest embedded
+        schema and LWW-reduced per key.  Returns (table_or_None,
+        committed_hi)."""
         commits = self.list_commits(table, part)
         if before_seq is not None:
             commits = [c for c in commits if c["seq_hi"] < before_seq]
         if not commits:
             return None, 0
-        last = commits[-1]
-        truncs = [s for s in self.truncate_seqs(table) if s > last["seq_hi"]]
-        if truncs and (before_seq is None or min(truncs) < before_seq):
-            return None, int(last["seq_hi"])
-        path = os.path.join(self.part_dir(table, part), last["file"])
-        return pq.read_table(path), int(last["seq_hi"])
+        hi = int(commits[-1]["seq_hi"])
+        live = self.live_commits(table, part, before_seq)
+        if not live:
+            return None, hi
+        tbls = [pq.read_table(os.path.join(self.part_dir(table, part), c["file"]))
+                for c in live]
+        if len(tbls) == 1:
+            return tbls[0], hi
+        # lazy imports: merge/transforms import this module at load time
+        from deltaray.merge import evolve_to
+        from deltaray.transforms import lww_reduce
+
+        metas = [TableSchema.from_json(
+            (t.schema.metadata or {})[SCHEMA_META_KEY].decode())
+            for t in tbls]
+        target = max(metas, key=lambda m: m.version_seq)
+        order = None
+        unified = []
+        for t in tbls:
+            t = evolve_to(t, target)
+            if order is None:
+                order = t.column_names
+            unified.append(t.select(order))
+        merged = lww_reduce(
+            pa.concat_tables(unified, promote_options="none"), target.keys)
+        return merged, hi
 
     # ------------------------------------------------------------ lineage
     def write_lineage(self, table: str, part: int, record: dict) -> None:
@@ -246,19 +303,17 @@ class LakeState:
     def vacuum(self, table: str, part: int) -> list[str]:
         """Delete superseded copy-on-write data files for one partition.
 
-        Safe rule: keep every data file referenced by ANY commit record
-        whose seq_hi >= the latest FULLY-COMMITTED chunk start could still
-        need — concretely we keep the latest commit's file (the current
-        state) and delete files not referenced by the latest commit.
-        Files older than the latest commit are only ever read as the base
-        of a chunk that is not yet committed for this partition; once a
-        newer commit exists for the partition, that chunk IS committed
-        here, so the older files are unreachable.
+        Safe rule: keep every file the current state is made of (the
+        last base commit + subsequent deltas — ``live_commits``); older
+        files are only ever read as the base of a chunk that is not yet
+        committed for this partition, and once a newer commit exists for
+        the partition that chunk IS committed here, so they are
+        unreachable.
         """
-        last = self.latest_commit(table, part)
-        if last is None:
+        live = self.live_commits(table, part)
+        if not live and self.latest_commit(table, part) is None:
             return []
-        keep = {last["file"]}
+        keep = {c["file"] for c in live}
         pdir = self.part_dir(table, part)
         removed = []
         for f in sorted(os.listdir(pdir)):

@@ -72,6 +72,12 @@ class ReplayConfig:
                                    # "sort" (Dataset groupby sort shuffle)
     num_partitions: int = 32       # hash partitions per table (hash(doc_id) % P)
     chunk_max_events: int = 2_000_000  # replay chunk size (resume granularity)
+    # every Nth commit per partition rewrites the full state (base);
+    # in between, chunks write DELTA files (merge-on-read, LWW-resolved).
+    # 1 = always compact (pure copy-on-write).  Bounds read amplification
+    # at N files and cuts per-chunk write amplification from O(state) to
+    # O(changes).
+    compact_every: int = 8
     batch_size: int = 16384        # map_batches batch size for transforms
     vacuum: bool = True            # delete superseded COW files after commit
     generation: int = 0            # run generation; isolates recreated pipelines
@@ -105,6 +111,8 @@ class ReplayConfig:
             raise ValueError("num_partitions must be >= 1")
         if self.sort_key_components < 1:
             raise ValueError("sort_key_components must be >= 1")
+        if self.compact_every < 1:
+            raise ValueError("compact_every must be >= 1")
         for bl in [self.ddl_blacklist] + [t.ddl_blacklist for t in self.tables]:
             # CREATE_TABLE can never be blacklisted
             # (QueueingEventEmitter.java:101-104 does remove(CREATE_TABLE))
@@ -180,6 +188,7 @@ def config_to_dict(cfg: ReplayConfig) -> dict:
         "shuffle": cfg.shuffle,
         "num_partitions": cfg.num_partitions,
         "chunk_max_events": cfg.chunk_max_events,
+        "compact_every": cfg.compact_every,
         "batch_size": cfg.batch_size,
         "vacuum": cfg.vacuum,
         "generation": cfg.generation,
@@ -204,7 +213,7 @@ def config_from_dict(d: dict, runtime_args: dict[str, str] | None = None) -> Rep
     kw = {k: d[k] for k in (
         "event_log", "lake", "ordering", "sort_key_components",
         "track_previous", "shuffle", "num_partitions", "chunk_max_events",
-        "batch_size", "vacuum", "generation") if k in d}
+        "compact_every", "batch_size", "vacuum", "generation") if k in d}
     return ReplayConfig(
         tables=tables, retry=retry,
         dml_blacklist=set(d.get("dml_blacklist", [])),

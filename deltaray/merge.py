@@ -31,11 +31,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from deltaray.commit import LakeState
+from deltaray.commit import SCHEMA_META_KEY, LakeState
 from deltaray.schemas import TableSchema, code_to_type
 from deltaray.transforms import lww_reduce, version_col_names
-
-SCHEMA_META_KEY = b"deltaray.schema"
 
 # A merge task holds one partition's full state in memory; past this row
 # count the lake needs more num_partitions (re-shard into a new
@@ -186,9 +184,39 @@ def strip_internal(tbl: pa.Table, with_previous: bool = False) -> pa.Table:
     return tbl
 
 
+def _slim_partition_state(lake: LakeState, table: str, part: int,
+                          schema: TableSchema, vnames: list[str]):
+    """Key+version columns of the partition's live state (LWW-reduced) —
+    the cheap read that lets DELTA commits still measure late arrivals
+    and exact state row counts without touching the payload columns.
+    Returns a table, None (no live state), or "drift" when any live file
+    was written under a different effective schema (DDL since) — callers
+    fall back to a compacting merge then."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    recs = lake.live_commits(table, part)
+    if not recs:
+        return None
+    want_meta = schema.to_json().encode()
+    cols = list(dict.fromkeys([*schema.keys, *vnames]))
+    tbls = []
+    for c in recs:
+        path = os.path.join(lake.part_dir(table, part), c["file"])
+        fschema = pq.read_schema(path)
+        if (fschema.metadata or {}).get(SCHEMA_META_KEY) != want_meta:
+            return "drift"
+        if any(col not in fschema.names for col in cols):
+            return "drift"
+        tbls.append(pq.read_table(path, columns=cols))
+    t = pa.concat_tables(tbls, promote_options="none") if len(tbls) > 1         else tbls[0]
+    return lww_reduce(t, schema.keys)
+
+
 def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
                   effective_json: dict[str, str], num_partitions: int,
-                  vacuum: bool = True):
+                  vacuum: bool = True, compact_every: int = 8):
     """Build the ``map_groups`` function for one replay chunk.
 
     The returned closure runs once per (table, partition) group on a Ray
@@ -236,15 +264,43 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
         # under the version-compare upsert (identical versions, change
         # wins ties), while an as-of-chunk-start read would need COW
         # files that vacuum already deleted.
+        # Base vs delta commit: every compact_every-th commit rewrites
+        # the full state (bounding merge-on-read at compact_every files);
+        # the rest write only this chunk's reduced changes — LWW is
+        # associative, so concat(base, deltas..) → lww_reduce at read
+        # time is exactly the compacted state, and per-chunk write
+        # amplification drops from O(state) to O(changes).
         ustats: dict = {}
-        base, _prev_hi = lake.read_partition(tname, part)
-        if base is not None and base.num_rows:
-            base = evolve_to(base, schema)
-            changes = changes.select(base.column_names)  # align order
-            merged = upsert_by_version(base, changes, schema.keys,
-                                       stats=ustats)
+        live = lake.live_commits(tname, part)
+        compact = (compact_every <= 1 or not live
+                   or len(live) + 1 >= compact_every)
+        vnames = version_col_names(changes.column_names)
+        slim = None
+        if not compact:
+            slim = _slim_partition_state(lake, tname, part, schema, vnames)
+            if isinstance(slim, str):  # "drift": DDL since the live files
+                compact, slim = True, None
+        if compact:
+            base, _prev_hi = lake.read_partition(tname, part)
+            if base is not None and base.num_rows:
+                base = evolve_to(base, schema)
+                changes = changes.select(base.column_names)  # align order
+                merged = upsert_by_version(base, changes, schema.keys,
+                                           stats=ustats)
+            else:
+                merged = changes
+            kind, state_rows = "base", merged.num_rows
         else:
-            merged = changes
+            merged = changes  # the delta file: this chunk's changes only
+            if slim is None or slim.num_rows == 0:
+                ustats["stale_changes"] = 0
+                state_rows = changes.num_rows
+            else:
+                cols = list(dict.fromkeys([*schema.keys, *vnames]))
+                mslim = upsert_by_version(slim, changes.select(cols),
+                                          schema.keys, stats=ustats)
+                state_rows = mslim.num_rows
+            kind = "delta"
         # partition files are NOT key-sorted: sorting fat token rows per
         # chunk is pure overhead (read_table orders at presentation time)
         merged = stamp_schema(merged, schema)
@@ -257,7 +313,8 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
             # replication-lag signal for UN_ORDERED sources)
             "late_events": int(ustats.get("stale_changes", 0)),
         }
-        rec = lake.try_commit(tname, part, chunk_lo, chunk_hi, merged, counts)
+        rec = lake.try_commit(tname, part, chunk_lo, chunk_hi, merged,
+                              counts, kind=kind, state_rows=state_rows)
         if vacuum:
             # superseded COW files are unreachable once this commit exists
             lake.vacuum(tname, part)
@@ -274,10 +331,10 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
             "last_seq": chunk_hi,
             "watermark_src_ts": int(wm or 0),
             "file": rec["file"],
-            "rows": rec["rows"],
+            "rows": int(rec.get("state_rows", rec["rows"])),
             "counts": counts,
         }
-        if rec["rows"] > PARTITION_ROWS_SOFT_LIMIT:
+        if rec.get("state_rows", rec["rows"]) > PARTITION_ROWS_SOFT_LIMIT:
             lineage["oversized"] = True
         lake.write_lineage(tname, part, lineage)
         return _lineage_row(rec, skipped=bool(rec.get("replayed")))
@@ -293,7 +350,7 @@ def _lineage_row(rec: dict, skipped: bool) -> pa.Table:
             "part": [int(rec["part"])],
             "seq_lo": [int(rec["seq_lo"])],
             "seq_hi": [int(rec["seq_hi"])],
-            "rows": [int(rec["rows"])],
+            "rows": [int(rec.get("state_rows", rec["rows"]))],
             "applied_inserts": [int(c.get("inserts", 0))],
             "applied_updates": [int(c.get("updates", 0))],
             "applied_deletes": [int(c.get("deletes", 0))],

@@ -360,6 +360,7 @@ class ReplaySession:
             {t: s.to_json() for t, s in self._effective().items()},
             cfg.num_partitions,
             vacuum=cfg.vacuum,
+            compact_every=cfg.compact_every,
         )
         n_shards = cfg.num_partitions * max(1, len(self.schemas))
         if cfg.shuffle == "sort":
@@ -571,42 +572,61 @@ def read_table(lake_root: str, table: str, generation: int = 0,
 
 
 def current_data_files(lake_root: str, table: str, generation: int = 0) -> list[str]:
+    """RAW live data files (last base + deltas per partition).  NOTE:
+    with delta commits a key may appear in several of these files — use
+    ``read_table_ds`` (which LWW-reduces per partition) for row-correct
+    reads; this listing serves size accounting and vacuum-style tooling."""
     lake = LakeState(lake_root, generation)
     files = []
     for d in sorted(glob.glob(os.path.join(lake.table_dir(table), "part=*"))):
         part = int(os.path.basename(d).split("=")[1])
-        c = lake.latest_commit(table, part)
-        if c is None:
-            continue
-        truncs = [s for s in lake.truncate_seqs(table) if s > c["seq_hi"]]
-        if truncs:
-            continue
-        files.append(os.path.join(d, c["file"]))
+        for c in lake.live_commits(table, part):
+            files.append(os.path.join(d, c["file"]))
     return files
 
 
 def read_table_ds(lake_root: str, table: str, generation: int = 0,
                   with_previous: bool = False):
-    """Streaming read of a table's current state as a ray.data.Dataset."""
+    """Streaming read of a table's current state as a ray.data.Dataset:
+    one task per partition performs the merge-on-read (base + delta files
+    → LWW reduce) and strips engine columns, so downstream operators see
+    exactly the live rows regardless of compaction state."""
     import ray.data
 
     lake = LakeState(lake_root, generation)
     schema = lake.current_schema(table)
     if schema is None:
         raise KeyError(f"unknown table {table!r}")
-    files = current_data_files(lake_root, table, generation)
-    if not files:
-        import ray.data
-
-        return ray.data.from_arrow(schema.arrow_schema().empty_table())
-    ds = ray.data.read_parquet(files)
+    out_schema = schema.arrow_schema()
+    if with_previous:
+        out_schema = out_schema.append(pa.field("prev_tokens",
+                                                pa.list_(pa.int32())))
+    parts = []
+    if not os.path.isdir(os.path.join(lake.table_dir(table), "_dropped")):
+        for d in sorted(glob.glob(os.path.join(lake.table_dir(table),
+                                               "part=*"))):
+            p = int(os.path.basename(d).split("=")[1])
+            if lake.live_commits(table, p):
+                parts.append(p)
+    if not parts:
+        return ray.data.from_arrow(out_schema.empty_table())
     sj = schema.to_json()
 
-    def fix(batch: pa.Table) -> pa.Table:
-        return strip_internal(evolve_to(batch, TableSchema.from_json(sj)),
-                              with_previous=with_previous)
+    def load(batch: pa.Table) -> pa.Table:
+        target = TableSchema.from_json(sj)
+        out = []
+        for p in batch["part"].to_pylist():
+            tbl, _ = LakeState(lake_root, generation).read_partition(table, p)
+            if tbl is not None and tbl.num_rows:
+                out.append(strip_internal(evolve_to(tbl, target),
+                                          with_previous=with_previous)
+                           .select(out_schema.names))
+        if not out:
+            return out_schema.empty_table()
+        return pa.concat_tables(out, promote_options="default")
 
-    return ds.map_batches(fix, batch_format="pyarrow")
+    ds = ray.data.from_arrow(pa.table({"part": pa.array(parts, pa.int64())}))
+    return ds.repartition(len(parts))         .map_batches(load, batch_format="pyarrow", batch_size=1)
 
 
 def lineage_report(lake_root: str, table: str | None = None,
@@ -666,7 +686,8 @@ def collect_metrics(lake: LakeState, tables: list[str]) -> dict:
                           "late_events"):
                     agg[k] += int(cc.get(k, 0))
             if commits:
-                agg["rows"] += int(commits[-1]["rows"])
+                last = commits[-1]
+                agg["rows"] += int(last.get("state_rows", last["rows"]))
         per_table[t] = agg
     total = {
         k: sum(v[k] for v in per_table.values())

@@ -338,3 +338,54 @@ def test_watermark_and_late_event_metrics(tmp_log, tmp_lake):
     assert res["metrics"]["tables"]["docs"]["late_events"] == 1
     rep = lineage_report(tmp_lake, "docs")
     assert rep["tables"]["docs"]["watermark_src_ts"] == ts0 + 950
+
+
+def test_delta_commits_and_compaction(tmp_log, tmp_lake):
+    """Delta-commit lake: chunks write only their reduced changes; every
+    compact_every-th commit per partition rewrites the full state.  The
+    merged-on-read state equals the oracle at every point, resume stays
+    idempotent, and live files per partition stay bounded."""
+    import glob
+
+    from deltaray.commit import LakeState
+
+    write_event_log(tmp_log, n_docs=120, n_events=3000, seed=91,
+                    segment_max_events=300)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2,
+                       chunk_max_events=300, compact_every=3)
+    replay(cfg)
+    oracle = replay_oracle(cfg)
+    got = read_table(tmp_lake, "docs")
+    ok, msg = tables_equal(got, oracle["docs"])
+    assert ok, msg
+    lake = LakeState(tmp_lake, 0)
+    kinds = [c["kind"] for c in lake.list_commits("docs", 0)]
+    assert "delta" in kinds and kinds.count("base") >= 2  # compaction ran
+    for pdir in glob.glob(f"{tmp_lake}/gen=0000/docs/part=*"):
+        assert len(glob.glob(pdir + "/data-*.parquet")) <= 3
+    # state_rows tracks the LIVE state, not the delta file size
+    last = lake.list_commits("docs", 0)[-1]
+    part0_rows = lake.read_partition("docs", 0)[0].num_rows
+    assert last["state_rows"] == part0_rows
+    # re-replay: every chunk skipped, state unchanged
+    replay(cfg)
+    got2 = read_table(tmp_lake, "docs")
+    ok, msg = tables_equal(got2, oracle["docs"])
+    assert ok, msg
+
+
+def test_delta_commits_streaming_read(tmp_log, tmp_lake):
+    """read_table_ds performs the per-partition merge-on-read: no
+    duplicate keys even while partitions hold base+delta files."""
+    from deltaray.pipeline import read_table_ds
+
+    write_event_log(tmp_log, n_docs=80, n_events=1500, seed=93,
+                    segment_max_events=200)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=250, compact_every=4)
+    replay(cfg)
+    ds = read_table_ds(tmp_lake, "docs")
+    tbl = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    oracle = replay_oracle(cfg)["docs"]
+    ok, msg = tables_equal(tbl.sort_by("doc_id"), oracle)
+    assert ok, msg

@@ -332,22 +332,33 @@ def test_cli_and_lineage_report(tmp_log, tmp_lake, capsys):
 
 
 def test_vacuum_bounds_lake_files(tmp_log, tmp_lake):
-    """COW rewrite + vacuum: each partition keeps exactly one data file
-    after multi-chunk replay; resume correctness is unaffected."""
+    """Vacuum + compaction bound live files per partition: compact_every=1
+    reproduces pure copy-on-write (exactly one file); the default delta
+    mode keeps at most compact_every files; resume correctness is
+    unaffected either way."""
     import glob as _glob
 
     write_event_log(tmp_log, n_docs=100, n_events=2000, seed=61,
                     segment_max_events=300)
     cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2,
-                       chunk_max_events=400)
+                       chunk_max_events=400, compact_every=1)
     _check(cfg)  # multi-chunk replay, equality vs oracle
     for pdir in _glob.glob(f"{tmp_lake}/gen=0000/docs/part=*"):
         files = [f for f in _glob.glob(pdir + "/data-*.parquet")]
         assert len(files) == 1, pdir
+    # default: delta commits accumulate up to compact_every live files
+    lake3 = tmp_lake + "-delta"
+    cfg3 = ReplayConfig(event_log=tmp_log, lake=lake3, num_partitions=2,
+                        chunk_max_events=400)
+    _check(cfg3)
+    for pdir in _glob.glob(f"{lake3}/gen=0000/docs/part=*"):
+        files = _glob.glob(pdir + "/data-*.parquet")
+        assert 1 <= len(files) <= cfg3.compact_every, pdir
     # without vacuum, files accumulate per chunk
     lake2 = tmp_lake + "-nv"
     cfg2 = ReplayConfig(event_log=tmp_log, lake=lake2, num_partitions=2,
-                        chunk_max_events=400, vacuum=False)
+                        chunk_max_events=400, vacuum=False,
+                        compact_every=1)
     _check(cfg2)
     some = _glob.glob(f"{lake2}/gen=0000/docs/part=00000/data-*.parquet")
     assert len(some) > 1

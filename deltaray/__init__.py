@@ -19,7 +19,10 @@ No function in this package calls ray.init()/ray.shutdown(); callers own
 the Ray session.
 """
 
-from deltaray.config import ReplayConfig, RetryConfig, TableConfig, expand_macros
+from deltaray.commit import latest_generation, list_generations
+from deltaray.config import (ReplayConfig, RetryConfig, TableConfig,
+                             config_from_dict, config_to_dict, expand_macros)
+from deltaray.drafts import DraftStore
 from deltaray.pipeline import (
     DeltaFailureError,
     lineage_report,
@@ -33,6 +36,11 @@ from deltaray.transforms import register_directive
 
 __all__ = [
     "DeltaFailureError",
+    "DraftStore",
+    "config_from_dict",
+    "config_to_dict",
+    "latest_generation",
+    "list_generations",
     "ReplayConfig",
     "RetryConfig",
     "TableConfig",

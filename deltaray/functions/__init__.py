@@ -9,11 +9,13 @@ from deltaray.functions.cdc_queries import (
     apply_change_stream,
     lww_latest,
     sessionize,
+    sliding_window_agg,
     top_k_per_key,
     tumbling_window_agg,
     upsert_into_base,
 )
 from deltaray.functions.dedup import (
+    connected_components,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_dedup_docs,
@@ -22,7 +24,8 @@ from deltaray.functions.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from deltaray.functions.joins import asof_join, broadcast_enrich, range_join
+from deltaray.functions.joins import (asof_join, broadcast_enrich,
+                                      hash_join, range_join, semi_join)
 from deltaray.functions.knn import knn_bruteforce, knn_ivf, train_centroids
 from deltaray.functions.partition import group_codes, hash_partitioned
 from deltaray.functions.stats import exact_percentiles, grouped_percentiles
@@ -32,11 +35,13 @@ __all__ = [
     "apply_change_stream",
     "asof_join",
     "broadcast_enrich",
+    "connected_components",
     "embedding_neardup_pairs",
     "exact_dedup",
     "exact_percentiles",
     "group_codes",
     "grouped_percentiles",
+    "hash_join",
     "hash_partitioned",
     "knn_bruteforce",
     "knn_ivf",
@@ -46,7 +51,9 @@ __all__ = [
     "ngram_jaccard",
     "ngram_jaccard_pairs",
     "range_join",
+    "semi_join",
     "sessionize",
+    "sliding_window_agg",
     "simhash_pairs",
     "token_topk",
     "top_k_per_key",

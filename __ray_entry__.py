@@ -495,6 +495,38 @@ def _corpus_clean_docs(sf_dir: str):
                              "q_stop"])
 
 
+def _pack_docs_sequences(sf_dir: str):
+    """LM-pretraining sequence packing: documents (tokens derived
+    deterministically from text bytes) packed into <=512-token training
+    sequences, greedy in doc-id order per hash partition."""
+    from deltaray.functions.text import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_tokens(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        if pa.types.is_large_string(t.type):
+            t = t.cast(pa.string())
+        t = pc.fill_null(t, "")
+        bufs = t.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int32,
+                             count=len(t) + 1 + t.offset)[t.offset:]
+        data = (np.frombuffer(bufs[2], dtype=np.uint8)
+                if bufs[2] is not None else np.empty(0, np.uint8))
+        lo, hi = offs[0], offs[len(t)]
+        vals = data[lo:hi].astype(np.int32)
+        toks = pa.ListArray.from_arrays(
+            pa.array(offs[: len(t) + 1] - lo, pa.int32()),
+            pa.array(vals, pa.int32()))
+        return pa.table({"doc_id": batch["doc_id"], "tokens": toks})
+
+    ds = ds.map_batches(to_tokens, batch_format="pyarrow")
+    out = pack_sequences(ds, max_len=512, num_partitions=16)
+    return out.drop_columns(["tokens", "doc_ids"])
+
+
 def _simhash_pairs_docs(sf_dir: str):
     from deltaray.functions.dedup import simhash_pairs
 
@@ -691,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join": _orders_customer_join,
         "customers_without_orders": _customers_without_orders,
         "top_docs_per_source": _top_docs_per_source,
+        "pack_docs_sequences": _pack_docs_sequences,
         "events_sliding_2h": _events_sliding_2h,
         "corpus_clean_docs": _corpus_clean_docs,
         "simhash_pairs_docs": _simhash_pairs_docs,

@@ -117,3 +117,91 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
     h = stable_hash_strings(batch[text_col])
     return batch.append_column("fingerprint", pa.array(h.astype(np.int64)))
+
+
+def pack_sequences(ds, *, max_len: int, id_col: str = "doc_id",
+                   tokens_col: str = "tokens", num_partitions: int = 64):
+    """Pack variable-length token documents into training sequences of at
+    most ``max_len`` tokens (greedy first-fit in doc-id order) — the
+    standard LM-pretraining packing pass.
+
+    Deterministic and distributed: documents are hash-partitioned by id,
+    each partition packs ITS documents in sorted id order, and pack ids
+    are ``partition * 2^32 + ordinal`` — same num_partitions → identical
+    output regardless of input block layout.  A document longer than
+    ``max_len`` becomes its own (oversized) pack; nothing is truncated
+    or dropped, so Σ tokens is preserved exactly.
+
+    Output rows: (pack_id, tokens:list<int32>, n_docs, n_tokens,
+    doc_ids:list).  The per-partition pass is a numpy cumsum/boundary
+    computation plus ONE ListArray rebuild — no per-token Python.
+    """
+    from deltaray.functions.partition import hash_partitioned
+
+    def pack_block(block: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "pack_id": pa.array([], pa.int64()),
+            "tokens": pa.array([], pa.list_(pa.int32())),
+            "n_docs": pa.array([], pa.int32()),
+            "n_tokens": pa.array([], pa.int32()),
+            "doc_ids": pa.array([], pa.list_(pa.string())),
+        })
+        if block.num_rows == 0:
+            return empty
+        g = block.sort_by(id_col)
+        toks = g[tokens_col]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        part = int(g["__pack_part"][0].as_py())
+        # greedy first-fit over sorted docs: running fill, new pack when
+        # the next doc would overflow (oversized docs get their own pack)
+        n = len(lens)
+        pack_of = np.empty(n, dtype=np.int64)
+        fill = 0
+        pid = -1
+        for i in range(n):  # O(#docs) scalar loop — docs, not tokens
+            if pid < 0 or fill + lens[i] > max_len:
+                pid += 1
+                fill = 0
+            pack_of[i] = pid
+            fill += lens[i]
+        n_packs = pid + 1
+        # docs are already contiguous per pack (monotone pack_of): one
+        # ListArray rebuild over the flat values buffer
+        boundaries = np.flatnonzero(np.diff(pack_of)) + 1
+        starts = np.concatenate([[0], boundaries])
+        ends = np.concatenate([boundaries, [n]])
+        flat = toks.flatten()
+        tok_offsets = np.concatenate(
+            [[0], np.cumsum(lens)])[np.concatenate([starts, [n]])]
+        packed = pa.ListArray.from_arrays(
+            pa.array(tok_offsets, pa.int32()), flat)
+        ids = g[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        id_offsets = pa.array(np.concatenate([starts, [n]]).astype(np.int32))
+        doc_ids = pa.ListArray.from_arrays(id_offsets, ids)
+        return pa.table({
+            "pack_id": pa.array(part * (1 << 32)
+                                + np.arange(n_packs, dtype=np.int64)),
+            "tokens": packed,
+            "n_docs": pa.array((ends - starts).astype(np.int32)),
+            "n_tokens": pa.array(
+                np.add.reduceat(lens, starts).astype(np.int32)),
+            "doc_ids": doc_ids,
+        })
+
+    def tag_part(batch: pa.Table) -> pa.Table:
+        # partition id must be visible inside the block fn for stable
+        # pack ids; reuse the exchange's own hash so they agree
+        from deltaray.functions.partition import _hash_cols
+
+        part = (_hash_cols(batch, [id_col])
+                % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column("__pack_part", pa.array(part))
+
+    tagged = ds.map_batches(tag_part, batch_format="pyarrow")
+    return hash_partitioned(tagged, [id_col], pack_block,
+                            num_partitions=num_partitions)

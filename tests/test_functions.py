@@ -555,3 +555,41 @@ def test_sliding_window_agg(ray_session):
     # windows (start, len 2h): -1h:{1,2}, 0h:{1,2,4}, 1h:{4,8}, 2h:{8}
     assert out["sum_value"].tolist() == [3, 7, 12, 8]
     assert out["n"].tolist() == [2, 3, 2, 1]
+
+
+def test_pack_sequences(ray_session):
+    import ray.data
+
+    import pyarrow.compute as pc
+
+    from deltaray.functions.text import pack_sequences
+
+    rng = np.random.default_rng(17)
+    lens = rng.integers(1, 120, size=300)
+    lens[5] = 700  # oversized doc: its own pack, never truncated
+    toks = [list(range(int(n))) for n in lens]
+    tbl = pa.table({"doc_id": pa.array([f"d{i:04d}" for i in range(300)]),
+                    "tokens": pa.array(toks, pa.list_(pa.int32()))})
+
+    def run(blocks):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        out = pack_sequences(ds, max_len=256, num_partitions=8)
+        return pa.concat_tables(list(out.iter_batches(
+            batch_format="pyarrow"))).sort_by("pack_id")
+
+    out = run(4)
+    # every token preserved exactly once
+    assert int(pc.sum(out["n_tokens"]).as_py()) == int(lens.sum())
+    total_docs = int(pc.sum(out["n_docs"]).as_py())
+    assert total_docs == 300
+    # packs respect max_len unless a single doc overflows on its own
+    for nt, ndocs in zip(out["n_tokens"].to_pylist(),
+                         out["n_docs"].to_pylist()):
+        assert nt <= 256 or ndocs == 1
+    # token content round-trips: each pack concatenates its docs' tokens
+    row = out.to_pylist()[0]
+    assert len(row["tokens"]) == row["n_tokens"]
+    # deterministic under a different input block layout
+    out2 = run(9)
+    assert out.select(["pack_id", "n_docs", "n_tokens"]).equals(
+        out2.select(["pack_id", "n_docs", "n_tokens"]))

@@ -276,6 +276,19 @@ class ReplaySession:
         self.ddl_rows = load_ddl_events(self.segments)
         self.chunks = plan_chunks(self.segments, self.ddl_rows, cfg.chunk_max_events)
         self.schemas: dict[str, TableSchema] = {}  # DDL-level (pre-directive)
+        # tables bootstrapped from a snapshot (bootstrap_table) have a
+        # persisted schema but no CREATE_TABLE in the tail log — seed them
+        # (later in-log DDL still applies on top)
+        created_in_log = {r["table"] for r in self.ddl_rows
+                          if r["op"] == "CREATE_TABLE"}
+        for t in self.lake.list_tables():
+            if t in created_in_log:
+                continue
+            if cfg.table_names and t not in cfg.table_names:
+                continue
+            sch = self.lake.current_schema(t)
+            if sch is not None:
+                self.schemas[t] = sch
         self.dropped: set[str] = set()
         self.errors = 0  # failed apply attempts (dml.errors metric analog)
 
@@ -505,6 +518,103 @@ class ReplaySession:
             "lineage": lineage_rows,
             "metrics": metrics,
         }
+
+
+def bootstrap_table(cfg: ReplayConfig, schema, snapshot_ds,
+                    snapshot_seq: int = 1) -> dict:
+    """Initialize a lake table directly from an existing snapshot Dataset
+    — the reference's snapshot phase done as a bulk load, so replay only
+    tails change events with ``seq > snapshot_seq``.
+
+    Distributed: the snapshot streams through the same hash exchange and
+    per-partition base commits as a replay chunk covering
+    ``(0, snapshot_seq]``; tail events then upsert against it (their seq
+    exceeds ``snapshot_seq``, so they win LWW).  The tail log does NOT
+    need a CREATE_TABLE event — replay seeds bootstrapped tables from
+    the persisted lake schema.  Note: the snapshot is written under the
+    lake (post-directive) schema; combining bootstrap with per-table
+    directive chains assumes the snapshot is already transformed.
+    """
+    import numpy as np
+
+    from deltaray.functions.partition import hash_partitioned
+    from deltaray.merge import stamp_schema
+    from deltaray.transforms import stable_hash_cols
+
+    session = ReplaySession.__new__(ReplaySession)
+    session.cfg = cfg
+    session.lake = LakeState(cfg.lake, cfg.generation)
+    session._check_generation_meta()
+    lake_root, generation = cfg.lake, cfg.generation
+    table = schema.name
+    keys = schema.keys
+    n_sk = max(1, cfg.sort_key_components)
+    track_prev = bool(cfg.track_previous)
+    num_partitions = cfg.num_partitions
+    sj = schema.to_json()
+    session.lake.write_schema(schema)
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        target = TableSchema.from_json(sj)
+        cols = {}
+        for name, codec in target.fields:
+            from deltaray.schemas import code_to_type
+
+            if name in batch.column_names:
+                cols[name] = batch[name].cast(code_to_type(codec))
+            else:
+                cols[name] = pa.nulls(batch.num_rows, code_to_type(codec))
+        t = pa.table(cols)
+        keymask = pc.is_valid(t[keys[0]])
+        for kc in keys[1:]:
+            keymask = pc.and_(keymask, pc.is_valid(t[kc]))
+        if not pc.all(keymask).as_py():
+            t = t.filter(keymask)
+        n = t.num_rows
+        z = pa.array(np.zeros(n, dtype=np.int64))
+        t = t.append_column("__seq", pa.array(
+            np.full(n, snapshot_seq, dtype=np.int64)))
+        t = t.append_column("__src_ts", z)
+        for i in range(n_sk):
+            t = t.append_column(f"__sk{i}", z)
+        if track_prev:
+            t = t.append_column("__prev_tokens",
+                               pa.nulls(n, pa.list_(pa.int32())))
+        t = t.append_column("__deleted", pa.array(np.zeros(n, dtype=bool)))
+        part = (stable_hash_cols(t, keys)
+                % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("__bpart", pa.array(part))
+
+    def commit_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"part": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64())})
+        part = int(block["__bpart"][0].as_py())
+        target = TableSchema.from_json(sj)
+        from deltaray.transforms import lww_reduce
+
+        data = lww_reduce(block.drop_columns(["__bpart"]), target.keys)
+        data = stamp_schema(data, target)
+        lake = LakeState(lake_root, generation)
+        counts = {"inserts": int(data.num_rows), "updates": 0, "deletes": 0,
+                  "bytes_in": int(data.nbytes), "late_events": 0}
+        rec = lake.try_commit(table, part, 0, snapshot_seq, data, counts,
+                              kind="base")
+        lake.write_lineage(table, part, {
+            "partition": part, "state": "SNAPSHOTTING",
+            "last_seq": snapshot_seq, "watermark_src_ts": 0,
+            "file": rec["file"], "rows": rec["rows"], "counts": counts,
+        })
+        return pa.table({"part": pa.array([part], pa.int64()),
+                         "rows": pa.array([rec["rows"]], pa.int64())})
+
+    stamped = snapshot_ds.map_batches(stamp, batch_format="pyarrow")
+    out = hash_partitioned(stamped, keys, commit_block,
+                           num_partitions=num_partitions)
+    rows = out.take_all()  # tiny: one row per partition
+    return {"table": table, "partitions": len(rows),
+            "rows": int(sum(r["rows"] for r in rows)),
+            "snapshot_seq": snapshot_seq}
 
 
 def replay(cfg: ReplayConfig, on_chunk=None) -> dict:

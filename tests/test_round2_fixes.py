@@ -389,3 +389,89 @@ def test_delta_commits_streaming_read(tmp_log, tmp_lake):
     oracle = replay_oracle(cfg)["docs"]
     ok, msg = tables_equal(tbl.sort_by("doc_id"), oracle)
     assert ok, msg
+
+
+def test_bootstrap_then_tail_replay(tmp_log, tmp_lake):
+    """Snapshot bootstrap: the lake table is bulk-loaded from an existing
+    snapshot Dataset (no snapshot INSERT events), then a tail-only change
+    log (no CREATE_TABLE either) upserts against it — final state equals
+    an oracle replay of the equivalent full log."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from deltaray.gen import gen_base
+    from deltaray.pipeline import bootstrap_table
+    from deltaray.schemas import (ddl_payload, default_table_schema,
+                                  event_log_schema)
+
+    schema = default_table_schema()
+    base = gen_base(150, seed=31)
+    rng = np.random.default_rng(37)
+    log_schema = event_log_schema(schema)
+
+    def tail_rows(start_seq):
+        rows = []
+        seq = start_seq
+        for i in range(500):
+            op = ("INSERT", "UPDATE", "DELETE")[int(rng.integers(0, 3))]
+            if op == "INSERT":
+                doc = f"docs-doc{1000 + i:08d}"
+            else:
+                doc = f"docs-doc{int(rng.integers(0, 150)):08d}"
+            row = {"seq": seq, "op": op, "table": "docs", "doc_id": doc,
+                   "is_snapshot": False}
+            if op != "DELETE":
+                toks = [int(x) for x in rng.integers(0, 100, 5)]
+                row.update(tokens=toks, n_tok=5,
+                           source=str(rng.choice(["web", "code"])))
+            rows.append(row)
+            seq += 1
+        return rows, seq - 1
+
+    tail, max_seq = tail_rows(2)
+    os.makedirs(tmp_log, exist_ok=True)
+    cols = {f.name: [r.get(f.name) for r in tail] for f in log_schema}
+    pq.write_table(pa.table(cols, schema=log_schema),
+                   f"{tmp_log}/events-00000-{2:012d}-{max_seq:012d}.parquet",
+                   row_group_size=128)
+
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=150)
+    res = bootstrap_table(cfg, schema, ray.data.from_arrow(base),
+                          snapshot_seq=1)
+    assert res["rows"] == 150
+    replay(cfg)
+    got = read_table(tmp_lake, "docs")
+
+    # oracle: an equivalent FULL log (CREATE + snapshot INSERTs + tail)
+    full_log = tmp_log + "-full"
+    os.makedirs(full_log, exist_ok=True)
+    full = [{"seq": 0, "op": "CREATE_TABLE", "table": "docs",
+             "ddl_payload": ddl_payload("CREATE_TABLE", schema=schema),
+             "is_snapshot": True}]
+    b = base.to_pylist()
+    # snapshot rows share seq space below the tail (oracle needs unique
+    # seq; engine bootstrap used snapshot_seq=1 for all) — renumber the
+    # whole oracle log instead
+    for i, r in enumerate(b):
+        full.append({"seq": 0, "op": "INSERT", "table": "docs",
+                     "is_snapshot": True, **r})
+    full.extend(tail)
+    for i, r in enumerate(full):
+        r = dict(r)
+        r["seq"] = i + 1
+        full[i] = r
+    cols = {f.name: [r.get(f.name) for r in full] for f in log_schema}
+    pq.write_table(pa.table(cols, schema=log_schema),
+                   f"{full_log}/events-00000-{1:012d}-{len(full):012d}.parquet")
+    ocfg = ReplayConfig(event_log=full_log, lake=tmp_lake + "-o")
+    oracle = replay_oracle(ocfg)["docs"]
+    ok, msg = tables_equal(got, oracle)
+    assert ok, msg
+    # tail replay is resumable as usual
+    replay(cfg)
+    got2 = read_table(tmp_lake, "docs")
+    ok, msg = tables_equal(got2, oracle)
+    assert ok, msg

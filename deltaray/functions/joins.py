@@ -106,27 +106,30 @@ def asof_join(left_ds, right_ds, *, key: str, left_on: str, right_on: str,
         side = g["__side"].to_numpy(zero_copy_only=False)
         on = g["__on"].to_numpy(zero_copy_only=False)
         tie = g["__tie"].to_numpy(zero_copy_only=False)
-        first = np.unique(kcodes, return_index=True)[1]
-        ends = np.append(first[1:], len(kcodes))
-        match = np.full(len(kcodes), -1, dtype=np.int64)  # global right idx
-        for s, e in zip(first, ends):
-            mid = s + np.searchsorted(side[s:e], 1)  # left rows: [s, mid)
-            if mid == s or mid == e:                 # no left or no right
-                continue
-            r_on, r_tie = on[mid:e], tie[mid:e]
-            l_on, l_tie = on[s:mid], tie[s:mid]
-            lo = np.searchsorted(r_on, l_on, side="left")
-            if has_tie:
-                hi = np.searchsorted(r_on, l_on, side="right")
-                idx = lo.copy()
-                for j in np.nonzero(hi > lo)[0]:  # only rows with on-ties
-                    idx[j] = lo[j] + np.searchsorted(
-                        r_tie[lo[j]:hi[j]], l_tie[j], side=side_search)
-            else:
-                idx = np.searchsorted(r_on, l_on, side=side_search)
+        n = len(kcodes)
+        match = np.full(n, -1, dtype=np.int64)  # global right idx
+        rrows = np.nonzero(side == 1)[0]
+        lrows = np.nonzero(side == 0)[0]
+        if len(rrows) and len(lrows):
+            # fully vectorized across ALL keys: dense-rank every (on, tie)
+            # tuple over the whole block, fold the key code in front
+            # (comb = kcode * (R+1) + rank), then ONE searchsorted of the
+            # left combs into the (sorted) right combs.  A left row whose
+            # predecessor falls under a different key has no match.
+            order = np.lexsort((tie, on))
+            rank = np.empty(n, dtype=np.int64)
+            o_on, o_tie = on[order], tie[order]
+            new = np.ones(len(order), dtype=bool)
+            new[1:] = (o_on[1:] != o_on[:-1]) | (o_tie[1:] != o_tie[:-1])
+            rank[order] = np.cumsum(new) - 1
+            R = int(rank.max()) + 1
+            comb = kcodes.astype(np.int64) * np.int64(R + 1) + rank
+            r_comb = comb[rrows]  # sorted: g is (k, side, on, tie)-sorted
+            idx = np.searchsorted(r_comb, comb[lrows], side=side_search)
             m = idx - 1
-            match[s:mid] = np.where(m >= 0, mid + m, -1)
-        left_rows = np.nonzero(side == 0)[0]
+            ok = (m >= 0) & (kcodes[rrows[np.maximum(m, 0)]] == kcodes[lrows])
+            match[lrows[ok]] = rrows[m[ok]]
+        left_rows = lrows
         left_tbl = g.take(pa.array(left_rows))
         out_cols = {name: left_tbl[f"l_{name}"] for name in left_names}
         nl = len(left_rows)
@@ -241,15 +244,22 @@ def range_join(points_ds, intervals_ds, *, point_col: str, start_col: str,
             mid = s + np.searchsorted(side[s:e], 1)
             if mid == s or mid == e:
                 continue
-            # points in this bucket vs intervals sorted by start
+            # points in this bucket vs intervals sorted by start; expand
+            # every point's candidate prefix [0, hi) in ONE repeat/arange
+            # pass, then a single vectorized end-bound filter — work and
+            # memory are O(candidate volume), which bucket_width bounds
             cand_hi = np.searchsorted(ss[mid:e], pp[s:mid], side="right")
-            for pi, hi in zip(range(s, mid), cand_hi):
-                if hi == 0:
-                    continue
-                sel = np.nonzero(ee[mid:mid + hi] >= pp[pi])[0]
-                if len(sel):
-                    pt_idx.append(np.full(len(sel), pi, np.int64))
-                    iv_idx.append(mid + sel)
+            total = int(cand_hi.sum())
+            if total == 0:
+                continue
+            pts = np.repeat(np.arange(s, mid, dtype=np.int64), cand_hi)
+            offs = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(cand_hi) - cand_hi, cand_hi)
+            ivs = mid + offs
+            keep = ee[ivs] >= pp[pts]
+            if keep.any():
+                pt_idx.append(pts[keep])
+                iv_idx.append(ivs[keep])
         if not pt_idx:
             cols = {}
             if key:

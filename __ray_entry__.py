@@ -444,6 +444,16 @@ def _distinct_event_users(sf_dir: str):
     return pa.table({"n_users": pa.array([n], pa.int64())})
 
 
+def _approx_distinct_users(sf_dir: str):
+    """HyperLogLog distinct users — the sketch path: fixed 16 KiB of
+    registers per batch to the driver, no shuffle (rows-only check; the
+    exact twin is distinct_event_users)."""
+    from deltaray.functions.stats import approx_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return approx_distinct(ds, "user_id")
+
+
 def _events_user_hourly(sf_dir: str):
     """Tumbling 1-hour event-time windows per user (combiner-first)."""
     from deltaray.functions.cdc_queries import tumbling_window_agg
@@ -729,6 +739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_docs": _simhash_pairs_docs,
         "events_user_hourly": _events_user_hourly,
         "distinct_event_users": _distinct_event_users,
+        "approx_distinct_users": _approx_distinct_users,
         "lineitem_qty_by_flag": _lineitem_qty_by_flag,
         "lineitem_ship_window": _lineitem_ship_window,
         "cdc_replay_docs": _cdc_replay_docs,

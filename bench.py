@@ -90,6 +90,9 @@ def bench_queries() -> dict:
         "enrich_events_customers",
         "lineitem_qty_by_flag",
         "value_percentiles_events",
+        "orders_customer_join",
+        "corpus_clean_docs",
+        "pack_docs_sequences",
     ]
     qs = m.queries()
     for name in picks:

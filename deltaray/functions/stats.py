@@ -187,3 +187,79 @@ def exact_percentiles(ds, col: str, qs: list[float], *, num_bins: int = 8192,
     return pa.table({"q": pa.array(qs, pa.float64()),
                      "value": pa.array([s["value"] for s in state],
                                        pa.float64())})
+
+
+class _HLL:
+    """Dense HyperLogLog register set (public algorithm: Flajolet et al.
+    2007, with the standard small-range linear-counting correction)."""
+
+    def __init__(self, p: int):
+        self.p = p
+        self.m = 1 << p
+        self.regs = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of the remaining bits + 1, via bit_length
+        lz = np.zeros(len(h), dtype=np.uint8)
+        v = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = v < (np.uint64(1) << np.uint64(64 - shift))
+            lz[mask] += shift
+            v[mask] <<= np.uint64(shift)
+        rank = lz.astype(np.uint8) + 1
+        np.maximum.at(self.regs, idx, rank)
+
+    def merge(self, other: "_HLL") -> None:
+        np.maximum(self.regs, other.regs, out=self.regs)
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        am = 0.7213 / (1 + 1.079 / m)
+        e = am * m * m / float(np.sum(2.0 ** -self.regs.astype(np.float64)))
+        zeros = int(np.sum(self.regs == 0))
+        if e <= 2.5 * m and zeros:
+            e = m * np.log(m / zeros)  # linear counting, small range
+        return e
+
+
+def approx_distinct(ds, col: str, *, precision: int = 14) -> pa.Table:
+    """Approximate distinct count via HyperLogLog — the sketch path for
+    cardinalities where exact two-phase distinct (``#distinct`` rows
+    through a shuffle) is too wide.
+
+    Each batch folds its values into a 2^precision-register sketch
+    (combiner); only the fixed-size register arrays travel to the driver,
+    which merges by elementwise max — NO shuffle at all, constant bytes
+    per batch regardless of cardinality.  Standard error ≈
+    1.04/sqrt(2^precision) (~0.8% at the default p=14, 16 KiB).
+    Returns (n_distinct_approx, precision).
+    """
+    from deltaray.transforms import stable_hash_cols
+
+    def mix64(h: np.ndarray) -> np.ndarray:
+        # splitmix64 finalizer: the partition hash leaves numeric inputs
+        # weakly mixed in the HIGH bits HLL indexes by
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        h = _HLL(precision)
+        if batch.num_rows:
+            h.add_hashes(mix64(stable_hash_cols(batch, [col])))
+        return pa.table({"regs": pa.array([h.regs.tobytes()], pa.binary())})
+
+    out = _HLL(precision)
+    for b in ds.map_batches(sketch, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for buf in b["regs"].to_pylist():
+            o = _HLL(precision)
+            o.regs = np.frombuffer(buf, dtype=np.uint8).copy()
+            out.merge(o)
+    return pa.table({
+        "n_distinct_approx": pa.array([int(round(out.estimate()))],
+                                      pa.int64()),
+        "precision": pa.array([precision], pa.int64()),
+    })

@@ -593,3 +593,24 @@ def test_pack_sequences(ray_session):
     out2 = run(9)
     assert out.select(["pack_id", "n_docs", "n_tokens"]).equals(
         out2.select(["pack_id", "n_docs", "n_tokens"]))
+
+
+def test_approx_distinct_hll(ray_session):
+    import ray.data
+
+    from deltaray.functions.stats import approx_distinct
+
+    n = 60_000
+    vals = np.arange(n, dtype=np.int64) % 25_000  # 25k distinct
+    tbl = pa.table({"v": pa.array(vals)})
+    out = approx_distinct(ray.data.from_arrow(tbl).repartition(6), "v")
+    est = out["n_distinct_approx"][0].as_py()
+    assert abs(est - 25_000) / 25_000 < 0.03  # ~0.8% stderr at p=14
+    # block layout does not change the merged sketch
+    out2 = approx_distinct(ray.data.from_arrow(tbl).repartition(2), "v")
+    assert out2["n_distinct_approx"][0].as_py() == est
+    # string columns hash through the same stable kernel
+    st = pa.table({"s": pa.array([f"u{i%500}" for i in range(5_000)])})
+    est_s = approx_distinct(ray.data.from_arrow(st), "s") \
+        ["n_distinct_approx"][0].as_py()
+    assert abs(est_s - 500) / 500 < 0.05

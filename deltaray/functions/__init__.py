@@ -28,11 +28,13 @@ from deltaray.functions.joins import (asof_join, broadcast_enrich,
                                       hash_join, range_join, semi_join)
 from deltaray.functions.knn import knn_bruteforce, knn_ivf, train_centroids
 from deltaray.functions.partition import group_codes, hash_partitioned
-from deltaray.functions.stats import exact_percentiles, grouped_percentiles
-from deltaray.functions.text import token_topk
+from deltaray.functions.stats import (approx_distinct, exact_percentiles,
+                                      grouped_percentiles)
+from deltaray.functions.text import pack_sequences, token_topk
 
 __all__ = [
     "apply_change_stream",
+    "approx_distinct",
     "asof_join",
     "broadcast_enrich",
     "connected_components",
@@ -49,6 +51,7 @@ __all__ = [
     "minhash_dedup_docs",
     "minhash_lsh_pairs",
     "ngram_jaccard",
+    "pack_sequences",
     "ngram_jaccard_pairs",
     "range_join",
     "semi_join",

@@ -90,7 +90,13 @@ def replay_oracle(cfg: ReplayConfig) -> dict[str, pa.Table]:
             payload = {c: row.get(c) for c in cols}
             payload = apply_directives_to_row(payload, directives)
             if getattr(cfg, "track_previous", False):
-                payload["prev_tokens"] = row.get("prev_tokens")
+                # before-images pass through the same directive chain
+                # (reference transforms previousRow too)
+                prow = apply_directives_to_row(
+                    {"tokens": row.get("prev_tokens")}, directives)
+                pname = eff.renames.get("tokens", "tokens")
+                payload["prev_tokens"] = prow.get(pname,
+                                                 row.get("prev_tokens"))
             # composite keys: state keyed by the component tuple; any null
             # component skips the row (engine mirrors this)
             key = tuple(payload.get(k) for k in key_cols)

@@ -498,12 +498,27 @@ class TransformStage:
         for i, a in enumerate(sks):
             out = out.append_column(f"__sk{i}", a)
         if self.track_previous:
-            # before-image of THIS event (previousRow, DMLEvent.java:66-72);
-            # note directive chains are applied to the row, not the
-            # before-image (the audit column carries source-side values)
+            # before-image of THIS event (previousRow, DMLEvent.java:66-72).
+            # The directive chain applies to the before-image's token
+            # column too (reference transforms row AND previousRow,
+            # DeltaWorker.transformDMLEvent:507-543): run the chain over a
+            # one-column table named like the ORIGINAL token column, then
+            # pick whatever name the chain mapped it to.
             prev = (sub["prev_tokens"].cast(pa.list_(pa.int32()))
                     if "prev_tokens" in sub.column_names
                     else pa.nulls(len(sub), pa.list_(pa.int32())))
+            chain = self.chains.get(t, [])
+            if chain:
+                ptbl = pa.table({"tokens": prev})
+                for directive, args in chain:
+                    if directive.batch_fn is not None:
+                        ptbl = directive.batch_fn(ptbl, args)
+                pname = eff.renames.get("tokens", "tokens")
+                if pname in ptbl.column_names:
+                    prev = ptbl[pname]
+                    if isinstance(prev, pa.ChunkedArray):
+                        prev = prev.combine_chunks()
+                    prev = prev.cast(pa.list_(pa.int32()))
             out = out.append_column("__prev_tokens", prev)
         out = out.append_column("__deleted", deleted)
         out = out.append_column("__op", sub["op"])

@@ -475,3 +475,27 @@ def test_bootstrap_then_tail_replay(tmp_log, tmp_lake):
     got2 = read_table(tmp_lake, "docs")
     ok, msg = tables_equal(got2, oracle)
     assert ok, msg
+
+
+def test_previous_row_directives_applied(tmp_log, tmp_lake):
+    """The directive chain transforms before-images too (reference
+    transforms row AND previousRow): with a mask directive, stored
+    prev_tokens are masked exactly like the oracle's."""
+    from deltaray import TableConfig
+
+    write_event_log(tmp_log, n_docs=60, n_events=800, seed=101,
+                    track_prev=True)
+    cfg = ReplayConfig(
+        event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+        track_previous=True,
+        tables=[TableConfig("docs", transformations=["mask tokens 0 3"])],
+    )
+    replay(cfg)
+    oracle = replay_oracle(cfg)
+    got = read_table(tmp_lake, "docs", with_previous=True)
+    ok, msg = tables_equal(got, oracle["docs"])
+    assert ok, msg
+    # the mask actually bit: some non-null prev image starts with zeros
+    prevs = [p for p in got["prev_tokens"].to_pylist()
+             if p is not None and len(p) >= 3]
+    assert prevs and all(p[:3] == [0, 0, 0] for p in prevs)

@@ -39,13 +39,18 @@ def replay_cases(draw):
     chunk = draw(st.integers(100, 2000))
     parts = draw(st.sampled_from([1, 3, 8]))
     hot = draw(st.sampled_from([0.0, 0.5]))
+    compact_every = draw(st.sampled_from([1, 2, 8]))
+    track_prev = draw(st.booleans())
+    n_sk = draw(st.sampled_from([2, 3]))
     directives = draw(st.sampled_from([
         [], ["mask tokens 0 3"], ["rename n_tok tok_count"],
         ["retokenize-stub tokens 7"],
     ]))
     return dict(n_docs=n_docs, n_events=n_events, seed=seed,
                 unordered=unordered, mix=mix, ddl=ddl, chunk=chunk,
-                parts=parts, hot=hot, directives=directives)
+                parts=parts, hot=hot, directives=directives,
+                compact_every=compact_every, track_prev=track_prev,
+                n_sk=n_sk)
 
 
 @settings(max_examples=10, deadline=None,
@@ -71,12 +76,15 @@ def test_random_replay_equals_oracle(case, tmp_path_factory):
         event_log=log, lake=lake, num_partitions=case["parts"],
         chunk_max_events=case["chunk"],
         ordering="UN_ORDERED" if case["unordered"] else "ORDERED",
+        compact_every=case["compact_every"],
+        track_previous=case["track_prev"],
+        sort_key_components=case["n_sk"],
         tables=[TableConfig("docs", transformations=case["directives"])]
         if case["directives"] else [],
     )
     replay(cfg)
     oracle = replay_oracle(cfg)
-    got = read_table(lake, "docs")
+    got = read_table(lake, "docs", with_previous=case["track_prev"])
     key = oracle["docs"].column_names[0]
     ok, msg = tables_equal(got, oracle["docs"], key=key)
     assert ok, f"{msg}; case={case}"

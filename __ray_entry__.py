@@ -199,10 +199,9 @@ def _lang_id_docs(sf_dir: str):
     from deltaray.functions.text import LangId
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    from deltaray.util import auto_concurrency
-
-    return ds.map_batches(LangId, batch_format="pyarrow",
-                          concurrency=auto_concurrency()) \
+    # instance → task-pool map (profiles compiled once driver-side);
+    # multimodal stages remain the heavy-state actor-pool archetype
+    return ds.map_batches(LangId(), batch_format="pyarrow") \
         .drop_columns(["text"])
 
 

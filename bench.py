@@ -75,6 +75,13 @@ def bench_replay(log: str, manifest: dict, repeats: int = 2) -> dict:
 def bench_queries() -> dict:
     import __ray_entry__ as m
 
+    # warm up Ray Data's worker pool once (untimed) so the first timed
+    # query measures the operator, not process spawn + imports
+    import ray.data
+
+    ray.data.range(1000).map_batches(lambda b: b,
+                                     batch_format="pyarrow").count()
+
     out = {}
     picks = [
         "latest_event_per_user",

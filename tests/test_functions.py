@@ -22,14 +22,18 @@ def test_expand_macros():
 
 
 def test_decode_image_stub_and_strict():
+    # default synth payloads are REAL PPM images now — decode succeeds
+    # even in strict mode; the stub/strict split applies to compressed
+    # formats (fmt="fake" stands in for jpeg/png)
     tbl = synth_media_table(8)
     out = DecodeImage()(tbl)
     assert out.num_rows == 8
     assert "features" in out.column_names
     assert "payload" not in out.column_names  # wide payload dropped
     assert len(out["features"][0]) == 8
+    fake = synth_media_table(8, fmt="fake")
     with pytest.raises(NotImplementedError):
-        DecodeImage(strict=True)(tbl)
+        DecodeImage(strict=True)(fake)
 
 
 def test_audio_features_stub():
@@ -614,3 +618,51 @@ def test_approx_distinct_hll(ray_session):
     est_s = approx_distinct(ray.data.from_arrow(st), "s") \
         ["n_distinct_approx"][0].as_py()
     assert abs(est_s - 500) / 500 < 0.05
+
+
+def test_image_codecs_roundtrip_and_decode():
+    from deltaray.functions.multimodal import (DecodeImage, decode_bmp,
+                                               decode_ppm, encode_ppm,
+                                               resize_bilinear,
+                                               synth_media_table)
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # comments in the PPM header are skipped
+    data = b"P6\n# a comment\n17 13\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(data), img)
+
+    # handcrafted 2x2 24-bit bottom-up BMP: padded rows, BGR order
+    px = np.array([[[255, 0, 0], [0, 255, 0]],
+                   [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8)
+    rows = b""
+    for r in px[::-1]:           # bottom-up
+        row = b"".join(bytes([p[2], p[1], p[0]]) for p in r)  # BGR
+        rows += row + b"\x00" * ((4 - len(row) % 4) % 4)
+    header = (b"BM" + (54 + len(rows)).to_bytes(4, "little") + b"\x00" * 4
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + (2).to_bytes(4, "little", signed=True)
+              + (2).to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + b"\x00" * 20)
+    assert np.array_equal(decode_bmp(header + rows), px)
+
+    # resize: constant image stays constant; shape honored
+    const = np.full((9, 5, 3), 77, np.uint8)
+    r = resize_bilinear(const, 16, 8)
+    assert r.shape == (8, 16, 3) and np.all(r == 77)
+
+    # the actor stage REALLY decodes PPM payloads (deterministic)
+    tbl = synth_media_table(6, seed=3)
+    out = DecodeImage(strict=True)(tbl)   # strict OK: ppm decodes natively
+    assert out.num_rows == 6 and "features" in out.column_names
+    out2 = DecodeImage(strict=True)(tbl)
+    assert out["features"].equals(out2["features"])
+    # fake payloads still raise in strict mode / stub otherwise
+    fake = synth_media_table(2, seed=3, fmt="fake")
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        DecodeImage(strict=True)(fake)
+    assert DecodeImage()(fake).num_rows == 2

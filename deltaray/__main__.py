@@ -8,6 +8,10 @@ the library itself never calls ray.init.
     python -m deltaray assess  --event-log D [--table T]
     python -m deltaray lineage --lake D [--table T]
     python -m deltaray gen     --out D --docs N --events N [--seed N] [--fast]
+    python -m deltaray normalize --format {jsonl|csv|parquet} --src D
+                               --out D [--table T] [--segment-events N]
+    python -m deltaray bootstrap --snapshot D --event-log D --lake D
+                               [--table T] [--partitions N] [--snapshot-seq N]
     python -m deltaray drafts  --root D {list|get|save|delete|assess} [--name N]
                                [--config-json FILE] [--args k=v ...]
     python -m deltaray generations --lake D
@@ -80,6 +84,38 @@ def cmd_gen(a) -> int:
     return 0
 
 
+def cmd_normalize(a) -> int:
+    from deltaray.schemas import default_table_schema
+    from deltaray.sources import (normalize_csv_log, normalize_jsonl_log,
+                                  normalize_parquet_log)
+
+    _init_ray()
+    fn = {"jsonl": normalize_jsonl_log, "csv": normalize_csv_log,
+          "parquet": normalize_parquet_log}[a.format]
+    m = fn(a.src, a.out, default_table_schema(a.table),
+           segment_max_events=a.segment_events)
+    print(json.dumps({"segments": len(m["segments"]),
+                      "max_seq": m["max_seq"]}))
+    return 0
+
+
+def cmd_bootstrap(a) -> int:
+    from deltaray import ReplayConfig
+    from deltaray.pipeline import bootstrap_table
+    from deltaray.schemas import default_table_schema
+
+    _init_ray()
+    import ray.data
+
+    cfg = ReplayConfig(event_log=a.event_log, lake=a.lake,
+                       num_partitions=a.partitions)
+    res = bootstrap_table(cfg, default_table_schema(a.table),
+                          ray.data.read_parquet(a.snapshot),
+                          snapshot_seq=a.snapshot_seq)
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_drafts(a) -> int:
     from deltaray.drafts import DraftStore
 
@@ -144,6 +180,25 @@ def main(argv=None) -> int:
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--fast", action="store_true")
     g.set_defaults(fn=cmd_gen)
+
+    no = sub.add_parser("normalize")
+    no.add_argument("--format", choices=["jsonl", "csv", "parquet"],
+                    required=True)
+    no.add_argument("--src", required=True)
+    no.add_argument("--out", required=True)
+    no.add_argument("--table", default="docs")
+    no.add_argument("--segment-events", type=int, default=1_000_000)
+    no.set_defaults(fn=cmd_normalize)
+
+    bo = sub.add_parser("bootstrap")
+    bo.add_argument("--snapshot", required=True,
+                    help="parquet file/dir holding the snapshot rows")
+    bo.add_argument("--event-log", required=True)
+    bo.add_argument("--lake", required=True)
+    bo.add_argument("--table", default="docs")
+    bo.add_argument("--partitions", type=int, default=32)
+    bo.add_argument("--snapshot-seq", type=int, default=1)
+    bo.set_defaults(fn=cmd_bootstrap)
 
     d = sub.add_parser("drafts")
     d.add_argument("--root", required=True)

@@ -81,6 +81,27 @@ def normalize_csv_log(src: str, out_dir: str, table_schema: TableSchema,
                            source_format="csv", src=src)
 
 
+def normalize_parquet_log(src: str, out_dir: str, table_schema: TableSchema,
+                          segment_max_events: int = 1_000_000,
+                          column_map: dict[str, str] | None = None) -> dict:
+    """Same contract for foreign Parquet shards: an optional
+    ``column_map`` ({source_name: engine_name}) renames source-native
+    columns into the engine's event-log schema before segmenting —
+    the ``standardize()`` hook for parquet-speaking sources."""
+    import ray.data
+
+    paths = _shards(src, "*.parquet")
+    ds = ray.data.read_parquet(paths)
+    if column_map:
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [column_map.get(c, c) for c in batch.column_names])
+
+        ds = ds.map_batches(rename, batch_format="pyarrow")
+    return _write_segments(ds, out_dir, table_schema, segment_max_events,
+                           source_format="parquet", src=src)
+
+
 def _shards(src: str, pattern: str) -> list[str]:
     paths = sorted(glob.glob(src if any(ch in src for ch in "*?[") else
                              os.path.join(src, pattern)))

@@ -114,3 +114,61 @@ def test_csv_source_roundtrip(tmp_path):
     ok, msg = tables_equal(read_table(lake, "docs"),
                            replay_oracle(oracle_cfg)["docs"])
     assert ok, msg
+
+
+def test_normalize_parquet_log(tmp_path, tmp_lake, ray_session):
+    """Foreign parquet shards with source-native column names normalize
+    into the engine log via column_map and replay correctly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deltaray import ReplayConfig, replay, replay_oracle, read_table
+    from deltaray.oracle import tables_equal
+    from deltaray.schemas import ddl_payload, default_table_schema
+    from deltaray.sources import normalize_parquet_log
+
+    src = tmp_path / "foreign"
+    src.mkdir()
+    schema = default_table_schema()
+    rows = [{"sequence": 1, "operation": "CREATE_TABLE", "table": "docs",
+             "ddl_payload": ddl_payload("CREATE_TABLE", schema=schema)}]
+    import numpy as np
+    rng = np.random.default_rng(3)
+    for i in range(200):
+        op = ("INSERT", "UPDATE", "DELETE")[int(rng.integers(0, 3))]
+        r = {"sequence": i + 2, "operation": op, "table": "docs",
+             "doc_id": f"docs-doc{int(rng.integers(0, 40)):08d}"}
+        if op != "DELETE":
+            r.update(tokens=[int(x) for x in rng.integers(0, 99, 4)],
+                     n_tok=4, source="web")
+        rows.append(r)
+    # two unsorted shards
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[half:], rows[:half]]):
+        cols = {}
+        for k in ("sequence", "operation", "table", "doc_id", "tokens",
+                  "n_tok", "source", "ddl_payload"):
+            cols[k] = [r.get(k) for r in chunk]
+        t = pa.table({
+            "sequence": pa.array(cols["sequence"], pa.int64()),
+            "operation": pa.array(cols["operation"]),
+            "table": pa.array(cols["table"]),
+            "doc_id": pa.array(cols["doc_id"]),
+            "tokens": pa.array(cols["tokens"], pa.list_(pa.int32())),
+            "n_tok": pa.array(cols["n_tok"], pa.int32()),
+            "source": pa.array(cols["source"]),
+            "ddl_payload": pa.array(cols["ddl_payload"]),
+        })
+        pq.write_table(t, src / f"shard-{i}.parquet")
+
+    out = tmp_path / "log"
+    m = normalize_parquet_log(str(src), str(out), schema,
+                              segment_max_events=80,
+                              column_map={"sequence": "seq",
+                                          "operation": "op"})
+    assert m["max_seq"] == len(rows)
+    cfg = ReplayConfig(event_log=str(out), lake=tmp_lake, num_partitions=2)
+    replay(cfg)
+    ok, msg = tables_equal(read_table(tmp_lake, "docs"),
+                           replay_oracle(cfg)["docs"])
+    assert ok, msg

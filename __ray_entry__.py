@@ -296,6 +296,25 @@ def _knn_ivf(sf_dir: str):
     return knn_ivf(ds, q, C, k=5, nprobe=4)
 
 
+def _knn_ivf_fullprobe(sf_dir: str):
+    """IVF with nprobe == n_centroids: probing is exhaustive, so the
+    result must equal brute force — giving the IVF code path a full SQL
+    oracle (the pruned variant stays rows-only)."""
+    import pyarrow.parquet as pq
+
+    from deltaray.functions.knn import knn_ivf, train_centroids
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    sample = np.array(tbl["embedding"].to_pylist()[:2048], dtype=np.float32)
+    C = train_centroids(sample, n_centroids=16)
+    qt = tbl.filter(pc.less(pc.field("vec_id"), 4)).sort_by("vec_id")
+    q = np.array(qt["embedding"].to_pylist(), dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_ivf(ds, q, C, k=5, nprobe=16).drop_columns(["cosine"])
+
+
 def _cdc_replay_docs(sf_dir: str):
     return _flagship(sf_dir, "/tmp/deltaray_q_replay")
 
@@ -722,6 +741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _embedding_neardup,
         "knn_bruteforce": _knn_bruteforce,
         "knn_ivf": _knn_ivf,
+        "knn_ivf_fullprobe": _knn_ivf_fullprobe,
         "asof_prev_order": _asof_prev_order,
         "sessionize_events": _sessionize_events,
         "ngram_jaccard_pairs_docs": _ngram_pairs_docs,
@@ -968,7 +988,42 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY cos DESC, vec_id) AS rank
                 FROM s) WHERE rank <= 5
         """,
-        # fingerprint/lang_id/minhash/simhash/neardup/knn_ivf/cdc_replay/
-        # media: non-SQL-expressible (custom hashes, models, engine replay)
-        # — rows-only checks.
+        "knn_ivf_fullprobe": """
+            WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings
+                       WHERE vec_id < 4),
+            s AS (SELECT q.qid AS query_id, e.vec_id,
+                         list_cosine_similarity(q.qe, e.embedding) AS cos
+                  FROM q CROSS JOIN embeddings e)
+            SELECT query_id, rank, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id) AS rank
+                FROM s) WHERE rank <= 5
+        """,
+        "lang_id_docs": """
+            -- mirrors LangId: per-language non-overlapping n-gram match
+            -- counts (same alternation order), argmax with ties resolved
+            -- to the first language in sorted order (de, en, es, fr)
+            WITH c AS (
+                SELECT doc_id,
+                    length(regexp_extract_all(text,
+                        'der|die|und|ein|sch|ich')) AS de,
+                    length(regexp_extract_all(text,
+                        'the|and|ing|ion|he | th')) AS en,
+                    length(regexp_extract_all(text,
+                        'que| de|los|ión|ent|ar ')) AS es,
+                    length(regexp_extract_all(text,
+                        'les|des|ent|que| de|ion')) AS fr
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN greatest(de, en, es, fr) = 0 THEN 'unk'
+                        WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                        WHEN en >= es AND en >= fr THEN 'en'
+                        WHEN es >= fr THEN 'es'
+                        ELSE 'fr' END AS lang_guess
+            FROM c
+        """,
+        # fingerprint/minhash/simhash/neardup/knn_ivf(pruned)/cdc_replay/
+        # media/pack/approx_distinct: non-SQL-expressible (custom hashes,
+        # models, engine replay, order-dependent packing) — rows-only.
     }

@@ -499,3 +499,28 @@ def test_previous_row_directives_applied(tmp_log, tmp_lake):
     prevs = [p for p in got["prev_tokens"].to_pylist()
              if p is not None and len(p) >= 3]
     assert prevs and all(p[:3] == [0, 0, 0] for p in prevs)
+
+
+def test_cli_drafts_normalize_generations(tmp_path, tmp_log, tmp_lake, capsys):
+    """CLI surface: drafts CRUD/assess, normalize, generations."""
+    import json
+
+    from deltaray.__main__ import main
+    from deltaray.config import config_to_dict
+
+    write_event_log(tmp_log, n_docs=20, n_events=80, seed=103)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake)
+    cfg_json = tmp_path / "cfg.json"
+    cfg_json.write_text(json.dumps(config_to_dict(cfg)))
+    root = str(tmp_path / "drafts")
+    assert main(["drafts", "--root", root, "save", "--name", "p1",
+                 "--config-json", str(cfg_json)]) == 0
+    assert main(["drafts", "--root", root, "list"]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == ["p1"]
+    assert main(["drafts", "--root", root, "assess", "--name", "p1"]) == 0
+    assert main(["drafts", "--root", root, "delete", "--name", "p1"]) == 0
+
+    replay(cfg)
+    assert main(["generations", "--lake", tmp_lake]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"generations": [0], "latest": 0}

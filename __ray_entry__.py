@@ -462,6 +462,24 @@ def _distinct_event_users(sf_dir: str):
     return pa.table({"n_users": pa.array([n], pa.int64())})
 
 
+def _split_docs_train_val(sf_dir: str):
+    """Deterministic 90/10 train-val split by doc-id hash (leakage-free,
+    reproducible across runs/machines) — per-split counts returned."""
+    from ray.data.aggregate import Sum
+
+    from deltaray.functions.partition import hash_split
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    ds = hash_split(ds, ["doc_id"], frac=0.9, seed=7)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("split").aggregate([([], "count_all")])
+        return t.rename_columns(["split", "n_part"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("split").aggregate(Sum("n_part", alias_name="n"))
+
+
 def _approx_distinct_users(sf_dir: str):
     """HyperLogLog distinct users — the sketch path: fixed 16 KiB of
     registers per batch to the driver, no shuffle (rows-only check; the
@@ -759,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_hourly": _events_user_hourly,
         "distinct_event_users": _distinct_event_users,
         "approx_distinct_users": _approx_distinct_users,
+        "split_docs_train_val": _split_docs_train_val,
         "lineitem_qty_by_flag": _lineitem_qty_by_flag,
         "lineitem_ship_window": _lineitem_ship_window,
         "cdc_replay_docs": _cdc_replay_docs,

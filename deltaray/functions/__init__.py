@@ -27,7 +27,8 @@ from deltaray.functions.dedup import (
 from deltaray.functions.joins import (asof_join, broadcast_enrich,
                                       hash_join, range_join, semi_join)
 from deltaray.functions.knn import knn_bruteforce, knn_ivf, train_centroids
-from deltaray.functions.partition import group_codes, hash_partitioned
+from deltaray.functions.partition import (deterministic_shuffle, group_codes,
+                                          hash_partitioned, hash_split)
 from deltaray.functions.stats import (approx_distinct, exact_percentiles,
                                       grouped_percentiles)
 from deltaray.functions.text import pack_sequences, token_topk
@@ -38,12 +39,14 @@ __all__ = [
     "asof_join",
     "broadcast_enrich",
     "connected_components",
+    "deterministic_shuffle",
     "embedding_neardup_pairs",
     "exact_dedup",
     "exact_percentiles",
     "group_codes",
     "grouped_percentiles",
     "hash_join",
+    "hash_split",
     "hash_partitioned",
     "knn_bruteforce",
     "knn_ivf",

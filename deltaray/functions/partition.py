@@ -132,3 +132,51 @@ def hash_partitioned(ds, key_cols: list[str], fn, *, num_partitions: int = 64,
         for p in range(num_partitions)
     ]
     return ray.data.from_arrow_refs(outs)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public constant mixer) — full-width bit
+    diffusion for seeded reshuffles/splits."""
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
+def deterministic_shuffle(ds, key_cols: list[str], *, seed: int = 0,
+                          num_partitions: int = 64):
+    """Seeded, fully deterministic global reshuffle (training epochs):
+    every row is ordered by ``mix64(stable_hash(key) ^ seed)`` — a
+    different seed gives an independent permutation, the same seed gives
+    byte-identical output regardless of input block layout.  One hash
+    exchange; within-partition order via one vectorized argsort.  Unlike
+    ``Dataset.random_shuffle`` the permutation is reproducible across
+    runs and cluster shapes."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = _mix64(_hash_cols(batch, key_cols) ^ np.uint64(seed))
+        return batch.append_column("__shuf", pa.array(h.astype(np.int64)))
+
+    def order_block(block: pa.Table) -> pa.Table:
+        g = block.sort_by("__shuf")
+        return g.drop_columns(["__shuf"])
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return hash_partitioned(tagged, ["__shuf"], order_block,
+                            num_partitions=num_partitions)
+
+
+def hash_split(ds, key_cols: list[str], *, frac: float, seed: int = 0,
+               label_col: str = "split"):
+    """Deterministic train/validation split by key hash: rows whose
+    ``mix64(stable_hash(key) ^ seed) / 2^64 < frac`` get label "train",
+    the rest "val" — stable across runs/machines and leakage-free (all
+    rows of a key land on the same side).  No shuffle; adds a label
+    column (filter per side downstream)."""
+    cut = np.uint64(int(frac * 2**64)) if frac < 1.0 else np.uint64(2**64 - 1)
+
+    def label(batch: pa.Table) -> pa.Table:
+        h = _mix64(_hash_cols(batch, key_cols) ^ np.uint64(seed))
+        lab = np.where(h < cut, "train", "val")
+        return batch.append_column(label_col, pa.array(lab, pa.string()))
+
+    return ds.map_batches(label, batch_format="pyarrow")

@@ -666,3 +666,39 @@ def test_image_codecs_roundtrip_and_decode():
     with _pytest.raises(NotImplementedError):
         DecodeImage(strict=True)(fake)
     assert DecodeImage()(fake).num_rows == 2
+
+
+def test_deterministic_shuffle_and_hash_split(ray_session):
+    import ray.data
+
+    from deltaray.functions.partition import deterministic_shuffle, hash_split
+
+    tbl = pa.table({"doc_id": pa.array([f"d{i}" for i in range(500)]),
+                    "v": pa.array(np.arange(500))})
+
+    def run(seed, blocks):
+        out = deterministic_shuffle(
+            ray.data.from_arrow(tbl).repartition(blocks),
+            ["doc_id"], seed=seed, num_partitions=8)
+        return pa.concat_tables(list(out.iter_batches(
+            batch_format="pyarrow")))
+
+    a = run(1, 4)
+    b = run(1, 9)          # layout-independent: same permutation
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    c = run(2, 4)          # different seed: different permutation
+    assert a["doc_id"].to_pylist() != c["doc_id"].to_pylist()
+    assert sorted(a["doc_id"].to_pylist()) == sorted(tbl["doc_id"].to_pylist())
+
+    sp = pa.concat_tables(list(
+        hash_split(ray.data.from_arrow(tbl), ["doc_id"], frac=0.9, seed=7)
+        .iter_batches(batch_format="pyarrow")))
+    labs = dict(zip(sp["doc_id"].to_pylist(), sp["split"].to_pylist()))
+    n_train = sum(1 for v in labs.values() if v == "train")
+    assert 0.8 < n_train / 500 < 0.97
+    # same key always lands on the same side (reproducible)
+    sp2 = pa.concat_tables(list(
+        hash_split(ray.data.from_arrow(tbl).repartition(7), ["doc_id"],
+                   frac=0.9, seed=7).iter_batches(batch_format="pyarrow")))
+    labs2 = dict(zip(sp2["doc_id"].to_pylist(), sp2["split"].to_pylist()))
+    assert labs == labs2

@@ -462,6 +462,16 @@ def _distinct_event_users(sf_dir: str):
     return pa.table({"n_users": pa.array([n], pa.int64())})
 
 
+def _heavy_hitter_users(sf_dir: str):
+    """Count-min heavy hitters: top-10 most active users — sketch +
+    candidate shortlist per batch, exact verified counts (full SQL
+    oracle since the returned counts are exact)."""
+    from deltaray.functions.stats import heavy_hitters
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return heavy_hitters(ds, "user_id", k=10)
+
+
 def _split_docs_train_val(sf_dir: str):
     """Deterministic 90/10 train-val split by doc-id hash (leakage-free,
     reproducible across runs/machines) — per-split counts returned."""
@@ -778,6 +788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_users": _distinct_event_users,
         "approx_distinct_users": _approx_distinct_users,
         "split_docs_train_val": _split_docs_train_val,
+        "heavy_hitter_users": _heavy_hitter_users,
         "lineitem_qty_by_flag": _lineitem_qty_by_flag,
         "lineitem_ship_window": _lineitem_ship_window,
         "cdc_replay_docs": _cdc_replay_docs,
@@ -1006,6 +1017,10 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY query_id
                                           ORDER BY cos DESC, vec_id) AS rank
                 FROM s) WHERE rank <= 5
+        """,
+        "heavy_hitter_users": """
+            SELECT user_id AS value, count(*) AS n FROM events
+            GROUP BY user_id ORDER BY n DESC, value LIMIT 10
         """,
         "knn_ivf_fullprobe": """
             WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings

@@ -30,7 +30,7 @@ from deltaray.functions.knn import knn_bruteforce, knn_ivf, train_centroids
 from deltaray.functions.partition import (deterministic_shuffle, group_codes,
                                           hash_partitioned, hash_split)
 from deltaray.functions.stats import (approx_distinct, exact_percentiles,
-                                      grouped_percentiles)
+                                      grouped_percentiles, heavy_hitters)
 from deltaray.functions.text import pack_sequences, token_topk
 
 __all__ = [
@@ -47,6 +47,7 @@ __all__ = [
     "grouped_percentiles",
     "hash_join",
     "hash_split",
+    "heavy_hitters",
     "hash_partitioned",
     "knn_bruteforce",
     "knn_ivf",

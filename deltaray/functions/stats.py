@@ -263,3 +263,93 @@ def approx_distinct(ds, col: str, *, precision: int = 14) -> pa.Table:
                                       pa.int64()),
         "precision": pa.array([precision], pa.int64()),
     })
+
+
+def heavy_hitters(ds, col: str, *, k: int = 20, width: int = 4096,
+                  depth: int = 4, candidates_per_batch: int | None = None,
+                  seed: int = 42) -> pa.Table:
+    """Approximate top-k heavy hitters via a count-min sketch (Cormode &
+    Muthukrishnan 2005) with EXACT verified counts for the returned set.
+
+    Per batch (combiner): exact local counts fold into a depth×width
+    count-min sketch, and the batch's own top candidates travel alongside
+    — so only (sketch + ~2k candidate rows) per batch reach the driver,
+    never the full value distribution (the scale win over exact top-k
+    when cardinality explodes).  The driver sums the sketches, shortlists
+    the candidate union by count-min estimate (never an underestimate),
+    and a second exact pass counts ONLY the shortlist, making the
+    returned counts exact.  A true heavy hitter missed by every batch's
+    local top list could be absent — vanishingly unlikely under the
+    skewed distributions heavy-hitter queries target.
+    Returns (value, n) sorted by (n desc, value asc), k rows.
+    """
+    from deltaray.transforms import stable_hash_cols
+
+    cpb = candidates_per_batch or max(2 * k, 64)
+    row_seeds = np.arange(1, depth + 1, dtype=np.uint64) * np.uint64(seed * 2 + 1)
+
+    def mix64(h: np.ndarray) -> np.ndarray:
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        t = pa.table({col: batch[col]}).group_by(col).aggregate(
+            [([], "count_all")]).rename_columns([col, "n"])
+        h = stable_hash_cols(t, [col])
+        counts = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cm = np.zeros((depth, width), dtype=np.int64)
+        for d in range(depth):
+            idx = (mix64(h ^ row_seeds[d]) % np.uint64(width)).astype(np.int64)
+            np.add.at(cm[d], idx, counts)
+        top = t.sort_by([("n", "descending"), (col, "ascending")]) \
+            .slice(0, cpb)
+        return pa.table({
+            "cm": pa.array([cm.tobytes()], pa.binary()),
+            "cand": pa.array([top[col].to_pylist()]),
+            "cand_n": pa.array([top["n"].to_pylist()], pa.list_(pa.int64())),
+        })
+
+    cm_total = np.zeros((depth, width), dtype=np.int64)
+    cands: set = set()
+    for b in ds.map_batches(sketch_batch, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for buf, cv in zip(b["cm"].to_pylist(), b["cand"].to_pylist()):
+            cm_total += np.frombuffer(buf, dtype=np.int64).reshape(depth, width)
+            cands.update(cv)
+    if not cands:
+        return pa.table({"value": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    cand_list = sorted(cands)
+    ct = pa.table({col: pa.array(cand_list)})
+    h = stable_hash_cols(ct, [col])
+    est = np.full(len(cand_list), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        idx = (mix64(h ^ row_seeds[d]) % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, cm_total[d, idx])
+    order = np.lexsort((np.array(cand_list, dtype=object), -est))
+    shortlist = [cand_list[i] for i in order[: 2 * k]]
+
+    # exact pass over the shortlist only
+    import ray
+    sref = ray.put(pa.array(shortlist))
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sel = batch.filter(pc.is_in(batch[col], value_set=ray.get(sref)))
+        if sel.num_rows == 0:
+            return pa.table({col: pa.array([], batch[col].type),
+                             "n": pa.array([], pa.int64())})
+        t = pa.table({col: sel[col]}).group_by(col).aggregate(
+            [([], "count_all")])
+        return t.rename_columns([col, "n"])
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(exact_counts, batch_format="pyarrow") \
+        .groupby(col).aggregate(Sum("n", alias_name="n_exact"))
+    tbl = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    tbl = tbl.rename_columns(["value", "n"]).sort_by(
+        [("n", "descending"), ("value", "ascending")])
+    return tbl.slice(0, k)

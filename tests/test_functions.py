@@ -702,3 +702,24 @@ def test_deterministic_shuffle_and_hash_split(ray_session):
                    frac=0.9, seed=7).iter_batches(batch_format="pyarrow")))
     labs2 = dict(zip(sp2["doc_id"].to_pylist(), sp2["split"].to_pylist()))
     assert labs == labs2
+
+
+def test_heavy_hitters_count_min(ray_session):
+    import ray.data
+
+    from deltaray.functions.stats import heavy_hitters
+
+    rng = np.random.default_rng(29)
+    # zipf-ish: heavy values v0..v9 dominate a 5k-value tail
+    heavy = np.repeat([f"v{i}" for i in range(10)],
+                      [4000 - 300 * i for i in range(10)])
+    tail = np.array([f"t{int(x)}" for x in rng.integers(0, 5000, 8000)])
+    vals = np.concatenate([heavy, tail])
+    rng.shuffle(vals)
+    tbl = pa.table({"w": pa.array(vals)})
+    out = heavy_hitters(ray.data.from_arrow(tbl).repartition(6), "w", k=10)
+    # exact oracle
+    import collections
+    exact = collections.Counter(vals.tolist()).most_common(10)
+    assert out["value"].to_pylist() == [v for v, _ in exact]
+    assert out["n"].to_pylist() == [n for _, n in exact]  # exact counts

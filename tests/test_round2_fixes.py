@@ -524,3 +524,37 @@ def test_cli_drafts_normalize_generations(tmp_path, tmp_log, tmp_lake, capsys):
     assert main(["generations", "--lake", tmp_lake]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"generations": [0], "latest": 0}
+
+
+def test_concurrent_replays_converge(tmp_log, tmp_lake):
+    """Two replayers racing on the SAME lake (a crashed-then-restarted
+    driver overlapping its replacement): write-once commits + idempotent
+    merges mean both converge to the oracle state and per-table metrics
+    are not double-counted."""
+    import threading
+
+    write_event_log(tmp_log, n_docs=80, n_events=1500, seed=107,
+                    segment_max_events=250)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2,
+                       chunk_max_events=300)
+    errs = []
+
+    def run():
+        try:
+            replay(ReplayConfig(event_log=tmp_log, lake=tmp_lake,
+                                num_partitions=2, chunk_max_events=300))
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    oracle = replay_oracle(cfg)
+    got = read_table(tmp_lake, "docs")
+    ok, msg = tables_equal(got, oracle["docs"])
+    assert ok, msg
+    res = replay(cfg)  # settles metrics from the commit log
+    assert res["metrics"]["total"]["dml_events"] == 1500 + 80

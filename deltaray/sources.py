@@ -166,13 +166,17 @@ def _write_segments(ds, out_dir: str, table_schema: TableSchema,
 
 
 def export_table(lake_root: str, table: str, dest: str, fmt: str = "parquet",
-                 generation: int = 0) -> str:
+                 generation: int = 0, with_previous: bool = False) -> str:
     """Sink adapter: export a lake table's current state (DeltaTarget
     analog for downstream consumers that want plain files).  Streams via
-    read_table_ds; partitioned output, never one giant file."""
+    read_table_ds; partitioned output, never one giant file.
+    ``with_previous=True`` (lake replayed with ``track_previous``)
+    includes each row's before-image — the audit / delete-semantics
+    target shape (DMLEvent.previousRow, DMLEvent.java:66-72)."""
     from deltaray.pipeline import read_table_ds
 
-    ds = read_table_ds(lake_root, table, generation)
+    ds = read_table_ds(lake_root, table, generation,
+                       with_previous=with_previous)
     os.makedirs(dest, exist_ok=True)
     if fmt == "parquet":
         ds.write_parquet(dest)

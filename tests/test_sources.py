@@ -172,3 +172,25 @@ def test_normalize_parquet_log(tmp_path, tmp_lake, ray_session):
     ok, msg = tables_equal(read_table(tmp_lake, "docs"),
                            replay_oracle(cfg)["docs"])
     assert ok, msg
+
+
+def test_export_with_previous(tmp_path, tmp_log, tmp_lake, ray_session):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from deltaray import ReplayConfig, replay
+    from deltaray.gen import write_event_log
+    from deltaray.sources import export_table
+
+    write_event_log(tmp_log, n_docs=40, n_events=400, seed=111,
+                    track_prev=True)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2,
+                       track_previous=True)
+    replay(cfg)
+    dest = str(tmp_path / "audit")
+    export_table(tmp_lake, "docs", dest, with_previous=True)
+    files = glob.glob(dest + "/*.parquet")
+    assert files
+    t = pq.read_table(files[0])
+    assert "prev_tokens" in t.column_names

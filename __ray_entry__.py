@@ -195,6 +195,16 @@ def _fingerprint_docs(sf_dir: str):
         .drop_columns(["text"])
 
 
+def _winnow_docs(sf_dir: str):
+    """Winnowing (rolling-hash) document fingerprints — the MOSS
+    guarantee: shared substrings of length >= w+k-1 share a print."""
+    from deltaray.functions.text import winnow_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(winnow_batch, batch_format="pyarrow") \
+        .drop_columns(["fingerprints"])  # keep the result hashably small
+
+
 def _lang_id_docs(sf_dir: str):
     from deltaray.functions.text import LangId
 
@@ -762,6 +772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_docs": _token_counts_docs,
         "quality_scores_docs": _quality_scores_docs,
         "fingerprint_docs": _fingerprint_docs,
+        "winnow_docs": _winnow_docs,
         "lang_id_docs": _lang_id_docs,
         "minhash_pairs_docs": _minhash_pairs_docs,
         "minhash_dedup_docs": _minhash_dedup_docs,

@@ -31,7 +31,7 @@ from deltaray.functions.partition import (deterministic_shuffle, group_codes,
                                           hash_partitioned, hash_split)
 from deltaray.functions.stats import (approx_distinct, exact_percentiles,
                                       grouped_percentiles, heavy_hitters)
-from deltaray.functions.text import pack_sequences, token_topk
+from deltaray.functions.text import pack_sequences, token_topk, winnow_batch
 
 __all__ = [
     "apply_change_stream",
@@ -67,4 +67,5 @@ __all__ = [
     "train_centroids",
     "tumbling_window_agg",
     "upsert_into_base",
+    "winnow_batch",
 ]

@@ -205,3 +205,34 @@ def pack_sequences(ds, *, max_len: int, id_col: str = "doc_id",
     tagged = ds.map_batches(tag_part, batch_format="pyarrow")
     return hash_partitioned(tagged, [id_col], pack_block,
                             num_partitions=num_partitions)
+
+
+def winnow_batch(batch: pa.Table, *, k: int = 5, w: int = 4,
+                 text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm — public): rolling k-gram hashes, then the minimum
+    of every w-hash window (rightmost minimum on ties), deduplicated —
+    guarantees any shared substring of length ≥ w+k-1 yields a shared
+    fingerprint between two documents.  Vectorized per doc via numpy
+    sliding windows; emits (id, fingerprints:list<int64>, n_fp)."""
+    from deltaray.functions.dedup import _shingle_hashes
+
+    texts = batch[text_col].to_pylist()
+    fps: list[list[int]] = []
+    for h in _shingle_hashes(texts, k):
+        if len(h) < w:
+            sel = np.unique(h.astype(np.int64))
+            fps.append(sel.tolist())
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(h, w)
+        # rightmost minimum per window: argmin on the reversed window
+        rev_arg = np.argmin(win[:, ::-1], axis=1)
+        pos = np.arange(len(win)) + (w - 1 - rev_arg)
+        sel = np.unique(h[np.unique(pos)].astype(np.int64))
+        fps.append(sel.tolist())
+    out = pa.table({
+        id_col: batch[id_col],
+        "fingerprints": pa.array(fps, pa.list_(pa.int64())),
+        "n_fp": pa.array([len(f) for f in fps], pa.int32()),
+    })
+    return out

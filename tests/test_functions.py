@@ -723,3 +723,39 @@ def test_heavy_hitters_count_min(ray_session):
     exact = collections.Counter(vals.tolist()).most_common(10)
     assert out["value"].to_pylist() == [v for v, _ in exact]
     assert out["n"].to_pylist() == [n for _, n in exact]  # exact counts
+
+
+def test_winnowing_fingerprints():
+    from deltaray.functions.dedup import _shingle_hashes
+    from deltaray.functions.text import winnow_batch
+
+    texts = ["the quick brown fox jumps over the lazy dog tonight",
+             "a completely different document about machine learning",
+             "xy"]  # shorter than k
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(texts)})
+    out = winnow_batch(tbl, k=5, w=4)
+    # brute-force winnowing oracle per doc
+    for i, t in enumerate(texts):
+        h = _shingle_hashes([t], 5)[0]
+        if len(h) < 4:
+            want = sorted(set(int(x) for x in h.astype(np.int64)))
+        else:
+            picked = set()
+            for s in range(len(h) - 3):
+                window = h[s:s + 4]
+                m = window.min()
+                # rightmost minimal position
+                j = s + max(p for p in range(4) if window[p] == m)
+                picked.add(j)
+            want = sorted({int(np.int64(h[j])) for j in picked})
+        assert out["fingerprints"][i].as_py() == want, i
+    # the winnowing guarantee: docs sharing a long substring share a print
+    a = "zzz SHARED COMMON RUN OF TEXT zzz unique tail one"
+    b = "qqq SHARED COMMON RUN OF TEXT qqq other ending two"
+    t2 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "text": pa.array([a, b])})
+    o2 = winnow_batch(t2, k=5, w=4)
+    s1 = set(o2["fingerprints"][0].as_py())
+    s2 = set(o2["fingerprints"][1].as_py())
+    assert s1 & s2

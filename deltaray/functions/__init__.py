@@ -26,7 +26,8 @@ from deltaray.functions.dedup import (
 )
 from deltaray.functions.joins import (asof_join, broadcast_enrich,
                                       hash_join, range_join, semi_join)
-from deltaray.functions.knn import knn_bruteforce, knn_ivf, train_centroids
+from deltaray.functions.knn import (knn_bruteforce, knn_ivf,
+                                    train_centroids, train_centroids_ds)
 from deltaray.functions.partition import (deterministic_shuffle, group_codes,
                                           hash_partitioned, hash_split)
 from deltaray.functions.stats import (approx_distinct, exact_percentiles,
@@ -65,6 +66,7 @@ __all__ = [
     "token_topk",
     "top_k_per_key",
     "train_centroids",
+    "train_centroids_ds",
     "tumbling_window_agg",
     "upsert_into_base",
     "winnow_batch",

@@ -147,3 +147,51 @@ def knn_ivf(ds, queries: np.ndarray, centroids: np.ndarray, k: int = 5,
     cands = ds.map_batches(score, batch_format="pyarrow")
     tbl = pa.concat_tables(list(cands.iter_batches(batch_format="pyarrow")))
     return _topk_reduce(tbl, k, id_col)
+
+
+def train_centroids_ds(ds, n_centroids: int, *, iters: int = 8,
+                       vec_col: str = "embedding", seed: int = 42) -> np.ndarray:
+    """Distributed k-means over the full embedding Dataset (Lloyd's
+    algorithm on unit vectors): each iteration broadcasts the current
+    centroids and reduces per-batch (sum, count) partials per centroid —
+    shuffle-free, constant bytes per batch, the corpus streams every
+    pass.  Replaces the driver-side-sample quantizer when the sample
+    would not fit or represent the corpus."""
+    import ray
+
+    # init: first batch's vectors (deterministic) seed the centroids
+    first = next(iter(ds.iter_batches(batch_size=max(1024, 4 * n_centroids),
+                                      batch_format="pyarrow")))
+    X0 = _unit(np.array(first[vec_col].to_pylist(), dtype=np.float32))
+    rng = np.random.default_rng(seed)
+    C = X0[rng.choice(len(X0), size=min(n_centroids, len(X0)),
+                      replace=False)]
+
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            Cc = ray.get(cref)
+            V = _unit(np.array(batch[vec_col].to_pylist(), dtype=np.float32))
+            assign = (V @ Cc.T).argmax(axis=1)
+            sums = np.zeros_like(Cc, dtype=np.float64)
+            np.add.at(sums, assign, V)
+            counts = np.bincount(assign, minlength=len(Cc))
+            return pa.table({
+                "sums": pa.array([sums.tobytes()], pa.binary()),
+                "counts": pa.array([counts.astype(np.int64).tobytes()],
+                                   pa.binary()),
+            })
+
+        S = np.zeros_like(C, dtype=np.float64)
+        N = np.zeros(len(C), dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            for sb, cb in zip(b["sums"].to_pylist(), b["counts"].to_pylist()):
+                S += np.frombuffer(sb, np.float64).reshape(C.shape)
+                N += np.frombuffer(cb, np.int64)
+        live = N > 0
+        C = C.copy()
+        C[live] = (S[live] / N[live, None]).astype(np.float32)
+        C = _unit(C)
+    return C

@@ -759,3 +759,36 @@ def test_winnowing_fingerprints():
     s1 = set(o2["fingerprints"][0].as_py())
     s2 = set(o2["fingerprints"][1].as_py())
     assert s1 & s2
+
+
+def test_train_centroids_ds_distributed(ray_session):
+    import ray.data
+
+    from deltaray.functions.knn import (knn_bruteforce, knn_ivf,
+                                        train_centroids_ds)
+
+    rng = np.random.default_rng(41)
+    # 4 well-separated gaussian clusters on the sphere
+    centers = _unit_rows(rng.standard_normal((4, 16)).astype(np.float32))
+    vecs = np.vstack([
+        c + 0.05 * rng.standard_normal((100, 16)).astype(np.float32)
+        for c in centers])
+    tbl = pa.table({"vec_id": pa.array(np.arange(400)),
+                    "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    C = train_centroids_ds(ds, 4, iters=6)
+    assert C.shape == (4, 16)
+    # every learned centroid sits close to one true center (cos > 0.98)
+    sim = _unit_rows(C) @ centers.T
+    assert np.all(sim.max(axis=1) > 0.98)
+    # full-probe IVF with the distributed centroids equals brute force
+    q = vecs[:3].astype(np.float64)
+    ivf = knn_ivf(ds, vecs[:3], C, k=5, nprobe=4).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    brute = knn_bruteforce(ds, q, k=5).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert ivf["vec_id"].tolist() == brute["vec_id"].tolist()
+
+
+def _unit_rows(m):
+    return m / np.linalg.norm(m, axis=1, keepdims=True)

@@ -131,3 +131,63 @@ def test_row_id_keyed_table(tmp_log, tmp_lake):
     assert ok, msg
     assert got.num_rows > 0
     assert len(set(got["row_id"].to_pylist())) == got.num_rows
+
+
+def test_rename_table_mid_stream(tmp_log, tmp_lake):
+    """RENAME_TABLE: the lake directory moves, the schema registry rekeys,
+    and post-rename DML lands in the renamed table — equal to the oracle,
+    resumable (re-applied DDL is a no-op)."""
+    from deltaray.schemas import default_table_schema
+
+    schema = default_table_schema("docs")
+    log_schema = event_log_schema(schema)
+
+    def tok(i):
+        return [i, i + 1]
+
+    rows = [
+        {"seq": 1, "op": "CREATE_TABLE", "table": "docs",
+         "ddl_payload": ddl_payload("CREATE_TABLE", schema=schema),
+         "is_snapshot": True},
+    ]
+    seq = 1
+    for i in range(6):
+        seq += 1
+        rows.append({"seq": seq, "op": "INSERT", "table": "docs",
+                     "doc_id": f"d{i}", "tokens": tok(i), "n_tok": 2,
+                     "source": "web", "is_snapshot": True})
+    seq += 1
+    rows.append({"seq": seq, "op": "RENAME_TABLE", "table": "docs2",
+                 "ddl_payload": ddl_payload("RENAME_TABLE",
+                                            prev_table_name="docs")})
+    for i, (op, doc) in enumerate([("UPDATE", "d2"), ("DELETE", "d0"),
+                                   ("INSERT", "d9")]):
+        seq += 1
+        r = {"seq": seq, "op": op, "table": "docs2", "doc_id": doc,
+             "is_snapshot": False}
+        if op != "DELETE":
+            r.update(tokens=tok(40 + i), n_tok=2, source="code")
+        rows.append(r)
+    os.makedirs(tmp_log, exist_ok=True)
+    # split across segments so the rename is a real chunk barrier
+    cut = 5
+    for name, seg in [(f"events-00000-{1:012d}-{cut:012d}", rows[:cut]),
+                      (f"events-00001-{cut+1:012d}-{seq:012d}", rows[cut:])]:
+        cols = {f.name: [r.get(f.name) for r in seg] for f in log_schema}
+        pq.write_table(pa.table(cols, schema=log_schema),
+                       os.path.join(tmp_log, name + ".parquet"))
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2,
+                       chunk_max_events=3)
+    replay(cfg)
+    oracle = replay_oracle(cfg)
+    assert "docs2" in oracle and "docs" not in oracle
+    got = read_table(tmp_lake, "docs2")
+    ok, msg = tables_equal(got, oracle["docs2"])
+    assert ok, msg
+    by_id = {r["doc_id"]: r["tokens"] for r in got.to_pylist()}
+    assert "d0" not in by_id and by_id["d2"] == tok(40) and "d9" in by_id
+    # resume: rename already applied, still equal
+    replay(cfg)
+    got2 = read_table(tmp_lake, "docs2")
+    ok, msg = tables_equal(got2, oracle["docs2"])
+    assert ok, msg

@@ -319,6 +319,12 @@ class ReplaySession:
                     new_dir = self.lake.table_dir(t)
                     if os.path.isdir(old_dir) and not os.path.isdir(new_dir):
                         os.rename(old_dir, new_dir)
+                    # lineage records live outside the table dir — move
+                    # them too so the report follows the rename
+                    old_lin = os.path.join(self.lake.root, "_lineage", prev)
+                    new_lin = os.path.join(self.lake.root, "_lineage", t)
+                    if os.path.isdir(old_lin) and not os.path.isdir(new_lin):
+                        os.rename(old_lin, new_lin)
             self.schemas = apply_ddl(self.schemas, t, op, payload, seq)
             if op == "DROP_TABLE":
                 self.dropped.add(t)

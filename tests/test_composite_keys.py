@@ -191,3 +191,45 @@ def test_rename_table_mid_stream(tmp_log, tmp_lake):
     got2 = read_table(tmp_lake, "docs2")
     ok, msg = tables_equal(got2, oracle["docs2"])
     assert ok, msg
+
+
+def test_rename_table_moves_lineage(tmp_log, tmp_lake):
+    """Lineage records follow a RENAME_TABLE (they live outside the table
+    directory); DROP_DATABASE is blacklisted by default (DeltaConfig
+    default blacklist semantics) and leaves state untouched."""
+    from deltaray.pipeline import lineage_report
+    from deltaray.schemas import default_table_schema
+
+    schema = default_table_schema("docs")
+    log_schema = event_log_schema(schema)
+    rows = [{"seq": 1, "op": "CREATE_TABLE", "table": "docs",
+             "ddl_payload": ddl_payload("CREATE_TABLE", schema=schema),
+             "is_snapshot": True}]
+    for i in range(4):
+        rows.append({"seq": 2 + i, "op": "INSERT", "table": "docs",
+                     "doc_id": f"d{i}", "tokens": [i], "n_tok": 1,
+                     "source": "web", "is_snapshot": True})
+    rows.append({"seq": 6, "op": "DROP_DATABASE", "table": "docs",
+                 "ddl_payload": ddl_payload("DROP_DATABASE")})
+    rows.append({"seq": 7, "op": "RENAME_TABLE", "table": "renamed",
+                 "ddl_payload": ddl_payload("RENAME_TABLE",
+                                            prev_table_name="docs")})
+    rows.append({"seq": 8, "op": "UPDATE", "table": "renamed",
+                 "doc_id": "d1", "tokens": [99], "n_tok": 1,
+                 "source": "web", "is_snapshot": False})
+    os.makedirs(tmp_log, exist_ok=True)
+    for name, seg in [(f"events-00000-{1:012d}-{5:012d}", rows[:5]),
+                      (f"events-00001-{6:012d}-{8:012d}", rows[5:])]:
+        cols = {f.name: [r.get(f.name) for r in seg] for f in log_schema}
+        pq.write_table(pa.table(cols, schema=log_schema),
+                       os.path.join(tmp_log, name + ".parquet"))
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2,
+                       chunk_max_events=3)
+    replay(cfg)
+    oracle = replay_oracle(cfg)
+    got = read_table(tmp_lake, "renamed")
+    ok, msg = tables_equal(got, oracle["renamed"])
+    assert ok, msg
+    assert got.num_rows == 4  # DROP_DATABASE was blacklisted away
+    rep = lineage_report(tmp_lake)
+    assert "renamed" in rep["tables"] and "docs" not in rep["tables"]

@@ -272,6 +272,12 @@ class LakeState:
             unified.append(t.select(order))
         merged = lww_reduce(
             pa.concat_tables(unified, promote_options="none"), target.keys)
+        # evolve_to rebuilds tables WITHOUT the embedded schema metadata —
+        # re-stamp it, or a later evolve_to (e.g. merge applying a DDL on
+        # top of this state) cannot resolve rename chains and would null
+        # the renamed columns
+        merged = merged.replace_schema_metadata(
+            {SCHEMA_META_KEY: target.to_json().encode()})
         return merged, hi
 
     # ------------------------------------------------------------ lineage

@@ -558,3 +558,26 @@ def test_concurrent_replays_converge(tmp_log, tmp_lake):
     assert ok, msg
     res = replay(cfg)  # settles metrics from the commit log
     assert res["metrics"]["total"]["dml_events"] == 1500 + 80
+
+
+def test_rename_after_delta_commits_keeps_values(tmp_log, tmp_lake):
+    """Regression (found by the hypothesis suite): a RENAME_COLUMN landing
+    while the partition holds base+delta files must still carry the old
+    column's values into the renamed column — the merged-on-read state
+    must keep its embedded schema metadata for the rename chain."""
+    write_event_log(
+        tmp_log, n_docs=20, n_events=81, seed=0, mix=(0.5, 0.25, 0.25),
+        ddl=[(80, "docs", "ALTER_TABLE",
+              {"add": ("lang", "string"), "choices": ["en", "de", "fr"]}),
+             (80, "docs", "RENAME_COLUMN", {"rename": ("source", "origin")})],
+        segment_max_events=100,
+    )
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=1,
+                       chunk_max_events=100, compact_every=8)
+    replay(cfg)
+    oracle = replay_oracle(cfg)
+    got = read_table(tmp_lake, "docs")
+    ok, msg = tables_equal(got, oracle["docs"])
+    assert ok, msg
+    # the renamed column actually carries pre-rename values
+    assert any(v is not None for v in got["origin"].to_pylist())

@@ -27,6 +27,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from deltaray.schemas import (
+    DDL_OPS,
     TableSchema,
     ddl_payload,
     default_table_schema,
@@ -136,6 +137,8 @@ def write_event_log(
                 "seq_hi": int(hi),
                 "n_rows": len(rows),
                 "columns": schema_union.names,
+                # lets replay skip the DDL scan for pure-DML segments
+                "has_ddl": any(r["op"] in DDL_OPS for r in rows),
             }
         )
         segid += 1
@@ -382,8 +385,10 @@ def write_event_log_fast(
         hi = int(cols["seq"][-1])
         path = os.path.join(out_dir, f"events-{segid:05d}-{lo:012d}-{hi:012d}.parquet")
         pq.write_table(tbl, path, row_group_size=16384)
+        has_ddl = bool(pa.compute.any(pa.compute.is_in(
+            tbl["op"], value_set=pa.array(list(DDL_OPS)))).as_py())
         segments.append({"path": path, "seq_lo": lo, "seq_hi": hi,
-                         "n_rows": n, "columns": names})
+                         "n_rows": n, "columns": names, "has_ddl": has_ddl})
         segid += 1
 
     # -- snapshot: CREATE_TABLE + base INSERTs ------------------------------

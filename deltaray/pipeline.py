@@ -164,6 +164,7 @@ class Segment:
     seq_lo: int
     seq_hi: int
     n_rows: int
+    has_ddl: bool | None = None  # None = unknown (no manifest hint) → scan
 
 
 @dataclass
@@ -182,7 +183,8 @@ def discover_segments(event_log: str) -> list[Segment]:
         with open(mpath) as f:
             m = json.load(f)
         return [
-            Segment(s["path"], s["seq_lo"], s["seq_hi"], s["n_rows"])
+            Segment(s["path"], s["seq_lo"], s["seq_hi"], s["n_rows"],
+                    s.get("has_ddl"))
             for s in m["segments"]
         ]
     segs = []
@@ -205,21 +207,25 @@ def discover_segments(event_log: str) -> list[Segment]:
 
 def load_ddl_events(segments: list[Segment]) -> list[dict]:
     """Scan for DDL rows (tiny results: row-group pushdown on ``op``).
-    Fanned out as Ray tasks when a cluster is up — the driver process often
-    runs with a single-threaded Arrow pool (OMP_NUM_THREADS=1)."""
+    Segments whose manifest marks ``has_ddl: false`` are skipped outright —
+    a tailing replay's periodic re-plan touches only the (rare) DDL
+    segments instead of rescanning the whole log.  Fanned out as Ray
+    tasks when a cluster is up — the driver process often runs with a
+    single-threaded Arrow pool (OMP_NUM_THREADS=1)."""
+    scan_list = [s for s in segments if s.has_ddl is not False]
     out: list[dict] = []
     try:
         import ray
 
-        if ray.is_initialized() and len(segments) > 2:
+        if ray.is_initialized() and len(scan_list) > 2:
             scan = ray.remote(_scan_segment_ddl)
-            for rows in ray.get([scan.remote(s.path) for s in segments]):
+            for rows in ray.get([scan.remote(s.path) for s in scan_list]):
                 out.extend(rows)
             out.sort(key=lambda r: r["seq"])
             return out
     except ImportError:
         pass
-    for s in segments:
+    for s in scan_list:
         out.extend(_scan_segment_ddl(s.path))
     out.sort(key=lambda r: r["seq"])
     return out

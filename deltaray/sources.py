@@ -129,7 +129,8 @@ def _write_segments(ds, out_dir: str, table_schema: TableSchema,
     os.makedirs(out_dir, exist_ok=True)
     log_schema = event_log_schema(table_schema)
     manifest_schema = pa.schema([("path", pa.string()), ("seq_lo", pa.int64()),
-                                 ("seq_hi", pa.int64()), ("n_rows", pa.int64())])
+                                 ("seq_hi", pa.int64()), ("n_rows", pa.int64()),
+                                 ("has_ddl", pa.bool_())])
 
     def write_one(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -144,8 +145,13 @@ def _write_segments(ds, out_dir: str, table_schema: TableSchema,
         # read tasks (row group = the parquet split unit)
         pq.write_table(tbl, tmp, row_group_size=16384)
         os.replace(tmp, path)
+        from deltaray.schemas import DDL_OPS
+
+        has_ddl = bool(pc.any(pc.is_in(
+            tbl["op"], value_set=pa.array(list(DDL_OPS)))).as_py())
         return pa.table({"path": [path], "seq_lo": [lo], "seq_hi": [hi],
-                         "n_rows": [tbl.num_rows]}, schema=manifest_schema)
+                         "n_rows": [tbl.num_rows], "has_ddl": [has_ddl]},
+                        schema=manifest_schema)
 
     # order by seq so segment files carry tight, non-overlapping seq ranges
     seg_rows = ds.sort("seq").map_batches(
@@ -154,7 +160,7 @@ def _write_segments(ds, out_dir: str, table_schema: TableSchema,
     segments = [
         {"path": r["path"], "seq_lo": int(r["seq_lo"]),
          "seq_hi": int(r["seq_hi"]), "n_rows": int(r["n_rows"]),
-         "columns": log_schema.names}
+         "columns": log_schema.names, "has_ddl": bool(r["has_ddl"])}
         for r in sorted(seg_rows, key=lambda r: r["seq_lo"])
     ]
     max_seq = max((s["seq_hi"] for s in segments), default=0)

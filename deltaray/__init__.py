@@ -25,6 +25,7 @@ from deltaray.config import (ReplayConfig, RetryConfig, TableConfig,
 from deltaray.drafts import DraftStore
 from deltaray.pipeline import (
     DeltaFailureError,
+    bootstrap_table,
     lineage_report,
     read_table,
     read_table_ds,
@@ -36,6 +37,7 @@ from deltaray.transforms import register_directive
 
 __all__ = [
     "DeltaFailureError",
+    "bootstrap_table",
     "DraftStore",
     "config_from_dict",
     "config_to_dict",

@@ -42,6 +42,7 @@ def replay_cases(draw):
     compact_every = draw(st.sampled_from([1, 2, 8]))
     track_prev = draw(st.booleans())
     n_sk = draw(st.sampled_from([2, 3]))
+    n_tables = draw(st.sampled_from([1, 1, 2]))
     directives = draw(st.sampled_from([
         [], ["mask tokens 0 3"], ["rename n_tok tok_count"],
         ["retokenize-stub tokens 7"],
@@ -50,7 +51,7 @@ def replay_cases(draw):
                 unordered=unordered, mix=mix, ddl=ddl, chunk=chunk,
                 parts=parts, hot=hot, directives=directives,
                 compact_every=compact_every, track_prev=track_prev,
-                n_sk=n_sk)
+                n_sk=n_sk, n_tables=n_tables)
 
 
 @settings(max_examples=10, deadline=None,
@@ -66,10 +67,11 @@ def test_random_replay_equals_oracle(case, tmp_path_factory):
         op == "RENAME_COLUMN" for _, _, op, _ in case["ddl"]
     ):
         case["ddl"] = [d for d in case["ddl"] if d[2] != "RENAME_COLUMN"]
+    tables = ("docs", "logs")[: case.get("n_tables", 1)]
     write_event_log(
         log, n_docs=case["n_docs"], n_events=case["n_events"],
         seed=case["seed"], unordered=case["unordered"], mix=case["mix"],
-        ddl=case["ddl"], hot_key_frac=case["hot"],
+        ddl=case["ddl"], hot_key_frac=case["hot"], tables=tables,
         segment_max_events=max(100, case["chunk"] // 2),
     )
     cfg = ReplayConfig(
@@ -84,10 +86,13 @@ def test_random_replay_equals_oracle(case, tmp_path_factory):
     )
     replay(cfg)
     oracle = replay_oracle(cfg)
-    got = read_table(lake, "docs", with_previous=case["track_prev"])
-    key = oracle["docs"].column_names[0]
-    ok, msg = tables_equal(got, oracle["docs"], key=key)
-    assert ok, f"{msg}; case={case}"
+    for t in tables:
+        if t not in oracle:
+            continue  # dropped tables
+        got = read_table(lake, t, with_previous=case["track_prev"])
+        key = oracle[t].column_names[0]
+        ok, msg = tables_equal(got, oracle[t], key=key)
+        assert ok, f"{t}: {msg}; case={case}"
 
 
 # ---- operator-level properties: random data vs pure-numpy/pandas oracles

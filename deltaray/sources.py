@@ -38,7 +38,8 @@ def _conform(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
 
 
 def normalize_jsonl_log(src: str, out_dir: str, table_schema: TableSchema,
-                        segment_max_events: int = 1_000_000) -> dict:
+                        segment_max_events: int = 1_000_000,
+                        assume_sorted: bool = False) -> dict:
     """Convert a directory (or glob) of JSONL change-event shards into the
     engine's Parquet event-log layout; returns the manifest.
 
@@ -52,12 +53,14 @@ def normalize_jsonl_log(src: str, out_dir: str, table_schema: TableSchema,
     paths = _shards(src, "*.jsonl")
     ds = ray.data.read_json(paths)
     return _write_segments(ds, out_dir, table_schema, segment_max_events,
-                           source_format="jsonl", src=src)
+                           source_format="jsonl", src=src,
+                           assume_sorted=assume_sorted)
 
 
 def normalize_csv_log(src: str, out_dir: str, table_schema: TableSchema,
                       segment_max_events: int = 1_000_000,
-                      list_cols: tuple = ("tokens", "prev_tokens")) -> dict:
+                      list_cols: tuple = ("tokens", "prev_tokens"),
+                      assume_sorted: bool = False) -> dict:
     """Same contract for CSV shards.  List-typed payload columns (e.g.
     ``tokens``) must be JSON-encoded strings in the CSV; they are parsed
     back into Arrow lists during normalization."""
@@ -78,12 +81,14 @@ def normalize_csv_log(src: str, out_dir: str, table_schema: TableSchema,
     ds = ray.data.read_csv(paths).map_batches(parse_lists,
                                               batch_format="pyarrow")
     return _write_segments(ds, out_dir, table_schema, segment_max_events,
-                           source_format="csv", src=src)
+                           source_format="csv", src=src,
+                           assume_sorted=assume_sorted)
 
 
 def normalize_parquet_log(src: str, out_dir: str, table_schema: TableSchema,
                           segment_max_events: int = 1_000_000,
-                          column_map: dict[str, str] | None = None) -> dict:
+                          column_map: dict[str, str] | None = None,
+                          assume_sorted: bool = False) -> dict:
     """Same contract for foreign Parquet shards: an optional
     ``column_map`` ({source_name: engine_name}) renames source-native
     columns into the engine's event-log schema before segmenting —
@@ -99,7 +104,8 @@ def normalize_parquet_log(src: str, out_dir: str, table_schema: TableSchema,
 
         ds = ds.map_batches(rename, batch_format="pyarrow")
     return _write_segments(ds, out_dir, table_schema, segment_max_events,
-                           source_format="parquet", src=src)
+                           source_format="parquet", src=src,
+                           assume_sorted=assume_sorted)
 
 
 def _shards(src: str, pattern: str) -> list[str]:
@@ -112,7 +118,7 @@ def _shards(src: str, pattern: str) -> list[str]:
 
 def _write_segments(ds, out_dir: str, table_schema: TableSchema,
                     segment_max_events: int, *, source_format: str,
-                    src: str) -> dict:
+                    src: str, assume_sorted: bool = False) -> dict:
     """Distributed segment sink: after the (distributed) ``sort("seq")``,
     every ~``segment_max_events``-row batch is written to its own Parquet
     segment BY THE MAP TASK that holds it — rows never stream through the
@@ -153,8 +159,14 @@ def _write_segments(ds, out_dir: str, table_schema: TableSchema,
                          "n_rows": [tbl.num_rows], "has_ddl": [has_ddl]},
                         schema=manifest_schema)
 
-    # order by seq so segment files carry tight, non-overlapping seq ranges
-    seg_rows = ds.sort("seq").map_batches(
+    # order by seq so segment files carry tight, non-overlapping seq
+    # ranges.  ``assume_sorted`` skips the (all-to-all) global sort for
+    # append-style sources whose shards are already seq-ordered — safe
+    # even when mis-declared: replay filters by seq range at read time,
+    # overlapping segment ranges only loosen row-group pruning, never
+    # correctness.
+    ordered = ds if assume_sorted else ds.sort("seq")
+    seg_rows = ordered.map_batches(
         write_one, batch_format="pyarrow", batch_size=segment_max_events
     ).take_all()  # tiny: one row per written segment
     segments = [

@@ -194,3 +194,50 @@ def test_export_with_previous(tmp_path, tmp_log, tmp_lake, ray_session):
     assert files
     t = pq.read_table(files[0])
     assert "prev_tokens" in t.column_names
+
+
+def test_normalize_assume_sorted_skips_global_sort(tmp_path, tmp_lake,
+                                                   ray_session):
+    """Pre-ordered shards normalize without the all-to-all sort and replay
+    to the same state; mis-declared ordering stays CORRECT (seq filtering
+    at read) — only pruning gets looser."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deltaray import ReplayConfig, replay, replay_oracle, read_table
+    from deltaray.oracle import tables_equal
+    from deltaray.schemas import (ddl_payload, default_table_schema,
+                                  event_log_schema)
+    from deltaray.sources import normalize_parquet_log
+
+    schema = default_table_schema()
+    log_schema = event_log_schema(schema)
+    rng = np.random.default_rng(5)
+    rows = [{"seq": 1, "op": "CREATE_TABLE", "table": "docs",
+             "ddl_payload": ddl_payload("CREATE_TABLE", schema=schema)}]
+    for i in range(300):
+        op = ("INSERT", "UPDATE", "DELETE")[int(rng.integers(0, 3))]
+        r = {"seq": i + 2, "op": op, "table": "docs",
+             "doc_id": f"docs-doc{int(rng.integers(0, 50)):08d}"}
+        if op != "DELETE":
+            r.update(tokens=[1, 2], n_tok=2, source="web")
+        rows.append(r)
+    src = tmp_path / "ordered"
+    src.mkdir()
+    third = len(rows) // 3
+    for i, chunk in enumerate([rows[:third], rows[third:2 * third],
+                               rows[2 * third:]]):  # ordered disjoint shards
+        cols = {f.name: [r.get(f.name) for r in chunk] for f in log_schema}
+        pq.write_table(pa.table(cols, schema=log_schema),
+                       src / f"shard-{i}.parquet")
+    out = tmp_path / "log"
+    m = normalize_parquet_log(str(src), str(out), schema,
+                              segment_max_events=120, assume_sorted=True)
+    los = [s["seq_lo"] for s in m["segments"]]
+    assert los == sorted(los)
+    cfg = ReplayConfig(event_log=str(out), lake=tmp_lake, num_partitions=2)
+    replay(cfg)
+    ok, msg = tables_equal(read_table(tmp_lake, "docs"),
+                           replay_oracle(cfg)["docs"])
+    assert ok, msg

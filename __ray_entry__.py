@@ -291,18 +291,18 @@ def _knn_bruteforce(sf_dir: str):
 
 
 def _knn_ivf(sf_dir: str):
+    """IVF with the DISTRIBUTED k-means quantizer (full corpus streamed
+    per Lloyd iteration — the 100 TB path, no driver-side sample)."""
     import pyarrow.parquet as pq
 
-    from deltaray.functions.knn import knn_ivf, train_centroids
+    from deltaray.functions.knn import knn_ivf, train_centroids_ds
 
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    sample = np.array(tbl["embedding"].to_pylist()[:2048], dtype=np.float32)
-    C = train_centroids(sample, n_centroids=16)
-    qt = tbl.filter(pc.less(pc.field("vec_id"), 4)).sort_by("vec_id")
-    q = np.array(qt["embedding"].to_pylist(), dtype=np.float32)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C = train_centroids_ds(ds, 16, iters=4)
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).filter(pc.less(pc.field("vec_id"), 4)).sort_by("vec_id")
+    q = np.array(qt["embedding"].to_pylist(), dtype=np.float32)
     return knn_ivf(ds, q, C, k=5, nprobe=4)
 
 
@@ -312,16 +312,14 @@ def _knn_ivf_fullprobe(sf_dir: str):
     oracle (the pruned variant stays rows-only)."""
     import pyarrow.parquet as pq
 
-    from deltaray.functions.knn import knn_ivf, train_centroids
+    from deltaray.functions.knn import knn_ivf, train_centroids_ds
 
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    sample = np.array(tbl["embedding"].to_pylist()[:2048], dtype=np.float32)
-    C = train_centroids(sample, n_centroids=16)
-    qt = tbl.filter(pc.less(pc.field("vec_id"), 4)).sort_by("vec_id")
-    q = np.array(qt["embedding"].to_pylist(), dtype=np.float32)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C = train_centroids_ds(ds, 16, iters=4)
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).filter(pc.less(pc.field("vec_id"), 4)).sort_by("vec_id")
+    q = np.array(qt["embedding"].to_pylist(), dtype=np.float32)
     return knn_ivf(ds, q, C, k=5, nprobe=16).drop_columns(["cosine"])
 
 

@@ -477,7 +477,9 @@ def _heavy_hitter_users(sf_dir: str):
     from deltaray.functions.stats import heavy_hitters
 
     ds = _read(sf_dir, "events", ["user_id"])
-    return heavy_hitters(ds, "user_id", k=10)
+    # the synthetic user distribution is nearly FLAT, so candidate lists
+    # must cover the per-batch distinct count for a deterministic top-10
+    return heavy_hitters(ds, "user_id", k=10, candidates_per_batch=4096)
 
 
 def _split_docs_train_val(sf_dir: str):

@@ -280,7 +280,9 @@ def heavy_hitters(ds, col: str, *, k: int = 20, width: int = 4096,
     and a second exact pass counts ONLY the shortlist, making the
     returned counts exact.  A true heavy hitter missed by every batch's
     local top list could be absent — vanishingly unlikely under the
-    skewed distributions heavy-hitter queries target.
+    skewed distributions heavy-hitter queries target; for FLAT
+    distributions size ``candidates_per_batch`` near the per-batch
+    distinct count (or use the exact top-k operators).
     Returns (value, n) sorted by (n desc, value asc), k rows.
     """
     from deltaray.transforms import stable_hash_cols
@@ -321,14 +323,22 @@ def heavy_hitters(ds, col: str, *, k: int = 20, width: int = 4096,
         return pa.table({"value": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64())})
     cand_list = sorted(cands)
-    ct = pa.table({col: pa.array(cand_list)})
-    h = stable_hash_cols(ct, [col])
-    est = np.full(len(cand_list), np.iinfo(np.int64).max, dtype=np.int64)
-    for d in range(depth):
-        idx = (mix64(h ^ row_seeds[d]) % np.uint64(width)).astype(np.int64)
-        est = np.minimum(est, cm_total[d, idx])
-    order = np.lexsort((np.array(cand_list, dtype=object), -est))
-    shortlist = [cand_list[i] for i in order[: 2 * k]]
+    cap = max(4 * k, 4096)
+    if len(cand_list) <= cap:
+        # small union: exact-count every candidate — immune to count-min
+        # overestimation noise on FLAT distributions (where estimates
+        # barely separate values); the CM shortlist only kicks in when
+        # the union is too wide to count exactly
+        shortlist = cand_list
+    else:
+        ct = pa.table({col: pa.array(cand_list)})
+        h = stable_hash_cols(ct, [col])
+        est = np.full(len(cand_list), np.iinfo(np.int64).max, dtype=np.int64)
+        for d in range(depth):
+            idx = (mix64(h ^ row_seeds[d]) % np.uint64(width)).astype(np.int64)
+            est = np.minimum(est, cm_total[d, idx])
+        order = np.lexsort((np.array(cand_list, dtype=object), -est))
+        shortlist = [cand_list[i] for i in order[:cap]]
 
     # exact pass over the shortlist only
     import ray

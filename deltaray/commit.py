@@ -237,11 +237,19 @@ class LakeState:
         return rec
 
     # -------------------------------------------------------------- reads
-    def read_partition(self, table: str, part: int, before_seq: int | None = None) -> tuple[pa.Table | None, int]:
+    def read_partition(self, table: str, part: int, before_seq: int | None = None,
+                       columns: list[str] | None = None) -> tuple[pa.Table | None, int]:
         """Current state of a partition, merged-on-read: the last base
         file plus subsequent delta files, unified to the newest embedded
         schema and LWW-reduced per key.  Returns (table_or_None,
-        committed_hi)."""
+        committed_hi).
+
+        ``columns`` prunes the parquet read (MUST include the key and
+        version columns so the LWW merge stays correct — callers like
+        ``read_table_ds`` build that set); pruning only applies when
+        every live file shares one embedded schema containing all the
+        requested names (post-DDL mixed files fall back to full reads,
+        which the rename-chain evolution requires anyway)."""
         commits = self.list_commits(table, part)
         if before_seq is not None:
             commits = [c for c in commits if c["seq_hi"] < before_seq]
@@ -251,8 +259,18 @@ class LakeState:
         live = self.live_commits(table, part, before_seq)
         if not live:
             return None, hi
-        tbls = [pq.read_table(os.path.join(self.part_dir(table, part), c["file"]))
-                for c in live]
+        paths = [os.path.join(self.part_dir(table, part), c["file"])
+                 for c in live]
+        use_cols = None
+        if columns is not None:
+            fschemas = [pq.read_schema(p) for p in paths]
+            metas = {(fs.metadata or {}).get(SCHEMA_META_KEY)
+                     for fs in fschemas}
+            if len(metas) == 1 and all(
+                c in fschemas[0].names for c in columns
+            ):
+                use_cols = list(columns)
+        tbls = [pq.read_table(p, columns=use_cols) for p in paths]
         if len(tbls) == 1:
             return tbls[0], hi
         # lazy imports: merge/transforms import this module at load time

@@ -708,17 +708,31 @@ def current_data_files(lake_root: str, table: str, generation: int = 0) -> list[
 
 
 def read_table_ds(lake_root: str, table: str, generation: int = 0,
-                  with_previous: bool = False):
+                  with_previous: bool = False,
+                  columns: list[str] | None = None):
     """Streaming read of a table's current state as a ray.data.Dataset:
     one task per partition performs the merge-on-read (base + delta files
     → LWW reduce) and strips engine columns, so downstream operators see
-    exactly the live rows regardless of compaction state."""
+    exactly the live rows regardless of compaction state.
+
+    ``columns`` prunes the payload at the parquet read (key + version
+    columns are always fetched for the merge): a 2-column scan of a
+    tokens-heavy lake never ships the token payload."""
     import ray.data
 
     lake = LakeState(lake_root, generation)
     schema = lake.current_schema(table)
     if schema is None:
         raise KeyError(f"unknown table {table!r}")
+    if columns is not None:
+        unknown = [c for c in columns if c not in schema.column_names()]
+        if unknown:
+            raise KeyError(f"unknown columns {unknown!r}")
+        schema = TableSchema(
+            schema.name, schema.key,
+            [(n, c) for n, c in schema.fields
+             if n in set(columns) | set(schema.keys)],
+            dict(schema.renames), schema.version_seq)
     out_schema = schema.arrow_schema()
     if with_previous:
         out_schema = out_schema.append(pa.field("prev_tokens",
@@ -733,12 +747,30 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
     if not parts:
         return ray.data.from_arrow(out_schema.empty_table())
     sj = schema.to_json()
+    # physical columns for the pruned read: payload + key + version cols
+    # (width from generation meta; None disables pruning)
+    phys = None
+    if columns is not None:
+        meta_path = os.path.join(lake.root, "_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                gmeta = json.load(f)
+            n_sk = int(gmeta.get("sort_key_components", 2))
+            phys = list(dict.fromkeys([
+                *schema.column_names(),
+                "__seq", "__src_ts",
+                *[f"__sk{i}" for i in range(n_sk)],
+                "__deleted",
+                *(["__prev_tokens"]
+                  if gmeta.get("track_previous") and with_previous else []),
+            ]))
 
     def load(batch: pa.Table) -> pa.Table:
         target = TableSchema.from_json(sj)
         out = []
         for p in batch["part"].to_pylist():
-            tbl, _ = LakeState(lake_root, generation).read_partition(table, p)
+            tbl, _ = LakeState(lake_root, generation).read_partition(
+                table, p, columns=phys)
             if tbl is not None and tbl.num_rows:
                 out.append(strip_internal(evolve_to(tbl, target),
                                           with_previous=with_previous)

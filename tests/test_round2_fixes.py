@@ -581,3 +581,26 @@ def test_rename_after_delta_commits_keeps_values(tmp_log, tmp_lake):
     assert ok, msg
     # the renamed column actually carries pre-rename values
     assert any(v is not None for v in got["origin"].to_pylist())
+
+
+def test_read_table_ds_column_pruning(tmp_log, tmp_lake):
+    """read_table_ds(columns=...) prunes the payload at the parquet read
+    (keys + version columns still fetched for the LWW merge) and matches
+    the full read's selected columns row-for-row."""
+    from deltaray.pipeline import read_table_ds
+
+    write_event_log(tmp_log, n_docs=60, n_events=800, seed=113,
+                    segment_max_events=200)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2,
+                       chunk_max_events=300)
+    replay(cfg)
+    full = pa.concat_tables(list(
+        read_table_ds(tmp_lake, "docs").iter_batches(batch_format="pyarrow")
+    )).sort_by("doc_id")
+    pruned = pa.concat_tables(list(
+        read_table_ds(tmp_lake, "docs", columns=["doc_id", "n_tok"])
+        .iter_batches(batch_format="pyarrow"))).sort_by("doc_id")
+    assert pruned.column_names == ["doc_id", "n_tok"]
+    assert pruned.equals(full.select(["doc_id", "n_tok"]))
+    with pytest.raises(KeyError):
+        read_table_ds(tmp_lake, "docs", columns=["nope"])

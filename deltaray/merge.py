@@ -65,6 +65,14 @@ def evolve_to(tbl: pa.Table, target: TableSchema) -> pa.Table:
     old_json = meta.get(SCHEMA_META_KEY)
     if old_json:
         old = TableSchema.from_json(old_json.decode())
+        # defensive: drop payload columns the file's own schema does not
+        # declare (foreign union-schema columns written by old engine
+        # versions) — they would collide with rename-chain mapping
+        known = set(old.column_names())
+        foreign = [c for c in tbl.column_names
+                   if not c.startswith("__") and c not in known]
+        if foreign:
+            tbl = tbl.drop_columns(foreign)
         cur_for_orig = dict(target.renames)
         orig_for_old = {n: o for o, n in old.renames.items()}
         new_names = []
@@ -254,6 +262,15 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
             ["__shard", "__table", "__op", "__n_ins", "__n_upd", "__n_del",
              "__n_snap"]
         )
+        # multi-table chunks shuffle under ONE union schema; the lake file
+        # must carry only THIS table's columns — a foreign table's column
+        # surviving here collides after rename chains (e.g. docs renames
+        # source→origin while logs still has source)
+        own = set(schema.column_names())
+        keep = [c for c in changes.column_names
+                if c.startswith("__") or c in own]
+        if len(keep) != changes.num_columns:
+            changes = changes.select(keep)
         # phase-2 LWW over the full shard (phase 1 ran per batch upstream)
         changes = lww_reduce(changes, schema.keys)
 

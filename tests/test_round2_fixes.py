@@ -604,3 +604,33 @@ def test_read_table_ds_column_pruning(tmp_log, tmp_lake):
     assert pruned.equals(full.select(["doc_id", "n_tok"]))
     with pytest.raises(KeyError):
         read_table_ds(tmp_lake, "docs", columns=["nope"])
+
+
+def test_multi_table_rename_no_column_leak(tmp_log, tmp_lake):
+    """Regression (hypothesis seed 938): in a multi-table log, the shuffle
+    union schema must NOT leak another table's columns into a table's lake
+    files — after docs renames source→origin while logs keeps source, the
+    stray column collided with the rename chain at the next merge."""
+    import pyarrow.parquet as pq
+    import glob
+
+    write_event_log(
+        tmp_log, n_docs=53, n_events=787, seed=215, unordered=True,
+        mix=(0.1, 0.5376, 0.3624), tables=("docs", "logs"),
+        ddl=[(547, "docs", "RENAME_COLUMN", {"rename": ("source", "origin")}),
+             (640, "docs", "TRUNCATE_TABLE", {})],
+        segment_max_events=100,
+    )
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=1,
+                       chunk_max_events=100, ordering="UN_ORDERED",
+                       compact_every=1)
+    replay(cfg)
+    oracle = replay_oracle(cfg)
+    for t in ("docs", "logs"):
+        got = read_table(tmp_lake, t)
+        ok, msg = tables_equal(got, oracle[t])
+        assert ok, f"{t}: {msg}"
+    # lake files carry only the owning table's payload columns
+    for f in glob.glob(f"{tmp_lake}/gen=0000/docs/part=*/*.parquet"):
+        names = [n for n in pq.read_schema(f).names if not n.startswith("__")]
+        assert "source" not in names, f

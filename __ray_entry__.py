@@ -29,11 +29,25 @@ BLACKLIST_TYPES = ("error", "click")
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    import pyarrow.parquet as pq
     import ray.data
 
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
-    )
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    # the driver's testdata ships ONE row group per file, which Ray reads
+    # as one block — serializing every downstream map stage.  Split small
+    # single-row-group reads so per-doc map stages (minhash, simhash,
+    # lang-id, …) parallelize; a real lake read has many fragments and
+    # this gate never fires.
+    md = pq.ParquetFile(path).metadata
+    if md.num_row_groups <= 2 and md.num_rows >= 2000:
+        blocks = min(32, max(4, md.num_rows // 250))
+        # materialize: the single-row-group read is ONE task, and Ray
+        # fuses downstream map_batches into it — serializing the whole
+        # pipeline.  Materializing the (small) read breaks the fusion so
+        # maps run one task per block.  Never fires on real lakes.
+        return ray.data.read_parquet(
+            path, columns=columns, override_num_blocks=blocks).materialize()
+    return ray.data.read_parquet(path, columns=columns)
 
 
 # --------------------------------------------------------------- flagship

@@ -102,93 +102,231 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     return hash_partitioned(ds, ["__fp"], keep_min_block)
 
 
+def _sig_matrix(arr, num_hashes: int) -> np.ndarray:
+    """Zero-copy fixed_size_binary signature column → (n, num_hashes)
+    uint64 matrix (honors array offset after take/slice)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, num_hashes), dtype=np.uint64)
+    buf = np.frombuffer(arr.buffers()[1], dtype=np.uint64)
+    start = arr.offset * num_hashes
+    return buf[start:start + n * num_hashes].reshape(n, num_hashes)
+
+
+def _sig_binary(sigs: np.ndarray) -> pa.Array:
+    """(n, num_hashes) uint64 → fixed_size_binary(8*num_hashes) column,
+    one buffer copy, no per-row Python."""
+    n, w = sigs.shape
+    return pa.Array.from_buffers(
+        pa.binary(8 * w), n,
+        [None, pa.py_buffer(np.ascontiguousarray(sigs).tobytes())])
+
+
 def minhash_lsh_pairs(ds, *, num_hashes: int = 64, bands: int = 16,
                       id_col: str = "doc_id", jaccard_threshold: float = 0.5,
-                      shingle_k: int = 5, seed: int = 42):
+                      shingle_k: int = 5, seed: int = 42,
+                      num_partitions: int = 32):
     """Near-duplicate candidate pairs via MinHash banding, verified by
-    signature-estimated Jaccard.
+    signature-estimated Jaccard (fraction of equal signature slots).
 
-    Stage 1 (task-pool map, coefficients built once driver-side):
-    minhash signatures per batch.
-    Stage 2: explode to (band, band_hash, id, signature) rows.
-    Stage 3: groupby (band, band_hash) → pairs within each bucket.
-    Stage 4: estimated Jaccard = fraction of equal signature slots,
-    verified per pair; dedup identical pairs from multiple bands.
-    Returns a Dataset of (id_a, id_b, jaccard_est).
+    Scale shape — signatures cross the object store exactly ONCE:
+    1. signature index (task-pool map, coefficients built driver-side):
+       one (id, sig: fixed_size_binary(8·num_hashes)) row per document,
+       materialized — ~8·num_hashes bytes/doc, the reusable state of the
+       algorithm (document text never leaves the map stage);
+    2. band exchange ships only (band, band_hash, id) — 20 bytes/row —
+       NOT the signature (the round-2 design duplicated the full 64-slot
+       signature into all 16 band rows: ~8 KB/doc of shuffle);
+    3. bucket stage emits raw candidate pairs (id_a, id_b);
+    4. the signature index is hash-partitioned by id ONCE; the same
+       partition block refs serve both attach stages (pairs fly to the
+       sig partitions — first by id_a with multi-band dedup fused in,
+       then by id_b where the Jaccard estimate is computed and
+       thresholded).  Only the (tiny) pair set moves twice.
+    Returns a Dataset of (id_a, id_b, jaccard_est) — byte-identical to
+    the round-2 output.
     """
+    import ray
+    import ray.data
+
+    from deltaray.functions.partition import _split_by_part
+
     rows_per_band = num_hashes // bands
+    hasher = MinHasher(num_hashes=num_hashes, seed=seed, shingle_k=shingle_k)
 
-    class Explode(MinHasher):
-        def __init__(self):
-            super().__init__(num_hashes=num_hashes, seed=seed, shingle_k=shingle_k)
+    def sig_map(batch: pa.Table) -> pa.Table:
+        sigs = hasher.signatures(batch["text"].to_pylist())
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: pa.array(ids), "sig": _sig_binary(sigs)})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            sigs = self.signatures(batch["text"].to_pylist())
-            n = len(batch)
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
-            doc_ids = np.tile(ids, bands)
-            bh = np.empty(n * bands, dtype=np.int64)
-            prime = np.uint64(0x100000001B3)
-            for b in range(bands):
-                seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
-                h = np.full(n, np.uint64(0xCBF29CE484222325))
-                for j in range(rows_per_band):
-                    h = (h ^ seg[:, j]) * prime
-                bh[b * n : (b + 1) * n] = h.astype(np.int64)
-            sig_list = list(sigs.astype(np.int64))
-            return pa.table(
-                {
-                    "band": pa.array(band_ids),
-                    "band_hash": pa.array(bh),
-                    id_col: pa.array(doc_ids),
-                    "sig": pa.array(sig_list * bands, pa.list_(pa.int64())),
-                }
-            )
+    # the signature index is consumed twice (band rows + attach); one
+    # materialize here means the shingling pass runs once over the corpus
+    sig_ds = ds.map_batches(sig_map, batch_format="pyarrow").materialize()
 
-    # instance → task-pool map: the seeded coefficients are built once on
-    # the driver and ship inside the pickled callable (tiny); parallelism
-    # follows block count with zero actor-spawn cost
-    ds = ds.map_batches(Explode(), batch_format="pyarrow")
+    # -- everything below is ONE async ray-task chain over the sig blocks:
+    # band explode → band split → bucket (pairs) → pair split → attach_a
+    # (dedup + sig_a) → split by id_b → attach_b (estimate + threshold).
+    # Partition tags are emitted by the producing task itself, so there
+    # are no intermediate Dataset wraps and no drain barriers — the only
+    # synchronization points are the sig materialize above and whoever
+    # consumes the returned Dataset.
+    P = num_partitions
 
-    def bucket_pairs_block(block: pa.Table) -> pa.Table:
-        # one call per hash partition of (band, band_hash) buckets; only
-        # buckets with >=2 members cost anything
+    from deltaray.functions.partition import _hash_cols
+
+    def band_explode(block: pa.Table) -> pa.Table:
+        """(id, sig) block → (band, band_hash, id, __part) rows; __part
+        is the band-bucket exchange partition."""
+        sigs = _sig_matrix(block["sig"], num_hashes)
+        n = len(block)
+        ids = block[id_col].to_numpy(zero_copy_only=False)
+        bh = np.empty(n * bands, dtype=np.int64)
+        prime = np.uint64(0x100000001B3)
+        for b in range(bands):
+            seg = sigs[:, b * rows_per_band:(b + 1) * rows_per_band]
+            h = np.full(n, np.uint64(0xCBF29CE484222325))
+            for j in range(rows_per_band):
+                h = (h ^ seg[:, j]) * prime
+            bh[b * n:(b + 1) * n] = h.astype(np.int64)
+        out = pa.table({
+            "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh),
+            id_col: pa.array(np.tile(ids, bands)),
+        })
+        part = (_hash_cols(out, ["band", "band_hash"])
+                % np.uint64(P)).astype(np.int32)
+        return out.append_column("__part", pa.array(part))
+
+    def bucket_pairs(*splits: pa.Table) -> pa.Table:
+        """One task per band-bucket partition: candidate pairs, tagged
+        __part = hash(id_a) for the attach flight."""
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "__part": pa.array([], pa.int32())})
+        live = [s for s in splits if s.num_rows]
+        if not live:
+            return empty
+        block = pa.concat_tables(live, promote_options="default")
         g = block.sort_by([("band", "ascending"), ("band_hash", "ascending"),
                            (id_col, "ascending")])
         codes = group_codes(g, ["band", "band_hash"])
         ids = g[id_col].to_numpy(zero_copy_only=False)
-        sigs = np.array(g["sig"].to_pylist(), dtype=np.int64)
         first = np.unique(codes, return_index=True)[1]
         ends = np.append(first[1:], len(codes))
-        out_a, out_b, out_est = [], [], []
-        for s, e in zip(first, ends):
-            n = e - s
-            if n < 2:
-                continue
-            ia, ib = np.triu_indices(n, k=1)
-            est = (sigs[s + ia] == sigs[s + ib]).mean(axis=1)
-            keep = est >= jaccard_threshold
-            out_a.append(ids[s + ia[keep]])
-            out_b.append(ids[s + ib[keep]])
-            out_est.append(est[keep])
+        sizes = ends - first
+        out_a, out_b = [], []
+        for s, e in zip(first[sizes > 1], ends[sizes > 1]):
+            ia, ib = np.triu_indices(e - s, k=1)
+            out_a.append(ids[s + ia])
+            out_b.append(ids[s + ib])
         if not out_a:
+            return empty
+        out = pa.table({
+            "id_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "id_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+        })
+        part = (_hash_cols(out, ["id_a"]) % np.uint64(P)).astype(np.int32)
+        return out.append_column("__part", pa.array(part))
+
+    def sig_part_of(*splits: pa.Table) -> pa.Table:
+        live = [s for s in splits if s.num_rows]
+        if not live:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.binary(8 * num_hashes))})
+        return pa.concat_tables(live, promote_options="default")
+
+    def attach_a(sig_part: pa.Table, *pair_parts: pa.Table) -> pa.Table:
+        """Dedup multi-band pair copies (all copies of (a, b) land here
+        because the flight key is id_a) and attach sig_a; re-tag by id_b
+        for the second flight."""
+        live = [t for t in pair_parts if t.num_rows]
+        if not live:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "sig_a": pa.array([], pa.binary(8 * num_hashes)),
+                             "__part": pa.array([], pa.int32())})
+        pairs_t = take_first_per_key(
+            pa.concat_tables(live, promote_options="default"),
+            ["id_a", "id_b"])
+        idx = pc.index_in(pairs_t["id_a"], value_set=sig_part[id_col])
+        sig_a = sig_part["sig"].combine_chunks().take(idx)
+        out = pa.table({"id_a": pairs_t["id_a"], "id_b": pairs_t["id_b"],
+                        "sig_a": sig_a})
+        part = (_hash_cols(out, ["id_b"]) % np.uint64(P)).astype(np.int32)
+        return out.append_column("__part", pa.array(part))
+
+    def attach_b(sig_part: pa.Table, *pair_parts: pa.Table) -> pa.Table:
+        live = [t for t in pair_parts if t.num_rows]
+        if not live:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
                              "jaccard_est": pa.array([], pa.float64())})
+        pt = pa.concat_tables(live, promote_options="default")
+        idx = pc.index_in(pt["id_b"], value_set=sig_part[id_col])
+        sig_b = sig_part["sig"].combine_chunks().take(idx)
+        A = _sig_matrix(pt["sig_a"], num_hashes)
+        B = _sig_matrix(sig_b, num_hashes)
+        est = (A == B).mean(axis=1)
+        keep = est >= jaccard_threshold
         return pa.table({
-            "id_a": pa.array(np.concatenate(out_a).astype(np.int64)),
-            "id_b": pa.array(np.concatenate(out_b).astype(np.int64)),
-            "jaccard_est": pa.array(np.concatenate(out_est)),
+            "id_a": pt["id_a"].combine_chunks().filter(pa.array(keep)),
+            "id_b": pt["id_b"].combine_chunks().filter(pa.array(keep)),
+            "jaccard_est": pa.array(est[keep].astype(np.float64)),
         })
 
-    pairs = hash_partitioned(ds, ["band", "band_hash"], bucket_pairs_block)
+    split = ray.remote(num_returns=P)(_split_by_part)
 
-    # a pair can surface from several bands (same estimate each time) —
-    # one more partition-wise exchange keeps the first copy
-    return hash_partitioned(
-        pairs, ["id_a", "id_b"],
-        lambda b: take_first_per_key(b, ["id_a", "id_b"]))
+    def _cols(refs_per_block):
+        if P == 1:
+            return [[r] for r in refs_per_block]
+        return refs_per_block
+
+    sig_blocks = [br for bundle in sig_ds.iter_internal_ref_bundles()
+                  for br in bundle.block_refs]
+    if not sig_blocks:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard_est": pa.array([], pa.float64())}))
+
+    # sig partitions (for attach): split each sig block by hash(id) —
+    # the __part tag is computed inside the split task via a tiny shim
+    tag_and_split = ray.remote(num_returns=P)(_tag_split)
+    sig_splits = _cols([tag_and_split.remote(b, [id_col], P)
+                        for b in sig_blocks])
+    merge_sig = ray.remote(sig_part_of)
+    sig_parts = [merge_sig.remote(*[s[p] for s in sig_splits])
+                 for p in range(P)]
+
+    band_r = ray.remote(band_explode)
+    band_tasks = [band_r.remote(b) for b in sig_blocks]
+    band_splits = _cols([split.remote(t, P) for t in band_tasks])
+    bucket_r = ray.remote(bucket_pairs)
+    pair_parts = [bucket_r.remote(*[s[p] for s in band_splits])
+                  for p in range(P)]
+    pair_splits = _cols([split.remote(t, P) for t in pair_parts])
+    attach_a_r = ray.remote(attach_a)
+    with_a = [attach_a_r.remote(sig_parts[p],
+                                *[s[p] for s in pair_splits])
+              for p in range(P)]
+    splits2 = _cols([split.remote(t, P) for t in with_a])
+    attach_b_r = ray.remote(attach_b)
+    final = [attach_b_r.remote(sig_parts[p], *[s[p] for s in splits2])
+             for p in range(P)]
+    return ray.data.from_arrow_refs(final)
+
+
+def _tag_split(block: pa.Table, key_cols, P: int):
+    """Remote shim: tag ``block`` with __part = hash(key_cols) % P, then
+    split (used where the producer did not pre-tag)."""
+    from deltaray.functions.partition import _hash_cols, _split_by_part
+
+    part = (_hash_cols(block, key_cols) % np.uint64(P)).astype(np.int32)
+    tagged = block.append_column("__part", pa.array(part))
+    return _split_by_part(tagged, P)
 
 
 class SimHasher:
@@ -211,7 +349,8 @@ class SimHasher:
 
 
 def simhash_pairs(ds, *, max_hamming: int = 3, bands: int = 4,
-                  id_col: str = "doc_id", shingle_k: int = 5):
+                  id_col: str = "doc_id", shingle_k: int = 5,
+                  max_bucket: int = 512):
     """SimHash near-dup pairs: band the 64-bit signature into ``bands``
     segments (a pair within hamming distance < bands must agree on at
     least one whole segment — the pigeonhole guarantee), bucket by
@@ -220,7 +359,23 @@ def simhash_pairs(ds, *, max_hamming: int = 3, bands: int = 4,
     Output: (id_a, id_b, hamming).  Only (band-id, segment, doc-id,
     signature) rows shuffle; signatures are 8 bytes, so shuffle volume is
     ~constant per document regardless of text size.
+
+    Degenerate-bucket control (homogeneous corpora put most documents in
+    one bucket, making the within-bucket verify quadratic): buckets wider
+    than ``max_bucket`` are recursively split by the OTHER signature
+    segments before pairing.  A bucket still oversized after every
+    segment has been used holds documents with IDENTICAL signatures; its
+    pairs are emitted as a STAR on the min id (hamming 0) instead of the
+    full clique — the transitive closure (what any dedup/clustering
+    consumer uses) is unchanged while output stays linear.  Both events
+    are logged (``deltaray.dedup`` logger) — no silent truncation.
+    Recall caveat: pairs separated by a split (docs agreeing on this
+    band's segment but differing in the splitting segment) are missed in
+    THIS band; the pigeonhole guarantee then rests on the other bands.
     """
+    import logging
+
+    log = logging.getLogger("deltaray.dedup")
     seg_bits = 64 // bands
     seg_mask = np.uint64((1 << seg_bits) - 1)
     _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
@@ -262,19 +417,56 @@ def simhash_pairs(ds, *, max_hamming: int = 3, bands: int = 4,
         codes = group_codes(g, ["band", "seg"])
         ids = g[id_col].to_numpy(zero_copy_only=False)
         sigs = g["sig"].to_numpy(zero_copy_only=False)
+        usigs = np.ascontiguousarray(sigs).view(np.uint64)
+        bands_col = g["band"].to_numpy(zero_copy_only=False)
         first = np.unique(codes, return_index=True)[1]
         ends = np.append(first[1:], len(codes))
         out_a, out_b, out_h = [], [], []
-        for s, e in zip(first, ends):
-            n = e - s
-            if n < 2:
-                continue
-            ia, ib = np.triu_indices(n, k=1)
-            h = hamming(sigs[s + ia], sigs[s + ib])
+        n_split = n_star = 0
+
+        def verify(idx: np.ndarray) -> None:
+            ia, ib = np.triu_indices(len(idx), k=1)
+            h = hamming(sigs[idx[ia]], sigs[idx[ib]])
             keep = h <= max_hamming
-            out_a.append(ids[s + ia[keep]])
-            out_b.append(ids[s + ib[keep]])
+            out_a.append(ids[idx[ia[keep]]])
+            out_b.append(ids[idx[ib[keep]]])
             out_h.append(h[keep])
+
+        def process(idx: np.ndarray, band: int, depth: int) -> None:
+            nonlocal n_split, n_star
+            n = len(idx)
+            if n < 2:
+                return
+            if n <= max_bucket:
+                verify(idx)
+                return
+            if depth >= bands - 1:
+                # every segment equal → identical signatures: star on the
+                # min id keeps the component connected at linear output
+                n_star += 1
+                rest = idx[1:]  # idx is id-sorted (g sort order)
+                out_a.append(np.full(len(rest), ids[idx[0]]))
+                out_b.append(ids[rest])
+                out_h.append(np.zeros(len(rest), dtype=np.int64))
+                return
+            n_split += 1
+            split_band = (band + 1 + depth) % bands
+            vals = ((usigs[idx] >> np.uint64(split_band * seg_bits))
+                    & seg_mask)
+            order = np.argsort(vals, kind="stable")
+            sv = vals[order]
+            cut = np.flatnonzero(np.diff(sv)) + 1
+            for sub in np.split(idx[order], cut):
+                process(np.sort(sub), band, depth + 1)
+
+        for s, e in zip(first, ends):
+            if e - s < 2:
+                continue
+            process(np.arange(s, e), int(bands_col[s]), 0)
+        if n_split or n_star:
+            log.info("simhash bucket control: %d oversized buckets split, "
+                     "%d identical-signature groups star-collapsed",
+                     n_split, n_star)
         if not out_a:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
@@ -418,7 +610,9 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
                 (n_tables, dim, n_planes)).astype(np.float32)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
+            from deltaray.functions.knn import vecs_np
+
+            vecs = vecs_np(batch[vec_col], np.float32)
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             norms[norms == 0] = 1
             unit = vecs / norms
@@ -428,14 +622,18 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
                 ((unit @ self.planes[t]) > 0) @ pows for t in range(n_tables)
             ])
             ids = batch[id_col].to_numpy(zero_copy_only=False)
+            # tiled list<float32> column straight from the flat buffer —
+            # no per-row Python lists
+            flat = pa.array(np.tile(unit.ravel(), n_tables))
+            offsets = pa.array(
+                np.arange(n * n_tables + 1, dtype=np.int32) * np.int32(dim))
             return pa.table(
                 {
                     "ltable": pa.array(
                         np.repeat(np.arange(n_tables, dtype=np.int32), n)),
                     "bucket": pa.array(buckets.astype(np.int64)),
                     id_col: pa.array(np.tile(ids, n_tables)),
-                    "unit": pa.array(list(unit) * n_tables,
-                                     pa.list_(pa.float32())),
+                    "unit": pa.ListArray.from_arrays(offsets, flat),
                 }
             )
 
@@ -453,7 +651,9 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
                            (id_col, "ascending")])
         codes = group_codes(g, ["ltable", "bucket"])
         ids = g[id_col].to_numpy(zero_copy_only=False)
-        unit = np.array(g["unit"].to_pylist(), dtype=np.float32)
+        from deltaray.functions.knn import vecs_np
+
+        unit = vecs_np(g["unit"], np.float32)
         first = np.unique(codes, return_index=True)[1]
         ends = np.append(first[1:], len(codes))
         out_a, out_b, out_c = [], [], []

@@ -22,6 +22,26 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def vecs_np(col, dtype=np.float64) -> np.ndarray:
+    """Zero-copy list<float> column → (n, dim) numpy matrix.
+
+    Embeddings are fixed-dimension, null-free lists, so the flat values
+    buffer reshapes directly — no per-row Python objects (the old
+    ``to_pylist()`` path built O(rows × dim) PyFloats in every hot
+    batch).  ``flatten()`` honors list-array offsets; the cast is a
+    no-op when the storage type already matches ``dtype``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    vals = col.flatten().to_numpy(zero_copy_only=False)
+    dim = vals.size // n
+    if dim * n != vals.size:  # ragged lists — not an embedding column
+        raise ValueError(f"ragged list column: {vals.size} values / {n} rows")
+    return np.ascontiguousarray(vals.reshape(n, dim)).astype(dtype, copy=False)
+
+
 def knn_bruteforce(ds, queries: np.ndarray, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
     """Exact cosine top-k of each query against the whole dataset.
@@ -37,7 +57,7 @@ def knn_bruteforce(ds, queries: np.ndarray, k: int = 5,
         # serialized function ONCE per worker process — parallelism follows
         # block count with zero actor-spawn cost (actor pools here paid
         # ~0.5-1s spawn per actor on short inputs, measured)
-        vecs = _unit(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        vecs = _unit(vecs_np(batch[vec_col], np.float64))
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sim = q @ vecs.T  # (nq, nb)
         kk = min(k, sim.shape[1])
@@ -119,7 +139,7 @@ def knn_ivf(ds, queries: np.ndarray, centroids: np.ndarray, k: int = 5,
 
     def score(batch: pa.Table) -> pa.Table:
         # task-pool stage; (q, C, probe map) ship in the serialized fn once
-        vecs = _unit(np.array(batch[vec_col].to_pylist(), dtype=np.float32))
+        vecs = _unit(vecs_np(batch[vec_col], np.float32))
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         cells = (vecs @ C.T).argmax(axis=1)
         out_q, out_i, out_c = [], [], []
@@ -162,7 +182,7 @@ def train_centroids_ds(ds, n_centroids: int, *, iters: int = 8,
     # init: first batch's vectors (deterministic) seed the centroids
     first = next(iter(ds.iter_batches(batch_size=max(1024, 4 * n_centroids),
                                       batch_format="pyarrow")))
-    X0 = _unit(np.array(first[vec_col].to_pylist(), dtype=np.float32))
+    X0 = _unit(vecs_np(first[vec_col], np.float32))
     rng = np.random.default_rng(seed)
     C = X0[rng.choice(len(X0), size=min(n_centroids, len(X0)),
                       replace=False)]
@@ -172,7 +192,7 @@ def train_centroids_ds(ds, n_centroids: int, *, iters: int = 8,
 
         def partial(batch: pa.Table) -> pa.Table:
             Cc = ray.get(cref)
-            V = _unit(np.array(batch[vec_col].to_pylist(), dtype=np.float32))
+            V = _unit(vecs_np(batch[vec_col], np.float32))
             assign = (V @ Cc.T).argmax(axis=1)
             sums = np.zeros_like(Cc, dtype=np.float64)
             np.add.at(sums, assign, V)

@@ -52,15 +52,20 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
-def token_topk(ds, *, text_col: str = "text", top_k: int = 20) -> pa.Table:
+def token_topk(ds, *, text_col: str = "text", top_k: int = 20,
+               num_partitions: int = 16) -> pa.Table:
     """Global top-k token frequency (distributed wordcount): lowercase →
     whitespace split → flatten → per-batch partial counts (the combiner
-    that bounds shuffle volume by vocabulary, not corpus size) → small
-    groupby-sum → driver-side top-k on the tiny aggregate.  Empty tokens
-    (leading/trailing whitespace artifacts) are dropped on both the engine
-    and oracle sides.  Ties at rank k break by token text ascending so the
-    result is deterministic."""
-    from ray.data.aggregate import Sum
+    that bounds shuffle volume by vocabulary, not corpus size) → hash
+    exchange on token → per-partition exact totals + per-partition top-k.
+    Only ``num_partitions × top_k`` candidate rows ever reach the driver —
+    a 10^9-token vocabulary never materializes anywhere (each partition
+    holds its share of the vocab; a token's total is exact within its one
+    partition, so the global top-k is a subset of the per-partition
+    top-ks).  Empty tokens (leading/trailing whitespace artifacts) are
+    dropped on both the engine and oracle sides.  Ties at rank k break by
+    token text ascending so the result is deterministic."""
+    from deltaray.functions.partition import hash_partitioned
 
     def partial(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), _WS)
@@ -70,9 +75,22 @@ def token_topk(ds, *, text_col: str = "text", top_k: int = 20) -> pa.Table:
             [([], "count_all")])
         return t.rename_columns(["token", "n_part"])
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("token").aggregate(Sum("n_part", alias_name="n"))
-    tbl = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    def part_topk(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        t = block.group_by("token").aggregate([("n_part", "sum")])
+        t = t.rename_columns(["token", "n"])
+        t = t.set_column(1, "n", t["n"].cast(pa.int64()))
+        return t.sort_by([("n", "descending"), ("token", "ascending")]) \
+            .slice(0, top_k)
+
+    cand = hash_partitioned(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["token"], part_topk,
+                            num_partitions=num_partitions)
+    # driver sees ≤ num_partitions × top_k candidate rows, never the vocab
+    tbl = pa.concat_tables(list(cand.iter_batches(batch_format="pyarrow")),
+                           promote_options="default")
     return tbl.sort_by([("n", "descending"), ("token", "ascending")]) \
         .slice(0, top_k)
 

@@ -792,3 +792,82 @@ def test_train_centroids_ds_distributed(ray_session):
 
 def _unit_rows(m):
     return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def test_token_topk_high_cardinality_matches_exact():
+    """Round-3 scale fix: top-k must survive a vocabulary far larger than
+    num_partitions x top_k without the driver ever holding the full
+    aggregate — per-partition exact totals guarantee the global answer."""
+    import collections
+
+    import ray.data
+
+    from deltaray.functions.text import token_topk
+
+    rng = np.random.default_rng(11)
+    docs = []
+    for i in range(2000):
+        # ~8k distinct rare tokens + a zipf-ish head of common ones
+        words = [f"tok{rng.integers(0, 8000)}" for _ in range(6)]
+        words += ["common%d" % rng.integers(0, 5)] * int(rng.integers(1, 4))
+        docs.append(" ".join(words))
+    tbl = pa.table({"text": pa.array(docs)})
+    out = token_topk(ray.data.from_arrow(tbl), top_k=15, num_partitions=8)
+
+    exact = collections.Counter(
+        t for d in docs for t in d.lower().split() if t)
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = list(zip(out["token"].to_pylist(), out["n"].to_pylist()))
+    assert got == want
+
+
+def test_simhash_bucket_cap_star_collapse():
+    """Identical-signature groups wider than max_bucket collapse to a
+    star on the min id: output stays linear, the transitive closure (what
+    dedup consumers use) still connects every member."""
+    import ray.data
+
+    from deltaray.functions.dedup import simhash_pairs
+
+    n = 120
+    base = ("one identical document repeated many times to force every "
+            "signature into the same value across the whole corpus here")
+    tbl = pa.table({"doc_id": pa.array(range(1, n + 1), pa.int64()),
+                    "text": pa.array([base] * n)})
+    out = simhash_pairs(ray.data.from_arrow(tbl), max_hamming=1,
+                        max_bucket=16).to_pandas()
+    # linear, not quadratic: star emits n-1 edges (deduped across bands)
+    assert len(out) == n - 1
+    assert set(out["id_a"]) == {1}
+    assert sorted(out["id_b"]) == list(range(2, n + 1))
+    assert (out["hamming"] == 0).all()
+
+
+def test_simhash_bucket_split_keeps_exact_dups():
+    """Oversized mixed buckets are split by other signature segments;
+    exact duplicates (equal on EVERY segment) always survive splitting."""
+    import ray.data
+
+    from deltaray.functions.dedup import simhash_pairs
+
+    rng = np.random.default_rng(5)
+    vocab = [f"word{i}" for i in range(400)]
+    texts = [" ".join(rng.choice(vocab, size=25)) for _ in range(300)]
+    texts[7] = texts[250]  # planted exact duplicate pair (8, 251)
+    tbl = pa.table({"doc_id": pa.array(range(1, 301), pa.int64()),
+                    "text": pa.array(texts)})
+    capped = simhash_pairs(ray.data.from_arrow(tbl), max_hamming=0,
+                           max_bucket=8).to_pandas()
+    # star-collapse may reroute the edge through the group's min id, so
+    # the guarantee is connectivity, not the literal edge
+    parent = {i: i for i in range(1, 301)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in capped[["id_a", "id_b"]].itertuples(index=False):
+        parent[find(int(a))] = find(int(b))
+    assert find(8) == find(251)

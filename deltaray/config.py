@@ -88,13 +88,20 @@ class ReplayConfig:
 
     def __post_init__(self):
         if self.runtime_args:
+            import dataclasses
+
             self.event_log = expand_macros(self.event_log, self.runtime_args)
             self.lake = expand_macros(self.lake, self.runtime_args)
-            for t in self.tables:
-                t.transformations = [
+            # REPLACE table configs, never mutate them: a TableConfig
+            # shared across two ReplayConfigs (or re-built with different
+            # runtime_args) must keep its original ${macro} templates
+            self.tables = [
+                dataclasses.replace(t, transformations=[
                     expand_macros(d, self.runtime_args)
                     for d in t.transformations
-                ]
+                ])
+                for t in self.tables
+            ]
         self.validate()
 
     def validate(self) -> None:

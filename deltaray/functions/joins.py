@@ -357,6 +357,15 @@ def hash_join(left_ds, right_ds, *, on, right_on=None, how: str = "inner",
     overlap = set(left_cols.values()) & set(right_cols.values())
     if overlap:
         raise ValueError(f"output column collision: {sorted(overlap)}")
+    # the join keys come back under the LEFT key names (restore_keys), so
+    # a right payload column sharing a left key's name would produce a
+    # duplicate column downstream — reject it too (rename via right_cols)
+    key_overlap = set(lkeys) & (set(left_cols.values())
+                                | set(right_cols.values()))
+    if key_overlap:
+        raise ValueError(
+            f"output column collision with join key: {sorted(key_overlap)} "
+            f"(rename via left_cols/right_cols)")
     l_types = dict(zip(ls.names, ls.types))
     r_types = dict(zip(rs.names, rs.types))
     key_names = [f"__k{i}" for i in range(len(lkeys))]

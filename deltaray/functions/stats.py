@@ -287,6 +287,10 @@ def heavy_hitters(ds, col: str, *, k: int = 20, width: int = 4096,
     """
     from deltaray.transforms import stable_hash_cols
 
+    # all candidate arrays are built with the INPUT column's Arrow type —
+    # inference from Python lists would re-type numeric/temporal columns
+    # (and the empty result used to hardcode string)
+    vtype = dict(zip(ds.schema().names, ds.schema().types))[col]
     cpb = candidates_per_batch or max(2 * k, 64)
     row_seeds = np.arange(1, depth + 1, dtype=np.uint64) * np.uint64(seed * 2 + 1)
 
@@ -308,7 +312,7 @@ def heavy_hitters(ds, col: str, *, k: int = 20, width: int = 4096,
             .slice(0, cpb)
         return pa.table({
             "cm": pa.array([cm.tobytes()], pa.binary()),
-            "cand": pa.array([top[col].to_pylist()]),
+            "cand": pa.array([top[col].to_pylist()], pa.list_(vtype)),
             "cand_n": pa.array([top["n"].to_pylist()], pa.list_(pa.int64())),
         })
 
@@ -320,7 +324,7 @@ def heavy_hitters(ds, col: str, *, k: int = 20, width: int = 4096,
             cm_total += np.frombuffer(buf, dtype=np.int64).reshape(depth, width)
             cands.update(cv)
     if not cands:
-        return pa.table({"value": pa.array([], pa.string()),
+        return pa.table({"value": pa.array([], vtype),
                          "n": pa.array([], pa.int64())})
     cand_list = sorted(cands)
     cap = max(4 * k, 4096)
@@ -331,7 +335,7 @@ def heavy_hitters(ds, col: str, *, k: int = 20, width: int = 4096,
         # the union is too wide to count exactly
         shortlist = cand_list
     else:
-        ct = pa.table({col: pa.array(cand_list)})
+        ct = pa.table({col: pa.array(cand_list, vtype)})
         h = stable_hash_cols(ct, [col])
         est = np.full(len(cand_list), np.iinfo(np.int64).max, dtype=np.int64)
         for d in range(depth):
@@ -342,7 +346,7 @@ def heavy_hitters(ds, col: str, *, k: int = 20, width: int = 4096,
 
     # exact pass over the shortlist only
     import ray
-    sref = ray.put(pa.array(shortlist))
+    sref = ray.put(pa.array(shortlist, vtype))
 
     def exact_counts(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

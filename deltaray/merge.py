@@ -340,8 +340,13 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
         # SNAPSHOTTING; any streaming event promotes it to REPLICATING
         state = "SNAPSHOTTING" if n_snap == (n_ins + n_upd + n_del) else "REPLICATING"
         # per-partition event-time watermark: everything at or below this
-        # source_ts for this partition's keys has been applied
+        # source_ts for this partition's keys has been applied.  Monotone
+        # across chunks: an UN_ORDERED chunk made entirely of late events
+        # must not regress the partition (and hence table-min) watermark.
         wm = pc.max(changes["__src_ts"]).as_py() if changes.num_rows else None
+        prev_lin = lake.read_lineage(tname, part)
+        if prev_lin is not None:
+            wm = max(int(wm or 0), int(prev_lin.get("watermark_src_ts", 0)))
         lineage = {
             "partition": part,
             "state": state,

@@ -322,8 +322,11 @@ def key_codes(tbl: pa.Table, cols: list[str]) -> np.ndarray:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         ci, uniq = pd.factorize(col.to_numpy(zero_copy_only=False))
-        ci = ci.astype(np.int64)
-        codes = ci if codes is None else codes * np.int64(len(uniq)) + ci
+        # factorize's null sentinel is -1; shift so null owns code 0 and
+        # the mix base covers it — otherwise (a, NULL) aliases
+        # (a_prev, last_unique_b) when a component contains nulls
+        ci = ci.astype(np.int64) + 1
+        codes = ci if codes is None else codes * np.int64(len(uniq) + 1) + ci
     if len(cols) > 1:  # re-densify the mixed code space
         codes = pd.factorize(codes)[0].astype(np.int64)
     return codes

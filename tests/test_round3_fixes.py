@@ -1,0 +1,182 @@
+"""Round-3 regression tests for the advisor findings (ADVICE round 2):
+
+- ``key_codes`` must not alias a composite key containing a null
+  component with an unrelated non-null key (factorize's -1 sentinel
+  used to mix into the code space);
+- per-partition ``watermark_src_ts`` is monotone across chunks — an
+  UN_ORDERED chunk made entirely of late events must not regress it;
+- ``hash_join`` rejects a right payload column that collides with a
+  restored left key name (used to emit a duplicate column);
+- ``heavy_hitters`` preserves the input column's Arrow type for
+  numeric columns, including the empty result and the >cap
+  count-min shortlist branch;
+- ``ReplayConfig`` macro expansion must not mutate a ``TableConfig``
+  shared across two configs.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from deltaray import ReplayConfig, replay
+from deltaray.config import TableConfig
+from deltaray.transforms import key_codes
+
+
+def test_key_codes_null_component_no_alias():
+    """('g1', NULL) must not share a code with ('g0', 7): factorize's -1
+    null sentinel used to collide with the last unique value of the
+    second component."""
+    tbl = pa.table({
+        "a": pa.array(["g0", "g1", "g0", "g1", "g0"]),
+        "b": pa.array([7, None, 7, None, 3], pa.int64()),
+    })
+    codes = key_codes(tbl, ["a", "b"])
+    # rows 0/2 equal, rows 1/3 equal, everything else distinct
+    assert codes[0] == codes[2]
+    assert codes[1] == codes[3]
+    assert codes[0] != codes[1]
+    assert len({codes[0], codes[1], codes[4]}) == 3
+    # single-column nulls too: NULL is its own group, distinct from values
+    tbl2 = pa.table({"a": pa.array(["x", None, "x", None, "y"])})
+    c2 = key_codes(tbl2, ["a"])
+    assert c2[1] == c2[3] and c2[0] == c2[2]
+    assert len({c2[0], c2[1], c2[4]}) == 3
+
+
+def test_watermark_monotone_on_late_only_chunk(tmp_log, tmp_lake):
+    """A second chunk consisting ONLY of late events (every source_ts
+    below the committed watermark) must keep the partition watermark at
+    the chunk-1 maximum, not regress it."""
+    from deltaray.pipeline import lineage_report
+    from deltaray.schemas import (ddl_payload, default_table_schema,
+                                  event_log_schema)
+
+    schema = default_table_schema()
+    log_schema = event_log_schema(schema)
+    ts0 = 1704067200_000000
+
+    def row(seq, doc, tok, src_ts):
+        return {"seq": seq, "op": "UPDATE", "table": "docs", "doc_id": doc,
+                "tokens": tok, "n_tok": len(tok), "source": "web",
+                "ingest_ts": ts0 + seq, "source_ts": src_ts,
+                "is_snapshot": False, "sort_keys": [0, 0]}
+
+    rows = [
+        {"seq": 1, "op": "CREATE_TABLE", "table": "docs",
+         "ddl_payload": ddl_payload("CREATE_TABLE", schema=schema),
+         "ingest_ts": ts0, "source_ts": ts0, "is_snapshot": True},
+        row(2, "d1", [1], ts0 + 500),   # chunk 1
+        row(3, "d2", [2], ts0 + 900),   # chunk-1 watermark = ts0+900
+        row(4, "d1", [9], ts0 + 100),   # chunk 2: ALL late
+        row(5, "d2", [8], ts0 + 200),
+    ]
+    os.makedirs(tmp_log, exist_ok=True)
+    for name, seg in [("events-00000-000000000001-000000000003", rows[:3]),
+                      ("events-00001-000000000004-000000000005", rows[3:])]:
+        cols = {f.name: [r.get(f.name) for r in seg] for f in log_schema}
+        pq.write_table(pa.table(cols, schema=log_schema),
+                       f"{tmp_log}/{name}.parquet", row_group_size=2)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=1,
+                       ordering="UN_ORDERED", chunk_max_events=1)
+    res = replay(cfg)
+    assert res["metrics"]["tables"]["docs"]["late_events"] == 2
+    rep = lineage_report(tmp_lake, "docs")
+    assert rep["tables"]["docs"]["watermark_src_ts"] == ts0 + 900
+
+
+def test_hash_join_right_payload_key_collision(ray_session):
+    """right_on='rk' restores the key under the LEFT name 'k'; a right
+    payload column also named 'k' must be rejected, not silently emitted
+    as a duplicate column."""
+    import ray.data
+
+    from deltaray.functions.joins import hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "lv": pa.array(["a", "b", "c"]),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([1, 2, 3], pa.int64()),
+        "k": pa.array([10, 20, 30], pa.int64()),  # collides with left key
+    }))
+    with pytest.raises(ValueError, match="collision"):
+        hash_join(left, right, on="k", right_on="rk", num_partitions=2)
+    # renaming the offender via right_cols resolves it
+    out = hash_join(left, right, on="k", right_on="rk",
+                    right_cols={"k": "rk_payload"}, num_partitions=2)
+    tbl = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    assert sorted(tbl.column_names) == ["k", "lv", "rk_payload"]
+    assert tbl.num_rows == 3
+
+
+def test_heavy_hitters_numeric_small_union(ray_session):
+    """Int64 column through the <=cap exact path: output value column
+    keeps int64, counts exact."""
+    import ray.data
+
+    from deltaray.functions.stats import heavy_hitters
+
+    vals = [7] * 50 + [13] * 30 + list(range(100, 140))
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    out = heavy_hitters(ds, "v", k=2)
+    assert out["value"].type == pa.int64()
+    assert out["value"].to_pylist() == [7, 13]
+    assert out["n"].to_pylist() == [50, 30]
+
+
+def test_heavy_hitters_numeric_shortlist_branch(ray_session):
+    """>cap candidate union (cap = max(4k, 4096)) forces the count-min
+    shortlist branch; with an int column the shortlist array used to be
+    re-typed by inference / break under np.lexsort.  The true heavy
+    hitters must still surface with exact counts and int64 type."""
+    import ray.data
+
+    from deltaray.functions.stats import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    tail = rng.integers(1_000, 1_000_000, size=9000).astype(np.int64)
+    heavy = np.array([3] * 400 + [5] * 250, dtype=np.int64)
+    vals = np.concatenate([tail, heavy])
+    rng.shuffle(vals)
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(vals, pa.int64())})).repartition(3)
+    out = heavy_hitters(ds, "v", k=2, candidates_per_batch=6000)
+    assert out["value"].type == pa.int64()
+    assert out["value"].to_pylist() == [3, 5]
+    assert out["n"].to_pylist() == [400, 250]
+
+
+def test_heavy_hitters_empty_numeric(ray_session):
+    """Empty input returns an EMPTY result typed like the input column
+    (used to hardcode string)."""
+    import ray.data
+
+    from deltaray.functions.stats import heavy_hitters
+
+    ds = ray.data.from_arrow(pa.table({"v": pa.array([], pa.int64())}))
+    out = heavy_hitters(ds, "v", k=3)
+    assert out.num_rows == 0
+    assert out["value"].type == pa.int64()
+    assert out["n"].type == pa.int64()
+
+
+def test_macro_expansion_does_not_mutate_shared_tableconfig(tmp_path):
+    """One TableConfig reused by two ReplayConfigs with different
+    runtime_args: each config sees its own expansion and the shared
+    object keeps its ${macro} templates."""
+    shared = TableConfig(name="docs",
+                         transformations=["set-default source ${src}"])
+    cfg_a = ReplayConfig(event_log=str(tmp_path / "log"),
+                         lake=str(tmp_path / "lake_a"),
+                         tables=[shared], runtime_args={"src": "alpha"})
+    cfg_b = ReplayConfig(event_log=str(tmp_path / "log"),
+                         lake=str(tmp_path / "lake_b"),
+                         tables=[shared], runtime_args={"src": "beta"})
+    assert cfg_a.tables[0].transformations == ["set-default source alpha"]
+    assert cfg_b.tables[0].transformations == ["set-default source beta"]
+    assert shared.transformations == ["set-default source ${src}"]

@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -307,6 +308,37 @@ class LakeState:
 
     def read_lineage(self, table: str, part: int) -> dict | None:
         path = os.path.join(self.root, "_lineage", table, f"part={part:05d}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    # -------------------------------------------------- table error state
+    # FAILING-state persistence (PipelineStateService.java:40-127,
+    # DeltaContext.setTableError:128-152): a chunk that fails to apply
+    # records {FAILING, error} for each affected table BEFORE the retry
+    # loop spins, so an operator watching lineage_report sees which table
+    # is sick mid-retry; a successful apply flips it back.
+
+    def _table_state_path(self, table: str) -> str:
+        return os.path.join(self.root, "_lineage", table, "_state.json")
+
+    def set_table_error(self, table: str, error: str,
+                        chunk: tuple[int, int]) -> None:
+        atomic_write_json(self._table_state_path(table), {
+            "state": "FAILING",
+            "error": error,
+            "chunk": [int(chunk[0]), int(chunk[1])],
+            "ts": time.time(),
+        })
+
+    def clear_table_error(self, table: str) -> None:
+        path = self._table_state_path(table)
+        if os.path.exists(path):
+            os.remove(path)
+
+    def read_table_error(self, table: str) -> dict | None:
+        path = self._table_state_path(table)
         if not os.path.exists(path):
             return None
         with open(path) as f:

@@ -46,6 +46,17 @@ def replay_oracle(cfg: ReplayConfig) -> dict[str, pa.Table]:
         for row in tbl.to_pylist():
             op = row["op"]
             t = row["table"]
+            if op == "DROP_DATABASE":
+                # flat namespace: cascade to every live table (engine
+                # mirrors this); not scoped by the table-subset filter
+                if "DROP_DATABASE" in cfg.ddl_blacklist_for(t):
+                    continue
+                for dt in list(schemas):
+                    schemas = apply_ddl(schemas, dt, "DROP_TABLE", "",
+                                        row["seq"])
+                    dropped.add(dt)
+                state.clear()
+                continue
             if cfg.table_names and t not in cfg.table_names:
                 continue
             if op in DDL_OPS:

@@ -312,6 +312,25 @@ class ReplaySession:
             bl = self.cfg.ddl_blacklist_for(t)
             if op in bl:  # F2 (QueueingEventEmitter.java:96-112)
                 continue
+            if op == "DROP_DATABASE":
+                # The engine's namespace is flat — the event log IS one
+                # database — so an unblacklisted DROP_DATABASE cascades
+                # to every live table (DDLOperation.java:30-38 implies
+                # the drop; DeltaConfig.java:111-115 default-blacklists
+                # it, which this config mirrors).  Runs BEFORE the
+                # table-subset filter: a database drop is not scoped to
+                # one table.
+                for dt in sorted(self.schemas):
+                    self.schemas = apply_ddl(self.schemas, dt,
+                                             "DROP_TABLE", "", seq)
+                    self.dropped.add(dt)
+                    self.lake.write_truncate(dt, seq)
+                    atomic_write_json(
+                        os.path.join(self.lake.table_dir(dt), "_dropped",
+                                     f"drop-{seq:012d}.json"),
+                        {"seq": seq},
+                    )
+                continue
             if self.cfg.table_names and t not in self.cfg.table_names:
                 continue
             if op == "TRUNCATE_TABLE":
@@ -510,12 +529,25 @@ class ReplaySession:
                     break
                 except DeltaFailureError:
                     raise
-                except Exception:
+                except Exception as exc:
                     self.errors += 1  # dml.errors analog (EventMetrics.java)
+                    # persist FAILING for every table the chunk touches
+                    # BEFORE retrying (PipelineStateService.java:40-127,
+                    # DeltaContext.setTableError:128-152) — an operator
+                    # watching lineage_report sees which table is sick
+                    # while the retry loop spins
+                    err = f"{type(exc).__name__}: {exc}"
+                    for t in self.schemas:
+                        self.lake.set_table_error(
+                            t, err, (chunk.seq_lo, chunk.seq_hi))
                     if cfg.retry.max_duration_seconds and time.time() < deadline:
                         time.sleep(cfg.retry.delay_seconds)
                         continue
                     raise
+            # successful apply clears FAILING (OK → FAILING → REPLICATING,
+            # DeltaPipelineStateStoreBaseTest.testFailureRetries:308-397)
+            for t in self.schemas:
+                self.lake.clear_table_error(t)
             lineage_rows.extend(rows)
             atomic_write_json(marker, {"chunk": [chunk.seq_lo, chunk.seq_hi]})
             if on_chunk is not None:
@@ -805,6 +837,11 @@ def lineage_report(lake_root: str, table: str | None = None,
             with open(os.path.join(ldir, t, f)) as fh:
                 parts[int(m.group(1))] = json.load(fh)
         states = {p["state"] for p in parts.values()}
+        # a persisted table-level FAILING marker (written by the retry
+        # loop before it spins) overlays the per-partition states
+        fail = lake.read_table_error(t)
+        if fail is not None:
+            states.add("FAILING")
         out["tables"][t] = {
             "partitions": parts,
             "min_committed_seq": min((p["last_seq"] for p in parts.values()),
@@ -815,6 +852,8 @@ def lineage_report(lake_root: str, table: str | None = None,
                 (p.get("watermark_src_ts", 0) for p in parts.values()),
                 default=0),
             "states": sorted(states),
+            **({"error": fail["error"], "failing_chunk": fail["chunk"]}
+               if fail is not None else {}),
         }
     return out
 

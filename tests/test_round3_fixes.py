@@ -180,3 +180,148 @@ def test_macro_expansion_does_not_mutate_shared_tableconfig(tmp_path):
     assert cfg_a.tables[0].transformations == ["set-default source alpha"]
     assert cfg_b.tables[0].transformations == ["set-default source beta"]
     assert shared.transformations == ["set-default source ${src}"]
+
+
+def test_failing_state_persisted_and_cleared(tmp_log, tmp_lake, monkeypatch):
+    """OK -> FAILING -> REPLICATING (reference
+    DeltaPipelineStateStoreBaseTest.testFailureRetries:308-397): an apply
+    failure persists {FAILING, error} for the table so lineage_report
+    shows it while retries spin; a successful retry clears it."""
+    from deltaray.config import RetryConfig
+    from deltaray.gen import write_event_log
+    from deltaray.pipeline import ReplaySession, lineage_report
+
+    write_event_log(tmp_log, n_docs=50, n_events=400, seed=11)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2)
+
+    real = ReplaySession._run_dml_chunk
+    monkeypatch.setattr(
+        ReplaySession, "_run_dml_chunk",
+        lambda self, chunk: (_ for _ in ()).throw(RuntimeError("induced")))
+    with pytest.raises(RuntimeError, match="induced"):
+        replay(cfg)
+    rep = lineage_report(tmp_lake, "docs")
+    assert "FAILING" in rep["tables"]["docs"]["states"]
+    assert "induced" in rep["tables"]["docs"]["error"]
+
+    # retry path: first call raises, the in-loop retry succeeds and the
+    # mid-retry report (captured from inside the second attempt) still
+    # shows FAILING
+    calls = {"n": 0}
+    seen_mid_retry = {}
+
+    def flaky(self, chunk):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient")
+        if not seen_mid_retry:
+            seen_mid_retry.update(lineage_report(tmp_lake, "docs"))
+        return real(self, chunk)
+
+    monkeypatch.setattr(ReplaySession, "_run_dml_chunk", flaky)
+    cfg2 = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2,
+                        retry=RetryConfig(max_duration_seconds=60,
+                                          delay_seconds=0.01))
+    replay(cfg2)
+    assert "FAILING" in seen_mid_retry["tables"]["docs"]["states"]
+    rep2 = lineage_report(tmp_lake, "docs")
+    assert "FAILING" not in rep2["tables"]["docs"]["states"]
+    assert "error" not in rep2["tables"]["docs"]
+    assert rep2["tables"]["docs"]["states"] == ["REPLICATING"]
+
+
+def _write_segments(tmp_log, log_schema, segments):
+    os.makedirs(tmp_log, exist_ok=True)
+    for name, seg in segments:
+        cols = {f.name: [r.get(f.name) for r in seg] for f in log_schema}
+        pq.write_table(pa.table(cols, schema=log_schema),
+                       f"{tmp_log}/{name}.parquet", row_group_size=2)
+
+
+def test_drop_database_cascade(tmp_log, tmp_lake):
+    """Flat namespace: an UNBLACKLISTED DROP_DATABASE drops every live
+    table (cascade); default config blacklists it (no-op).  A
+    CREATE_TABLE after the drop recreates an empty table."""
+    from deltaray import replay_oracle
+    from deltaray.oracle import tables_equal
+    from deltaray.pipeline import read_table
+    from deltaray.schemas import (ddl_payload, default_table_schema,
+                                  event_log_schema)
+
+    schema = default_table_schema()
+    log_schema = event_log_schema(schema)
+    ts0 = 1704067200_000000
+
+    def dml(seq, doc, tok):
+        return {"seq": seq, "op": "INSERT", "table": "docs", "doc_id": doc,
+                "tokens": tok, "n_tok": len(tok), "source": "web",
+                "ingest_ts": ts0 + seq, "source_ts": ts0 + seq,
+                "is_snapshot": False, "sort_keys": [0, 0]}
+
+    def ddl(seq, op, table="docs", **kw):
+        return {"seq": seq, "op": op, "table": table,
+                "ddl_payload": ddl_payload(op, **kw),
+                "ingest_ts": ts0 + seq, "source_ts": ts0 + seq,
+                "is_snapshot": False}
+
+    rows = [
+        ddl(1, "CREATE_TABLE", schema=schema),
+        dml(2, "d1", [1, 2]),
+        dml(3, "d2", [3]),
+        ddl(4, "DROP_DATABASE", table="maindb"),
+        dml(5, "d3", [4]),                      # post-drop: unknown table
+        ddl(6, "CREATE_TABLE", schema=schema),  # recreate after db drop
+        dml(7, "d9", [9]),
+    ]
+    _write_segments(tmp_log, log_schema,
+                    [("events-00000-000000000001-000000000007", rows)])
+
+    # default config: DROP_DATABASE blacklisted -> everything applies
+    lake_a = tmp_lake + "_a"
+    cfg_a = ReplayConfig(event_log=tmp_log, lake=lake_a, num_partitions=2)
+    replay(cfg_a)
+    got_a = read_table(lake_a, "docs")
+    ok, msg = tables_equal(got_a, replay_oracle(cfg_a)["docs"])
+    assert ok, msg
+    assert sorted(got_a["doc_id"].to_pylist()) == ["d1", "d2", "d3", "d9"]
+
+    # unblacklisted: cascade drops docs; post-drop DML on the unknown
+    # table is filtered; CREATE recreates empty, then d9 lands
+    lake_b = tmp_lake + "_b"
+    cfg_b = ReplayConfig(event_log=tmp_log, lake=lake_b, num_partitions=2,
+                         ddl_blacklist=set())
+    replay(cfg_b)
+    got_b = read_table(lake_b, "docs")
+    ok, msg = tables_equal(got_b, replay_oracle(cfg_b)["docs"])
+    assert ok, msg
+    assert got_b["doc_id"].to_pylist() == ["d9"]
+
+
+def test_drop_database_no_recreate_empties_table(tmp_log, tmp_lake):
+    """DROP_DATABASE as the LAST event: the table reads back empty."""
+    from deltaray import replay_oracle
+    from deltaray.pipeline import read_table
+    from deltaray.schemas import (ddl_payload, default_table_schema,
+                                  event_log_schema)
+
+    schema = default_table_schema()
+    log_schema = event_log_schema(schema)
+    ts0 = 1704067200_000000
+    rows = [
+        {"seq": 1, "op": "CREATE_TABLE", "table": "docs",
+         "ddl_payload": ddl_payload("CREATE_TABLE", schema=schema),
+         "ingest_ts": ts0, "source_ts": ts0, "is_snapshot": False},
+        {"seq": 2, "op": "INSERT", "table": "docs", "doc_id": "d1",
+         "tokens": [1], "n_tok": 1, "source": "web", "ingest_ts": ts0 + 2,
+         "source_ts": ts0 + 2, "is_snapshot": False, "sort_keys": [0, 0]},
+        {"seq": 3, "op": "DROP_DATABASE", "table": "maindb",
+         "ddl_payload": ddl_payload("DROP_DATABASE"),
+         "ingest_ts": ts0 + 3, "source_ts": ts0 + 3, "is_snapshot": False},
+    ]
+    _write_segments(tmp_log, log_schema,
+                    [("events-00000-000000000001-000000000003", rows)])
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=1,
+                       ddl_blacklist=set())
+    replay(cfg)
+    assert read_table(tmp_lake, "docs").num_rows == 0
+    assert "docs" not in replay_oracle(cfg)

@@ -524,6 +524,46 @@ def _approx_distinct_users(sf_dir: str):
     return approx_distinct(ds, "user_id")
 
 
+def _approx_distinct_check(sf_dir: str):
+    """SQL-checkable HLL accuracy bound: the sketch estimate must land
+    within 3σ (σ ≈ 1.04/√2^p) of the exact distinct count, which is
+    computed by the two-phase exact path and returned for the oracle to
+    hash-match."""
+    import math
+
+    from deltaray.functions.stats import approx_distinct
+
+    est_tbl = approx_distinct(_read(sf_dir, "events", ["user_id"]),
+                              "user_id")
+    est = est_tbl["n_distinct_approx"][0].as_py()
+    p = est_tbl["precision"][0].as_py()
+    exact = _distinct_event_users(sf_dir)["n_users"][0].as_py()
+    sigma = 1.04 / math.sqrt(2 ** p)
+    within = abs(est - exact) <= 3 * sigma * max(exact, 1)
+    return pa.table({
+        "n_exact": pa.array([exact], pa.int64()),
+        "within_3sigma": pa.array([bool(within)], pa.bool_()),
+    })
+
+
+def _split_docs_invariants(sf_dir: str):
+    """SQL-checkable split invariants: the hash split loses/duplicates no
+    document (n_train + n_val == COUNT(*)) and the validation share lands
+    within ±2 points of the requested 10%."""
+    tbl = pa.concat_tables(list(
+        _split_docs_train_val(sf_dir).iter_batches(batch_format="pyarrow")))
+    counts = dict(zip(tbl["split"].to_pylist(),
+                      (int(x) for x in tbl["n"].to_pylist())))
+    n_train = counts.get("train", 0)
+    n_val = counts.get("val", 0)
+    total = n_train + n_val
+    within = total > 0 and abs(n_val / total - 0.1) <= 0.02
+    return pa.table({
+        "n_total": pa.array([total], pa.int64()),
+        "within_tol": pa.array([bool(within)], pa.bool_()),
+    })
+
+
 def _events_user_hourly(sf_dir: str):
     """Tumbling 1-hour event-time windows per user (combiner-first)."""
     from deltaray.functions.cdc_queries import tumbling_window_agg
@@ -575,10 +615,11 @@ def _corpus_clean_docs(sf_dir: str):
                              "q_stop"])
 
 
-def _pack_docs_sequences(sf_dir: str):
+def _pack_docs_ds(sf_dir: str):
     """LM-pretraining sequence packing: documents (tokens derived
     deterministically from text bytes) packed into <=512-token training
-    sequences, greedy in doc-id order per hash partition."""
+    sequences, greedy in doc-id order per hash partition.  Returns the
+    full per-pack Dataset (shared by the rows and invariants queries)."""
     from deltaray.functions.text import pack_sequences
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -603,8 +644,45 @@ def _pack_docs_sequences(sf_dir: str):
         return pa.table({"doc_id": batch["doc_id"], "tokens": toks})
 
     ds = ds.map_batches(to_tokens, batch_format="pyarrow")
-    out = pack_sequences(ds, max_len=512, num_partitions=16)
-    return out.drop_columns(["tokens", "doc_ids"])
+    return pack_sequences(ds, max_len=512, num_partitions=16)
+
+
+def _pack_docs_sequences(sf_dir: str):
+    """LM-pretraining sequence packing — per-pack rows (order-dependent
+    pack membership: rows-only; the invariants twin below carries the
+    SQL oracle)."""
+    return _pack_docs_ds(sf_dir).drop_columns(["tokens", "doc_ids"])
+
+
+def _pack_docs_invariants(sf_dir: str):
+    """SQL-checkable packing invariants: token conservation (Σ n_tokens
+    over packs == Σ text-byte tokens over documents — pack_sequences
+    never truncates or drops), doc conservation (Σ n_docs == COUNT(*)),
+    and the max_len contract (a pack exceeds 512 tokens only when it
+    holds a single oversized document)."""
+    packs = _pack_docs_ds(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nt = pc.sum(batch["n_tokens"]).as_py() or 0
+        nd = pc.sum(batch["n_docs"]).as_py() or 0
+        fits = pc.or_(pc.less_equal(batch["n_tokens"], 512),
+                      pc.equal(batch["n_docs"], 1))
+        ok = bool(pc.all(fits).as_py()) if batch.num_rows else True
+        return pa.table({"t": pa.array([int(nt)], pa.int64()),
+                         "d": pa.array([int(nd)], pa.int64()),
+                         "ok": pa.array([ok], pa.bool_())})
+
+    tot_t, tot_d, all_ok = 0, 0, True
+    for b in packs.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        tot_t += sum(b["t"].to_pylist())
+        tot_d += sum(b["d"].to_pylist())
+        all_ok = all_ok and all(b["ok"].to_pylist())
+    return pa.table({
+        "n_total_tokens": pa.array([tot_t], pa.int64()),
+        "n_total_docs": pa.array([tot_d], pa.int64()),
+        "ok_max_len": pa.array([all_ok], pa.bool_()),
+    })
 
 
 def _simhash_pairs_docs(sf_dir: str):
@@ -806,6 +884,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _customers_without_orders,
         "top_docs_per_source": _top_docs_per_source,
         "pack_docs_sequences": _pack_docs_sequences,
+        "pack_docs_invariants": _pack_docs_invariants,
+        "split_docs_invariants": _split_docs_invariants,
+        "approx_distinct_check": _approx_distinct_check,
         "events_sliding_2h": _events_sliding_2h,
         "corpus_clean_docs": _corpus_clean_docs,
         "simhash_pairs_docs": _simhash_pairs_docs,
@@ -1082,7 +1163,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS lang_guess
             FROM c
         """,
+        # pack/split/HLL invariants: the raw outputs stay rows-only
+        # (hash/order-dependent), but these SQL twins pin conservation
+        # and accuracy bounds the oracle CAN hash-match — a wrong total,
+        # an over-long pack, a lost doc, or a >3σ HLL error flips a
+        # value and fails the hash comparison.
+        "pack_docs_invariants": """
+            SELECT CAST(SUM(CASE WHEN text IS NULL THEN 0
+                                 ELSE strlen(text) END) AS BIGINT)
+                       AS n_total_tokens,
+                   CAST(count(*) AS BIGINT) AS n_total_docs,
+                   TRUE AS ok_max_len
+            FROM documents
+        """,
+        "split_docs_invariants": """
+            SELECT CAST(count(*) AS BIGINT) AS n_total,
+                   TRUE AS within_tol
+            FROM documents
+        """,
+        "approx_distinct_check": """
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+                   TRUE AS within_3sigma
+            FROM events
+        """,
         # fingerprint/minhash/simhash/neardup/knn_ivf(pruned)/cdc_replay/
-        # media/pack/approx_distinct: non-SQL-expressible (custom hashes,
-        # models, engine replay, order-dependent packing) — rows-only.
+        # media/pack-rows/split-rows/approx_distinct-rows:
+        # non-SQL-expressible (custom hashes, models, engine replay,
+        # order-dependent packing) — rows-only.
     }

@@ -51,11 +51,16 @@ def ensure_event_log(events_per_doc: int = EVENTS_PER_DOC) -> tuple[str, dict]:
 
 def bench_replay(log: str, manifest: dict,
                  repeats: int = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))) -> dict:
-    """Best-of-N replay into a fresh lake each time — this host is a shared
-    box with +/-30% run-to-run noise; best-of damps it."""
+    """N replays into a fresh lake each time, reporting BOTH best-of-N and
+    the median + full spread — this host is a shared box with +/-30%
+    run-to-run noise; best-of damps it, median+spread shows how much
+    damping the claim rests on (judge round-2 ask)."""
+    import statistics
+
     from deltaray import ReplayConfig, replay
 
-    best = None
+    secs: list[float] = []
+    dml_events = 0
     for r in range(repeats):
         lake = os.path.join(os.path.dirname(log), f"lake-cpus{NUM_CPUS}")
         shutil.rmtree(lake, ignore_errors=True)
@@ -63,14 +68,15 @@ def bench_replay(log: str, manifest: dict,
                            chunk_max_events=50_000_000)
         t0 = time.perf_counter()
         res = replay(cfg)
-        sec = time.perf_counter() - t0
-        if best is None or sec < best["sec"]:
-            best = {"sec": sec,
-                    "dml_events": res["metrics"]["total"]["dml_events"]}
+        secs.append(time.perf_counter() - t0)
+        dml_events = res["metrics"]["total"]["dml_events"]
     n_events = manifest["max_seq"]
-    return {"sec": best["sec"], "events": n_events,
-            "events_per_sec": n_events / best["sec"],
-            "dml_events": best["dml_events"]}
+    best = min(secs)
+    return {"sec": best, "sec_median": statistics.median(secs),
+            "secs": [round(s, 3) for s in secs], "events": n_events,
+            "events_per_sec": n_events / best,
+            "events_per_sec_median": n_events / statistics.median(secs),
+            "dml_events": dml_events}
 
 
 def bench_queries() -> dict:
@@ -143,6 +149,10 @@ def run_once() -> dict:
         "unit": "sec",
         "events": replay_stats["events"],
         "events_per_sec": round(replay_stats["events_per_sec"], 1),
+        "sec_median": round(replay_stats["sec_median"], 3),
+        "events_per_sec_median": round(
+            replay_stats["events_per_sec_median"], 1),
+        "replay_secs": replay_stats["secs"],
         "queries": queries,
         "sf": sf,
         "num_cpus": NUM_CPUS,
@@ -165,10 +175,12 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_EVENTS_PER_DOC=str(EVENTS_PER_DOC * mult),
                    GRAFT_SKIP_QUERIES="1",
-                   # the judged ratio: damp ambient shared-host load with
-                   # best-of-3 replays per leg (the 2-CPU leg is stable
-                   # ±1% across runs; the 8-CPU leg swings ±20%)
-                   GRAFT_BENCH_REPEATS="3")
+                   # the judged ratio: 5 replays per leg so the report can
+                   # carry best-of-5, median-of-5 AND the full spread (the
+                   # 2-CPU leg is stable ±1% across runs; the 8-CPU leg
+                   # swings ±20% under ambient shared-host load)
+                   GRAFT_BENCH_REPEATS=os.environ.get(
+                       "GRAFT_SCALE_REPEATS", "5"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,
@@ -181,6 +193,8 @@ def run_scaling() -> dict:
     tput_lo = r_lo["events_per_sec"]
     tput_hi = r_hi["events_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
+    eff_med = (r_hi["events_per_sec_median"]
+               / r_lo["events_per_sec_median"]) / (hi / lo)
     return {
         "metric": "cdc_replay_scaling",
         "cpus_lo": lo,
@@ -191,6 +205,11 @@ def run_scaling() -> dict:
         "events_per_sec_lo": tput_lo,
         "events_per_sec_hi": tput_hi,
         "scaling_efficiency": round(eff, 3),
+        "sec_lo_median": r_lo["sec_median"],
+        "sec_hi_median": r_hi["sec_median"],
+        "scaling_efficiency_median": round(eff_med, 3),
+        "replay_secs_lo": r_lo["replay_secs"],
+        "replay_secs_hi": r_hi["replay_secs"],
         "sf": r_lo["sf"],
     }
 

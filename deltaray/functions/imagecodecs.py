@@ -1,0 +1,592 @@
+"""Pure-python/numpy image codecs for COMPRESSED formats — no PIL, no
+libjpeg, no zlib-the-C-binding beyond the stdlib.
+
+The sandbox has no image libraries, but "stub the decode" (round-1/2)
+left the multimodal pipeline's hottest path untested on real compressed
+payloads.  These codecs close that gap:
+
+- PNG: full 8-bit decode (gray / RGB / RGBA, all five filter types,
+  multi-IDAT) and an encoder (filter 0) — DEFLATE via stdlib ``zlib``.
+  Spec: RFC 2083 / W3C PNG (public).
+- JPEG: baseline sequential DCT decoder (DQT/DHT/SOF0/SOS/DRI, 8-bit,
+  grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart
+  markers, byte unstuffing) and a 4:4:4 encoder using the Annex-K
+  example tables.  Spec: ITU-T T.81 (public).  The DCT is the exact
+  orthonormal 8×8 basis as two matrix multiplies — vectorized over all
+  blocks of a component at once; only the entropy (Huffman) layer is a
+  per-symbol Python loop, as in any pure-python codec.
+
+These are correctness-first reference codecs for the actor-pool decode
+stages (deltaray.functions.multimodal): at 100 TB the real deployment
+swaps in libjpeg-turbo behind the same ``decode_image_bytes`` seam.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ============================================================== PNG
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w) | (h, w, 1|3|4) uint8 → PNG bytes (8-bit).  ``filter_type``
+    selects the per-row filter (0 None … 4 Paeth) so the decoder's five
+    unfilter paths are all exercisable without external files."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 3: 2, 6: 6, 4: 6}[ch]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    raw = np.empty((h, 1 + w * ch), np.uint8)
+    raw[:, 0] = filter_type
+    for y in range(h):
+        cur = flat[y]
+        up = flat[y - 1] if y else np.zeros_like(cur)
+        left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.int32), up[:-ch]])
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - up
+        elif filter_type == 3:
+            enc = cur - (left + up) // 2
+        elif filter_type == 4:
+            pred = np.array([_paeth(int(a), int(b), int(c))
+                             for a, b, c in zip(left, up, ul)], np.int32)
+            enc = cur - pred
+        else:
+            raise ValueError(f"bad filter {filter_type}")
+        raw[y, 1:] = (enc % 256).astype(np.uint8)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, ch) uint8.  8-bit depth, color types 0 (gray),
+    2 (RGB), 6 (RGBA); all five row filters; multiple IDAT chunks;
+    non-interlaced."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        typ = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body)
+            if depth != 8 or color not in (0, 2, 6) or inter != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color}, "
+                    f"interlace={inter}) — 8-bit gray/RGB/RGBA only")
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if raw.size != h * (1 + stride):
+        raise ValueError("PNG data size mismatch")
+    raw = raw.reshape(h, 1 + stride)
+    filters = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), np.int32)
+    for y in range(h):
+        f = filters[y]
+        cur = rows[y]
+        up = out[y - 1] if y else np.zeros(stride, np.int32)
+        if f == 0:  # None
+            out[y] = cur
+        elif f == 1:  # Sub — prefix sum per channel phase (mod 256)
+            rec = cur.reshape(w, ch)
+            out[y] = (np.cumsum(rec, axis=0) % 256).reshape(stride)
+        elif f == 2:  # Up
+            out[y] = (cur + up) % 256
+        elif f == 3:  # Average — left-dependent, per-pixel
+            rec = out[y]
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (cur[x] + (left + up[x]) // 2) % 256
+        elif f == 4:  # Paeth — left-dependent, per-pixel
+            rec = out[y]
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                ul = up[x - ch] if x >= ch else 0
+                rec[x] = (cur[x] + _paeth(int(left), int(up[x]),
+                                          int(ul))) % 256
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+# ============================================================== JPEG
+# 8×8 zigzag scan order (T.81 Figure A.6)
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int32)
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# Annex K.1 example quantization tables (public spec constants)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], np.int32)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], np.int32)
+
+# Annex K.3 example Huffman tables: (bits[1..16], huffval)
+_HT_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+               list(range(12)))
+_HT_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                 list(range(12)))
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# orthonormal 8×8 DCT-II basis: X = C @ x @ C.T, x = C.T @ X @ C
+_C = np.array([[np.cos((2 * x + 1) * u * np.pi / 16)
+                * (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+                for x in range(8)] for u in range(8)], np.float64)
+
+
+def _build_huffman_codes(bits, huffval):
+    """(bits, huffval) → {symbol: (code, length)} (T.81 Annex C)."""
+    codes, code = {}, 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_huffman_lut(bits, huffval):
+    """(bits, huffval) → {(length, code): symbol} for the decoder."""
+    return {(ln, c): s
+            for s, (c, ln) in _build_huffman_codes(bits, huffval).items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """Reads the entropy-coded segment with 0xFF00 unstuffing; stops at
+    any real marker (RSTn handled by the caller via ``sync_restart``)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:  # stuffed
+                self.pos += 2
+            else:  # a real marker: feed padding, do not consume
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, lut: dict) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            s = lut.get((length, code))
+            if s is not None:
+                return s
+        raise ValueError("invalid JPEG huffman code")
+
+    def sync_restart(self) -> None:
+        """Drop partial bits and consume an RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while d[self.pos] != 0xFF or d[self.pos + 1] == 0x00:
+            self.pos += 1
+        if 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+
+
+def _extend(v: int, t: int) -> int:
+    """DIFF/AC value decode (T.81 F.2.2.1): t-bit magnitude → signed."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """signed value → (category t, t-bit code)."""
+    t = int(v != 0 and int(abs(v)).bit_length())
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    f = img.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    return np.stack([
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+        128 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+    ], axis=-1)
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0,
+                   255).astype(np.uint8)
+
+
+def _blockify(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float, H/W multiples of 8 → (n_blocks, 8, 8) in raster
+    block order."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    return (plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+            .reshape(bh * bw, 8, 8))
+
+
+def _unblockify(blocks: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    return (blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8))
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
+    """(h, w, 3) RGB or (h, w) gray uint8 → baseline JPEG (4:4:4,
+    Annex-K tables scaled by quality, no subsampling, no restarts)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    # quality → table scale (the widely-published IJG mapping)
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    qts = []
+    for base in ((_QT_LUMA,) if gray else (_QT_LUMA, _QT_CHROMA)):
+        t = np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+        qts.append(t)
+
+    planes = ([img.astype(np.float64) - 128] if gray else
+              [p - 128 for p in np.moveaxis(_rgb_to_ycbcr(img), -1, 0)])
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    comps = []
+    for ci, plane in enumerate(planes):
+        padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+        blocks = _blockify(padded)
+        coef = _C @ blocks @ _C.T  # vectorized over all blocks
+        qt = qts[min(ci, len(qts) - 1)].reshape(8, 8)
+        quant = np.round(coef / qt).astype(np.int32)
+        comps.append(quant.reshape(-1, 64)[:, _ZIGZAG])
+
+    # ---- headers
+    out = bytearray(b"\xFF\xD8")  # SOI
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    for i, qt in enumerate(qts):
+        zz = qt.reshape(64)[_ZIGZAG].astype(np.uint8)
+        seg(0xDB, bytes([i]) + zz.tobytes())
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, min(ci, len(qts) - 1)])
+    seg(0xC0, sof)
+    tables = ([(0x00, _HT_DC_LUMA), (0x10, _HT_AC_LUMA)] if gray else
+              [(0x00, _HT_DC_LUMA), (0x10, _HT_AC_LUMA),
+               (0x01, _HT_DC_CHROMA), (0x11, _HT_AC_CHROMA)])
+    for tc, (bits, vals) in tables:
+        seg(0xC4, bytes([tc]) + bytes(bits) + bytes(vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    # ---- entropy coding (4:4:4: MCU = one block per component)
+    dc_codes = [_build_huffman_codes(*_HT_DC_LUMA),
+                _build_huffman_codes(*_HT_DC_CHROMA)]
+    ac_codes = [_build_huffman_codes(*_HT_AC_LUMA),
+                _build_huffman_codes(*_HT_AC_CHROMA)]
+    bw_ = _BitWriter()
+    pred = [0] * ncomp
+    n_blocks = comps[0].shape[0]
+    for bi in range(n_blocks):
+        for ci in range(ncomp):
+            ti = 0 if ci == 0 else 1
+            zz = comps[ci][bi]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            t, code = _magnitude(diff)
+            hc, hl = dc_codes[ti][t]
+            bw_.write(hc, hl)
+            if t:
+                bw_.write(code, t)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    hc, hl = ac_codes[ti][0xF0]  # ZRL
+                    bw_.write(hc, hl)
+                    run -= 16
+                t, code = _magnitude(v)
+                hc, hl = ac_codes[ti][(run << 4) | t]
+                bw_.write(hc, hl)
+                bw_.write(code, t)
+                run = 0
+            if run:
+                hc, hl = ac_codes[ti][0x00]  # EOB
+                bw_.write(hc, hl)
+    out.extend(bw_.flush())
+    out.extend(b"\xFF\xD9")  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (h, w, 3) RGB (or (h, w, 1) for grayscale)
+    uint8.  Sequential DCT, 8-bit; 4:4:4 / 4:2:2 / 4:2:0 sampling;
+    DRI/RSTn; multi-scan progressive NOT supported."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_luts: dict[int, dict] = {}
+    ac_luts: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + ln]
+        pos += ln
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.frombuffer(body[i + 1:i + 65],
+                                    np.uint8).astype(np.int32)
+                qts[tq] = tbl[_UNZIGZAG].reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17:i + 17 + n])
+                lut = _build_huffman_lut(bits, vals)
+                (ac_luts if tc else dc_luts)[th] = lut
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = {}
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                scan[cs] = (tt >> 4, tt & 0x0F)
+            return _decode_scan(data, pos, frame, scan, qts, dc_luts,
+                                ac_luts, restart_interval)
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _decode_scan(data, pos, frame, scan, qts, dc_luts, ac_luts,
+                 restart_interval):
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component coefficient planes in block units
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["blocks"] = np.zeros((c["bh"] * c["bw"], 8, 8), np.int32)
+        c["dct"], c["act"] = scan[c["id"]]
+    br = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                br.sync_restart()
+                for k in pred:
+                    pred[k] = 0
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, np.int32)
+                        t = br.decode_symbol(dc_luts[c["dct"]])
+                        diff = _extend(br.read_bits(t), t) if t else 0
+                        pred[c["id"]] += diff
+                        zz[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode_symbol(ac_luts[c["act"]])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run overflow")
+                            zz[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        c["blocks"][row * c["bw"] + col] = \
+                            zz[_UNZIGZAG].reshape(8, 8)
+            mcu_count += 1
+    # dequantize + IDCT, vectorized per component
+    planes = []
+    for c in comps:
+        coef = c["blocks"].astype(np.float64) * qts[c["tq"]]
+        pix = _C.T @ coef @ _C + 128.0
+        plane = _unblockify(pix, c["bh"], c["bw"])
+        # upsample to full resolution (nearest — the baseline choice)
+        if c["h"] != hmax or c["v"] != vmax:
+            plane = plane.repeat(vmax // c["v"], axis=0) \
+                         .repeat(hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(planes[0].round(), 0,
+                       255).astype(np.uint8)[:, :, None]
+    return _ycbcr_to_rgb(*planes)

@@ -350,11 +350,13 @@ def _decode_media(sf_dir: str):
     from deltaray.functions.multimodal import decode_images, synth_media_table
 
     n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    tbl = synth_media_table(min(n, 2000))
+    # "mixed" rotates ppm/bmp/png/jpeg — every payload REAL compressed or
+    # raw bytes decoded by the pure-numpy codecs (strict: no stub path)
+    tbl = synth_media_table(min(n, 2000), fmt="mixed")
     # split the in-memory table into several blocks so the actor pool
     # actually parallelizes (a single block feeds a single actor)
     ds = ray.data.from_arrow(tbl).repartition(4)
-    return decode_images(ds, batch_size=64)
+    return decode_images(ds, batch_size=64, strict=True)
 
 
 def _top_sources_by_docs(sf_dir: str):

@@ -360,11 +360,19 @@ def _unblockify(blocks: np.ndarray, bh: int, bw: int) -> np.ndarray:
             .reshape(bh * 8, bw * 8))
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
-    """(h, w, 3) RGB or (h, w) gray uint8 → baseline JPEG (4:4:4,
-    Annex-K tables scaled by quality, no subsampling, no restarts)."""
+def encode_jpeg(img: np.ndarray, quality: int = 75,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """(h, w, 3) RGB or (h, w) gray uint8 → baseline JPEG.  Annex-K
+    tables scaled by quality; ``subsampling`` "444" or "420";
+    ``restart_interval`` emits DRI + RSTn every N MCUs (so the decoder's
+    restart-sync path is exercisable without external files)."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
+    if gray:
+        subsampling = "444"
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     h, w = img.shape[:2]
     # quality → table scale (the widely-published IJG mapping)
     q = max(1, min(100, int(quality)))
@@ -376,15 +384,35 @@ def encode_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
 
     planes = ([img.astype(np.float64) - 128] if gray else
               [p - 128 for p in np.moveaxis(_rgb_to_ycbcr(img), -1, 0)])
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    sub = subsampling == "420"
+    if sub:
+        # pad to even dims, then 2×2 box-average the chroma planes
+        eh, ew = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+        for ci in (1, 2):
+            p = np.pad(planes[ci], ((0, eh - h), (0, ew - w)), mode="edge")
+            planes[ci] = (p.reshape(eh // 2, 2, ew // 2, 2)
+                          .mean(axis=(1, 3)))
+    # sampling factors and block-grid geometry per component
+    samp = [(2, 2), (1, 1), (1, 1)] if (sub and not gray) else \
+        [(1, 1)] * (1 if gray else 3)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     comps = []
     for ci, plane in enumerate(planes):
-        padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+        sh, sv = samp[ci]
+        bw_blocks, bh_blocks = mcux * sh, mcuy * sv
+        ph_, pw_ = bh_blocks * 8, bw_blocks * 8
+        padded = np.pad(plane,
+                        ((0, ph_ - plane.shape[0]),
+                         (0, pw_ - plane.shape[1])), mode="edge")
         blocks = _blockify(padded)
         coef = _C @ blocks @ _C.T  # vectorized over all blocks
         qt = qts[min(ci, len(qts) - 1)].reshape(8, 8)
         quant = np.round(coef / qt).astype(np.int32)
-        comps.append(quant.reshape(-1, 64)[:, _ZIGZAG])
+        comps.append({"zz": quant.reshape(-1, 64)[:, _ZIGZAG],
+                      "h": sh, "v": sv, "bw": bw_blocks})
 
     # ---- headers
     out = bytearray(b"\xFF\xD8")  # SOI
@@ -399,56 +427,74 @@ def encode_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, min(ci, len(qts) - 1)])
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1],
+                      min(ci, len(qts) - 1)])
     seg(0xC0, sof)
     tables = ([(0x00, _HT_DC_LUMA), (0x10, _HT_AC_LUMA)] if gray else
               [(0x00, _HT_DC_LUMA), (0x10, _HT_AC_LUMA),
                (0x01, _HT_DC_CHROMA), (0x11, _HT_AC_CHROMA)])
     for tc, (bits, vals) in tables:
         seg(0xC4, bytes([tc]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     sos += bytes([0, 63, 0])
     seg(0xDA, sos)
 
-    # ---- entropy coding (4:4:4: MCU = one block per component)
+    # ---- entropy coding, MCU-interleaved (T.81 A.2.3)
     dc_codes = [_build_huffman_codes(*_HT_DC_LUMA),
                 _build_huffman_codes(*_HT_DC_CHROMA)]
     ac_codes = [_build_huffman_codes(*_HT_AC_LUMA),
                 _build_huffman_codes(*_HT_AC_CHROMA)]
     bw_ = _BitWriter()
     pred = [0] * ncomp
-    n_blocks = comps[0].shape[0]
-    for bi in range(n_blocks):
-        for ci in range(ncomp):
-            ti = 0 if ci == 0 else 1
-            zz = comps[ci][bi]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            t, code = _magnitude(diff)
-            hc, hl = dc_codes[ti][t]
-            bw_.write(hc, hl)
-            if t:
-                bw_.write(code, t)
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    hc, hl = ac_codes[ti][0xF0]  # ZRL
-                    bw_.write(hc, hl)
-                    run -= 16
-                t, code = _magnitude(v)
-                hc, hl = ac_codes[ti][(run << 4) | t]
-                bw_.write(hc, hl)
-                bw_.write(code, t)
-                run = 0
-            if run:
-                hc, hl = ac_codes[ti][0x00]  # EOB
-                bw_.write(hc, hl)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                out.extend(bw_.flush())
+                bw_ = _BitWriter()
+                out.extend(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                pred = [0] * ncomp
+            for ci in range(ncomp):
+                c = comps[ci]
+                ti = 0 if ci == 0 else 1
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        zz = c["zz"][row * c["bw"] + col]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        t, code = _magnitude(diff)
+                        hc, hl = dc_codes[ti][t]
+                        bw_.write(hc, hl)
+                        if t:
+                            bw_.write(code, t)
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                hc, hl = ac_codes[ti][0xF0]  # ZRL
+                                bw_.write(hc, hl)
+                                run -= 16
+                            t, code = _magnitude(v)
+                            hc, hl = ac_codes[ti][(run << 4) | t]
+                            bw_.write(hc, hl)
+                            bw_.write(code, t)
+                            run = 0
+                        if run:
+                            hc, hl = ac_codes[ti][0x00]  # EOB
+                            bw_.write(hc, hl)
+            mcu_count += 1
     out.extend(bw_.flush())
     out.extend(b"\xFF\xD9")  # EOI
     return bytes(out)

@@ -1,14 +1,21 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
-Image decode is REAL for uncompressed formats that need no external
-libraries — binary PPM (P6) and 24-bit uncompressed BMP are parsed and
-bilinearly resized in pure numpy; compressed formats (JPEG/PNG) and
-audio/video decode are STUBBED (no PIL/ffmpeg in this container):
-strict mode raises, default mode produces a deterministic fake from the
-payload bytes.  Everything Ray-side is real and tested: schema
-handling, small-batch sizing for wide binary rows, actor signature,
-output layout.
+Image decode is REAL end-to-end, with no external libraries:
+
+- uncompressed: binary PPM (P6) and 24-bit BMP, parsed here in numpy;
+- compressed: PNG (all five row filters, gray/RGB/RGBA) and baseline
+  JPEG (4:4:4 / 4:2:0, restart markers) via the pure-numpy codecs in
+  ``deltaray.functions.imagecodecs``;
+- audio: PCM WAV decode + a real mel-filterbank MFCC front-end
+  (``deltaray.functions.avcodecs``);
+- video: MJPEG-in-AVI frame extraction (``avcodecs.iter_avi_frames``).
+
+Unknown mimes fall back to a deterministic byte-stat stub (strict mode
+raises) so foreign corpora still flow through the plumbing.  At 100 TB
+the deployment swaps libjpeg-turbo/ffmpeg in behind the same per-mime
+dispatch; batch sizing, actor signatures and output layout are the
+production shape either way.
 """
 
 from __future__ import annotations
@@ -46,6 +53,22 @@ def decode_ppm(data: bytes) -> np.ndarray:
     w, h, _maxv = tokens
     arr = np.frombuffer(data, np.uint8, count=w * h * 3, offset=idx)
     return arr.reshape(h, w, 3)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Uncompressed 24-bit bottom-up BMP encoder — (h, w, 3) RGB uint8."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, flip
+    pix = rows.tobytes()
+    header = (b"BM" + (54 + len(pix)).to_bytes(4, "little") + b"\0\0\0\0"
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + b"\0" * 24)
+    return header + pix
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
@@ -95,56 +118,97 @@ IMAGE_SCHEMA = pa.schema(
 )
 
 
+def _synth_image(rng, w: int, h: int) -> np.ndarray:
+    """Gradient + seeded noise test image, (h, w, 3) uint8."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        (255 * xx / max(1, w - 1)),
+        (255 * yy / max(1, h - 1)),
+        rng.integers(0, 256, size=(h, w)),
+    ], axis=-1).astype(np.uint8)
+
+
 def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096,
                       fmt: str = "ppm") -> pa.Table:
-    """Deterministic media table.  ``fmt="ppm"`` writes REAL binary-PPM
-    payloads (gradient + seeded noise images, genuinely decodable);
-    ``fmt="fake"`` writes opaque random bytes for the stub path."""
+    """Deterministic media table with REAL decodable payloads.
+
+    ``fmt``: "ppm" | "bmp" | "png" | "jpeg" (one format), "mixed"
+    (rotate through all four, the realistic-corpus shape), or "fake"
+    (opaque random bytes exercising the unknown-mime stub path)."""
+    from deltaray.functions.imagecodecs import encode_jpeg, encode_png
+
+    encoders = {
+        "ppm": (encode_ppm, "image/ppm"),
+        "bmp": (encode_bmp, "image/bmp"),
+        "png": (lambda im: encode_png(im, filter_type=2), "image/png"),
+        "jpeg": (lambda im: encode_jpeg(im, quality=85, subsampling="420"),
+                 "image/jpeg"),
+    }
+    rotation = list(encoders) if fmt == "mixed" else [fmt]
     rng = np.random.default_rng(seed)
-    payloads, widths, heights = [], [], []
+    payloads, widths, heights, mimes = [], [], [], []
     for i in range(n):
-        if fmt == "ppm":
-            w = int(rng.integers(16, 64))
-            h = int(rng.integers(16, 64))
-            yy, xx = np.mgrid[0:h, 0:w]
-            img = np.stack([
-                (255 * xx / max(1, w - 1)),
-                (255 * yy / max(1, h - 1)),
-                rng.integers(0, 256, size=(h, w)),
-            ], axis=-1).astype(np.uint8)
-            payloads.append(encode_ppm(img))
-        else:
+        if fmt == "fake":
             w = int(rng.integers(64, 2048))
             h = int(rng.integers(64, 2048))
             payloads.append(rng.integers(0, 256, size=payload_bytes,
                                          dtype=np.uint8).tobytes())
+            mimes.append("image/fake")
+        else:
+            w = int(rng.integers(16, 64))
+            h = int(rng.integers(16, 64))
+            enc, mime = encoders[rotation[i % len(rotation)]]
+            payloads.append(enc(_synth_image(rng, w, h)))
+            mimes.append(mime)
         widths.append(w)
         heights.append(h)
     return pa.table(
         {
             "media_id": pa.array([f"img{i:08d}" for i in range(n)]),
             "payload": pa.array(payloads, pa.binary()),
-            "mime": pa.array(["image/ppm" if fmt == "ppm" else "image/fake"] * n),
+            "mime": pa.array(mimes),
             "width": pa.array(widths, pa.int32()),
             "height": pa.array(heights, pa.int32()),
         }
     )
 
 
+def _to_rgb(img: np.ndarray) -> np.ndarray:
+    """Normalize a decoded (h, w[, ch]) image to (h, w, 3) uint8."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] == 1:
+        return np.repeat(img, 3, axis=2)
+    if img.shape[2] == 4:
+        return img[:, :, :3]  # drop alpha
+    return img
+
+
 class DecodeImage:
     """Actor-pool stage: decode + resize + feature-extract.
 
-    Real deployments load the codec / model once here (``__init__``); this
-    container has no image libs, so ``strict=True`` raises and the default
-    produces a deterministic 8-dim feature from the payload bytes.
+    Decode is REAL for PPM/BMP/PNG/JPEG via the pure-numpy codecs (the
+    codec dispatch table is built once per actor here in ``__init__`` —
+    a real deployment loads libjpeg/opencv handles the same way).
+    Unknown mimes raise under ``strict=True``; otherwise they yield a
+    deterministic 8-dim feature from payload byte stats so foreign
+    corpora still flow.
 
     Use small ``batch_size`` (e.g. 64) — batches of wide binary rows must
     fit worker heap × concurrency.
     """
 
     def __init__(self, strict: bool = False, target: tuple[int, int] = (224, 224)):
+        from deltaray.functions.imagecodecs import decode_jpeg, decode_png
+
         self.strict = strict
         self.target = target
+        self.codecs = {
+            "image/ppm": decode_ppm,
+            "image/bmp": decode_bmp,
+            "image/png": decode_png,
+            "image/jpeg": decode_jpeg,
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mimes = batch["mime"].to_pylist() if "mime" in batch.column_names \
@@ -152,17 +216,16 @@ class DecodeImage:
         feats = []
         for buf, mime in zip(batch["payload"], mimes):
             raw = buf.as_py()
-            if mime == "image/ppm":
-                img = decode_ppm(raw)
-            elif mime == "image/bmp":
-                img = decode_bmp(raw)
+            codec = self.codecs.get(mime)
+            if codec is not None:
+                img = _to_rgb(codec(raw))
             elif self.strict:
                 raise NotImplementedError(
-                    f"decoding {mime or 'unknown'} requires PIL/opencv — "
-                    "not available here; only PPM/BMP decode natively"
+                    f"decoding {mime or 'unknown'} is not supported — "
+                    "PPM/BMP/PNG/baseline-JPEG decode natively"
                 )
             else:
-                # stub path for compressed formats: deterministic fake
+                # stub path for unknown formats: deterministic fake
                 # "embedding" from byte-histogram moments
                 b = np.frombuffer(raw, dtype=np.uint8)
                 chunks = np.array_split(b.astype(np.float32), 8)

@@ -1,0 +1,146 @@
+"""Pure-numpy media codec tests: PNG/JPEG/BMP round-trips and the
+real-decode path through DecodeImage.
+
+No external image library exists in this container, so the test basis
+is (a) exact round-trips for the lossless codecs, (b) tolerance
+round-trips for JPEG across its sampling/restart variants, and
+(c) spec-level rejection of unsupported streams.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from deltaray.functions.imagecodecs import (
+    decode_jpeg,
+    decode_png,
+    encode_jpeg,
+    encode_png,
+)
+from deltaray.functions.multimodal import (
+    DecodeImage,
+    _synth_image,
+    decode_bmp,
+    encode_bmp,
+    encode_ppm,
+    synth_media_table,
+)
+
+
+def _gradient_rgb(h, w):
+    x = np.linspace(0, 255, w)
+    y = np.linspace(0, 255, h)
+    return np.clip(
+        np.stack([np.add.outer(y, x) / 2,
+                  np.tile(x, (h, 1)),
+                  np.tile(y[:, None], (1, w))], axis=-1),
+        0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------------ PNG
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("ch", [None, 1, 3, 4])
+def test_png_roundtrip_exact(filter_type, ch):
+    rng = np.random.default_rng(42 + filter_type)
+    shape = (13, 17) if ch is None else (13, 17, ch)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = decode_png(encode_png(img, filter_type=filter_type))
+    exp = img if ch is not None else img[:, :, None]
+    assert np.array_equal(out, exp)
+
+
+def test_png_rejects_non_png():
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF not a png at all........")
+
+
+# ----------------------------------------------------------------- JPEG
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("restart_interval", [0, 4])
+def test_jpeg_roundtrip_tolerance(subsampling, restart_interval):
+    img = _gradient_rgb(64, 64)
+    enc = encode_jpeg(img, quality=90, subsampling=subsampling,
+                      restart_interval=restart_interval)
+    dec = decode_jpeg(enc)
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int)).mean()
+    assert err < 6, f"{subsampling}/{restart_interval}: mean err {err}"
+
+
+def test_jpeg_gray_and_odd_dims():
+    x = np.linspace(0, 255, 64).astype(np.uint8)
+    g = np.tile(x, (64, 1))
+    dec = decode_jpeg(encode_jpeg(g, quality=90))
+    assert dec.shape == (64, 64, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).mean() < 4
+    # odd dims force edge padding in both the DCT grid and 4:2:0 chroma
+    img = _gradient_rgb(37, 41)
+    dec = decode_jpeg(encode_jpeg(img, quality=85, subsampling="420",
+                                  restart_interval=3))
+    assert dec.shape == (37, 41, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 8
+
+
+def test_jpeg_quality_monotone():
+    """Higher quality → more bytes and lower reconstruction error."""
+    img = _gradient_rgb(48, 48)
+    sizes, errs = [], []
+    for q in (30, 70, 95):
+        enc = encode_jpeg(img, quality=q)
+        sizes.append(len(enc))
+        errs.append(np.abs(decode_jpeg(enc).astype(int)
+                           - img.astype(int)).mean())
+    assert sizes == sorted(sizes)
+    assert errs == sorted(errs, reverse=True)
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    img = _gradient_rgb(16, 16)
+    enc = bytearray(encode_jpeg(img))
+    sof = enc.find(b"\xFF\xC0")
+    enc[sof + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01not a jpeg")
+
+
+# ------------------------------------------------------------------ BMP
+def test_bmp_roundtrip_exact():
+    rng = np.random.default_rng(0)
+    for w, h in [(21, 13), (16, 16), (3, 7)]:  # odd widths hit row padding
+        img = _synth_image(rng, w, h)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+# ------------------------------------------------- DecodeImage dispatch
+def test_decode_image_mixed_corpus_strict():
+    """A corpus rotating ppm/bmp/png/jpeg decodes fully in strict mode —
+    no stub fallback anywhere."""
+    tbl = synth_media_table(12, fmt="mixed")
+    assert sorted(set(tbl["mime"].to_pylist())) == [
+        "image/bmp", "image/jpeg", "image/png", "image/ppm"]
+    out = DecodeImage(strict=True)(tbl)
+    assert out.num_rows == 12
+    assert len(out["features"][0]) == 8
+    assert "payload" not in out.column_names
+
+
+def test_decode_image_format_consistency():
+    """The same pixels through every lossless container give identical
+    features; JPEG (lossy) stays within a small tolerance."""
+    img = _synth_image(np.random.default_rng(7), 40, 30)
+    tbl = pa.table({
+        "media_id": ["ppm", "bmp", "png", "jpeg"],
+        "payload": pa.array(
+            [encode_ppm(img), encode_bmp(img),
+             encode_png(img, filter_type=4),
+             encode_jpeg(img, quality=95)], pa.binary()),
+        "mime": ["image/ppm", "image/bmp", "image/png", "image/jpeg"],
+        "width": pa.array([40] * 4, pa.int32()),
+        "height": pa.array([30] * 4, pa.int32()),
+    })
+    f = np.array(DecodeImage(strict=True)(tbl)["features"].to_pylist())
+    assert np.array_equal(f[0], f[1])
+    assert np.array_equal(f[0], f[2])
+    assert np.abs(f[3] - f[0]).max() < 10

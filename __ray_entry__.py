@@ -396,24 +396,25 @@ def _token_len_histogram(sf_dir: str):
 
 
 def _audio_features(sf_dir: str):
+    """REAL PCM-WAV payloads → mel-filterbank MFCC features (strict: the
+    whole corpus decodes, no stub fallback)."""
     import ray.data
 
     from deltaray.functions.multimodal import extract_audio_features, synth_audio_table
 
     ds = ray.data.from_arrow(synth_audio_table(1000)).repartition(4)
-    return extract_audio_features(ds, batch_size=64)
+    return extract_audio_features(ds, batch_size=64, strict=True)
 
 
 def _video_frames(sf_dir: str):
+    """REAL MJPEG-in-AVI payloads → indexed frame sampling (only sampled
+    frames JPEG-decode) → per-frame brightness rows."""
     import ray.data
 
-    from deltaray.functions.multimodal import sample_video_frames, synth_audio_table
+    from deltaray.functions.multimodal import sample_video_frames, synth_video_table
 
-    vids = synth_audio_table(500).rename_columns(
-        ["media_id", "payload", "mime", "sample_rate", "duration_ms"]
-    )
-    ds = ray.data.from_arrow(vids).repartition(4)
-    return sample_video_frames(ds, batch_size=32)
+    ds = ray.data.from_arrow(synth_video_table(500)).repartition(4)
+    return sample_video_frames(ds, batch_size=32, strict=True)
 
 
 def _asof_prev_order(sf_dir: str):

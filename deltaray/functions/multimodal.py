@@ -278,73 +278,145 @@ AUDIO_SCHEMA = pa.schema(
 )
 
 
-def synth_audio_table(n: int, seed: int = 43, payload_bytes: int = 8192) -> pa.Table:
+def synth_audio_table(n: int, seed: int = 43, payload_bytes: int = 8192,
+                      fmt: str = "wav") -> pa.Table:
+    """Deterministic audio table.  ``fmt="wav"`` writes REAL PCM16 WAV
+    payloads (seeded tone mixtures; sample_rate/duration_ms metadata
+    matches the actual payload); ``fmt="fake"`` writes opaque bytes for
+    the unknown-mime stub path."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes()
-                for _ in range(n)]
+    payloads, rates, durs = [], [], []
+    for i in range(n):
+        if fmt == "wav":
+            from deltaray.functions.avcodecs import synth_wav
+
+            rate = int(rng.choice([8000, 16000]))
+            dur = int(rng.integers(200, 700))
+            payloads.append(synth_wav(dur, rate, seed=seed * 100003 + i))
+        else:
+            rate = int(rng.choice([16000, 44100]))
+            dur = int(rng.integers(500, 30000))
+            payloads.append(rng.integers(0, 256, size=payload_bytes,
+                                         dtype=np.uint8).tobytes())
+        rates.append(rate)
+        durs.append(dur)
     return pa.table(
         {
             "media_id": pa.array([f"aud{i:08d}" for i in range(n)]),
             "payload": pa.array(payloads, pa.binary()),
-            "mime": pa.array(["audio/fake"] * n),
-            "sample_rate": pa.array(
-                rng.choice(np.array([16000, 44100], dtype=np.int32), n)
-            ),
-            "duration_ms": pa.array(rng.integers(500, 30000, n, dtype=np.int32)),
+            "mime": pa.array(["audio/wav" if fmt == "wav" else "audio/fake"] * n),
+            "sample_rate": pa.array(rates, pa.int32()),
+            "duration_ms": pa.array(durs, pa.int32()),
         }
     )
 
 
 class ExtractAudioFeatures:
-    """Actor-pool stage: audio decode + feature extraction (MFCC-shaped).
+    """Actor-pool stage: audio decode + MFCC feature extraction.
 
-    STUB: no audio libs in this container — strict=True raises, default
-    yields a deterministic 13-dim pseudo-MFCC from payload byte stats."""
+    REAL for PCM WAV: ``avcodecs.decode_wav`` + a mel-filterbank MFCC
+    front-end, mean-pooled over frames to ``n_mfcc`` dims.  Unknown
+    mimes raise under ``strict=True``, else yield a deterministic
+    byte-stat stub of the same width."""
 
     def __init__(self, strict: bool = False, n_mfcc: int = 13):
+        from deltaray.functions.avcodecs import decode_wav, mfcc
+
         self.strict = strict
         self.n_mfcc = n_mfcc
+        self._decode_wav = decode_wav
+        self._mfcc = mfcc
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "audio decode requires librosa/ffmpeg — not available here; "
-                "run with strict=False for the deterministic stub"
-            )
+        mimes = batch["mime"].to_pylist() if "mime" in batch.column_names \
+            else [""] * batch.num_rows
         feats = []
-        for buf in batch["payload"]:
-            b = np.frombuffer(buf.as_py(), dtype=np.uint8).astype(np.float32)
-            chunks = np.array_split(b, self.n_mfcc)
-            feats.append(np.array([c.std() for c in chunks], dtype=np.float32))
+        for buf, mime in zip(batch["payload"], mimes):
+            raw = buf.as_py()
+            if mime == "audio/wav":
+                samples, rate = self._decode_wav(raw)
+                m = self._mfcc(samples, rate, n_mfcc=self.n_mfcc)
+                feats.append(m.mean(axis=0))
+            elif self.strict:
+                raise NotImplementedError(
+                    f"decoding {mime or 'unknown'} audio is not supported — "
+                    "PCM WAV decodes natively"
+                )
+            else:
+                b = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+                chunks = np.array_split(b, self.n_mfcc)
+                feats.append(np.array([c.std() for c in chunks],
+                                      dtype=np.float32))
         out = batch.drop_columns(["payload"])
         return out.append_column(
             "mfcc", pa.array([f.tolist() for f in feats], pa.list_(pa.float32()))
         )
 
 
+def synth_video_table(n: int, seed: int = 44, n_frames: int = 6,
+                      w: int = 24, h: int = 16, fps: int = 10) -> pa.Table:
+    """Deterministic video table with REAL MJPEG-in-AVI payloads."""
+    from deltaray.functions.avcodecs import synth_avi
+
+    payloads = [synth_avi(n_frames, w, h, seed=seed * 99991 + i, fps=fps)
+                for i in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array([f"vid{i:08d}" for i in range(n)]),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/avi"] * n),
+            "sample_rate": pa.array([fps] * n, pa.int32()),
+            "duration_ms": pa.array([n_frames * 1000 // fps] * n, pa.int32()),
+        }
+    )
+
+
 class SampleVideoFrames:
     """Actor-pool stage: sample N frames per video, one OUTPUT ROW PER FRAME
     (flat_map-shaped: a batch of videos fans out to frames).
 
-    STUB decode; real plumbing — deterministic frame offsets from
-    duration, wide payload dropped before fan-out so only per-frame
-    features flow on."""
+    REAL for MJPEG-in-AVI: the container is INDEXED first
+    (``avcodecs.index_avi_frames``) and only the k sampled frames are
+    JPEG-decoded — at scale that is k byte-range decodes into a huge
+    payload, never a full transcode.  Unknown mimes raise under
+    ``strict=True``, else yield a deterministic byte-stat stub."""
 
     def __init__(self, strict: bool = False, frames_per_video: int = 4):
+        from deltaray.functions.avcodecs import (decode_avi_frame,
+                                                 index_avi_frames)
+
         self.strict = strict
         self.k = frames_per_video
+        self._index = index_avi_frames
+        self._decode = decode_avi_frame
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "video decode requires ffmpeg — not available here; "
-                "run with strict=False for the deterministic stub"
-            )
+        mimes = batch["mime"].to_pylist() if "mime" in batch.column_names \
+            else [""] * batch.num_rows
         ids, frame_idx, ts_ms, feats = [], [], [], []
         dur = batch["duration_ms"].to_numpy(zero_copy_only=False)
         for i, buf in enumerate(batch["payload"]):
-            b = np.frombuffer(buf.as_py(), dtype=np.uint8).astype(np.float32)
+            raw = buf.as_py()
             media_id = batch["media_id"][i].as_py()
+            if mimes[i] == "video/avi":
+                index = self._index(raw)
+                n = len(index)
+                # k frame indices spread evenly across the stream
+                picks = np.unique(np.linspace(0, n - 1,
+                                              min(self.k, n)).astype(int))
+                for j, fi in enumerate(picks):
+                    img = self._decode(raw, *index[fi])
+                    ids.append(media_id)
+                    frame_idx.append(int(fi))
+                    ts_ms.append(int(dur[i]) * int(fi) // n)
+                    feats.append(float(img.astype(np.float32).mean()))
+                continue
+            if self.strict:
+                raise NotImplementedError(
+                    f"decoding {mimes[i] or 'unknown'} video is not "
+                    "supported — MJPEG-in-AVI decodes natively"
+                )
+            b = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
             for j in range(self.k):
                 ids.append(media_id)
                 frame_idx.append(j)

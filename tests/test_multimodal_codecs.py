@@ -126,6 +126,77 @@ def test_decode_image_mixed_corpus_strict():
     assert "payload" not in out.column_names
 
 
+# ------------------------------------------------------- WAV / MFCC
+def test_wav_roundtrip_exact():
+    from deltaray.functions.avcodecs import decode_wav, encode_wav
+
+    rng = np.random.default_rng(1)
+    for ch in (1, 2):
+        s = rng.integers(-32768, 32767, size=(1000, ch), dtype=np.int16)
+        dec, rate = decode_wav(encode_wav(s.squeeze() if ch == 1 else s, 16000))
+        assert rate == 16000
+        assert np.array_equal(dec, s.reshape(1000, ch))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS definitely not wav")
+
+
+def test_mfcc_discriminates_tones():
+    """The mel/DCT front-end is a real spectral feature: distinct pure
+    tones map to distinct, deterministic coefficient vectors."""
+    from deltaray.functions.avcodecs import mfcc
+
+    t = np.arange(16000) / 16000.0
+    a = mfcc(np.sin(2 * np.pi * 440 * t), 16000)
+    b = mfcc(np.sin(2 * np.pi * 2000 * t), 16000)
+    assert a.shape[1] == 13 and a.shape[0] > 10
+    assert np.abs(a.mean(0) - b.mean(0)).max() > 1.0
+    assert np.array_equal(a, mfcc(np.sin(2 * np.pi * 440 * t), 16000))
+
+
+def test_audio_features_real_wav_strict():
+    from deltaray.functions.multimodal import (ExtractAudioFeatures,
+                                               synth_audio_table)
+
+    tbl = synth_audio_table(8)
+    assert tbl["mime"][0].as_py() == "audio/wav"
+    out = ExtractAudioFeatures(strict=True)(tbl)
+    assert out.num_rows == 8 and len(out["mfcc"][0]) == 13
+    assert out["mfcc"].equals(ExtractAudioFeatures(strict=True)(tbl)["mfcc"])
+    fake = synth_audio_table(4, fmt="fake")
+    with pytest.raises(NotImplementedError):
+        ExtractAudioFeatures(strict=True)(fake)
+    assert ExtractAudioFeatures()(fake).num_rows == 4  # stub fallback
+
+
+# ------------------------------------------------------- AVI (MJPEG)
+def test_avi_index_and_selective_decode():
+    from deltaray.functions.avcodecs import (decode_avi_frame,
+                                             index_avi_frames, synth_avi)
+
+    avi = synth_avi(8, 32, 24, seed=5)
+    idx = index_avi_frames(avi)
+    assert len(idx) == 8
+    img = decode_avi_frame(avi, *idx[3])
+    assert img.shape == (24, 32, 3)
+    with pytest.raises(ValueError, match="AVI"):
+        index_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_sample_video_frames_real_avi_strict():
+    from deltaray.functions.multimodal import (SampleVideoFrames,
+                                               synth_video_table)
+
+    vids = synth_video_table(5, n_frames=6)
+    out = SampleVideoFrames(strict=True, frames_per_video=4)(vids)
+    assert out.num_rows == 20  # 4 sampled frames per video
+    # sampled indices span the stream (first and last frame included)
+    per_vid = sorted(set(out["frame_idx"].to_pylist()))
+    assert per_vid[0] == 0 and per_vid[-1] == 5
+    assert max(out["ts_ms"].to_pylist()) < 600  # inside duration
+    # real decode: brightness varies across videos (seeded content)
+    assert len(set(out["brightness"].to_pylist())) > 5
+
+
 def test_decode_image_format_consistency():
     """The same pixels through every lossless container give identical
     features; JPEG (lossy) stays within a small tolerance."""

@@ -243,6 +243,53 @@ def _minhash_dedup_docs(sf_dir: str):
     return minhash_dedup_docs(ds, jaccard_threshold=0.5).drop_columns(["text"])
 
 
+def _parity_epoch(ds, parity: int):
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 2 == parity))
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _with_epoch(ds, epoch: int):
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "epoch": pa.array(np.full(batch.num_rows, epoch, np.int64)),
+        })
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _ingest_gate_exact(sf_dir: str):
+    """Incremental ingest gate (persisted fingerprint index): stream the
+    corpus in two epochs (doc_id parity); a doc is admitted iff its text
+    was never admitted before.  Fresh index per call."""
+    from deltaray.functions.ingest_gate import ExactIngestGate
+
+    scratch = "/tmp/deltaray_gate_exact"
+    shutil.rmtree(scratch, ignore_errors=True)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    gate = ExactIngestGate(scratch, num_partitions=8)
+    outs = [_with_epoch(gate.admit(_parity_epoch(ds, e), e), e)
+            for e in (0, 1)]
+    return outs[0].union(outs[1])
+
+
+def _ingest_gate_minhash(sf_dir: str):
+    """Near-dup ingest gate (persisted MinHash band + signature index)
+    over the same two-epoch stream; rows-only (custom hashes) — the
+    pytest brute-force oracle (tests/test_ingest_gate.py) pins the
+    greedy-temporal semantics."""
+    from deltaray.functions.ingest_gate import MinHashIngestGate
+
+    scratch = "/tmp/deltaray_gate_minhash"
+    shutil.rmtree(scratch, ignore_errors=True)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    gate = MinHashIngestGate(scratch, num_partitions=8)
+    outs = [_with_epoch(gate.admit(_parity_epoch(ds, e), e), e)
+            for e in (0, 1)]
+    return outs[0].union(outs[1])
+
+
 def _simhash_docs(sf_dir: str):
     from deltaray.functions.dedup import SimHasher
 
@@ -871,6 +918,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": _lang_id_docs,
         "minhash_pairs_docs": _minhash_pairs_docs,
         "minhash_dedup_docs": _minhash_dedup_docs,
+        "ingest_gate_exact": _ingest_gate_exact,
+        "ingest_gate_minhash": _ingest_gate_minhash,
         "simhash_docs": _simhash_docs,
         "embedding_neardup": _embedding_neardup,
         "knn_bruteforce": _knn_bruteforce,
@@ -1189,8 +1238,24 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_3sigma
             FROM events
         """,
+        # ingest_gate_exact: the greedy-temporal gate over a two-epoch
+        # parity stream is pure SQL — epoch-1 admits = min-id per text
+        # among texts epoch 0 never saw.
+        "ingest_gate_exact": """
+            WITH e0 AS (SELECT doc_id, text FROM documents
+                        WHERE doc_id % 2 = 0),
+                 e1 AS (SELECT doc_id, text FROM documents
+                        WHERE doc_id % 2 = 1),
+            a0 AS (SELECT MIN(doc_id) AS doc_id, CAST(0 AS BIGINT) AS epoch
+                   FROM e0 GROUP BY text),
+            a1 AS (SELECT MIN(doc_id) AS doc_id, CAST(1 AS BIGINT) AS epoch
+                   FROM e1 WHERE text NOT IN (SELECT text FROM e0)
+                   GROUP BY text)
+            SELECT doc_id, epoch FROM a0
+            UNION ALL SELECT doc_id, epoch FROM a1
+        """,
         # fingerprint/minhash/simhash/neardup/knn_ivf(pruned)/cdc_replay/
-        # media/pack-rows/split-rows/approx_distinct-rows:
-        # non-SQL-expressible (custom hashes, models, engine replay,
-        # order-dependent packing) — rows-only.
+        # media/pack-rows/split-rows/approx_distinct-rows/
+        # ingest_gate_minhash: non-SQL-expressible (custom hashes, models,
+        # engine replay, order-dependent packing) — rows-only.
     }

@@ -1,0 +1,484 @@
+"""Incremental ingest-time deduplication gates.
+
+At 100 TB dedup cannot be a whole-corpus batch job re-run for every
+arriving batch: the corpus-side state must PERSIST.  These gates keep a
+hash-partitioned fingerprint / signature index on the lake filesystem
+(write-once epoch files per partition — the same idempotency contract as
+the engine's commit log, deltaray/commit.py) and admit each streamed
+micro-batch ("epoch") against it:
+
+- :class:`ExactIngestGate` — content-fingerprint index.  A new document
+  is admitted iff its fingerprint was never admitted before (min-id per
+  fingerprint within the epoch).  Index rows are (fp, doc_id): 16 bytes
+  per admitted document, hash-partitioned by fp.
+- :class:`MinHashIngestGate` — near-duplicate gate.  Persists a MinHash
+  band-bucket index (band, band_hash, doc_id) plus a signature index
+  (doc_id, sig); an epoch is (1) banded against the index, colliding
+  docs verified by signature-estimated Jaccard and rejected on a match,
+  (2) near-dup-deduped among its own survivors (same semantics as
+  :func:`deltaray.functions.dedup.minhash_dedup_docs`: connected
+  components of verified pairs, keep the min id), and (3) the admitted
+  docs' band rows and signatures are appended write-once.
+
+Gate semantics (greedy-temporal, standard for streaming dedup): a
+document is REJECTED iff it duplicates a previously ADMITTED document
+(or an admitted epoch-mate).  Rejected documents are NOT indexed, so a
+later document that matches only a rejected one is admitted — the
+admitted set is exactly the representative set.
+
+Scale shape: per-epoch working state (candidate pairs, reject sets) is
+bounded by the MICRO-BATCH size, so driver-side sets here are O(epoch),
+never O(corpus).  The corpus-scale state is the index, which lives
+hash-partitioned on disk; each epoch touches every index partition once
+with a column-pruned parquet read (fp / bucket keys only on the
+membership side).  Replaying an epoch is idempotent: membership is
+always evaluated against index epochs STRICTLY BELOW the one being
+admitted and the epoch files are write-once, so a retried `admit` of
+the same (epoch, data) recomputes byte-identical output and skips the
+writes.  (Reference analog: the exactly-once consumer contract,
+EventConsumer.java:39-76 — dedup as an ingest gate instead of a batch
+job is this repo's extension for training-data pipelines.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from deltaray.commit import atomic_write_json, atomic_write_parquet
+from deltaray.functions.dedup import (MinHasher, _sig_binary, _sig_matrix,
+                                      _union_find_drops)
+from deltaray.functions.partition import (_hash_cols, group_codes,
+                                          hash_partitioned,
+                                          take_first_per_key)
+from deltaray.transforms import stable_hash_strings
+
+
+def _epoch6(e: int) -> str:
+    return f"{int(e):06d}"
+
+
+def _index_files(index_dir: str, part: int, before_epoch: int) -> list[str]:
+    """Epoch files of one index partition with epoch < ``before_epoch``
+    whose write-once commit marker exists (a data file without its marker
+    is an aborted write and is ignored — the retry rewrites it)."""
+    pdir = os.path.join(index_dir, f"part={part:05d}")
+    if not os.path.isdir(pdir):
+        return []
+    out = []
+    for f in sorted(os.listdir(pdir)):
+        if not (f.startswith("epoch-") and f.endswith(".parquet")):
+            continue
+        e = int(f[len("epoch-"):-len(".parquet")])
+        if e < before_epoch and os.path.exists(_marker_path(index_dir, part, e)):
+            out.append(os.path.join(pdir, f))
+    return out
+
+
+def _marker_path(index_dir: str, part: int, epoch: int) -> str:
+    return os.path.join(index_dir, "_commits", f"part={part:05d}",
+                        f"epoch-{_epoch6(epoch)}.json")
+
+
+def _persist_partition(index_dir: str, part: int, epoch: int,
+                       tbl: pa.Table) -> bool:
+    """Write one partition's epoch rows write-once.  Returns False when
+    the commit marker already exists (replayed epoch — no double write).
+    Zero-row tables write a marker only, so a replay can distinguish
+    "this partition was empty" from "never ran"."""
+    mpath = _marker_path(index_dir, part, epoch)
+    if os.path.exists(mpath):
+        return False
+    if tbl.num_rows:
+        dpath = os.path.join(index_dir, f"part={part:05d}",
+                             f"epoch-{_epoch6(epoch)}.parquet")
+        atomic_write_parquet(dpath, tbl)
+    atomic_write_json(mpath, {"part": int(part), "epoch": int(epoch),
+                              "rows": int(tbl.num_rows)})
+    return True
+
+
+def _part_of(block: pa.Table, key_cols: list[str], P: int) -> int:
+    """The hash partition this block belongs to.  Valid because every
+    row of a ``hash_partitioned`` block hashes to the same partition."""
+    return int(_hash_cols(block.slice(0, 1), key_cols)[0] % np.uint64(P))
+
+
+class ExactIngestGate:
+    """Persisted exact-dedup gate over a text column.
+
+    One hash exchange per epoch; each partition task gates its slice of
+    the fingerprint space against the partition's index files (fp column
+    only) and appends the admitted (fp, id) rows write-once.  Document
+    text never leaves the fingerprint map stage.
+    """
+
+    def __init__(self, index_root: str, *, text_col: str = "text",
+                 id_col: str = "doc_id", num_partitions: int = 32):
+        self.index_dir = os.path.join(index_root, "fp")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.P = num_partitions
+        os.makedirs(self.index_dir, exist_ok=True)
+
+    def admit(self, ds, epoch: int, *, stats_out: dict | None = None):
+        """Gate one epoch; returns the admitted rows as a Dataset
+        (original columns).  ``epoch`` must be strictly increasing
+        across calls for one index; replaying an epoch already admitted
+        returns the same rows and writes nothing."""
+        text_col, id_col = self.text_col, self.id_col
+        index_dir, P = self.index_dir, self.P
+
+        def fp_tag(batch: pa.Table) -> pa.Table:
+            h = stable_hash_strings(batch[text_col]).astype(np.int64)
+            batch = batch.append_column("__fp", pa.array(h))
+            # combiner: min id per fingerprint within the batch
+            srt = batch.sort_by(id_col)
+            codes = group_codes(srt, ["__fp"])
+            first = np.unique(codes, return_index=True)[1]
+            return srt.take(pa.array(np.sort(first)))
+
+        tagged = ds.map_batches(fp_tag, batch_format="pyarrow")
+
+        def gate_block(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return block.drop_columns(["__fp"])
+            part = _part_of(block, ["__fp"], P)
+            # min id per fp across the whole partition
+            g = block.sort_by(id_col)
+            codes = group_codes(g, ["__fp"])
+            first = np.unique(codes, return_index=True)[1]
+            g = g.take(pa.array(np.sort(first)))
+            # membership vs strictly-earlier epochs (pruned to fp column)
+            files = _index_files(index_dir, part, epoch)
+            if files:
+                old = pa.concat_tables(
+                    [pq.read_table(f, columns=["fp"]) for f in files])
+                keep = pc.invert(
+                    pc.is_in(g["__fp"], value_set=old["fp"].combine_chunks()))
+                g = g.filter(keep)
+            _persist_partition(
+                index_dir, part, epoch,
+                pa.table({"fp": g["__fp"], "doc_id": g[id_col].cast(pa.int64())}))
+            return g.drop_columns(["__fp"])
+
+        out = hash_partitioned(tagged, ["__fp"], gate_block,
+                               num_partitions=P)
+        if stats_out is not None:
+            stats_out["admitted"] = out.count()
+        return out
+
+
+class MinHashIngestGate:
+    """Persisted MinHash near-duplicate gate.
+
+    Index state per admitted document: ``bands`` band-bucket rows
+    (band, band_hash, doc_id — hash-partitioned by bucket) plus one
+    signature row (doc_id, sig fixed_size_binary — hash-partitioned by
+    id).  Epoch flow:
+
+    1. signatures once per doc (task-pool map, coefficients driver-built);
+    2. band rows exchanged to the bucket partitioning; each partition
+       task reads its persisted bucket rows (epochs < E) and emits
+       (new_id, other_id, other_is_old) candidates — new-vs-index via an
+       Arrow hash join on (band, band_hash), new-vs-new via within-bucket
+       pairing (multi-band copies deduped later);
+    3. candidates are verified by signature-estimated Jaccard: one
+       exchange by ``other_id`` attaches the other side's signature (old
+       ids from the sig index partition, new ids from the epoch's own sig
+       rows riding the same exchange), one exchange by ``new_id``
+       attaches the new side and thresholds;
+    4. verified matches (O(epoch) rows) come to the driver: ids matching
+       the INDEX are rejected; pairs among the remaining epoch docs are
+       clustered (union-find) and each component keeps its min id;
+    5. the admitted docs' band rows and signatures are appended
+       write-once to their index partitions.
+    """
+
+    def __init__(self, index_root: str, *, num_hashes: int = 64,
+                 bands: int = 16, shingle_k: int = 5,
+                 jaccard_threshold: float = 0.5, seed: int = 42,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 num_partitions: int = 32):
+        assert num_hashes % bands == 0
+        self.bands_dir = os.path.join(index_root, "bands")
+        self.sigs_dir = os.path.join(index_root, "sigs")
+        self.hasher = MinHasher(num_hashes=num_hashes, seed=seed,
+                                shingle_k=shingle_k)
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.threshold = jaccard_threshold
+        self.text_col = text_col
+        self.id_col = id_col
+        self.P = num_partitions
+        os.makedirs(self.bands_dir, exist_ok=True)
+        os.makedirs(self.sigs_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ helpers
+    def _band_hashes(self, sigs: np.ndarray) -> np.ndarray:
+        """(n, num_hashes) → (bands, n) int64 FNV of each band segment
+        (identical kernel to dedup.minhash_lsh_pairs.band_explode)."""
+        n = sigs.shape[0]
+        rows_per_band = self.num_hashes // self.bands
+        prime = np.uint64(0x100000001B3)
+        out = np.empty((self.bands, n), dtype=np.int64)
+        for b in range(self.bands):
+            seg = sigs[:, b * rows_per_band:(b + 1) * rows_per_band]
+            h = np.full(n, np.uint64(0xCBF29CE484222325))
+            for j in range(rows_per_band):
+                h = (h ^ seg[:, j]) * prime
+            out[b] = h.astype(np.int64)
+        return out
+
+    # --------------------------------------------------------------- admit
+    def admit(self, ds, epoch: int, *, stats_out: dict | None = None):
+        import ray
+
+        hasher, bands = self.hasher, self.bands
+        num_hashes, threshold = self.num_hashes, self.threshold
+        text_col, id_col, P = self.text_col, self.id_col, self.P
+        bands_dir, sigs_dir = self.bands_dir, self.sigs_dir
+        band_hashes = self._band_hashes
+
+        def sig_map(batch: pa.Table) -> pa.Table:
+            sigs = hasher.signatures(batch[text_col].to_pylist())
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({id_col: pa.array(ids), "sig": _sig_binary(sigs)})
+
+        # signatures cross the object store once; consumed by the band
+        # stage, both attach stages, and the final persist
+        sig_ds = ds.map_batches(sig_map, batch_format="pyarrow").materialize()
+
+        # -- stage 2: band rows → bucket partitions → candidates
+        def band_rows(block: pa.Table) -> pa.Table:
+            sigs = _sig_matrix(block["sig"], num_hashes)
+            n = len(block)
+            ids = block[id_col].to_numpy(zero_copy_only=False)
+            bh = band_hashes(sigs)
+            return pa.table({
+                "band": pa.array(np.repeat(
+                    np.arange(bands, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.reshape(-1)),
+                id_col: pa.array(np.tile(ids, bands)),
+            })
+
+        rows = sig_ds.map_batches(band_rows, batch_format="pyarrow")
+
+        def cand_block(block: pa.Table) -> pa.Table:
+            empty = pa.table({"new_id": pa.array([], pa.int64()),
+                              "other_id": pa.array([], pa.int64()),
+                              "other_is_old": pa.array([], pa.bool_())})
+            if block.num_rows == 0:
+                return empty
+            part = _part_of(block, ["band", "band_hash"], P)
+            outs = []
+            files = _index_files(bands_dir, part, epoch)
+            if files:
+                old = pa.concat_tables([pq.read_table(f) for f in files])
+                hit = block.join(old, keys=["band", "band_hash"],
+                                 join_type="inner",
+                                 right_suffix="_old")
+                old_col = ("doc_id_old" if "doc_id_old" in hit.column_names
+                           else "doc_id")
+                if hit.num_rows:
+                    outs.append(pa.table({
+                        "new_id": hit[id_col].cast(pa.int64()),
+                        "other_id": hit[old_col].cast(pa.int64()),
+                        "other_is_old": pa.array(
+                            np.ones(hit.num_rows, dtype=bool)),
+                    }))
+            # new-vs-new within buckets
+            g = block.sort_by([("band", "ascending"),
+                               ("band_hash", "ascending"),
+                               (id_col, "ascending")])
+            codes = group_codes(g, ["band", "band_hash"])
+            ids = g[id_col].to_numpy(zero_copy_only=False)
+            first = np.unique(codes, return_index=True)[1]
+            ends = np.append(first[1:], len(codes))
+            sizes = ends - first
+            pa_, pb_ = [], []
+            for s, e in zip(first[sizes > 1], ends[sizes > 1]):
+                ia, ib = np.triu_indices(e - s, k=1)
+                pa_.append(ids[s + ia])
+                pb_.append(ids[s + ib])
+            if pa_:
+                a = np.concatenate(pa_).astype(np.int64)
+                b = np.concatenate(pb_).astype(np.int64)
+                outs.append(pa.table({
+                    "new_id": pa.array(a), "other_id": pa.array(b),
+                    "other_is_old": pa.array(np.zeros(len(a), dtype=bool)),
+                }))
+            if not outs:
+                return empty
+            return pa.concat_tables(outs)
+
+        cand = hash_partitioned(rows, ["band", "band_hash"], cand_block,
+                                num_partitions=P)
+
+        # -- stage 3: attach signatures.  Epoch sig rows ride the same
+        # exchange as the pairs (union + marker column), old sigs are a
+        # pruned read of the partition's index files.
+        sig_t = pa.binary(8 * num_hashes)
+
+        def _pairs_with(batch: pa.Table, key: str) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "__key": batch[key].cast(pa.int64()),
+                "new_id": batch["new_id"],
+                "other_id": batch["other_id"],
+                "other_is_old": batch["other_is_old"],
+                "sig_other": (batch["sig_other"] if "sig_other" in
+                              batch.column_names else pa.nulls(n, sig_t)),
+                "sig": pa.nulls(n, sig_t),
+                "__is_sig": pa.array(np.zeros(n, dtype=bool)),
+            })
+
+        def _sigs_as_rows(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "__key": batch[id_col].cast(pa.int64()),
+                "new_id": pa.nulls(n, pa.int64()),
+                "other_id": pa.nulls(n, pa.int64()),
+                "other_is_old": pa.nulls(n, pa.bool_()),
+                "sig_other": pa.nulls(n, sig_t),
+                "sig": batch["sig"].cast(sig_t),
+                "__is_sig": pa.array(np.ones(n, dtype=bool)),
+            })
+
+        def _lookup(pairs_t: pa.Table, sig_rows: pa.Table, part: int,
+                    with_old: bool) -> pa.Array:
+            """sig of pairs_t['__key'] from epoch sig rows (+ old index)."""
+            tables = [pa.table({"id": sig_rows["__key"],
+                                "s": sig_rows["sig"]})]
+            if with_old:
+                for f in _index_files(sigs_dir, part, epoch):
+                    t = pq.read_table(f)
+                    tables.append(pa.table({"id": t["doc_id"],
+                                            "s": t["sig"].cast(sig_t)}))
+            lut = pa.concat_tables(tables)
+            idx = pc.index_in(pairs_t["__key"], value_set=lut["id"].combine_chunks())
+            return lut["s"].combine_chunks().take(idx)
+
+        def attach_other(block: pa.Table) -> pa.Table:
+            is_sig = pc.fill_null(block["__is_sig"], False)
+            sig_rows = block.filter(is_sig)
+            pairs_t = block.filter(pc.invert(is_sig))
+            if pairs_t.num_rows == 0:
+                return _pairs_with(
+                    pa.table({"new_id": pa.array([], pa.int64()),
+                              "other_id": pa.array([], pa.int64()),
+                              "other_is_old": pa.array([], pa.bool_()),
+                              "sig_other": pa.array([], sig_t)}),
+                    "new_id")
+            part = _part_of(block, ["__key"], P)
+            # multi-band copies of one (new, other) pair collapse here
+            pairs_t = take_first_per_key(pairs_t, ["new_id", "other_id"])
+            sig_other = _lookup(pairs_t, sig_rows, part, with_old=True)
+            pairs_t = pairs_t.drop_columns(["sig_other"]).append_column(
+                "sig_other", sig_other)
+            return _pairs_with(pairs_t, "new_id")
+
+        def verify_block(block: pa.Table) -> pa.Table:
+            is_sig = pc.fill_null(block["__is_sig"], False)
+            sig_rows = block.filter(is_sig)
+            pairs_t = block.filter(pc.invert(is_sig))
+            empty = pa.table({"new_id": pa.array([], pa.int64()),
+                              "other_id": pa.array([], pa.int64()),
+                              "other_is_old": pa.array([], pa.bool_()),
+                              "jaccard_est": pa.array([], pa.float64())})
+            if pairs_t.num_rows == 0:
+                return empty
+            part = _part_of(block, ["__key"], P)
+            pairs_t = take_first_per_key(pairs_t, ["new_id", "other_id"])
+            sig_new = _lookup(pairs_t, sig_rows, part, with_old=False)
+            A = _sig_matrix(sig_new, num_hashes)
+            B = _sig_matrix(pairs_t["sig_other"].combine_chunks(), num_hashes)
+            est = (A == B).mean(axis=1)
+            keep = est >= threshold
+            sel = pa.array(keep)
+            return pa.table({
+                "new_id": pairs_t["new_id"].combine_chunks().filter(sel),
+                "other_id": pairs_t["other_id"].combine_chunks().filter(sel),
+                "other_is_old": pairs_t["other_is_old"].combine_chunks().filter(sel),
+                "jaccard_est": pa.array(est[keep].astype(np.float64)),
+            })
+
+        leg1 = cand.map_batches(
+            lambda b: _pairs_with(b, "other_id"), batch_format="pyarrow") \
+            .union(sig_ds.map_batches(_sigs_as_rows, batch_format="pyarrow"))
+        with_other = hash_partitioned(leg1, ["__key"], attach_other,
+                                      num_partitions=P)
+        leg2 = with_other.map_batches(
+            lambda b: _pairs_with(b, "new_id"), batch_format="pyarrow") \
+            .union(sig_ds.map_batches(_sigs_as_rows, batch_format="pyarrow"))
+        matches = hash_partitioned(leg2, ["__key"], verify_block,
+                                   num_partitions=P)
+
+        # -- stage 4: O(epoch)-bounded reject logic on the driver
+        rejected: set = set()
+        epoch_edges = []
+        for t in matches.iter_batches(batch_format="pyarrow"):
+            for nid, oid, old in zip(t["new_id"].to_pylist(),
+                                     t["other_id"].to_pylist(),
+                                     t["other_is_old"].to_pylist()):
+                if old:
+                    rejected.add(nid)
+                else:
+                    epoch_edges.append((nid, oid))
+        live_edges = [(a, b) for a, b in epoch_edges
+                      if a not in rejected and b not in rejected]
+        drop_epoch = _union_find_drops(iter(live_edges))
+        all_drop = rejected | drop_epoch
+        if stats_out is not None:
+            stats_out.update(rejected_vs_index=len(rejected),
+                             rejected_within_epoch=len(drop_epoch))
+
+        drop_ref = ray.put(pa.array(sorted(all_drop), pa.int64()))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            d = ray.get(drop_ref)
+            if len(d) == 0:
+                return batch
+            return batch.filter(pc.invert(pc.is_in(
+                batch[id_col].cast(pa.int64()), value_set=d)))
+
+        admitted = ds.map_batches(keep, batch_format="pyarrow")
+        admitted_sigs = sig_ds.map_batches(keep, batch_format="pyarrow")
+
+        # -- stage 5: persist admitted band rows + signatures write-once
+        def persist_bands(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return pa.table({"part": pa.array([], pa.int32()),
+                                 "rows": pa.array([], pa.int64())})
+            part = _part_of(block, ["band", "band_hash"], P)
+            _persist_partition(bands_dir, part, epoch, pa.table({
+                "band": block["band"], "band_hash": block["band_hash"],
+                "doc_id": block[id_col].cast(pa.int64())}))
+            return pa.table({"part": pa.array([part], pa.int32()),
+                             "rows": pa.array([block.num_rows], pa.int64())})
+
+        def persist_sigs(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return pa.table({"part": pa.array([], pa.int32()),
+                                 "rows": pa.array([], pa.int64())})
+            part = _part_of(block, [id_col], P)
+            _persist_partition(sigs_dir, part, epoch, pa.table({
+                "doc_id": block[id_col].cast(pa.int64()),
+                "sig": block["sig"].cast(sig_t)}))
+            return pa.table({"part": pa.array([part], pa.int32()),
+                             "rows": pa.array([block.num_rows], pa.int64())})
+
+        band_admit = admitted_sigs.map_batches(band_rows,
+                                               batch_format="pyarrow")
+        n_band = hash_partitioned(band_admit, ["band", "band_hash"],
+                                  persist_bands, num_partitions=P).count()
+        n_sig = hash_partitioned(admitted_sigs, [id_col], persist_sigs,
+                                 num_partitions=P).count()
+        if stats_out is not None:
+            stats_out.update(band_parts=n_band, sig_parts=n_sig)
+        return admitted

@@ -1,0 +1,207 @@
+"""Ingest-time dedup gates: persisted index, greedy-temporal semantics,
+idempotent epoch replay.  Brute-force oracles replicate the gate
+semantics exactly (same MinHasher coefficients, same banding)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from deltaray.functions.dedup import MinHasher, _union_find_drops
+from deltaray.functions.ingest_gate import ExactIngestGate, MinHashIngestGate
+
+
+def _docs_table(rows):
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
+# ------------------------------------------------------------- exact gate
+BASE = "the quick brown fox jumps over the lazy dog number %d and then some"
+
+
+def _exact_epochs():
+    e0 = [(1, BASE % 1), (2, BASE % 2), (3, BASE % 1),  # 3 dups 1 in-epoch
+          (4, BASE % 4)]
+    e1 = [(10, BASE % 2),   # dup of admitted epoch-0 doc -> rejected
+          (11, BASE % 11),  # fresh
+          (12, BASE % 11),  # in-epoch dup of 11
+          (13, BASE % 1)]   # dup of epoch-0 -> rejected
+    e2 = [(20, BASE % 11),  # dup of admitted epoch-1 doc -> rejected
+          (21, BASE % 21)]
+    return [e0, e1, e2]
+
+
+def test_exact_gate_multi_epoch(tmp_path):
+    gate = ExactIngestGate(str(tmp_path / "idx"), num_partitions=4)
+    admitted = []
+    for e, rows in enumerate(_exact_epochs()):
+        out = gate.admit(rd.from_arrow(_docs_table(rows)), e)
+        admitted.append(sorted(r["doc_id"] for r in out.take_all()))
+    assert admitted == [[1, 2, 4], [11], [21]]
+
+
+def test_exact_gate_replay_idempotent(tmp_path):
+    gate = ExactIngestGate(str(tmp_path / "idx"), num_partitions=4)
+    epochs = _exact_epochs()
+    gate.admit(rd.from_arrow(_docs_table(epochs[0])), 0).count()
+    first = sorted(r["doc_id"] for r in
+                   gate.admit(rd.from_arrow(_docs_table(epochs[1])), 1).take_all())
+
+    def index_files(root):
+        return sorted(os.path.join(d, f) for d, _, fs in os.walk(root)
+                      for f in fs)
+
+    snap = index_files(str(tmp_path / "idx"))
+    # replaying epoch 1 (retry / resume): same admitted rows, no new files
+    again = sorted(r["doc_id"] for r in
+                   gate.admit(rd.from_arrow(_docs_table(epochs[1])), 1).take_all())
+    assert again == first == [11]
+    assert index_files(str(tmp_path / "idx")) == snap
+    # and epoch 2 still sees a consistent index
+    out2 = sorted(r["doc_id"] for r in
+                  gate.admit(rd.from_arrow(_docs_table(epochs[2])), 2).take_all())
+    assert out2 == [21]
+
+
+def test_exact_gate_preserves_columns(tmp_path):
+    gate = ExactIngestGate(str(tmp_path / "idx"), num_partitions=2)
+    tbl = _docs_table([(1, "aaa bbb ccc ddd"), (2, "eee fff ggg hhh")])
+    tbl = tbl.append_column("lang", pa.array(["en", "de"]))
+    out = gate.admit(rd.from_arrow(tbl), 0)
+    got = out.take_all()
+    assert sorted(got[0].keys()) == ["doc_id", "lang", "text"]
+    assert sorted(r["lang"] for r in got) == ["de", "en"]
+
+
+# ----------------------------------------------------------- minhash gate
+def _corpus(rng, n, n_neardup_groups, seed_texts=None):
+    """Docs with planted near-dup groups: group members share a long base
+    text with a few word edits (Jaccard ~0.8-0.95); the rest are random
+    word soup (Jaccard ~0)."""
+    words = [f"w{i:03d}" for i in range(400)]
+    rows = []
+    did = 0
+    bases = []
+    for g in range(n_neardup_groups):
+        base = " ".join(rng.choice(words, size=80))
+        bases.append(base)
+    gi = 0
+    for i in range(n):
+        if gi < len(bases) and i % 4 == 0:
+            toks = bases[gi].split()
+            for _ in range(rng.integers(0, 3)):
+                toks[rng.integers(len(toks))] = str(rng.choice(words))
+            rows.append((did, " ".join(toks)))
+            if i % 8 == 4:
+                gi += 1
+        else:
+            rows.append((did, " ".join(rng.choice(words, size=60))))
+        did += 1
+    return rows
+
+
+def _oracle_gate(epochs, *, num_hashes=64, bands=16, shingle_k=5, seed=42,
+                 threshold=0.5):
+    """Brute-force greedy-temporal gate: identical MinHash coefficients,
+    identical banding; membership vs ADMITTED docs only."""
+    hasher = MinHasher(num_hashes=num_hashes, seed=seed, shingle_k=shingle_k)
+    rpb = num_hashes // bands
+    index = {}  # doc_id -> sig (admitted only)
+    admitted_per_epoch = []
+
+    def bandkeys(sig):
+        return [tuple(sig[b * rpb:(b + 1) * rpb]) for b in range(bands)]
+
+    for rows in epochs:
+        ids = [r[0] for r in rows]
+        sigs = hasher.signatures([r[1] for r in rows])
+        rejected = set()
+        for i, d in enumerate(ids):
+            bk = set(bandkeys(sigs[i]))
+            for oid, osig in index.items():
+                if bk & set(bandkeys(osig)):
+                    est = (sigs[i] == osig).mean()
+                    if est >= threshold:
+                        rejected.add(d)
+                        break
+        # within-epoch: edges among index-survivors sharing a band
+        edges = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] in rejected or ids[j] in rejected:
+                    continue
+                if set(bandkeys(sigs[i])) & set(bandkeys(sigs[j])):
+                    if (sigs[i] == sigs[j]).mean() >= threshold:
+                        edges.append((ids[i], ids[j]))
+        drop = _union_find_drops(iter(edges))
+        adm = [d for d in ids if d not in rejected and d not in drop]
+        admitted_per_epoch.append(sorted(adm))
+        for i, d in enumerate(ids):
+            if d in adm:
+                index[d] = sigs[i]
+    return admitted_per_epoch
+
+
+def test_minhash_gate_matches_bruteforce(tmp_path):
+    rng = np.random.default_rng(7)
+    all_rows = _corpus(rng, 48, 4)
+    epochs = [all_rows[:16], all_rows[16:32], all_rows[32:]]
+    expected = _oracle_gate(epochs)
+    # sanity: the corpus actually plants cross-epoch near-dups
+    n_rejected = sum(len(e) for e in epochs) - sum(len(a) for a in expected)
+    assert n_rejected >= 2
+
+    gate = MinHashIngestGate(str(tmp_path / "idx"), num_partitions=4)
+    got = []
+    for e, rows in enumerate(epochs):
+        stats = {}
+        out = gate.admit(rd.from_arrow(_docs_table(rows)), e,
+                         stats_out=stats)
+        got.append(sorted(r["doc_id"] for r in out.take_all()))
+    assert got == expected
+
+
+def test_minhash_gate_replay_idempotent(tmp_path):
+    rng = np.random.default_rng(11)
+    all_rows = _corpus(rng, 32, 3)
+    epochs = [all_rows[:16], all_rows[16:]]
+    gate = MinHashIngestGate(str(tmp_path / "idx"), num_partitions=4)
+    gate.admit(rd.from_arrow(_docs_table(epochs[0])), 0).count()
+    first = sorted(r["doc_id"] for r in
+                   gate.admit(rd.from_arrow(_docs_table(epochs[1])), 1).take_all())
+
+    def index_files(root):
+        return sorted(os.path.join(d, f) for d, _, fs in os.walk(root)
+                      for f in fs)
+
+    snap = index_files(str(tmp_path / "idx"))
+    again = sorted(r["doc_id"] for r in
+                   gate.admit(rd.from_arrow(_docs_table(epochs[1])), 1).take_all())
+    assert again == first
+    assert index_files(str(tmp_path / "idx")) == snap
+
+
+def test_minhash_gate_rejected_not_indexed(tmp_path):
+    """A doc matching only a REJECTED doc is admitted (the admitted set
+    is the representative set)."""
+    words = [f"t{i}" for i in range(300)]
+    rng = np.random.default_rng(3)
+    a = " ".join(rng.choice(words, size=100))
+    toks = a.split()
+    toks[5] = "zzz"
+    b = " ".join(toks)  # near-dup of a
+    gate = MinHashIngestGate(str(tmp_path / "idx"), num_partitions=2)
+    got0 = gate.admit(rd.from_arrow(_docs_table([(1, a)])), 0).take_all()
+    assert [r["doc_id"] for r in got0] == [1]
+    # b rejected vs admitted a
+    got1 = gate.admit(rd.from_arrow(_docs_table([(2, b)])), 1).take_all()
+    assert got1 == []
+    # replaying b in a later epoch is STILL rejected (a remains indexed);
+    # and a's exact twin too
+    got2 = gate.admit(rd.from_arrow(_docs_table([(3, b), (4, a)])), 2).take_all()
+    assert got2 == []

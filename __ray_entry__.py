@@ -665,13 +665,10 @@ def _corpus_clean_docs(sf_dir: str):
                              "q_stop"])
 
 
-def _pack_docs_ds(sf_dir: str):
-    """LM-pretraining sequence packing: documents (tokens derived
-    deterministically from text bytes) packed into <=512-token training
-    sequences, greedy in doc-id order per hash partition.  Returns the
-    full per-pack Dataset (shared by the rows and invariants queries)."""
-    from deltaray.functions.text import pack_sequences
-
+def _pack_tokens_ds(sf_dir: str):
+    """(doc_id, tokens:list<int32>) — tokens derived deterministically
+    from text bytes (the input_hint's pre-tokenized-sequence shape,
+    synthesized from the shared documents table)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def to_tokens(batch: pa.Table) -> pa.Table:
@@ -693,8 +690,30 @@ def _pack_docs_ds(sf_dir: str):
             pa.array(vals, pa.int32()))
         return pa.table({"doc_id": batch["doc_id"], "tokens": toks})
 
-    ds = ds.map_batches(to_tokens, batch_format="pyarrow")
-    return pack_sequences(ds, max_len=512, num_partitions=16)
+    return ds.map_batches(to_tokens, batch_format="pyarrow")
+
+
+def _pack_docs_ds(sf_dir: str):
+    """LM-pretraining sequence packing: byte-token documents packed into
+    <=512-token training sequences, greedy in doc-id order per hash
+    partition.  Returns the full per-pack Dataset (shared by the rows
+    and invariants queries)."""
+    from deltaray.functions.text import pack_sequences
+
+    return pack_sequences(_pack_tokens_ds(sf_dir), max_len=512,
+                          num_partitions=16)
+
+
+def _chunk_docs_sequences(sf_dir: str):
+    """Context-window chunking: documents (byte tokens) split into
+    consecutive <=128-token training chunks — per-chunk scalar stats
+    (sum/min/max/first/last token) carry a full SQL oracle without
+    hashing list columns."""
+    from deltaray.functions.text import chunk_sequences
+
+    ds = _pack_tokens_ds(sf_dir)
+    out = chunk_sequences(ds, max_len=128, with_stats=True)
+    return out.drop_columns(["tokens"])
 
 
 def _pack_docs_sequences(sf_dir: str):
@@ -936,6 +955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _customers_without_orders,
         "top_docs_per_source": _top_docs_per_source,
         "pack_docs_sequences": _pack_docs_sequences,
+        "chunk_docs_sequences": _chunk_docs_sequences,
         "pack_docs_invariants": _pack_docs_invariants,
         "split_docs_invariants": _split_docs_invariants,
         "approx_distinct_check": _approx_distinct_check,
@@ -1237,6 +1257,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
                    TRUE AS within_3sigma
             FROM events
+        """,
+        # chunk_docs_sequences: byte tokens (unicode of each char — the
+        # corpus is ASCII so chars == utf-8 bytes) chunked every 128
+        # positions; per-chunk scalar stats pin content and order.
+        "chunk_docs_sequences": """
+            WITH b AS (
+                SELECT doc_id, CAST((i - 1) // 128 AS BIGINT) AS chunk_id,
+                       i, unicode(substring(text, CAST(i AS INT), 1)) AS tok
+                FROM documents,
+                     unnest(range(1, length(text) + 1)) AS t(i))
+            SELECT doc_id, chunk_id,
+                   CAST(count(*) AS INT) AS n_tok,
+                   CAST(sum(tok) AS BIGINT) AS tok_sum,
+                   CAST(min(tok) AS INT) AS tok_min,
+                   CAST(max(tok) AS INT) AS tok_max,
+                   CAST(arg_min(tok, i) AS INT) AS tok_first,
+                   CAST(arg_max(tok, i) AS INT) AS tok_last
+            FROM b GROUP BY doc_id, chunk_id
         """,
         # ingest_gate_exact: the greedy-temporal gate over a two-epoch
         # parity stream is pure SQL — epoch-1 admits = min-id per text

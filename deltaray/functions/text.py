@@ -225,6 +225,91 @@ def pack_sequences(ds, *, max_len: int, id_col: str = "doc_id",
                             num_partitions=num_partitions)
 
 
+def chunk_sequences(ds, *, max_len: int, id_col: str = "doc_id",
+                    tokens_col: str = "tokens", with_stats: bool = False):
+    """Split each document's token array into consecutive training
+    chunks of at most ``max_len`` tokens (the LM context-window
+    chunking pass; pack_sequences' complement for OVER-long docs).
+
+    Chunk ``c`` of a doc holds tokens ``[c*max_len, (c+1)*max_len)``;
+    nothing is dropped or padded, so Σ n_tok over chunks == Σ tokens
+    over docs exactly.  A doc with zero tokens yields zero chunks.
+
+    Embarrassingly parallel — a pure per-batch transform, NO shuffle:
+    chunk boundaries refine doc boundaries, so the output ListArray
+    reuses the input's flat values buffer zero-copy with a denser
+    offsets vector.  At 100 TB this stage is pure streaming map work.
+
+    Output rows: (id, chunk_id, tokens:list<int32>, n_tok) plus, with
+    ``with_stats=True``, per-chunk (tok_sum, tok_min, tok_max,
+    tok_first, tok_last) scalar columns (SQL-oracle checkable without
+    hashing list columns).
+    """
+
+    def chunk_block(batch: pa.Table) -> pa.Table:
+        toks = batch[tokens_col]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        cols = {
+            id_col: ids.slice(0, 0),
+            "chunk_id": pa.array([], pa.int64()),
+            "tokens": pa.array([], pa.list_(pa.int32())),
+            "n_tok": pa.array([], pa.int32()),
+        }
+        if with_stats:
+            cols.update({
+                "tok_sum": pa.array([], pa.int64()),
+                "tok_min": pa.array([], pa.int32()),
+                "tok_max": pa.array([], pa.int32()),
+                "tok_first": pa.array([], pa.int32()),
+                "tok_last": pa.array([], pa.int32()),
+            })
+        empty = pa.table(cols)
+        if batch.num_rows == 0:
+            return empty
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_chunks = -(-lens // max_len)  # ceil; 0-token docs get 0 chunks
+        total = int(n_chunks.sum())
+        if total == 0:
+            return empty
+        doc_ix = np.repeat(np.arange(len(lens)), n_chunks)
+        cum = np.concatenate([[0], np.cumsum(n_chunks)])
+        ords = np.arange(total) - cum[doc_ix]
+        doc_off = np.concatenate([[0], np.cumsum(lens)])
+        starts = doc_off[doc_ix] + ords * max_len
+        ends = np.minimum(starts + max_len, doc_off[doc_ix + 1])
+        flat = toks.flatten()
+        if flat.type != pa.int32():
+            flat = flat.cast(pa.int32())
+        offsets = pa.array(np.append(starts, doc_off[-1]).astype(np.int64))
+        chunks = pa.LargeListArray.from_arrays(offsets, flat) \
+            .cast(pa.list_(pa.int32()))
+        out = {
+            id_col: ids.take(pa.array(doc_ix)),
+            "chunk_id": pa.array(ords.astype(np.int64)),
+            "tokens": chunks,
+            "n_tok": pa.array((ends - starts).astype(np.int32)),
+        }
+        if with_stats:
+            fv = flat.to_numpy(zero_copy_only=False).astype(np.int64)
+            out.update({
+                "tok_sum": pa.array(np.add.reduceat(fv, starts)),
+                "tok_min": pa.array(
+                    np.minimum.reduceat(fv, starts).astype(np.int32)),
+                "tok_max": pa.array(
+                    np.maximum.reduceat(fv, starts).astype(np.int32)),
+                "tok_first": pa.array(fv[starts].astype(np.int32)),
+                "tok_last": pa.array(fv[ends - 1].astype(np.int32)),
+            })
+        return pa.table(out)
+
+    return ds.map_batches(chunk_block, batch_format="pyarrow")
+
+
 def winnow_batch(batch: pa.Table, *, k: int = 5, w: int = 4,
                  text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,

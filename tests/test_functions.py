@@ -871,3 +871,34 @@ def test_simhash_bucket_split_keeps_exact_dups():
     for a, b in capped[["id_a", "id_b"]].itertuples(index=False):
         parent[find(int(a))] = find(int(b))
     assert find(8) == find(251)
+
+
+def test_chunk_sequences_edges():
+    """0-token docs yield no chunks; exact multiples and remainders tile
+    the token stream without loss; per-chunk stats match."""
+    import ray.data
+
+    from deltaray.functions.text import chunk_sequences
+
+    toks = [[], [1, 2, 3], [4, 5, 6, 7, 8], list(range(10, 20))]
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+    })
+    out = chunk_sequences(ray.data.from_arrow(tbl), max_len=5,
+                          with_stats=True).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2, 3, 3]
+    assert out["chunk_id"].tolist() == [0, 0, 0, 1]
+    assert [list(t) for t in out["tokens"]] == [
+        [1, 2, 3], [4, 5, 6, 7, 8], [10, 11, 12, 13, 14],
+        [15, 16, 17, 18, 19]]
+    assert out["n_tok"].tolist() == [3, 5, 5, 5]
+    assert out["tok_sum"].tolist() == [6, 30, 60, 85]
+    assert out["tok_first"].tolist() == [1, 4, 10, 15]
+    assert out["tok_last"].tolist() == [3, 8, 14, 19]
+    assert out["tok_min"].tolist() == [1, 4, 10, 15]
+    assert out["tok_max"].tolist() == [3, 8, 14, 19]
+    # conservation: every input token appears exactly once, in order
+    flat = [t for doc in toks for t in doc]
+    assert [t for row in out["tokens"] for t in row] == flat

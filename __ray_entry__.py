@@ -290,6 +290,25 @@ def _ingest_gate_minhash(sf_dir: str):
     return outs[0].union(outs[1])
 
 
+def _decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: training docs (doc_id % 25 != 0) that
+    share NO 16-char shingle with the eval split (doc_id % 25 == 0).
+    Eval shingle hashes broadcast once; train side streams map-only."""
+    from deltaray.functions.dedup import decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def split(parity_eval: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 25 == 0) if parity_eval else (ids % 25 != 0)
+            return batch.filter(pa.array(m))
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    out = decontaminate(split(False), split(True), shingle_len=16)
+    return out.drop_columns(["text"])
+
+
 def _simhash_docs(sf_dir: str):
     from deltaray.functions.dedup import SimHasher
 
@@ -938,6 +957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs_docs": _minhash_pairs_docs,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "ingest_gate_exact": _ingest_gate_exact,
+        "decontaminate_docs": _decontaminate_docs,
         "ingest_gate_minhash": _ingest_gate_minhash,
         "simhash_docs": _simhash_docs,
         "embedding_neardup": _embedding_neardup,
@@ -1275,6 +1295,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(arg_min(tok, i) AS INT) AS tok_first,
                    CAST(arg_max(tok, i) AS INT) AS tok_last
             FROM b GROUP BY doc_id, chunk_id
+        """,
+        # decontaminate_docs: exact 16-char-shingle overlap vs the eval
+        # split — hash membership in the engine, string membership here
+        # (64-bit collisions are ~n²/2^64, far below one expected case).
+        "decontaminate_docs": """
+            WITH ev AS (SELECT text FROM documents WHERE doc_id % 25 = 0),
+                 eg AS (SELECT DISTINCT
+                            substring(text, CAST(i AS INT), 16) AS s
+                        FROM ev,
+                             unnest(range(1, length(text) - 16 + 2)) AS t(i)),
+                 train AS (SELECT doc_id, source, text FROM documents
+                           WHERE doc_id % 25 <> 0),
+                 bad AS (SELECT DISTINCT doc_id
+                         FROM train,
+                              unnest(range(1, length(text) - 16 + 2)) AS t(i)
+                         WHERE substring(text, CAST(i AS INT), 16)
+                               IN (SELECT s FROM eg))
+            SELECT doc_id, source FROM train
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         """,
         # ingest_gate_exact: the greedy-temporal gate over a two-epoch
         # parity stream is pure SQL — epoch-1 admits = min-id per text

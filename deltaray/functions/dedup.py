@@ -72,6 +72,74 @@ class MinHasher:
         )
 
 
+def decontaminate(train_ds, eval_ds, *, shingle_len: int = 16,
+                  text_col: str = "text", stats_out: dict | None = None):
+    """Benchmark decontamination: drop every training document that
+    shares at least one ``shingle_len``-character shingle with ANY
+    document of ``eval_ds`` (the n-gram-overlap eval-set filter used by
+    LLM pretraining pipelines).  Docs shorter than ``shingle_len`` have
+    no shingles and are never contaminated.
+
+    Scale shape: the eval side of a decontamination pass is SMALL by
+    construction (held-out benchmarks), so its distinct shingle hashes
+    are reduced per-batch (combiner), uniqued on the driver and
+    broadcast ONCE via ``ray.put`` as a sorted uint64 array; the
+    training side then streams map-only — each batch flattens its
+    shingle hashes and does one vectorized ``searchsorted`` membership
+    probe, ``any``-reduced per doc.  No shuffle touches the 100-TB
+    train side.  (If the reference set ever outgrows broadcast, swap
+    the probe for a hash-partitioned semi-join on shingle hash —
+    functions/joins.semi_join — at the cost of exchanging the train
+    side's shingles.)
+    """
+    import ray
+
+    k = shingle_len
+
+    def eval_shingles(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        hs = [h for t, h in zip(texts, _shingle_hashes(texts, k))
+              if len(t or "") >= k]
+        flat = (np.unique(np.concatenate(hs)) if hs
+                else np.empty(0, np.uint64))
+        return pa.table({"h": pa.array(flat.astype(np.int64))})
+
+    parts = [b["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+             for b in eval_ds.map_batches(
+                 eval_shingles, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    banned = (np.unique(np.concatenate(parts)) if parts
+              else np.empty(0, np.uint64))
+    if stats_out is not None:
+        stats_out["eval_shingles"] = int(len(banned))
+    banned_ref = ray.put(banned)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ban = ray.get(banned_ref)
+        texts = batch[text_col].to_pylist()
+        hs = _shingle_hashes(texts, k)
+        lens = np.array([len(h) if len(t or "") >= k else 0
+                         for t, h in zip(texts, hs)], dtype=np.int64)
+        flat = (np.concatenate([h for h, n in zip(hs, lens) if n])
+                if lens.sum() else np.empty(0, np.uint64))
+        if len(ban) and len(flat):
+            pos = np.searchsorted(ban, flat)
+            pos[pos == len(ban)] = 0
+            hit = ban[pos] == flat
+        else:
+            hit = np.zeros(len(flat), dtype=bool)
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        doc_hit = np.zeros(len(texts), dtype=bool)
+        nz = lens > 0
+        if nz.any() and len(hit):
+            doc_hit[nz] = np.add.reduceat(hit, starts[nz]) > 0
+        return batch.filter(pa.array(~doc_hit))
+
+    return train_ds.map_batches(gate, batch_format="pyarrow")
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the min-id row per exact content; returns the surviving rows.
 

@@ -902,3 +902,28 @@ def test_chunk_sequences_edges():
     # conservation: every input token appears exactly once, in order
     flat = [t for doc in toks for t in doc]
     assert [t for row in out["tokens"] for t in row] == flat
+
+
+def test_decontaminate_semantics():
+    """A train doc sharing any 16-char shingle with eval is dropped;
+    docs shorter than the shingle length have no shingles and always
+    survive, even when they are substrings of eval text."""
+    import ray.data
+
+    from deltaray.functions.dedup import decontaminate
+
+    ev = pa.table({"doc_id": pa.array([100], pa.int64()),
+                   "text": pa.array(["the quick brown fox jumps over it"])})
+    train = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "prefix the quick brown fox suffix",   # shares a 16-shingle
+            "completely different content here",   # clean
+            "quick brown",                         # < 16 chars: no shingles
+        ]),
+    })
+    stats = {}
+    out = decontaminate(ray.data.from_arrow(train), ray.data.from_arrow(ev),
+                        shingle_len=16, stats_out=stats).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [2, 3]
+    assert stats["eval_shingles"] > 0

@@ -290,6 +290,38 @@ def _ingest_gate_minhash(sf_dir: str):
     return outs[0].union(outs[1])
 
 
+def _stratified_sample_ds(sf_dir: str):
+    from deltaray.functions.partition import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return stratified_sample(ds, strata_col="source", frac=0.2,
+                             key_cols=["doc_id"], seed=7,
+                             num_partitions=8)
+
+
+def _stratified_sample_docs(sf_dir: str):
+    """Exact-size deterministic 20% sample per source (hash-ranked
+    membership is not SQL-expressible — rows-only; the counts twin
+    below carries the SQL oracle for the exact-size contract)."""
+    return _stratified_sample_ds(sf_dir)
+
+
+def _stratified_sample_counts(sf_dir: str):
+    """SQL-checkable stratified-sample invariant: the sample holds
+    EXACTLY ceil(0.2 * n_s) rows of every source stratum."""
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = pa.table({"source": batch["source"]}) \
+            .group_by(["source"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["source", "n_p"])
+
+    from ray.data.aggregate import Sum
+
+    agg = _stratified_sample_ds(sf_dir) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n_p", alias_name="n_sampled"))
+    return agg
+
+
 def _decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: training docs (doc_id % 25 != 0) that
     share NO 16-char shingle with the eval split (doc_id % 25 == 0).
@@ -958,6 +990,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": _minhash_dedup_docs,
         "ingest_gate_exact": _ingest_gate_exact,
         "decontaminate_docs": _decontaminate_docs,
+        "stratified_sample_docs": _stratified_sample_docs,
+        "stratified_sample_counts": _stratified_sample_counts,
         "ingest_gate_minhash": _ingest_gate_minhash,
         "simhash_docs": _simhash_docs,
         "embedding_neardup": _embedding_neardup,
@@ -1295,6 +1329,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(arg_min(tok, i) AS INT) AS tok_first,
                    CAST(arg_max(tok, i) AS INT) AS tok_last
             FROM b GROUP BY doc_id, chunk_id
+        """,
+        # stratified_sample_counts: the exact-size contract of the
+        # deterministic stratified sample (membership itself is
+        # hash-ranked — rows-only twin above).
+        "stratified_sample_counts": """
+            SELECT source, CAST(ceil(0.2 * count(*)) AS BIGINT) AS n_sampled
+            FROM documents GROUP BY source
         """,
         # decontaminate_docs: exact 16-char-shingle overlap vs the eval
         # split — hash membership in the engine, string membership here

@@ -165,6 +165,70 @@ def deterministic_shuffle(ds, key_cols: list[str], *, seed: int = 0,
                             num_partitions=num_partitions)
 
 
+def stratified_sample(ds, *, strata_col: str, frac: float,
+                      key_cols: list[str], seed: int = 0,
+                      num_partitions: int = 64):
+    """Exact-size deterministic stratified sample: from each stratum of
+    ``strata_col`` take ``ceil(frac * n_s)`` rows — the ones with the
+    smallest ``mix64(stable_hash(key) ^ seed)`` rank (ties broken by
+    key), so the choice is uniform-ish, reproducible across runs and
+    cluster shapes, and the per-stratum size is EXACT (unlike Bernoulli
+    sampling, whose stratum sizes fluctuate).
+
+    Two passes: (1) per-stratum counts via a per-batch partial reduced
+    on the driver (#strata is small — sources, languages, shards);
+    (2) per-batch combiner keeps each stratum's k_s best-ranked rows,
+    then one hash exchange by stratum finalizes — shuffle volume is
+    O(batches × Σ k_s), never the full dataset.
+    """
+    import math
+    from fractions import Fraction
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        agg = pa.table({strata_col: batch[strata_col]}) \
+            .group_by([strata_col]).aggregate([([], "count_all")])
+        return agg.rename_columns([strata_col, "n"])
+
+    counts: dict = {}
+    for b in ds.map_batches(partial_counts, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for s, n in zip(b[strata_col].to_pylist(), b["n"].to_pylist()):
+            counts[s] = counts.get(s, 0) + int(n)
+    # ceil under exact DECIMAL semantics (Fraction of the decimal
+    # literal), matching SQL ceil(frac * n) — float 0.2*15 rounds UP
+    f = Fraction(str(frac))
+    kmap = {s: min(n, math.ceil(f * n)) for s, n in counts.items()}
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = _mix64(_hash_cols(batch, key_cols) ^ np.uint64(seed))
+        return batch.append_column("__rank", pa.array(h.astype(np.int64)))
+
+    sort_spec = [(strata_col, "ascending"), ("__rank", "ascending"),
+                 *[(c, "ascending") for c in key_cols]]
+
+    def select_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return block
+        g = block.sort_by(sort_spec)
+        codes = group_codes(g, [strata_col])
+        _, first, n_per = np.unique(codes, return_index=True,
+                                    return_counts=True)
+        ks = np.array([kmap.get(v, 0) for v in
+                       g[strata_col].take(pa.array(first)).to_pylist()],
+                      dtype=np.int64)
+        take = np.minimum(n_per, ks)
+        starts = np.repeat(first, take)
+        within = np.arange(take.sum()) - np.repeat(
+            np.cumsum(take) - take, take)
+        return g.take(pa.array(starts + within))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow") \
+        .map_batches(select_block, batch_format="pyarrow")
+    out = hash_partitioned(tagged, [strata_col], select_block,
+                           num_partitions=num_partitions)
+    return out.drop_columns(["__rank"])
+
+
 def hash_split(ds, key_cols: list[str], *, frac: float, seed: int = 0,
                label_col: str = "split"):
     """Deterministic train/validation split by key hash: rows whose

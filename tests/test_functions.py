@@ -927,3 +927,35 @@ def test_decontaminate_semantics():
                         shingle_len=16, stats_out=stats).to_pandas()
     assert sorted(out["doc_id"].tolist()) == [2, 3]
     assert stats["eval_shingles"] > 0
+
+
+def test_stratified_sample_exact_and_deterministic():
+    """Per-stratum size is exactly ceil(frac*n_s); the sampled id set is
+    identical across block layouts and seeds change it."""
+    import ray.data
+
+    from deltaray.functions.partition import stratified_sample
+
+    rng = np.random.default_rng(3)
+    src = rng.choice(["a", "b", "c"], size=300, p=[0.5, 0.3, 0.2])
+    tbl = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                    "source": pa.array(src)})
+
+    def run(ds, seed=7):
+        out = stratified_sample(ds, strata_col="source", frac=0.25,
+                                key_cols=["doc_id"], seed=seed,
+                                num_partitions=4).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    one = run(ray.data.from_arrow(tbl))
+    # same data in many small blocks → identical sample (combiner-safe)
+    many = run(ray.data.from_arrow(
+        [tbl.slice(i, 17) for i in range(0, 300, 17)]))
+    assert one.equals(many)
+    import math
+    want = {s: math.ceil(0.25 * int((src == s).sum())) for s in "abc"}
+    got = one.groupby("source").size().to_dict()
+    assert got == want
+    other = run(ray.data.from_arrow(tbl), seed=8)
+    assert set(one["doc_id"]) != set(other["doc_id"])
+    assert got == other.groupby("source").size().to_dict()

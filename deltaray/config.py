@@ -79,6 +79,11 @@ class ReplayConfig:
     # O(changes).
     compact_every: int = 8
     batch_size: int = 16384        # map_batches batch size for transforms
+    # cap on object-ref args per merge/combine task in the exchange: when
+    # a chunk plans more map units than this, splits combine in a tree of
+    # concat tasks (O(log) levels) instead of one M-arg merge — task-spec
+    # size stays bounded at cluster scale (M ~ 4x cluster CPUs per chunk)
+    merge_fanin: int = 256
     vacuum: bool = True            # delete superseded COW files after commit
     generation: int = 0            # run generation; isolates recreated pipelines
                                    # (DeltaWorker.java:140-150)

@@ -73,20 +73,22 @@ def _split_by_part(block: pa.Table, num_partitions: int):
     return tuple(out) if num_partitions > 1 else out[0]
 
 
-def _merge_part(fn, *splits: pa.Table) -> pa.Table:
+def _concat_splits(*splits: pa.Table) -> pa.Table:
     nonempty = [s for s in splits if s.num_rows]
     if nonempty:
-        block = pa.concat_tables(nonempty, promote_options="default")
-    else:
-        # all-empty partition: hand fn a SCHEMA-FUL empty block (Ray
-        # canonicalizes empty blocks to zero columns; skip those)
-        with_schema = [s for s in splits if s.num_columns]
-        block = with_schema[0] if with_schema else splits[0]
-    return fn(block)
+        return pa.concat_tables(nonempty, promote_options="default")
+    # all-empty: keep a SCHEMA-FUL empty block alive (Ray canonicalizes
+    # empty blocks to zero columns; skip those)
+    with_schema = [s for s in splits if s.num_columns]
+    return with_schema[0] if with_schema else splits[0]
+
+
+def _merge_part(fn, *splits: pa.Table) -> pa.Table:
+    return fn(_concat_splits(*splits))
 
 
 def hash_partitioned(ds, key_cols: list[str], fn, *, num_partitions: int = 64,
-                     via: str = "tasks"):
+                     via: str = "tasks", merge_fanin: int | None = None):
     """Apply ``fn(block: pa.Table) -> pa.Table`` to complete hash
     partitions of the key space.  ``fn`` sees every row of every key that
     hashes into its partition (and nothing else) and must group
@@ -99,6 +101,17 @@ def hash_partitioned(ds, key_cols: list[str], fn, *, num_partitions: int = 64,
     sort of the rows, no Dataset all-to-all.  The result is re-wrapped
     with ``from_arrow_refs`` so downstream Dataset ops keep chaining.
     ``via="sort"`` falls back to the pure-Dataset groupby exchange.
+
+    ``merge_fanin`` caps how many upstream splits any single merge task
+    takes as arguments.  The flat exchange hands each partition's merge
+    ONE task with M args (M = upstream block count) — fine at thousands
+    of blocks, but at 100 TB M is ~10^5-10^6 and a task spec with that
+    many object refs breaks long before the data does.  With a fan-in
+    cap the splits are combined in a tree of concat-only tasks (each
+    ≤ fanin args, O(log_fanin M) levels) and ``fn`` runs once at the
+    root, so per-task arg count and driver task-spec size stay bounded
+    regardless of M.  Set it (e.g. 64) when the input has more than a
+    few thousand blocks; leave None for the flat single-level merge.
     """
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -127,10 +140,15 @@ def hash_partitioned(ds, key_cols: list[str], fn, *, num_partitions: int = 64,
         parts = [[p] for p in parts]
     fn_ref = ray.put(fn)
     merge = ray.remote(_merge_part)
-    outs = [
-        merge.remote(fn_ref, *[parts[b][p] for b in range(len(parts))])
-        for p in range(num_partitions)
-    ]
+    combine = ray.remote(_concat_splits)
+    outs = []
+    for p in range(num_partitions):
+        refs = [parts[b][p] for b in range(len(parts))]
+        if merge_fanin is not None:
+            while len(refs) > merge_fanin:
+                refs = [combine.remote(*refs[i:i + merge_fanin])
+                        for i in range(0, len(refs), merge_fanin)]
+        outs.append(merge.remote(fn_ref, *refs))
     return ray.data.from_arrow_refs(outs)
 
 

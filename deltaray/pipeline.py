@@ -158,6 +158,17 @@ def _merge_shard(merge_fn, *tables):
     return merge_fn(pa.concat_tables(tabs, promote_options="none"))
 
 
+def _combine_splits(*tables):
+    """Tree-merge inner node: concat a bounded group of one shard's
+    splits (None = empty split, propagated)."""
+    import pyarrow as pa
+
+    tabs = [t for t in tables if t is not None and t.num_rows]
+    if not tabs:
+        return None
+    return pa.concat_tables(tabs, promote_options="none")
+
+
 @dataclass
 class Segment:
     path: str
@@ -469,10 +480,15 @@ class ReplaySession:
         if n_shards == 1:  # num_returns=1 yields a bare ref, not a tuple
             parts = [[p] for p in parts]
         merge_task = ray.remote(_merge_shard)
-        out = [
-            merge_task.remote(merge, *[parts[b][s] for b in range(len(parts))])
-            for s in range(n_shards)
-        ]
+        combine = ray.remote(_combine_splits)
+        fanin = max(2, int(getattr(self.cfg, "merge_fanin", 256) or 256))
+        out = []
+        for s in range(n_shards):
+            refs = [parts[b][s] for b in range(len(parts))]
+            while len(refs) > fanin:
+                refs = [combine.remote(*refs[i:i + fanin])
+                        for i in range(0, len(refs), fanin)]
+            out.append(merge_task.remote(merge, *refs))
         lineage: list[dict] = []
         for tbl in ray.get(out):
             lineage.extend(tbl.to_pylist())

@@ -959,3 +959,31 @@ def test_stratified_sample_exact_and_deterministic():
     other = run(ray.data.from_arrow(tbl), seed=8)
     assert set(one["doc_id"]) != set(other["doc_id"])
     assert got == other.groupby("source").size().to_dict()
+
+
+def test_hash_partitioned_tree_merge_matches_flat():
+    """A fan-in-capped (tree) merge produces exactly the flat exchange's
+    result, including schema-ful empty partitions, across multiple
+    combine levels (fanin=2 over 20 blocks -> 5 levels)."""
+    import ray.data
+
+    from deltaray.functions.partition import (hash_partitioned,
+                                              take_first_per_key)
+
+    rng = np.random.default_rng(11)
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 40, size=400), pa.int64()),
+        "v": pa.array(rng.integers(0, 10**6, size=400), pa.int64()),
+    })
+    blocks = [tbl.slice(i, 20) for i in range(0, 400, 20)]
+
+    def first_per_key(block: pa.Table) -> pa.Table:
+        return take_first_per_key(block, ["k", "v"])
+
+    def run(**kw):
+        out = hash_partitioned(ray.data.from_arrow(blocks), ["k"],
+                               first_per_key, num_partitions=7, **kw)
+        return out.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+
+    assert run().equals(run(merge_fanin=2))
+    assert run().equals(run(merge_fanin=64))  # cap above M: flat path

@@ -16,6 +16,7 @@ from deltaray.functions.cdc_queries import (
 )
 from deltaray.functions.dedup import (
     connected_components,
+    decontaminate,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_dedup_docs,
@@ -24,23 +25,30 @@ from deltaray.functions.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from deltaray.functions.ingest_gate import ExactIngestGate, MinHashIngestGate
 from deltaray.functions.joins import (asof_join, broadcast_enrich,
                                       hash_join, range_join, semi_join)
 from deltaray.functions.knn import (knn_bruteforce, knn_ivf,
                                     train_centroids, train_centroids_ds)
 from deltaray.functions.partition import (deterministic_shuffle, group_codes,
-                                          hash_partitioned, hash_split)
+                                          hash_partitioned, hash_split,
+                                          stratified_sample)
 from deltaray.functions.stats import (approx_distinct, exact_percentiles,
                                       grouped_percentiles, heavy_hitters)
-from deltaray.functions.text import pack_sequences, token_topk, winnow_batch
+from deltaray.functions.text import (chunk_sequences, pack_sequences,
+                                     token_topk, winnow_batch)
 
 __all__ = [
     "apply_change_stream",
     "approx_distinct",
     "asof_join",
     "broadcast_enrich",
+    "chunk_sequences",
     "connected_components",
+    "decontaminate",
     "deterministic_shuffle",
+    "ExactIngestGate",
+    "MinHashIngestGate",
     "embedding_neardup_pairs",
     "exact_dedup",
     "exact_percentiles",
@@ -63,6 +71,7 @@ __all__ = [
     "sessionize",
     "sliding_window_agg",
     "simhash_pairs",
+    "stratified_sample",
     "token_topk",
     "top_k_per_key",
     "train_centroids",

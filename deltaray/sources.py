@@ -39,7 +39,8 @@ def _conform(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
 
 def normalize_jsonl_log(src: str, out_dir: str, table_schema: TableSchema,
                         segment_max_events: int = 1_000_000,
-                        assume_sorted: bool = False) -> dict:
+                        assume_sorted: bool = False,
+                        local_sort: bool = False) -> dict:
     """Convert a directory (or glob) of JSONL change-event shards into the
     engine's Parquet event-log layout; returns the manifest.
 
@@ -54,13 +55,14 @@ def normalize_jsonl_log(src: str, out_dir: str, table_schema: TableSchema,
     ds = ray.data.read_json(paths)
     return _write_segments(ds, out_dir, table_schema, segment_max_events,
                            source_format="jsonl", src=src,
-                           assume_sorted=assume_sorted)
+                           assume_sorted=assume_sorted, local_sort=local_sort)
 
 
 def normalize_csv_log(src: str, out_dir: str, table_schema: TableSchema,
                       segment_max_events: int = 1_000_000,
                       list_cols: tuple = ("tokens", "prev_tokens"),
-                      assume_sorted: bool = False) -> dict:
+                      assume_sorted: bool = False,
+                      local_sort: bool = False) -> dict:
     """Same contract for CSV shards.  List-typed payload columns (e.g.
     ``tokens``) must be JSON-encoded strings in the CSV; they are parsed
     back into Arrow lists during normalization."""
@@ -82,13 +84,14 @@ def normalize_csv_log(src: str, out_dir: str, table_schema: TableSchema,
                                               batch_format="pyarrow")
     return _write_segments(ds, out_dir, table_schema, segment_max_events,
                            source_format="csv", src=src,
-                           assume_sorted=assume_sorted)
+                           assume_sorted=assume_sorted, local_sort=local_sort)
 
 
 def normalize_parquet_log(src: str, out_dir: str, table_schema: TableSchema,
                           segment_max_events: int = 1_000_000,
                           column_map: dict[str, str] | None = None,
-                          assume_sorted: bool = False) -> dict:
+                          assume_sorted: bool = False,
+                          local_sort: bool = False) -> dict:
     """Same contract for foreign Parquet shards: an optional
     ``column_map`` ({source_name: engine_name}) renames source-native
     columns into the engine's event-log schema before segmenting —
@@ -105,7 +108,7 @@ def normalize_parquet_log(src: str, out_dir: str, table_schema: TableSchema,
         ds = ds.map_batches(rename, batch_format="pyarrow")
     return _write_segments(ds, out_dir, table_schema, segment_max_events,
                            source_format="parquet", src=src,
-                           assume_sorted=assume_sorted)
+                           assume_sorted=assume_sorted, local_sort=local_sort)
 
 
 def _shards(src: str, pattern: str) -> list[str]:
@@ -118,7 +121,8 @@ def _shards(src: str, pattern: str) -> list[str]:
 
 def _write_segments(ds, out_dir: str, table_schema: TableSchema,
                     segment_max_events: int, *, source_format: str,
-                    src: str, assume_sorted: bool = False) -> dict:
+                    src: str, assume_sorted: bool = False,
+                    local_sort: bool = False) -> dict:
     """Distributed segment sink: after the (distributed) ``sort("seq")``,
     every ~``segment_max_events``-row batch is written to its own Parquet
     segment BY THE MAP TASK that holds it — rows never stream through the
@@ -141,6 +145,8 @@ def _write_segments(ds, out_dir: str, table_schema: TableSchema,
     def write_one(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return manifest_schema.empty_table()
+        if local_sort:
+            batch = batch.sort_by("seq")
         tbl = _conform(batch, log_schema)
         lo = int(pc.min(tbl["seq"]).as_py())
         hi = int(pc.max(tbl["seq"]).as_py())
@@ -165,7 +171,17 @@ def _write_segments(ds, out_dir: str, table_schema: TableSchema,
     # even when mis-declared: replay filters by seq range at read time,
     # overlapping segment ranges only loosen row-group pruning, never
     # correctness.
-    ordered = ds if assume_sorted else ds.sort("seq")
+    # ``local_sort`` drops the exchange entirely for 100-TB foreign
+    # logs: each batch sorts by seq LOCALLY and writes its own segment,
+    # so normalization is a pure streaming map with zero shuffle.  The
+    # resulting segment seq ranges may overlap across shards — replay
+    # filters every read by seq range, so overlap only loosens row-group
+    # pruning (read amplification bounded by how well the source shards
+    # correlate with seq), never correctness (plan_chunks boundaries
+    # bisecting a segment just read it from both chunks with disjoint
+    # filters).  Use for roughly-seq-ordered shards; fall back to the
+    # global sort when shards interleave seq ranges adversarially.
+    ordered = ds if (assume_sorted or local_sort) else ds.sort("seq")
     seg_rows = ordered.map_batches(
         write_one, batch_format="pyarrow", batch_size=segment_max_events
     ).take_all()  # tiny: one row per written segment

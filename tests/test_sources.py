@@ -241,3 +241,35 @@ def test_normalize_assume_sorted_skips_global_sort(tmp_path, tmp_lake,
     ok, msg = tables_equal(read_table(tmp_lake, "docs"),
                            replay_oracle(cfg)["docs"])
     assert ok, msg
+
+
+def test_normalize_local_sort_overlapping_segments(tmp_path, ray_session):
+    """local_sort normalization writes segments with OVERLAPPING seq
+    ranges (no global sort, zero shuffle); replay still equals the
+    oracle because every read filters by seq range — chunk boundaries
+    bisecting a segment read it from both sides with disjoint filters."""
+    raw = str(tmp_path / "raw")
+    jsonl = str(tmp_path / "jsonl")
+    norm = str(tmp_path / "norm")
+    lake = str(tmp_path / "lake")
+    write_event_log(raw, n_docs=120, n_events=1200, seed=52)
+    # round-robin scatter → every shard spans nearly the full seq range
+    _parquet_log_to_jsonl(raw, jsonl)
+    m = normalize_jsonl_log(jsonl, norm, default_table_schema(),
+                            segment_max_events=300, local_sort=True)
+    segs = sorted(m["segments"], key=lambda s: s["seq_lo"])
+    assert len(segs) >= 2
+    overlaps = any(a["seq_hi"] >= b["seq_lo"]
+                   for a, b in zip(segs, segs[1:]))
+    assert overlaps, "round-robin shards should yield overlapping segments"
+    # rows are seq-sorted WITHIN each segment (row-group pruning intact)
+    t0 = pq.read_table(segs[0]["path"], columns=["seq"])
+    s0 = t0["seq"].to_numpy()
+    assert (s0[1:] >= s0[:-1]).all()
+    cfg = ReplayConfig(event_log=norm, lake=lake, num_partitions=4,
+                       chunk_max_events=400)
+    replay(cfg)
+    ocfg = ReplayConfig(event_log=raw, lake=lake + "-x", num_partitions=4)
+    ok, msg = tables_equal(read_table(lake, "docs"),
+                           replay_oracle(ocfg)["docs"])
+    assert ok, msg

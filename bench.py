@@ -107,6 +107,10 @@ def bench_queries() -> dict:
         "orders_customer_join",
         "corpus_clean_docs",
         "pack_docs_sequences",
+        "chunk_docs_sequences",
+        "decontaminate_docs",
+        "stratified_sample_docs",
+        "ingest_gate_exact",
     ]
     qs = m.queries()
     for name in picks:

@@ -93,7 +93,8 @@ def cmd_normalize(a) -> int:
     fn = {"jsonl": normalize_jsonl_log, "csv": normalize_csv_log,
           "parquet": normalize_parquet_log}[a.format]
     m = fn(a.src, a.out, default_table_schema(a.table),
-           segment_max_events=a.segment_events)
+           segment_max_events=a.segment_events,
+           assume_sorted=a.assume_sorted, local_sort=a.local_sort)
     print(json.dumps({"segments": len(m["segments"]),
                       "max_seq": m["max_seq"]}))
     return 0
@@ -188,6 +189,12 @@ def main(argv=None) -> int:
     no.add_argument("--out", required=True)
     no.add_argument("--table", default="docs")
     no.add_argument("--segment-events", type=int, default=1_000_000)
+    no.add_argument("--assume-sorted", action="store_true",
+                    help="shards are already globally seq-ordered; skip "
+                         "the sort entirely")
+    no.add_argument("--local-sort", action="store_true",
+                    help="sort within each segment only (zero-shuffle "
+                         "normalization; segment seq ranges may overlap)")
     no.set_defaults(fn=cmd_normalize)
 
     bo = sub.add_parser("bootstrap")

@@ -73,6 +73,39 @@ def _split_by_part(block: pa.Table, num_partitions: int):
     return tuple(out) if num_partitions > 1 else out[0]
 
 
+def _split_super(block: pa.Table, n_groups: int, span: int):
+    """Level-1 split of the two-level exchange: bucket rows by
+    SUPER-partition (``__part // span``), keeping ``__part`` for the
+    level-2 refinement."""
+    if "__part" not in block.column_names:
+        empty = block.slice(0, 0)
+        return (tuple(empty for _ in range(n_groups))
+                if n_groups > 1 else empty)
+    sup = block["__part"].to_numpy(zero_copy_only=False) // span
+    out = tuple(block.filter(pa.array(sup == g)) for g in range(n_groups))
+    return out if n_groups > 1 else out[0]
+
+
+def _split_refine(lo: int, n_parts: int, *supers: pa.Table):
+    """Level-2: concat a bounded group of one super-partition's splits,
+    then split into its final partitions ``[lo, lo + n_parts)``."""
+    tabs = [s for s in supers if s.num_rows]
+    if not tabs:
+        with_schema = [s for s in supers if s.num_columns]
+        base = with_schema[0] if with_schema else supers[0]
+        if "__part" in base.column_names:
+            base = base.drop_columns(["__part"])
+        empty = base.slice(0, 0)
+        return (tuple(empty for _ in range(n_parts))
+                if n_parts > 1 else empty)
+    t = pa.concat_tables(tabs, promote_options="default")
+    part = t["__part"].to_numpy(zero_copy_only=False)
+    body = t.drop_columns(["__part"])
+    out = tuple(body.filter(pa.array(part == lo + i))
+                for i in range(n_parts))
+    return out if n_parts > 1 else out[0]
+
+
 def _concat_splits(*splits: pa.Table) -> pa.Table:
     nonempty = [s for s in splits if s.num_rows]
     if nonempty:
@@ -88,7 +121,8 @@ def _merge_part(fn, *splits: pa.Table) -> pa.Table:
 
 
 def hash_partitioned(ds, key_cols: list[str], fn, *, num_partitions: int = 64,
-                     via: str = "tasks", merge_fanin: int | None = None):
+                     via: str = "tasks", merge_fanin: int | None = None,
+                     split_groups: int | None = None):
     """Apply ``fn(block: pa.Table) -> pa.Table`` to complete hash
     partitions of the key space.  ``fn`` sees every row of every key that
     hashes into its partition (and nothing else) and must group
@@ -112,6 +146,23 @@ def hash_partitioned(ds, key_cols: list[str], fn, *, num_partitions: int = 64,
     root, so per-task arg count and driver task-spec size stay bounded
     regardless of M.  Set it (e.g. 64) when the input has more than a
     few thousand blocks; leave None for the flat single-level merge.
+
+    ``split_groups`` bounds the DRIVER'S ref matrix the same way.  The
+    single-level split holds M×P object refs on the driver (every map
+    block × every partition) — at 10^5-10^6 blocks and thousands of
+    partitions that is 10^8-10^9 refs, gigabytes of driver heap before
+    any data moves.  With ``split_groups=G`` each map block splits into
+    G SUPER-partitions first (M×G refs), and per super-partition,
+    bounded groups of ≤ merge_fanin super-splits refine into the final
+    partitions (≈ M×P/fanin refs) — a G + fanin-fold reduction, at the
+    cost of payload rows crossing the object store twice.  Leave None
+    (single pass, minimum data movement) until M×P threatens driver
+    memory; G ≈ sqrt(P) is a good default then.
+
+    Intra-partition ROW ORDER differs between the flat, tree-merge and
+    two-level paths (splits concatenate in different groupings) — fine
+    for any valid ``fn``, which must already group internally and be
+    insensitive to arrival order (LWW reductions, sorts, factorize).
     """
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -134,21 +185,45 @@ def hash_partitioned(ds, key_cols: list[str], fn, *, num_partitions: int = 64,
     ]
     if not block_refs:
         return tagged.drop_columns(["__part"])
-    split = ray.remote(num_returns=num_partitions)(_split_by_part)
-    parts = [split.remote(b, num_partitions) for b in block_refs]
-    if num_partitions == 1:  # num_returns=1 yields a bare ref, not a tuple
-        parts = [[p] for p in parts]
     fn_ref = ray.put(fn)
     merge = ray.remote(_merge_part)
     combine = ray.remote(_concat_splits)
-    outs = []
-    for p in range(num_partitions):
-        refs = [parts[b][p] for b in range(len(parts))]
+
+    def tree_merge(refs):
         if merge_fanin is not None:
             while len(refs) > merge_fanin:
                 refs = [combine.remote(*refs[i:i + merge_fanin])
                         for i in range(0, len(refs), merge_fanin)]
-        outs.append(merge.remote(fn_ref, *refs))
+        return merge.remote(fn_ref, *refs)
+
+    if split_groups is not None and num_partitions > 1:
+        span = -(-num_partitions // min(split_groups, num_partitions))
+        G = -(-num_partitions // span)
+        fanin = merge_fanin or 64
+        l1 = ray.remote(num_returns=G)(_split_super)
+        supers = [l1.remote(b, G, span) for b in block_refs]
+        if G == 1:
+            supers = [[s] for s in supers]
+        outs = [None] * num_partitions
+        for g in range(G):
+            lo = g * span
+            n_parts = min(span, num_partitions - lo)
+            refs_g = [supers[b][g] for b in range(len(supers))]
+            l2 = ray.remote(num_returns=n_parts)(_split_refine)
+            l2outs = [l2.remote(lo, n_parts, *refs_g[i:i + fanin])
+                      for i in range(0, len(refs_g), fanin)]
+            if n_parts == 1:
+                l2outs = [[o] for o in l2outs]
+            for j in range(n_parts):
+                outs[lo + j] = tree_merge([o[j] for o in l2outs])
+        return ray.data.from_arrow_refs(outs)
+
+    split = ray.remote(num_returns=num_partitions)(_split_by_part)
+    parts = [split.remote(b, num_partitions) for b in block_refs]
+    if num_partitions == 1:  # num_returns=1 yields a bare ref, not a tuple
+        parts = [[p] for p in parts]
+    outs = [tree_merge([parts[b][p] for b in range(len(parts))])
+            for p in range(num_partitions)]
     return ray.data.from_arrow_refs(outs)
 
 

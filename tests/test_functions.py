@@ -987,3 +987,35 @@ def test_hash_partitioned_tree_merge_matches_flat():
 
     assert run().equals(run(merge_fanin=2))
     assert run().equals(run(merge_fanin=64))  # cap above M: flat path
+
+
+def test_hash_partitioned_two_level_split_matches_flat():
+    """The super-partition (two-level) split yields exactly the flat
+    exchange's result for G dividing P, G not dividing P, G=1, G>=P,
+    and with a merge fan-in cap stacked on top."""
+    import ray.data
+
+    from deltaray.functions.partition import (hash_partitioned,
+                                              take_first_per_key)
+
+    rng = np.random.default_rng(13)
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 50, size=500), pa.int64()),
+        "v": pa.array(rng.integers(0, 10**6, size=500), pa.int64()),
+    })
+    blocks = [tbl.slice(i, 25) for i in range(0, 500, 25)]
+
+    def first_per_key(block: pa.Table) -> pa.Table:
+        return take_first_per_key(block, ["k", "v"])
+
+    def run(**kw):
+        out = hash_partitioned(ray.data.from_arrow(blocks), ["k"],
+                               first_per_key, num_partitions=10, **kw)
+        return out.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+
+    flat = run()
+    assert flat.equals(run(split_groups=5))          # G divides P
+    assert flat.equals(run(split_groups=3))          # span=4, G=3 ragged
+    assert flat.equals(run(split_groups=1))          # degenerate: one super
+    assert flat.equals(run(split_groups=100))        # G clamped to P
+    assert flat.equals(run(split_groups=3, merge_fanin=2))

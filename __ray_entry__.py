@@ -322,6 +322,16 @@ def _stratified_sample_counts(sf_dir: str):
     return agg
 
 
+def _repetition_docs(sf_dir: str):
+    """Within-doc duplicate-8-gram fraction (boilerplate/spam signal);
+    exact SQL oracle over the same character n-grams."""
+    from deltaray.functions.text import repetition_score_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(repetition_score_batch,
+                          batch_format="pyarrow").drop_columns(["text"])
+
+
 def _decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: training docs (doc_id % 25 != 0) that
     share NO 16-char shingle with the eval split (doc_id % 25 == 0).
@@ -990,6 +1000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": _minhash_dedup_docs,
         "ingest_gate_exact": _ingest_gate_exact,
         "decontaminate_docs": _decontaminate_docs,
+        "repetition_docs": _repetition_docs,
         "stratified_sample_docs": _stratified_sample_docs,
         "stratified_sample_counts": _stratified_sample_counts,
         "ingest_gate_minhash": _ingest_gate_minhash,
@@ -1329,6 +1340,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(arg_min(tok, i) AS INT) AS tok_first,
                    CAST(arg_max(tok, i) AS INT) AS tok_last
             FROM b GROUP BY doc_id, chunk_id
+        """,
+        # repetition_docs: duplicate-8-gram fraction per doc; 64-bit
+        # shingle-hash collisions vs SQL's exact strings are ~n²/2^64.
+        "repetition_docs": """
+            WITH g AS (
+                SELECT doc_id, substring(text, CAST(i AS INT), 8) AS s
+                FROM documents,
+                     unnest(range(1, length(text) - 8 + 2)) AS t(i)),
+            agg AS (
+                SELECT doc_id, count(*) AS total_ngrams,
+                       count(DISTINCT s) AS distinct_ngrams
+                FROM g GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.total_ngrams, 0) AS total_ngrams,
+                   COALESCE(a.distinct_ngrams, 0) AS distinct_ngrams,
+                   CASE WHEN a.total_ngrams > 0
+                        THEN 1.0 - a.distinct_ngrams * 1.0 / a.total_ngrams
+                        ELSE 0.0 END AS dup_ngram_frac
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         # stratified_sample_counts: the exact-size contract of the
         # deterministic stratified sample (membership itself is

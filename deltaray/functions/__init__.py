@@ -36,7 +36,8 @@ from deltaray.functions.partition import (deterministic_shuffle, group_codes,
 from deltaray.functions.stats import (approx_distinct, exact_percentiles,
                                       grouped_percentiles, heavy_hitters)
 from deltaray.functions.text import (chunk_sequences, pack_sequences,
-                                     token_topk, winnow_batch)
+                                     repetition_score_batch, token_topk,
+                                     winnow_batch)
 
 __all__ = [
     "apply_change_stream",
@@ -67,6 +68,7 @@ __all__ = [
     "pack_sequences",
     "ngram_jaccard_pairs",
     "range_join",
+    "repetition_score_batch",
     "semi_join",
     "sessionize",
     "sliding_window_agg",

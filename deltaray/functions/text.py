@@ -225,6 +225,37 @@ def pack_sequences(ds, *, max_len: int, id_col: str = "doc_id",
                             num_partitions=num_partitions)
 
 
+def repetition_score_batch(batch: pa.Table, text_col: str = "text",
+                           k: int = 8) -> pa.Table:
+    """Within-document repetition signal (the duplicate-n-gram-fraction
+    family of quality heuristics from published LM data-curation work):
+    per doc, the fraction of character ``k``-gram occurrences that are
+    repeats of an earlier occurrence — ``1 - distinct/total``.  High
+    values flag boilerplate/spam/template text.  Docs shorter than
+    ``k`` score 0 over 0 n-grams.
+
+    Stateless map-only stage (no shuffle); per-doc n-grams hash via the
+    same sliding-window kernel as the dedup shinglers, distinct counts
+    via one np.unique per doc.
+    """
+    from deltaray.functions.dedup import _shingle_hashes
+
+    texts = batch[text_col].to_pylist()
+    total = np.zeros(len(texts), dtype=np.int64)
+    distinct = np.zeros(len(texts), dtype=np.int64)
+    for i, (t, h) in enumerate(zip(texts, _shingle_hashes(texts, k))):
+        if len(t or "") < k:
+            continue
+        total[i] = len(h)
+        distinct[i] = len(np.unique(h))
+    dup = np.zeros(len(texts), dtype=np.float64)
+    nz = total > 0
+    dup[nz] = 1.0 - distinct[nz] / total[nz]
+    return (batch.append_column("total_ngrams", pa.array(total))
+                 .append_column("distinct_ngrams", pa.array(distinct))
+                 .append_column("dup_ngram_frac", pa.array(dup)))
+
+
 def chunk_sequences(ds, *, max_len: int, id_col: str = "doc_id",
                     tokens_col: str = "tokens", with_stats: bool = False):
     """Split each document's token array into consecutive training

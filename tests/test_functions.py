@@ -1019,3 +1019,20 @@ def test_hash_partitioned_two_level_split_matches_flat():
     assert flat.equals(run(split_groups=1))          # degenerate: one super
     assert flat.equals(run(split_groups=100))        # G clamped to P
     assert flat.equals(run(split_groups=3, merge_fanin=2))
+
+
+def test_repetition_score_edges():
+    from deltaray.functions.text import repetition_score_batch
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "abababababababab",   # k=8 grams all drawn from 2 distinct
+            "short",              # < 8 chars: 0 ngrams, frac 0
+            "abcdefghijklmnop",   # all distinct
+        ]),
+    })
+    out = repetition_score_batch(tbl).to_pandas()
+    assert out["total_ngrams"].tolist() == [9, 0, 9]
+    assert out["distinct_ngrams"].tolist() == [2, 0, 9]
+    assert out["dup_ngram_frac"].tolist() == [1.0 - 2 / 9, 0.0, 0.0]

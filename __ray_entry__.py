@@ -777,6 +777,17 @@ def _chunk_docs_sequences(sf_dir: str):
     return out.drop_columns(["tokens"])
 
 
+def _chunk_docs_sliding(sf_dir: str):
+    """Sliding-window chunking (64-token windows every 32 tokens) for
+    long-document eval; same scalar-stats SQL oracle as the tiled
+    variant."""
+    from deltaray.functions.text import chunk_sequences
+
+    ds = _pack_tokens_ds(sf_dir)
+    out = chunk_sequences(ds, max_len=64, stride=32, with_stats=True)
+    return out.drop_columns(["tokens"])
+
+
 def _pack_docs_sequences(sf_dir: str):
     """LM-pretraining sequence packing — per-pack rows (order-dependent
     pack membership: rows-only; the invariants twin below carries the
@@ -1021,6 +1032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_source": _top_docs_per_source,
         "pack_docs_sequences": _pack_docs_sequences,
         "chunk_docs_sequences": _chunk_docs_sequences,
+        "chunk_docs_sliding": _chunk_docs_sliding,
         "pack_docs_invariants": _pack_docs_invariants,
         "split_docs_invariants": _split_docs_invariants,
         "approx_distinct_check": _approx_distinct_check,
@@ -1385,6 +1397,30 @@ def oracle_sql() -> dict[str, str]:
                                IN (SELECT s FROM eg))
             SELECT doc_id, source FROM train
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        # chunk_docs_sliding: 64-byte-token windows every 32; window c
+        # exists while c*32 < len and covers positions (c*32, c*32+64].
+        "chunk_docs_sliding": """
+            WITH b AS (
+                SELECT doc_id, i,
+                       unicode(substring(text, CAST(i AS INT), 1)) AS tok
+                FROM documents,
+                     unnest(range(1, length(text) + 1)) AS t(i)),
+            w AS (
+                SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+                       c * 32 AS lo
+                FROM (SELECT doc_id, length(text) AS len FROM documents),
+                     unnest(range(0, (len + 31) // 32)) AS t(c))
+            SELECT w.doc_id, w.chunk_id,
+                   CAST(count(*) AS INT) AS n_tok,
+                   CAST(sum(tok) AS BIGINT) AS tok_sum,
+                   CAST(min(tok) AS INT) AS tok_min,
+                   CAST(max(tok) AS INT) AS tok_max,
+                   CAST(arg_min(tok, i) AS INT) AS tok_first,
+                   CAST(arg_max(tok, i) AS INT) AS tok_last
+            FROM w JOIN b ON w.doc_id = b.doc_id
+                         AND b.i > w.lo AND b.i <= w.lo + 64
+            GROUP BY w.doc_id, w.chunk_id
         """,
         # ingest_gate_exact: the greedy-temporal gate over a two-epoch
         # parity stream is pure SQL — epoch-1 admits = min-id per text

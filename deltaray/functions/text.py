@@ -256,26 +256,36 @@ def repetition_score_batch(batch: pa.Table, text_col: str = "text",
                  .append_column("dup_ngram_frac", pa.array(dup)))
 
 
-def chunk_sequences(ds, *, max_len: int, id_col: str = "doc_id",
-                    tokens_col: str = "tokens", with_stats: bool = False):
-    """Split each document's token array into consecutive training
-    chunks of at most ``max_len`` tokens (the LM context-window
-    chunking pass; pack_sequences' complement for OVER-long docs).
+def chunk_sequences(ds, *, max_len: int, stride: int | None = None,
+                    id_col: str = "doc_id", tokens_col: str = "tokens",
+                    with_stats: bool = False):
+    """Split each document's token array into training chunks of at
+    most ``max_len`` tokens (the LM context-window chunking pass;
+    pack_sequences' complement for OVER-long docs).
 
-    Chunk ``c`` of a doc holds tokens ``[c*max_len, (c+1)*max_len)``;
-    nothing is dropped or padded, so Σ n_tok over chunks == Σ tokens
-    over docs exactly.  A doc with zero tokens yields zero chunks.
+    Chunk ``c`` of a doc starts at token ``c*stride`` (``stride``
+    defaults to ``max_len`` — disjoint tiling) and holds
+    ``min(max_len, n - c*stride)`` tokens; chunks exist while their
+    start is inside the doc.  ``stride < max_len`` gives the
+    overlapping sliding windows used for long-document eval /
+    continued-pretraining; with the default tiling nothing is dropped
+    or padded, so Σ n_tok over chunks == Σ tokens over docs exactly.
+    A doc with zero tokens yields zero chunks.
 
-    Embarrassingly parallel — a pure per-batch transform, NO shuffle:
-    chunk boundaries refine doc boundaries, so the output ListArray
-    reuses the input's flat values buffer zero-copy with a denser
-    offsets vector.  At 100 TB this stage is pure streaming map work.
+    Embarrassingly parallel — a pure per-batch transform, NO shuffle.
+    With the default tiling, chunk boundaries refine doc boundaries,
+    so the output ListArray reuses the input's flat values buffer
+    zero-copy with a denser offsets vector; overlapping windows
+    necessarily gather (output tokens > input tokens), still one
+    vectorized take.  At 100 TB this stage is pure streaming map work.
 
     Output rows: (id, chunk_id, tokens:list<int32>, n_tok) plus, with
     ``with_stats=True``, per-chunk (tok_sum, tok_min, tok_max,
     tok_first, tok_last) scalar columns (SQL-oracle checkable without
     hashing list columns).
     """
+    step = max_len if stride is None else int(stride)
+    assert step >= 1
 
     def chunk_block(batch: pa.Table) -> pa.Table:
         toks = batch[tokens_col]
@@ -303,7 +313,7 @@ def chunk_sequences(ds, *, max_len: int, id_col: str = "doc_id",
             return empty
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        n_chunks = -(-lens // max_len)  # ceil; 0-token docs get 0 chunks
+        n_chunks = -(-lens // step)  # ceil; 0-token docs get 0 chunks
         total = int(n_chunks.sum())
         if total == 0:
             return empty
@@ -311,14 +321,30 @@ def chunk_sequences(ds, *, max_len: int, id_col: str = "doc_id",
         cum = np.concatenate([[0], np.cumsum(n_chunks)])
         ords = np.arange(total) - cum[doc_ix]
         doc_off = np.concatenate([[0], np.cumsum(lens)])
-        starts = doc_off[doc_ix] + ords * max_len
+        starts = doc_off[doc_ix] + ords * step
         ends = np.minimum(starts + max_len, doc_off[doc_ix + 1])
         flat = toks.flatten()
         if flat.type != pa.int32():
             flat = flat.cast(pa.int32())
-        offsets = pa.array(np.append(starts, doc_off[-1]).astype(np.int64))
-        chunks = pa.LargeListArray.from_arrays(offsets, flat) \
-            .cast(pa.list_(pa.int32()))
+        if step == max_len:
+            # tiling: chunk boundaries refine doc boundaries — reuse the
+            # flat buffer zero-copy with a denser offsets vector
+            offsets = pa.array(np.append(starts, doc_off[-1]).astype(np.int64))
+            chunks = pa.LargeListArray.from_arrays(offsets, flat) \
+                .cast(pa.list_(pa.int32()))
+        else:
+            # overlap/gap: one vectorized gather of the window tokens
+            clens = ends - starts
+            within = (np.arange(int(clens.sum()))
+                      - np.repeat(np.cumsum(clens) - clens, clens))
+            idx = np.repeat(starts, clens) + within
+            flat = flat.take(pa.array(idx))
+            offsets = pa.array(
+                np.concatenate([[0], np.cumsum(clens)]).astype(np.int64))
+            chunks = pa.LargeListArray.from_arrays(offsets, flat) \
+                .cast(pa.list_(pa.int32()))
+            starts = np.concatenate([[0], np.cumsum(clens)])[:-1]
+            ends = starts + clens
         out = {
             id_col: ids.take(pa.array(doc_ix)),
             "chunk_id": pa.array(ords.astype(np.int64)),

@@ -1036,3 +1036,27 @@ def test_repetition_score_edges():
     assert out["total_ngrams"].tolist() == [9, 0, 9]
     assert out["distinct_ngrams"].tolist() == [2, 0, 9]
     assert out["dup_ngram_frac"].tolist() == [1.0 - 2 / 9, 0.0, 0.0]
+
+
+def test_chunk_sequences_sliding_windows():
+    """stride < max_len yields overlapping windows: starts at every
+    stride multiple inside the doc, each min(max_len, n-start) long."""
+    import ray.data
+
+    from deltaray.functions.text import chunk_sequences
+
+    toks = [list(range(10)), [7], []]
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+    })
+    out = chunk_sequences(ray.data.from_arrow(tbl), max_len=6, stride=4,
+                          with_stats=True).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert out["doc_id"].tolist() == [0, 0, 0, 1]
+    assert [list(t) for t in out["tokens"]] == [
+        [0, 1, 2, 3, 4, 5], [4, 5, 6, 7, 8, 9], [8, 9], [7]]
+    assert out["n_tok"].tolist() == [6, 6, 2, 1]
+    assert out["tok_sum"].tolist() == [15, 39, 17, 7]
+    assert out["tok_first"].tolist() == [0, 4, 8, 7]
+    assert out["tok_last"].tolist() == [5, 9, 9, 7]

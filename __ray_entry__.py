@@ -1111,7 +1111,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts_docs": r"""
             SELECT doc_id,
-                   length(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_ws_tokens,
                    length(regexp_extract_all(trim(text),
                           '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens
             FROM documents

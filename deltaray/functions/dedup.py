@@ -31,16 +31,27 @@ _MERSENNE = (1 << 61) - 1
 
 def _shingle_hashes(texts: list[str], k: int = 5) -> list[np.ndarray]:
     """Character k-shingle 64-bit hashes per text (vectorized per doc via
-    numpy sliding windows over the byte array)."""
+    numpy sliding windows over the byte array).
+
+    A doc shorter than ``k`` contributes its WHOLE content as its single
+    shingle (length-prefixed so it can't collide with a real k-window of
+    another doc): exact-duplicate short docs still match, but distinct
+    short docs no longer share a sentinel hash — previously every sub-k
+    doc hashed to [0] and MinHash/SimHash treated all of them as mutual
+    duplicates.
+    """
     out = []
+    weights_k = np.uint64(31) ** np.arange(k, dtype=np.uint64)
     for t in texts:
         b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
         if len(b) < k:
-            out.append(np.zeros(1, dtype=np.uint64))
+            w = np.uint64(31) ** np.arange(len(b), dtype=np.uint64)
+            h = (b.astype(np.uint64) * w).sum() if len(b) else np.uint64(0)
+            salt = ((len(b) + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            out.append(np.array([h ^ np.uint64(salt)], dtype=np.uint64))
             continue
         win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-        weights = np.uint64(31) ** np.arange(k, dtype=np.uint64)
-        out.append((win * weights).sum(axis=1))
+        out.append((win * weights_k).sum(axis=1))
     return out
 
 

@@ -63,6 +63,28 @@ def _epoch6(e: int) -> str:
     return f"{int(e):06d}"
 
 
+def _pin_meta(index_root: str, meta: dict) -> None:
+    """Persist the index's layout/hash parameters on first use and
+    fail fast when it is reopened with different ones — a partitioning
+    or coefficient change silently mis-routes every membership probe
+    (same contract as the engine's generation `_meta.json`,
+    pipeline._check_generation_meta)."""
+    mpath = os.path.join(index_root, "_meta.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            have = json.load(f)
+        if have != meta:
+            diffs = {k: (have.get(k), meta.get(k))
+                     for k in set(have) | set(meta)
+                     if have.get(k) != meta.get(k)}
+            raise ValueError(
+                f"ingest-gate index at {index_root!r} was built with "
+                f"different parameters (stored vs requested): {diffs}")
+        return
+    os.makedirs(index_root, exist_ok=True)
+    atomic_write_json(mpath, meta)
+
+
 def _index_files(index_dir: str, part: int, before_epoch: int) -> list[str]:
     """Epoch files of one index partition with epoch < ``before_epoch``
     whose write-once commit marker exists (a data file without its marker
@@ -124,6 +146,9 @@ class ExactIngestGate:
         self.text_col = text_col
         self.id_col = id_col
         self.P = num_partitions
+        _pin_meta(index_root, {"kind": "exact", "text_col": text_col,
+                               "id_col": id_col,
+                               "num_partitions": int(num_partitions)})
         os.makedirs(self.index_dir, exist_ok=True)
 
     def admit(self, ds, epoch: int, *, stats_out: dict | None = None):
@@ -204,8 +229,16 @@ class MinHashIngestGate:
                  bands: int = 16, shingle_k: int = 5,
                  jaccard_threshold: float = 0.5, seed: int = 42,
                  text_col: str = "text", id_col: str = "doc_id",
-                 num_partitions: int = 32):
+                 num_partitions: int = 32, max_bucket: int = 512):
         assert num_hashes % bands == 0
+        # within-epoch buckets larger than max_bucket emit a STAR
+        # (min-id vs others) instead of all O(m²) pairs — identical-
+        # signature floods (the degenerate case) verify exactly under
+        # the star; distinct-but-mutually-similar members connect via
+        # the min unless only non-min pairs match (the simhash_pairs
+        # star-collapse approximation, here bounding both task memory
+        # and the driver's O(epoch) edge list)
+        self.max_bucket = max_bucket
         self.bands_dir = os.path.join(index_root, "bands")
         self.sigs_dir = os.path.join(index_root, "sigs")
         self.hasher = MinHasher(num_hashes=num_hashes, seed=seed,
@@ -216,6 +249,12 @@ class MinHashIngestGate:
         self.text_col = text_col
         self.id_col = id_col
         self.P = num_partitions
+        _pin_meta(index_root, {
+            "kind": "minhash", "num_hashes": int(num_hashes),
+            "bands": int(bands), "shingle_k": int(shingle_k),
+            "jaccard_threshold": float(jaccard_threshold),
+            "seed": int(seed), "text_col": text_col, "id_col": id_col,
+            "num_partitions": int(num_partitions)})
         os.makedirs(self.bands_dir, exist_ok=True)
         os.makedirs(self.sigs_dir, exist_ok=True)
 
@@ -244,6 +283,7 @@ class MinHashIngestGate:
         text_col, id_col, P = self.text_col, self.id_col, self.P
         bands_dir, sigs_dir = self.bands_dir, self.sigs_dir
         band_hashes = self._band_hashes
+        max_bucket = self.max_bucket
 
         def sig_map(batch: pa.Table) -> pa.Table:
             sigs = hasher.signatures(batch[text_col].to_pylist())
@@ -303,6 +343,12 @@ class MinHashIngestGate:
             sizes = ends - first
             pa_, pb_ = [], []
             for s, e in zip(first[sizes > 1], ends[sizes > 1]):
+                if e - s > max_bucket:
+                    # degenerate bucket: star on the min id (ids are
+                    # sorted within the bucket), O(m) not O(m²)
+                    pa_.append(np.full(e - s - 1, ids[s]))
+                    pb_.append(ids[s + 1:e])
+                    continue
                 ia, ib = np.triu_indices(e - s, k=1)
                 pa_.append(ids[s + ia])
                 pb_.append(ids[s + ib])
@@ -394,7 +440,8 @@ class MinHashIngestGate:
             if pairs_t.num_rows == 0:
                 return empty
             part = _part_of(block, ["__key"], P)
-            pairs_t = take_first_per_key(pairs_t, ["new_id", "other_id"])
+            # (new_id, other_id) was already deduped in attach_other;
+            # the re-key by new_id cannot reintroduce duplicates
             sig_new = _lookup(pairs_t, sig_rows, part, with_old=False)
             A = _sig_matrix(sig_new, num_hashes)
             B = _sig_matrix(pairs_t["sig_other"].combine_chunks(), num_hashes)
@@ -448,7 +495,9 @@ class MinHashIngestGate:
                 batch[id_col].cast(pa.int64()), value_set=d)))
 
         admitted = ds.map_batches(keep, batch_format="pyarrow")
-        admitted_sigs = sig_ds.map_batches(keep, batch_format="pyarrow")
+        # consumed by BOTH persist exchanges — filter once, not twice
+        admitted_sigs = sig_ds.map_batches(
+            keep, batch_format="pyarrow").materialize()
 
         # -- stage 5: persist admitted band rows + signatures write-once
         def persist_bands(block: pa.Table) -> pa.Table:

@@ -179,10 +179,19 @@ def hash_partitioned(ds, key_cols: list[str], fn, *, num_partitions: int = 64,
     import ray
     import ray.data
 
-    block_refs = [
-        br for bundle in tagged.iter_internal_ref_bundles()
-        for br in bundle.block_refs
-    ]
+    # zero-row upstream blocks may have BYPASSED the tag UDF (Ray passes
+    # them through), so their schema lacks __part and any caller-added
+    # columns — if such a block's splits were the only survivors of an
+    # all-empty partition, fn would see the wrong empty schema.  Block
+    # metadata knows the row count; drop them at the source.
+    all_refs, block_refs = [], []
+    for bundle in tagged.iter_internal_ref_bundles():
+        for br, meta in bundle.blocks:
+            all_refs.append(br)
+            if meta.num_rows is None or meta.num_rows > 0:
+                block_refs.append(br)
+    if not block_refs:
+        block_refs = all_refs  # all-empty input: legacy pass-through
     if not block_refs:
         return tagged.drop_columns(["__part"])
     fn_ref = ray.put(fn)

@@ -25,6 +25,10 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     pyarrow regex kernels)."""
     text = pc.utf8_trim_whitespace(batch[text_col])
     ws = pc.list_value_length(pc.split_pattern_regex(text, _WS)).cast(pa.int64())
+    # splitting "" yields one empty token — an empty/whitespace-only doc
+    # has ZERO tokens (the SQL oracle mirrors this with a CASE)
+    ws = pc.if_else(pc.equal(pc.utf8_length(text), 0),
+                    pa.scalar(0, pa.int64()), ws)
     bpe = pc.count_substring_regex(text, _BPEISH).cast(pa.int64())
     return batch.append_column("n_ws_tokens", ws).append_column("n_bpe_tokens", bpe)
 
@@ -157,12 +161,17 @@ def pack_sequences(ds, *, max_len: int, id_col: str = "doc_id",
     from deltaray.functions.partition import hash_partitioned
 
     def pack_block(block: pa.Table) -> pa.Table:
+        # empty placeholder derives types from THIS block's schema —
+        # a hardcoded (list<string>, list<int32>) placeholder used to
+        # leak a mixed-schema block when a partition held no docs
+        tok_val_t = block.schema.field(tokens_col).type.value_type
+        id_t = block.schema.field(id_col).type
         empty = pa.table({
             "pack_id": pa.array([], pa.int64()),
-            "tokens": pa.array([], pa.list_(pa.int32())),
+            "tokens": pa.array([], pa.list_(tok_val_t)),
             "n_docs": pa.array([], pa.int32()),
             "n_tokens": pa.array([], pa.int32()),
-            "doc_ids": pa.array([], pa.list_(pa.string())),
+            "doc_ids": pa.array([], pa.list_(id_t)),
         })
         if block.num_rows == 0:
             return empty
@@ -192,15 +201,19 @@ def pack_sequences(ds, *, max_len: int, id_col: str = "doc_id",
         starts = np.concatenate([[0], boundaries])
         ends = np.concatenate([boundaries, [n]])
         flat = toks.flatten()
+        # int64 offsets: a partition past 2^31 tokens must not overflow
+        # silently (the final list<> cast raises explicitly instead —
+        # raise num_partitions at that point)
         tok_offsets = np.concatenate(
             [[0], np.cumsum(lens)])[np.concatenate([starts, [n]])]
-        packed = pa.ListArray.from_arrays(
-            pa.array(tok_offsets, pa.int32()), flat)
+        packed = pa.LargeListArray.from_arrays(
+            pa.array(tok_offsets, pa.int64()), flat).cast(pa.list_(tok_val_t))
         ids = g[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        id_offsets = pa.array(np.concatenate([starts, [n]]).astype(np.int32))
-        doc_ids = pa.ListArray.from_arrays(id_offsets, ids)
+        id_offsets = pa.array(np.concatenate([starts, [n]]).astype(np.int64))
+        doc_ids = pa.LargeListArray.from_arrays(id_offsets, ids) \
+            .cast(pa.list_(id_t))
         return pa.table({
             "pack_id": pa.array(part * (1 << 32)
                                 + np.arange(n_packs, dtype=np.int64)),

@@ -445,6 +445,107 @@ def _knn_ivf_fullprobe(sf_dir: str):
     return knn_ivf(ds, q, C, k=5, nprobe=16).drop_columns(["cosine"])
 
 
+def _knn_lsh(sf_dir: str):
+    """Hyperplane-LSH bucketed ANN — the data-independent scale path
+    (no training pass, works on a cold stream).  Rows-only: pytest
+    oracles cover it (full-probe == brute force; planted-neighbor
+    recall)."""
+    import pyarrow.parquet as pq
+
+    from deltaray.functions.knn import knn_lsh
+
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).filter(pc.less(pc.field("vec_id"), 4)).sort_by("vec_id")
+    q = np.array(qt["embedding"].to_pylist(), dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_lsh(ds, q, k=5, n_tables=8, n_bits=8, n_probe=4) \
+        .drop_columns(["cosine"])
+
+
+def _cluster_embeddings(sf_dir: str):
+    """Corpus clustering: distributed k-means (streaming Lloyd passes)
+    then nearest-centroid assignment of every vector — per-cluster
+    sizes returned (rows-only; pytest oracle replicates the trainer
+    single-process and asserts exact equality)."""
+    from ray.data.aggregate import Sum
+
+    from deltaray.functions.knn import assign_clusters, train_centroids_ds
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C = train_centroids_ds(ds, 8, iters=4, seed=7)
+    assigned = assign_clusters(ds, C)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["cluster"]).group_by("cluster") \
+            .aggregate([([], "count_all")])
+        return t.rename_columns(["cluster", "n_part"])
+
+    agg = assigned.map_batches(partial, batch_format="pyarrow") \
+        .groupby("cluster").aggregate(Sum("n_part", alias_name="n_vecs"))
+    tbl = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    return tbl.sort_by("cluster")
+
+
+def _training_data_refresh(sf_dir: str):
+    """End-to-end training-data refresh — the composition the engine
+    exists for: CDC replay into the lake (upserts + deletes + schema
+    evolution, exactly-once), then streaming context-window chunking
+    (<=128 tokens) of the LIVE corpus, then sequence packing into
+    <=512-token training rows.  Returns the conservation invariants
+    each stage must preserve (token and doc counts flow loss-free from
+    lake to packs); rows-only — pytest asserts the invariants hold."""
+    from deltaray.functions.text import chunk_sequences, pack_sequences
+
+    lake = _flagship(sf_dir, "/tmp/deltaray_q_refresh")
+
+    def totals(ds, n_col: str) -> tuple[int, int]:
+        # per-batch (rows, token-sum) partials; only scalars cross back
+        def partial(b: pa.Table) -> pa.Table:
+            s = int(pc.sum(b[n_col].cast(pa.int64())).as_py() or 0) \
+                if b.num_rows else 0
+            return pa.table({"r": pa.array([b.num_rows], pa.int64()),
+                             "s": pa.array([s], pa.int64())})
+
+        rows = toks = 0
+        for b in ds.map_batches(partial, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            rows += sum(b["r"].to_pylist())
+            toks += sum(b["s"].to_pylist())
+        return rows, toks
+
+    def with_chunk_key(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            b["doc_id"], pc.cast(b["chunk_id"], pa.string()), "#")
+        return b.append_column("chunk_key", key)
+
+    def chunks_ds():
+        return chunk_sequences(
+            _flagship_read("/tmp/deltaray_q_refresh"), max_len=128)
+
+    n_docs, n_lake_tok = totals(lake, "n_tok")
+    n_chunks, n_chunk_tok = totals(chunks_ds(), "n_tok")
+    packs = pack_sequences(
+        chunks_ds().map_batches(with_chunk_key, batch_format="pyarrow"),
+        max_len=512, id_col="chunk_key", num_partitions=16)
+    n_packs, n_pack_tok = totals(packs, "n_tokens")
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_lake_tokens": pa.array([n_lake_tok], pa.int64()),
+        "n_chunks": pa.array([n_chunks], pa.int64()),
+        "n_chunk_tokens": pa.array([n_chunk_tok], pa.int64()),
+        "n_packs": pa.array([n_packs], pa.int64()),
+        "n_pack_tokens": pa.array([n_pack_tok], pa.int64()),
+    })
+
+
+def _flagship_read(scratch: str):
+    """Re-open the flagship lake (merge-on-read streaming read)."""
+    from deltaray.pipeline import read_table_ds
+
+    return read_table_ds(os.path.join(scratch, "lake"), "docs")
+
+
 def _cdc_replay_docs(sf_dir: str):
     return _flagship(sf_dir, "/tmp/deltaray_q_replay")
 
@@ -1020,6 +1121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _knn_bruteforce,
         "knn_ivf": _knn_ivf,
         "knn_ivf_fullprobe": _knn_ivf_fullprobe,
+        "knn_lsh": _knn_lsh,
+        "cluster_embeddings": _cluster_embeddings,
         "asof_prev_order": _asof_prev_order,
         "sessionize_events": _sessionize_events,
         "ngram_jaccard_pairs_docs": _ngram_pairs_docs,
@@ -1047,6 +1150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_by_flag": _lineitem_qty_by_flag,
         "lineitem_ship_window": _lineitem_ship_window,
         "cdc_replay_docs": _cdc_replay_docs,
+        "training_data_refresh": _training_data_refresh,
         "decode_media": _decode_media,
         "audio_features": _audio_features,
         "video_frames": _video_frames,
@@ -1444,4 +1548,9 @@ def oracle_sql() -> dict[str, str]:
         # media/pack-rows/split-rows/approx_distinct-rows/
         # ingest_gate_minhash: non-SQL-expressible (custom hashes, models,
         # engine replay, order-dependent packing) — rows-only.
+        # knn_lsh (random-hyperplane buckets), cluster_embeddings
+        # (k-means), training_data_refresh (engine replay composition):
+        # rows-only; pytest oracles — LSH full-probe == brute force,
+        # distributed Lloyd == single-process replication, stage-to-stage
+        # token/doc conservation.
     }

@@ -111,6 +111,9 @@ def bench_queries() -> dict:
         "decontaminate_docs",
         "stratified_sample_docs",
         "ingest_gate_exact",
+        "knn_lsh",
+        "cluster_embeddings",
+        "training_data_refresh",
     ]
     qs = m.queries()
     for name in picks:

@@ -169,6 +169,148 @@ def knn_ivf(ds, queries: np.ndarray, centroids: np.ndarray, k: int = 5,
     return _topk_reduce(tbl, k, id_col)
 
 
+def lsh_planes(dim: int, n_tables: int, n_bits: int,
+               seed: int = 42) -> np.ndarray:
+    """Random hyperplane tables for cosine LSH: (n_tables, n_bits, dim)
+    Gaussian normals (SimHash/hyperplane LSH, Charikar STOC'02)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_bits, dim)).astype(np.float32)
+
+
+def _lsh_codes(V: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Bucket code of each vector under each table → (n, n_tables) int64.
+    One matmul against the flattened plane stack; sign bits pack into an
+    integer code per table."""
+    T, B, dim = planes.shape
+    if B == 0:
+        return np.zeros((len(V), T), dtype=np.int64)
+    proj = V @ planes.reshape(T * B, dim).T  # (n, T*B)
+    bits = (proj > 0).reshape(len(V), T, B)
+    weights = (1 << np.arange(B, dtype=np.int64))
+    return bits.astype(np.int64) @ weights  # (n, T)
+
+
+def knn_lsh(ds, queries: np.ndarray, k: int = 5, *, n_tables: int = 8,
+            n_bits: int = 10, n_probe: int = 4, seed: int = 42,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """LSH-bucketed approximate top-k: data-independent alternative to
+    the IVF path — no training pass over the corpus, so it works on a
+    cold stream.  Each vector hashes into one bucket per hyperplane
+    table; a query probes its own bucket plus the ``n_probe - 1``
+    multiprobe variants with the smallest flip margins (flipping the
+    lowest-|projection| bit costs the least recall).  Only vectors in a
+    probed bucket are scored; planes + probe map ship in the serialized
+    task closure once per worker.
+
+    ``n_probe >= 2**n_bits`` probes every bucket, making the result
+    exactly brute force (the pytest oracle).  Candidates found by
+    several tables dedup before the final top-k reduce.
+    """
+    from deltaray.functions.partition import take_first_per_key
+
+    q = _unit(np.asarray(queries, dtype=np.float32))
+    nq, dim = q.shape
+    planes = lsh_planes(dim, n_tables, n_bits, seed)
+    n_probe = min(n_probe, 1 << n_bits)
+
+    # multiprobe: base code, then flip bits in ascending |projection|
+    # order — enumerate single-bit flips plus greedy 2-bit combos until
+    # n_probe codes per (query, table)
+    probe_map: dict[tuple[int, int], list[int]] = {}
+    for t in range(n_tables):
+        proj = q @ planes[t].T  # (nq, n_bits)
+        base = ((proj > 0).astype(np.int64)
+                @ (1 << np.arange(n_bits, dtype=np.int64)))
+        order = np.argsort(np.abs(proj), axis=1)
+        for qi in range(nq):
+            codes = [int(base[qi])]
+            seen = {codes[0]}
+            # single flips in margin order, then pairs of the cheapest
+            for b in order[qi]:
+                c = codes[0] ^ (1 << int(b))
+                if c not in seen:
+                    seen.add(c); codes.append(c)
+                if len(codes) >= n_probe:
+                    break
+            if len(codes) < n_probe:
+                for i in range(n_bits):
+                    for j in range(i + 1, n_bits):
+                        c = codes[0] ^ (1 << int(order[qi][i])) \
+                            ^ (1 << int(order[qi][j]))
+                        if c not in seen:
+                            seen.add(c); codes.append(c)
+                        if len(codes) >= n_probe:
+                            break
+                    if len(codes) >= n_probe:
+                        break
+            for c in codes[:n_probe]:
+                probe_map.setdefault((t, c), []).append(qi)
+
+    def score(batch: pa.Table) -> pa.Table:
+        vecs = _unit(vecs_np(batch[vec_col], np.float32))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        codes = _lsh_codes(vecs, planes)  # (n, T)
+        # a vector can reach the same query through several tables —
+        # collect per-query candidate masks, dedup before scoring
+        cand: dict[int, list[np.ndarray]] = {}
+        for t in range(n_tables):
+            ct = codes[:, t]
+            for c in np.unique(ct):
+                qs = probe_map.get((t, int(c)))
+                if not qs:
+                    continue
+                idx = np.flatnonzero(ct == c)
+                for qi in qs:
+                    cand.setdefault(qi, []).append(idx)
+        out_q, out_i, out_c = [], [], []
+        for qi, idx_list in cand.items():
+            idx = np.unique(np.concatenate(idx_list))
+            sim = q[qi] @ vecs[idx].T
+            kk = min(k, len(idx))
+            top = np.argpartition(-sim, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_i.append(ids[idx[top]])
+            out_c.append(sim[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_i).astype(np.int64)),
+            "cosine": pa.array(np.concatenate(out_c).astype(np.float64)),
+        })
+
+    cands = ds.map_batches(score, batch_format="pyarrow")
+    tbl = pa.concat_tables(list(cands.iter_batches(batch_format="pyarrow")))
+    # same (query, vec) may surface from several BLOCKS' bucket hits too
+    tbl = take_first_per_key(tbl.sort_by([("query_id", "ascending"),
+                                          (id_col, "ascending")]),
+                             ["query_id", id_col])
+    return _topk_reduce(tbl, k, id_col)
+
+
+def assign_clusters(ds, centroids: np.ndarray, *, id_col: str = "vec_id",
+                    vec_col: str = "embedding"):
+    """Nearest-centroid assignment of every vector (the corpus-clustering
+    read side of the distributed k-means trainer): one broadcast of the
+    centroid matrix, one matmul per batch, output (id, cluster, cosine).
+    Streams — no shuffle, no materialization."""
+    C = _unit(np.asarray(centroids, dtype=np.float32))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        V = _unit(vecs_np(batch[vec_col], np.float32))
+        sim = V @ C.T
+        a = sim.argmax(axis=1)
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(a.astype(np.int64)),
+            "cosine": pa.array(sim[np.arange(len(a)), a].astype(np.float64)),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def train_centroids_ds(ds, n_centroids: int, *, iters: int = 8,
                        vec_col: str = "embedding", seed: int = 42) -> np.ndarray:
     """Distributed k-means over the full embedding Dataset (Lloyd's

@@ -381,6 +381,96 @@ def test_knn_ivf_full_probe_equals_bruteforce():
     assert ivf["vec_id"].tolist() == brute["vec_id"].tolist()
 
 
+def test_knn_lsh_full_probe_equals_bruteforce():
+    import ray.data
+
+    from deltaray.functions.knn import knn_bruteforce, knn_lsh
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(np.arange(300)),
+                    "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+    q = vecs[:3]
+    # probing every bucket of every table makes LSH exhaustive
+    lsh = knn_lsh(ray.data.from_arrow(tbl), q, k=5, n_tables=2, n_bits=4,
+                  n_probe=16) \
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    brute = knn_bruteforce(ray.data.from_arrow(tbl), q.astype(np.float64), k=5) \
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert lsh["vec_id"].tolist() == brute["vec_id"].tolist()
+
+
+def test_knn_lsh_recall_on_planted_clusters():
+    """Pruned multiprobe LSH recovers planted near-neighbors: queries are
+    noisy copies of corpus vectors; rank-1 must be the source vector."""
+    import ray.data
+
+    from deltaray.functions.knn import knn_lsh
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((400, 24)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    src = [10, 77, 250, 399]
+    q = vecs[src] + 0.05 * rng.standard_normal((len(src), 24)).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(np.arange(400)),
+                    "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+    out = knn_lsh(ray.data.from_arrow(tbl).repartition(4), q, k=3,
+                  n_tables=8, n_bits=8, n_probe=4).to_pandas()
+    r1 = out[out["rank"] == 1].sort_values("query_id")
+    assert r1["vec_id"].tolist() == src
+
+
+def test_assign_clusters_matches_local_lloyd(ray_session):
+    """Distributed trainer + assignment == a single-process numpy Lloyd
+    run from the identical init (exact replication, not approximate)."""
+    import ray.data
+
+    from deltaray.functions.knn import (_unit, assign_clusters,
+                                        train_centroids_ds, vecs_np)
+
+    rng = np.random.default_rng(21)
+    centers = _unit(rng.standard_normal((4, 12)).astype(np.float32))
+    vecs = np.repeat(centers, 60, axis=0) + \
+        0.08 * rng.standard_normal((240, 12)).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(np.arange(240)),
+                    "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl)
+    C = train_centroids_ds(ds, 4, iters=5, seed=7)
+
+    # local replication: same init draw (whole table is the first batch)
+    X = _unit(vecs_np(tbl["embedding"], np.float32))
+    rng2 = np.random.default_rng(7)
+    C2 = X[rng2.choice(len(X), size=4, replace=False)]
+    for _ in range(5):
+        assign = (X @ C2.T).argmax(axis=1)
+        S = np.zeros_like(C2, dtype=np.float64)
+        np.add.at(S, assign, X)
+        N = np.bincount(assign, minlength=4)
+        live = N > 0
+        C2 = C2.copy()
+        C2[live] = (S[live] / N[live, None]).astype(np.float32)
+        C2 = _unit(C2)
+    assert np.allclose(C, C2, atol=1e-5)
+
+    got = assign_clusters(ds, C).to_pandas().sort_values("vec_id")
+    want = (X @ _unit(C).T).argmax(axis=1)
+    assert got["cluster"].tolist() == want.tolist()
+
+
+def test_training_data_refresh_invariants(ray_session):
+    """Flagship composition (replay → chunk → pack): token and doc
+    counts are conserved stage to stage, and packing compresses rows."""
+    import __ray_entry__ as entrymod
+
+    from tests.conftest import SF_DIR
+
+    t = entrymod.queries()["training_data_refresh"](SF_DIR).to_pandas()
+    row = t.iloc[0]
+    assert row["n_lake_tokens"] == row["n_chunk_tokens"] == row["n_pack_tokens"]
+    assert row["n_chunks"] >= row["n_docs"] > 0
+    assert 0 < row["n_packs"] <= row["n_chunks"]
+
+
 def test_top_k_per_key():
     import ray.data
 

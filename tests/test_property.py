@@ -228,3 +228,37 @@ def test_range_join_matches_bruteforce(n, m, width, seed):
     want = sorted((int(pi), int(ii)) for pi in range(n) for ii in range(m)
                   if s[ii] <= t[pi] <= s[ii] + ln[ii])
     assert got == want, (n, m, width, seed)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), max_len=st.integers(1, 9),
+       stride=st.one_of(st.none(), st.integers(1, 9)),
+       n_docs=st.integers(1, 25))
+def test_chunk_sequences_matches_python_slicing(seed, max_len, stride,
+                                                n_docs):
+    """chunk_sequences == naive per-doc Python slicing for every
+    (max_len, stride) combination, including overlap (stride < max_len)
+    and gaps (stride > max_len)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from deltaray.functions.text import chunk_sequences
+
+    rng = np.random.default_rng(seed)
+    toks = [list(map(int, rng.integers(0, 100, rng.integers(0, 30))))
+            for _ in range(n_docs)]
+    tbl = pa.table({"doc_id": pa.array(range(n_docs), pa.int64()),
+                    "tokens": pa.array(toks, pa.list_(pa.int32()))})
+    out = chunk_sequences(ray.data.from_arrow(tbl).repartition(3),
+                          max_len=max_len, stride=stride).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    step = max_len if stride is None else stride
+    want = [(d, c, t[c * step:c * step + max_len])
+            for d, t in enumerate(toks)
+            for c in range(-(-len(t) // step) if t else 0)]
+    got = [(int(r.doc_id), int(r.chunk_id), list(r.tokens))
+           for r in out.itertuples(index=False)]
+    assert got == want, (seed, max_len, stride)
+    assert (out["n_tok"] == out["tokens"].map(len)).all()

@@ -84,6 +84,15 @@ class ReplayConfig:
     # concat tasks (O(log) levels) instead of one M-arg merge — task-spec
     # size stays bounded at cluster scale (M ~ 4x cluster CPUs per chunk)
     merge_fanin: int = 256
+    # chunk-pipelining depth for the task exchange: with W > 1, up to W
+    # consecutive DML chunks are in flight at once — shard s of chunk
+    # N+1 chains on shard s of chunk N (a Ray object dependency), so a
+    # straggler partition delays only ITSELF, not a global chunk
+    # barrier, and chunk N+1's read/transform/split overlaps chunk N's
+    # merges.  Per-partition apply order (required by compaction) is
+    # preserved by the chain; DDL chunks drain the window (barrier).
+    # 1 = the serial loop; "sort" shuffle mode is always serial.
+    pipeline_chunks: int = 2
     vacuum: bool = True            # delete superseded COW files after commit
     generation: int = 0            # run generation; isolates recreated pipelines
                                    # (DeltaWorker.java:140-150)
@@ -202,6 +211,8 @@ def config_to_dict(cfg: ReplayConfig) -> dict:
         "chunk_max_events": cfg.chunk_max_events,
         "compact_every": cfg.compact_every,
         "batch_size": cfg.batch_size,
+        "merge_fanin": cfg.merge_fanin,
+        "pipeline_chunks": cfg.pipeline_chunks,
         "vacuum": cfg.vacuum,
         "generation": cfg.generation,
     }
@@ -225,7 +236,8 @@ def config_from_dict(d: dict, runtime_args: dict[str, str] | None = None) -> Rep
     kw = {k: d[k] for k in (
         "event_log", "lake", "ordering", "sort_key_components",
         "track_previous", "shuffle", "num_partitions", "chunk_max_events",
-        "compact_every", "batch_size", "vacuum", "generation") if k in d}
+        "compact_every", "batch_size", "merge_fanin", "pipeline_chunks",
+        "vacuum", "generation") if k in d}
     return ReplayConfig(
         tables=tables, retry=retry,
         dml_blacklist=set(d.get("dml_blacklist", [])),

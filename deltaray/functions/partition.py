@@ -129,7 +129,7 @@ def hash_partitioned(ds, key_cols: list[str], fn, *, num_partitions: int = 64,
     internally — use :func:`group_codes`.
 
     ``via="tasks"`` (default) runs the exchange as the classic two-stage
-    Ray-task shuffle the engine core uses (pipeline._exchange_tasks):
+    Ray-task shuffle the engine core uses (pipeline._submit_exchange):
     each upstream block is split once by partition (``num_returns=P``)
     and one merge task per partition gathers its splits zero-copy — no
     sort of the rows, no Dataset all-to-all.  The result is re-wrapped

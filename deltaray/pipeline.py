@@ -158,6 +158,36 @@ def _merge_shard(merge_fn, *tables):
     return merge_fn(pa.concat_tables(tabs, promote_options="none"))
 
 
+def _cancel_refs(refs: list, timeout_s: float = 30.0) -> None:
+    """Best-effort cancel of in-flight exchange tasks, then wait for the
+    refs to settle so no orphan merge races a restarted replay's re-run
+    of the same chunks (write-once commits make even that race benign —
+    deterministic content, atomic rename — but the window should not
+    outlive the driver call)."""
+    import ray
+
+    for r in refs:
+        try:
+            ray.cancel(r, recursive=True)
+        except Exception:
+            pass
+    if refs:
+        try:
+            ray.wait(list(refs), num_returns=len(refs), timeout=timeout_s)
+        except Exception:
+            pass
+
+
+def _merge_shard_after(merge_fn, _prev_lineage, *tables):
+    """Chained reduce: identical to :func:`_merge_shard`, but takes the
+    SAME shard's previous-chunk lineage as a leading object dependency —
+    Ray won't schedule this merge until that chunk's merge for this
+    partition has committed.  Per-partition apply order (which compaction
+    requires: a compacting base rewrite must fold every earlier commit)
+    is enforced by the dependency alone; the value is unused."""
+    return _merge_shard(merge_fn, *tables)
+
+
 def _combine_splits(*tables):
     """Tree-merge inner node: concat a bounded group of one shard's
     splits (None = empty split, propagated)."""
@@ -384,9 +414,10 @@ class ReplaySession:
                 self.lake.write_schema(self._effective()[t])
 
     # -------------------------------------------------------------- chunk
-    def _run_dml_chunk(self, chunk: Chunk) -> list[dict]:
-        import ray.data
-
+    def _plan_chunk(self, chunk: Chunk):
+        """Shared planning for a DML chunk: overlapping segment files,
+        pruned read columns, the compiled transform stage and merge
+        callable, and the shard count.  None = nothing to do."""
         cfg = self.cfg
         files = [
             s.path
@@ -394,7 +425,7 @@ class ReplaySession:
             if s.seq_hi > chunk.seq_lo and s.seq_lo <= chunk.seq_hi
         ]
         if not files or not self.schemas:
-            return []
+            return None
         # column pruning at the read (meta + union of live payload columns;
         # order columns only in UN_ORDERED mode)
         needed = {"seq", "op", "table", "is_snapshot"}
@@ -418,8 +449,17 @@ class ReplaySession:
             compact_every=cfg.compact_every,
         )
         n_shards = cfg.num_partitions * max(1, len(self.schemas))
+        return files, columns, stage, merge, n_shards
+
+    def _run_dml_chunk(self, chunk: Chunk) -> list[dict]:
+        import ray
+
+        cfg = self.cfg
+        plan = self._plan_chunk(chunk)
+        if plan is None:
+            return []
+        files, columns, stage, merge, n_shards = plan
         if cfg.shuffle == "sort":
-            import ray
             import ray.data
 
             # Size read parallelism to the cluster, not the file count:
@@ -434,7 +474,12 @@ class ReplaySession:
             ds = ds.map_batches(stage, batch_format="pyarrow",
                                 batch_size=cfg.batch_size)
             return self._exchange_sort(ds, merge)
-        return self._exchange_tasks(files, columns, chunk, stage, merge, n_shards)
+        refs = self._submit_exchange(files, columns, chunk, stage, merge,
+                                     n_shards)
+        lineage: list[dict] = []
+        for tbl in ray.get(refs):
+            lineage.extend(tbl.to_pylist())
+        return lineage
 
     def _exchange_sort(self, ds, merge) -> list[dict]:
         """Pure-Dataset exchange: groupby(__shard).map_groups(merge) under a
@@ -451,8 +496,8 @@ class ReplaySession:
         finally:
             ctx.shuffle_strategy = prev_strategy
 
-    def _exchange_tasks(self, files, columns, chunk, stage, merge,
-                        n_shards: int) -> list[dict]:
+    def _submit_exchange(self, files, columns, chunk, stage, merge,
+                         n_shards: int, prev_refs: list | None = None) -> list:
         """Partition exchange as a classic two-stage Ray-task shuffle:
         fused map tasks (parquet row-group bundle → decode → TransformStage
         → split by __shard via ``num_returns=S``) feed one merge task per
@@ -463,7 +508,14 @@ class ReplaySession:
         This is the one place the engine drops below the Dataset API: Ray
         Data's groupby cannot express partition-without-order, which is all
         the merge needs (per-key LWW makes intra-shard order irrelevant,
-        SURVEY §2.6)."""
+        SURVEY §2.6).
+
+        Returns the per-shard merge refs WITHOUT blocking.  With
+        ``prev_refs`` (the previous chunk's merge refs, same shard
+        layout — guaranteed within a DDL-free window since the schema
+        set, and hence shard→(table, partition) mapping, is constant),
+        shard s chains on prev_refs[s]: per-partition apply order is
+        preserved while different partitions proceed independently."""
         import ray
 
         ncpu = int(ray.cluster_resources().get("CPU", 8))
@@ -480,20 +532,21 @@ class ReplaySession:
         if n_shards == 1:  # num_returns=1 yields a bare ref, not a tuple
             parts = [[p] for p in parts]
         merge_task = ray.remote(_merge_shard)
+        merge_after = ray.remote(_merge_shard_after)
         combine = ray.remote(_combine_splits)
         fanin = max(2, int(getattr(self.cfg, "merge_fanin", 256) or 256))
         out = []
+        chain = prev_refs if prev_refs and len(prev_refs) == n_shards else None
         for s in range(n_shards):
             refs = [parts[b][s] for b in range(len(parts))]
             while len(refs) > fanin:
                 refs = [combine.remote(*refs[i:i + fanin])
                         for i in range(0, len(refs), fanin)]
-            out.append(merge_task.remote(merge, *refs))
-        lineage: list[dict] = []
-        for tbl in ray.get(out):
-            lineage.extend(tbl.to_pylist())
-        del parts
-        return lineage
+            if chain is not None:
+                out.append(merge_after.remote(merge, chain[s], *refs))
+            else:
+                out.append(merge_task.remote(merge, *refs))
+        return out
 
     def _check_generation_meta(self) -> None:
         """Persist the physical sharding config on first commit and fail
@@ -523,43 +576,46 @@ class ReplaySession:
             atomic_write_json(path, meta)
 
     # ---------------------------------------------------------------- run
+    def _run_chunk_with_retry(self, chunk: Chunk, t0: float) -> list[dict]:
+        """Serial apply of one DML chunk under the bounded retry policy,
+        persisting FAILING table state across attempts."""
+        cfg = self.cfg
+        deadline = t0 + (cfg.retry.max_duration_seconds or 0)
+        while True:
+            try:
+                return self._run_dml_chunk(chunk)
+            except DeltaFailureError:
+                raise
+            except Exception as exc:
+                self.errors += 1  # dml.errors analog (EventMetrics.java)
+                # persist FAILING for every table the chunk touches
+                # BEFORE retrying (PipelineStateService.java:40-127,
+                # DeltaContext.setTableError:128-152) — an operator
+                # watching lineage_report sees which table is sick
+                # while the retry loop spins
+                err = f"{type(exc).__name__}: {exc}"
+                for t in self.schemas:
+                    self.lake.set_table_error(
+                        t, err, (chunk.seq_lo, chunk.seq_hi))
+                if cfg.retry.max_duration_seconds and time.time() < deadline:
+                    time.sleep(cfg.retry.delay_seconds)
+                    continue
+                raise
+
     def run(self, on_chunk=None) -> dict:
+        import ray
+
         cfg = self.cfg
         self._check_generation_meta()
         lineage_rows: list[dict] = []
         t0 = time.time()
-        for idx, chunk in enumerate(self.chunks):
-            if chunk.kind == "ddl":
-                # DDL is re-applied on every run (deterministic, idempotent)
-                self._apply_ddl_chunk(chunk)
-                continue
-            marker = os.path.join(
-                self.lake.root, "_chunks", f"chunk-{chunk.seq_lo:012d}-{chunk.seq_hi:012d}.done"
-            )
-            if os.path.exists(marker):
-                continue
-            deadline = t0 + (cfg.retry.max_duration_seconds or 0)
-            while True:
-                try:
-                    rows = self._run_dml_chunk(chunk)
-                    break
-                except DeltaFailureError:
-                    raise
-                except Exception as exc:
-                    self.errors += 1  # dml.errors analog (EventMetrics.java)
-                    # persist FAILING for every table the chunk touches
-                    # BEFORE retrying (PipelineStateService.java:40-127,
-                    # DeltaContext.setTableError:128-152) — an operator
-                    # watching lineage_report sees which table is sick
-                    # while the retry loop spins
-                    err = f"{type(exc).__name__}: {exc}"
-                    for t in self.schemas:
-                        self.lake.set_table_error(
-                            t, err, (chunk.seq_lo, chunk.seq_hi))
-                    if cfg.retry.max_duration_seconds and time.time() < deadline:
-                        time.sleep(cfg.retry.delay_seconds)
-                        continue
-                    raise
+        window = max(1, int(getattr(cfg, "pipeline_chunks", 1) or 1))
+        pipelined = cfg.shuffle != "sort" and window > 1
+        # in-flight pipelined chunks: (idx, chunk, marker_path, merge refs)
+        inflight: list[tuple] = []
+        prev_refs: list | None = None
+
+        def finish(idx, chunk, marker, rows):
             # successful apply clears FAILING (OK → FAILING → REPLICATING,
             # DeltaPipelineStateStoreBaseTest.testFailureRetries:308-397)
             for t in self.schemas:
@@ -568,6 +624,86 @@ class ReplaySession:
             atomic_write_json(marker, {"chunk": [chunk.seq_lo, chunk.seq_hi]})
             if on_chunk is not None:
                 on_chunk(idx, chunk, rows)
+
+        def drain(keep: int) -> None:
+            """Complete in-flight chunks (oldest first, preserving the
+            marker prefix order) until at most ``keep`` remain.  On a
+            merge failure, cancel everything downstream and fall back to
+            the serial retry loop for every pending chunk in order."""
+            nonlocal prev_refs
+            while len(inflight) > keep:
+                idx, chunk, marker, refs = inflight[0]
+                try:
+                    tabs = ray.get(refs)
+                except DeltaFailureError:
+                    raise
+                except Exception as exc:
+                    self.errors += 1
+                    err = f"{type(exc).__name__}: {exc}"
+                    for t in self.schemas:
+                        self.lake.set_table_error(
+                            t, err, (chunk.seq_lo, chunk.seq_hi))
+                    # downstream merges chain on the failed refs — cancel
+                    # the window, then re-apply each pending chunk IN
+                    # ORDER through the serial retry path (merges are
+                    # idempotent: committed (part, seq_range)s skip)
+                    pend = list(inflight)
+                    inflight.clear()
+                    prev_refs = None
+                    _cancel_refs([r for _, _, _, rs in pend for r in rs])
+                    for idx2, chunk2, marker2, _ in pend:
+                        rows2 = self._run_chunk_with_retry(chunk2, t0)
+                        finish(idx2, chunk2, marker2, rows2)
+                    continue
+                inflight.pop(0)
+                rows = [r for tbl in tabs for r in tbl.to_pylist()]
+                finish(idx, chunk, marker, rows)
+
+        try:
+            for idx, chunk in enumerate(self.chunks):
+                if chunk.kind == "ddl":
+                    # DDL mutates schemas + lake layout — barrier: every
+                    # in-flight merge must land first
+                    drain(0)
+                    prev_refs = None
+                    # DDL is re-applied on every run (deterministic,
+                    # idempotent)
+                    self._apply_ddl_chunk(chunk)
+                    continue
+                marker = os.path.join(
+                    self.lake.root, "_chunks",
+                    f"chunk-{chunk.seq_lo:012d}-{chunk.seq_hi:012d}.done"
+                )
+                if os.path.exists(marker):
+                    # already-committed prefix: its state is final on disk,
+                    # so no ordering ref is needed for successors
+                    continue
+                if not pipelined:
+                    rows = self._run_chunk_with_retry(chunk, t0)
+                    finish(idx, chunk, marker, rows)
+                    continue
+                plan = self._plan_chunk(chunk)
+                if plan is None:
+                    finish(idx, chunk, marker, [])
+                    continue
+                files, columns, stage, merge, n_shards = plan
+                refs = self._submit_exchange(files, columns, chunk, stage,
+                                             merge, n_shards,
+                                             prev_refs=prev_refs)
+                if refs:
+                    # an empty submission (no overlapping row groups)
+                    # keeps the previous chain alive for the next chunk
+                    prev_refs = refs
+                inflight.append((idx, chunk, marker, refs))
+                drain(window - 1)
+            drain(0)
+        finally:
+            # a mid-run exception (incl. on_chunk callbacks) must not
+            # leave orphan merges racing a restarted replay: cancel and
+            # wait for every in-flight task before surfacing it
+            if inflight:
+                left = [r for _, _, _, rs in inflight for r in rs]
+                _cancel_refs(left)
         metrics = collect_metrics(self.lake, list(self.schemas) + sorted(self.dropped))
         metrics["errors"] = self.errors
         metrics["wall_seconds"] = round(time.time() - t0, 3)

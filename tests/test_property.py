@@ -44,6 +44,7 @@ def replay_cases(draw):
     n_sk = draw(st.sampled_from([2, 3]))
     n_tables = draw(st.sampled_from([1, 1, 2]))
     merge_fanin = draw(st.sampled_from([2, 256]))
+    pipeline_chunks = draw(st.sampled_from([1, 2, 3]))
     directives = draw(st.sampled_from([
         [], ["mask tokens 0 3"], ["rename n_tok tok_count"],
         ["retokenize-stub tokens 7"],
@@ -52,7 +53,8 @@ def replay_cases(draw):
                 unordered=unordered, mix=mix, ddl=ddl, chunk=chunk,
                 parts=parts, hot=hot, directives=directives,
                 compact_every=compact_every, track_prev=track_prev,
-                n_sk=n_sk, n_tables=n_tables, merge_fanin=merge_fanin)
+                n_sk=n_sk, n_tables=n_tables, merge_fanin=merge_fanin,
+                pipeline_chunks=pipeline_chunks)
 
 
 @settings(max_examples=10, deadline=None,
@@ -83,6 +85,7 @@ def test_random_replay_equals_oracle(case, tmp_path_factory):
         track_previous=case["track_prev"],
         sort_key_components=case["n_sk"],
         merge_fanin=case.get("merge_fanin", 256),
+        pipeline_chunks=case.get("pipeline_chunks", 2),
         tables=[TableConfig("docs", transformations=case["directives"])]
         if case["directives"] else [],
     )

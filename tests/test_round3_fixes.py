@@ -192,7 +192,9 @@ def test_failing_state_persisted_and_cleared(tmp_log, tmp_lake, monkeypatch):
     from deltaray.pipeline import ReplaySession, lineage_report
 
     write_event_log(tmp_log, n_docs=50, n_events=400, seed=11)
-    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2)
+    # serial path (the pipelined fallback reuses the same retry seam)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2,
+                       pipeline_chunks=1)
 
     real = ReplaySession._run_dml_chunk
     monkeypatch.setattr(
@@ -220,6 +222,7 @@ def test_failing_state_persisted_and_cleared(tmp_log, tmp_lake, monkeypatch):
 
     monkeypatch.setattr(ReplaySession, "_run_dml_chunk", flaky)
     cfg2 = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2,
+                        pipeline_chunks=1,
                         retry=RetryConfig(max_duration_seconds=60,
                                           delay_seconds=0.01))
     replay(cfg2)

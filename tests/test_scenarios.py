@@ -57,8 +57,11 @@ def test_retry_idempotent_merge(tmp_log, tmp_lake):
     """A transiently failing merge stage is retried; committed seq ranges
     are applied once (testFailureRetries:308-397 / FailureTarget)."""
     write_event_log(tmp_log, n_docs=100, n_events=1000, seed=23)
+    # pipeline_chunks=1: this test injects at the serial chunk-apply
+    # seam, which pipelined mode only reaches as the failure fallback
+    # (covered by test_pipelined_merge_failure_falls_back)
     cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
-                       chunk_max_events=400)
+                       chunk_max_events=400, pipeline_chunks=1)
     cfg.retry.max_duration_seconds = 60
 
     session = ReplaySession(cfg)
@@ -84,11 +87,63 @@ def test_retry_idempotent_merge(tmp_log, tmp_lake):
     assert m["dml_events"] == 1100
 
 
+def test_pipelined_merge_failure_falls_back(tmp_log, tmp_lake, monkeypatch):
+    """With chunk pipelining active, a merge-task failure mid-window
+    cancels the in-flight chain and re-applies the pending chunks through
+    the serial retry path — final state still equals the oracle, commits
+    apply exactly once, FAILING is cleared."""
+    import os as _os
+
+    from deltaray.pipeline import ReplaySession, lineage_report
+
+    write_event_log(tmp_log, n_docs=120, n_events=2000, seed=31,
+                    segment_max_events=300)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=400, pipeline_chunks=3)
+    cfg.retry.max_duration_seconds = 60
+    session = ReplaySession(cfg)
+    # inject: the SECOND DML chunk's merge raises once (flag file makes
+    # the failure visible across Ray worker processes and one-shot)
+    dml_chunks = [c for c in session.chunks if c.kind != "ddl"]
+    assert len(dml_chunks) >= 3, "need a window to pipeline"
+    target_lo = dml_chunks[1].seq_lo
+    flag = _os.path.join(tmp_log, "_injected_failure")
+    real_plan = ReplaySession._plan_chunk
+
+    def plan(self, chunk):
+        p = real_plan(self, chunk)
+        if p is None or chunk.seq_lo != target_lo:
+            return p
+        files, columns, stage, merge, n_shards = p
+
+        def flaky_merge(tbl, _merge=merge, _flag=flag):
+            if not _os.path.exists(_flag):
+                open(_flag, "w").close()
+                raise RuntimeError("injected pipelined merge failure")
+            return _merge(tbl)
+
+        return files, columns, stage, flaky_merge, n_shards
+
+    monkeypatch.setattr(ReplaySession, "_plan_chunk", plan)
+    res = session.run()
+    assert _os.path.exists(flag), "injection never fired"
+    assert res["metrics"]["errors"] >= 1
+    oracle = replay_oracle(cfg)
+    got = read_table(tmp_lake, "docs")
+    ok, msg = tables_equal(got, oracle["docs"])
+    assert ok, msg
+    m = session.lake.read_metrics()["total"]
+    assert m["dml_events"] == 2000 + 120
+    rep = lineage_report(tmp_lake, "docs")
+    assert "FAILING" not in rep["tables"]["docs"]["states"]
+
+
 def test_delta_failure_aborts(tmp_log, tmp_lake):
     """DeltaFailureError ⇒ fail immediately, no retry
     (testFailImmediately:235-261)."""
     write_event_log(tmp_log, n_docs=50, n_events=100, seed=25)
-    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2,
+                       pipeline_chunks=1)
     cfg.retry.max_duration_seconds = 9999
 
     session = ReplaySession(cfg)

@@ -47,7 +47,7 @@ def cmd_replay(a) -> int:
         event_log=a.event_log, lake=a.lake, num_partitions=a.partitions,
         chunk_max_events=a.chunk_events, shuffle=a.shuffle,
         ordering="UN_ORDERED" if a.unordered else "ORDERED",
-        generation=a.generation,
+        generation=a.generation, pipeline_chunks=a.pipeline_chunks,
     )
     if a.follow:
         res = replay_follow(cfg, poll_seconds=a.poll_seconds, idle_polls=3)
@@ -160,6 +160,8 @@ def main(argv=None) -> int:
     r.add_argument("--partitions", type=int, default=32)
     r.add_argument("--chunk-events", type=int, default=2_000_000)
     r.add_argument("--shuffle", choices=["tasks", "sort"], default="tasks")
+    r.add_argument("--pipeline-chunks", type=int, default=2,
+                   help="DML chunks in flight (1 = serial barrier loop)")
     r.add_argument("--unordered", action="store_true")
     r.add_argument("--generation", type=int, default=0)
     r.add_argument("--follow", action="store_true",

@@ -546,6 +546,50 @@ def _flagship_read(scratch: str):
     return read_table_ds(os.path.join(scratch, "lake"), "docs")
 
 
+def _cdc_read_changes(sf_dir: str):
+    """Incremental CDC-out (`pipeline.read_changes`): replay a PREFIX of
+    the change log, snapshot the committed high-water mark, replay the
+    tail, then stream only the rows whose live state changed since the
+    mark (UPSERTs with payload, DELETE tombstones) — the feed a
+    downstream re-tokenize/re-index pipeline consumes instead of
+    rescanning the lake.  Rows-only; the pytest oracle proves
+    t1 + changes == t2 (test_read_changes_incremental)."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from deltaray import ReplayConfig, replay
+    from deltaray.gen import write_event_log
+    from deltaray.pipeline import read_changes
+
+    scratch = "/tmp/deltaray_q_changes"
+    shutil.rmtree(scratch, ignore_errors=True)
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    log = os.path.join(scratch, "events")
+    man = write_event_log(log, n_docs=n_docs, n_events=n_docs * 4, seed=42,
+                          track_prev=False,
+                          segment_max_events=max(n_docs, 200))
+    head = man["segments"][: max(1, len(man["segments"]) // 2)]
+    half = os.path.join(scratch, "events_head")
+    os.makedirs(half)
+    for s in head:
+        shutil.copy(s["path"], half)
+    cut = max(s["seq_hi"] for s in head)
+    hman = dict(man, max_seq=cut, segments=[
+        dict(s, path=os.path.join(half, os.path.basename(s["path"])))
+        for s in head
+    ])
+    with open(os.path.join(half, "manifest.json"), "w") as f:
+        _json.dump(hman, f)
+    lake = os.path.join(scratch, "lake")
+    replay(ReplayConfig(event_log=half, lake=lake, num_partitions=16))
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=16))
+    # token payload dropped for a compact result; UPSERT rows would
+    # carry it for the downstream consumer
+    return read_changes(lake, "docs", cut).drop_columns(["tokens"])
+
+
 def _cdc_replay_docs(sf_dir: str):
     return _flagship(sf_dir, "/tmp/deltaray_q_replay")
 
@@ -1150,6 +1194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_by_flag": _lineitem_qty_by_flag,
         "lineitem_ship_window": _lineitem_ship_window,
         "cdc_replay_docs": _cdc_replay_docs,
+        "cdc_read_changes": _cdc_read_changes,
         "training_data_refresh": _training_data_refresh,
         "decode_media": _decode_media,
         "audio_features": _audio_features,
@@ -1549,8 +1594,9 @@ def oracle_sql() -> dict[str, str]:
         # ingest_gate_minhash: non-SQL-expressible (custom hashes, models,
         # engine replay, order-dependent packing) — rows-only.
         # knn_lsh (random-hyperplane buckets), cluster_embeddings
-        # (k-means), training_data_refresh (engine replay composition):
+        # (k-means), training_data_refresh (engine replay composition),
+        # cdc_read_changes (engine replay + incremental read):
         # rows-only; pytest oracles — LSH full-probe == brute force,
         # distributed Lloyd == single-process replication, stage-to-stage
-        # token/doc conservation.
+        # token/doc conservation, t1 + changes == t2.
     }

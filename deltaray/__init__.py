@@ -27,6 +27,7 @@ from deltaray.pipeline import (
     DeltaFailureError,
     bootstrap_table,
     lineage_report,
+    read_changes,
     read_table,
     read_table_ds,
     replay,
@@ -48,6 +49,7 @@ __all__ = [
     "TableConfig",
     "expand_macros",
     "lineage_report",
+    "read_changes",
     "read_table",
     "read_table_ds",
     "register_directive",

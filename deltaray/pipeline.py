@@ -967,6 +967,78 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
     return ds.repartition(len(parts))         .map_batches(load, batch_format="pyarrow", batch_size=1)
 
 
+def read_changes(lake_root: str, table: str, since_seq: int,
+                 generation: int = 0):
+    """CDC-out: streaming Dataset of the rows whose LATEST version is
+    newer than ``since_seq`` — the incremental feed for downstream
+    consumers (re-tokenize / re-chunk / re-index only what changed
+    instead of rescanning the lake).  Output = payload columns plus
+    ``change`` ("UPSERT" | "DELETE"; DELETE rows carry null payload)
+    and ``seq`` (the winning version), at most one row per key.
+
+    Semantics hold in both orderings: any event applied after
+    ``since_seq`` has seq > since_seq, so if it WON the key's LWW race
+    the merged row's version is > since_seq (captured); if every event
+    since then lost (UN_ORDERED late arrivals), the state did not
+    change and the key is correctly absent.  Partitions whose committed
+    high-water mark is <= since_seq are pruned from commit metadata
+    alone — a quiet lake costs O(P) metadata reads, not a scan; within
+    a touched partition read amplification is the merge-on-read bound
+    (last base + <= compact_every delta files).
+
+    Contrast with the reference, whose consumers re-tail the source
+    stream itself (DeltaSource SPI): here the LAKE is the replayable
+    boundary, so any number of downstream pipelines can fan out from a
+    committed seq without touching the origin database."""
+    import ray.data
+
+    lake = LakeState(lake_root, generation)
+    schema = lake.current_schema(table)
+    if schema is None:
+        raise KeyError(f"unknown table {table!r}")
+    out_schema = schema.arrow_schema() \
+        .append(pa.field("change", pa.string())) \
+        .append(pa.field("seq", pa.int64()))
+    parts = []
+    if not os.path.isdir(os.path.join(lake.table_dir(table), "_dropped")):
+        for d in sorted(glob.glob(os.path.join(lake.table_dir(table),
+                                               "part=*"))):
+            p = int(os.path.basename(d).split("=")[1])
+            if any(c["seq_hi"] > since_seq
+                   for c in lake.list_commits(table, p)):
+                parts.append(p)
+    if not parts:
+        return ray.data.from_arrow(out_schema.empty_table())
+    sj = schema.to_json()
+
+    def load(batch: pa.Table) -> pa.Table:
+        target = TableSchema.from_json(sj)
+        out = []
+        for p in batch["part"].to_pylist():
+            tbl, _ = LakeState(lake_root, generation).read_partition(table, p)
+            if tbl is None or not tbl.num_rows:
+                continue
+            t = evolve_to(tbl, target)
+            t = t.filter(pc.greater(pc.fill_null(t["__seq"], 0), since_seq))
+            if not t.num_rows:
+                continue
+            deleted = pc.fill_null(t["__deleted"], False)
+            change = pc.if_else(deleted, pa.scalar("DELETE"),
+                                pa.scalar("UPSERT"))
+            seq = t["__seq"].cast(pa.int64())
+            t = t.drop_columns([c for c in t.column_names
+                                if c.startswith("__")])
+            t = t.append_column("change", change).append_column("seq", seq)
+            out.append(t.select(out_schema.names))
+        if not out:
+            return out_schema.empty_table()
+        return pa.concat_tables(out, promote_options="default")
+
+    ds = ray.data.from_arrow(pa.table({"part": pa.array(parts, pa.int64())}))
+    return ds.repartition(len(parts)) \
+        .map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
 def lineage_report(lake_root: str, table: str | None = None,
                    generation: int = 0) -> dict:
     """Per-partition lineage summary: state, last applied seq, rows, file —

@@ -588,3 +588,80 @@ def test_replay_follow_tails_the_log(tmp_log, tmp_lake):
     ok, msg = tables_equal(read_table(tmp_lake, "docs"),
                            replay_oracle(ocfg)["docs"])
     assert ok, msg
+
+
+def test_read_changes_incremental(tmp_log, tmp_lake):
+    """CDC-out: after a tail replay, read_changes(since) returns exactly
+    the delta that turns the old snapshot into the new one — apply the
+    UPSERTs and DELETEs to t1 and the result equals t2."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from deltaray.pipeline import read_changes
+
+    man = write_event_log(tmp_log, n_docs=150, n_events=2500, seed=37,
+                          segment_max_events=500)
+    # prefix log: first half of the segments, same files
+    half = tmp_log + "-half"
+    _os.makedirs(half, exist_ok=True)
+    segs = man["segments"]
+    head = segs[: len(segs) // 2]
+    assert head and len(head) < len(segs)
+    for s in head:
+        _shutil.copy(s["path"], half)
+    cut = max(s["seq_hi"] for s in head)
+    hman = dict(man, max_seq=cut, segments=[
+        dict(s, path=_os.path.join(half, _os.path.basename(s["path"])))
+        for s in head
+    ])
+    with open(_os.path.join(half, "manifest.json"), "w") as f:
+        _json.dump(hman, f)
+
+    cfg_half = ReplayConfig(event_log=half, lake=tmp_lake, num_partitions=4,
+                            chunk_max_events=600)
+    replay(cfg_half)
+    t1 = read_table(tmp_lake, "docs").to_pandas()
+    # no changes past the committed high-water mark yet
+    assert read_changes(tmp_lake, "docs", cut).count() == 0
+
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=600)
+    replay(cfg)  # resumes: applies only the tail
+    t2 = read_table(tmp_lake, "docs").to_pandas()
+
+    def collect(ds):
+        import pyarrow as _pa
+
+        # ragged list columns defeat Dataset.to_pandas's tensor casting
+        tabs = list(ds.iter_batches(batch_format="pyarrow"))
+        return _pa.concat_tables(tabs).to_pandas()
+
+    ch = collect(read_changes(tmp_lake, "docs", cut))
+
+    assert (ch["seq"] > cut).all()
+    assert ch["doc_id"].is_unique  # at most one row per key
+    assert set(ch["change"]) <= {"UPSERT", "DELETE"}
+
+    def rowmap(df):
+        cols = [c for c in df.columns if c not in ("change", "seq")]
+        return {r["doc_id"]: tuple(
+            tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "__len__")
+            and not isinstance(v, (str, bytes)) else v
+            for c, v in ((c, r[c]) for c in cols))
+            for _, r in df.iterrows()}
+
+    state = rowmap(t1)
+    for _, r in ch.iterrows():
+        if r["change"] == "DELETE":
+            state.pop(r["doc_id"], None)
+        else:
+            state[r["doc_id"]] = tuple(
+                tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "__len__")
+                and not isinstance(v, (str, bytes)) else v
+                for v in (r[c] for c in t1.columns))
+    assert state == rowmap(t2)
+    # full-lake changes from seq 0 reproduce the live table (plus deletes)
+    full = collect(read_changes(tmp_lake, "docs", 0))
+    ups = full[full["change"] == "UPSERT"]
+    assert rowmap(ups) == rowmap(t2)

@@ -201,6 +201,17 @@ def _quality_scores_docs(sf_dir: str):
         .drop_columns(["text"])
 
 
+def _unigram_lm_docs(sf_dir: str):
+    """Unigram-LM quality-filter skeleton: corpus-wide token counts →
+    per-token join → per-doc integer projections (n_tok, cnt_sum,
+    cnt_min) — hash-exact SQL oracle (floats like -Σ log(c/N) are a
+    trivial map over the same join, kept out of the hashed output)."""
+    from deltaray.functions.text import unigram_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return unigram_stats(ds)
+
+
 def _fingerprint_docs(sf_dir: str):
     from deltaray.functions.text import fingerprint_batch
 
@@ -1149,6 +1160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_len_histogram": _token_len_histogram,
         "token_counts_docs": _token_counts_docs,
         "quality_scores_docs": _quality_scores_docs,
+        "unigram_lm_docs": _unigram_lm_docs,
         "fingerprint_docs": _fingerprint_docs,
         "winnow_docs": _winnow_docs,
         "lang_id_docs": _lang_id_docs,
@@ -1276,6 +1288,23 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_extract_all(text,
                           '\b(the|and|of|a|to|in|is|it)\b')) AS q_stop
             FROM documents
+        """,
+        "unigram_lm_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents
+                WHERE length(trim(text)) > 0
+            ), cnt AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS c
+                FROM toks GROUP BY tok
+            )
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tok,
+                   CAST(sum(c.c) AS BIGINT) AS cnt_sum,
+                   CAST(min(c.c) AS BIGINT) AS cnt_min
+            FROM toks t JOIN cnt c USING (tok)
+            GROUP BY t.doc_id
         """,
         "asof_prev_order": """
             SELECT o_orderkey, o_custkey, o_orderdate,

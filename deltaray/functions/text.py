@@ -409,3 +409,88 @@ def winnow_batch(batch: pa.Table, *, k: int = 5, w: int = 4,
         "n_fp": pa.array([len(f) for f in fps], pa.int32()),
     })
     return out
+
+
+def unigram_stats(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                  num_partitions: int = 32):
+    """Per-document unigram-LM corpus statistics — the exact skeleton of
+    the perplexity-style quality filter: whitespace tokens are counted
+    corpus-wide (distributed wordcount with a per-batch combiner), each
+    document's tokens join back to the global counts, and the document
+    reduces to INTEGER-exact projections
+
+        n_tok    = token count,
+        cnt_sum  = Σ_t count(t)   (corpus familiarity mass),
+        cnt_min  = min_t count(t) (rare-token detector: 1 = contains a
+                                   corpus-unique token).
+
+    Integers keep the SQL oracle hash-exact (float log sums differ by
+    summation order); the unigram log-perplexity numerator
+    -Σ log(count/N) is a trivial map over a (token, count) join that
+    this pipeline already materializes.
+
+    Scale: three hash exchanges — token counts, token join, doc reduce
+    — each preceded by a per-batch combiner so shuffle volume is
+    bounded by per-batch distinct tokens, not corpus size.  At 100 TB
+    the exact join can be swapped for a broadcast count-min sketch
+    (functions/stats.py) at the cost of overestimated counts for the
+    heavy tail; the exact path is the oracle-checkable baseline.
+    """
+    from deltaray.functions.joins import hash_join
+    from deltaray.functions.partition import hash_partitioned
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_trim_whitespace(batch[text_col])
+        mask = pc.greater(pc.utf8_length(text), 0)
+        ids = batch[id_col].filter(mask)
+        text = text.filter(mask)
+        toks = pc.split_pattern_regex(text, _WS)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        rep = ids.take(pa.array(np.repeat(np.arange(len(lens)), lens)))
+        return pa.table({id_col: rep, "tok": toks.flatten()})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        t = batch.select(["tok"]).group_by("tok") \
+            .aggregate([([], "count_all")])
+        return t.rename_columns(["tok", "n_part"])
+
+    def reduce_counts(block: pa.Table) -> pa.Table:
+        t = block.select(["tok", "n_part"]).group_by("tok") \
+            .aggregate([("n_part", "sum")])
+        return pa.table({"tok": t["tok"],
+                         "cnt": t["n_part_sum"].cast(pa.int64())})
+
+    counts = hash_partitioned(
+        exploded.map_batches(partial_counts, batch_format="pyarrow"),
+        ["tok"], reduce_counts, num_partitions=num_partitions)
+
+    joined = hash_join(exploded, counts, on="tok",
+                       left_cols={id_col: id_col},
+                       right_cols={"cnt": "cnt"},
+                       num_partitions=num_partitions)
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(id_col).aggregate(
+            [("cnt", "sum"), ("cnt", "min"), ("cnt", "count")])
+        return pa.table({id_col: t[id_col],
+                         "s": t["cnt_sum"].cast(pa.int64()),
+                         "m": t["cnt_min"].cast(pa.int64()),
+                         "c": t["cnt_count"].cast(pa.int64())})
+
+    def doc_final(block: pa.Table) -> pa.Table:
+        t = block.group_by(id_col).aggregate(
+            [("s", "sum"), ("m", "min"), ("c", "sum")])
+        return pa.table({id_col: t[id_col],
+                         "n_tok": t["c_sum"].cast(pa.int64()),
+                         "cnt_sum": t["s_sum"].cast(pa.int64()),
+                         "cnt_min": t["m_min"].cast(pa.int64())})
+
+    return hash_partitioned(
+        joined.map_batches(doc_partial, batch_format="pyarrow"),
+        [id_col], doc_final, num_partitions=num_partitions)

@@ -1150,3 +1150,36 @@ def test_chunk_sequences_sliding_windows():
     assert out["tok_sum"].tolist() == [15, 39, 17, 7]
     assert out["tok_first"].tolist() == [0, 4, 8, 7]
     assert out["tok_last"].tolist() == [5, 9, 9, 7]
+
+
+def test_unigram_stats_semantics():
+    """Distributed wordcount→join→doc-reduce equals the obvious Python
+    computation; empty/whitespace docs vanish; corpus-unique tokens
+    give cnt_min == 1."""
+    import ray.data
+
+    from deltaray.functions.text import unigram_stats
+
+    docs = {
+        1: "the cat sat on the mat",
+        2: "the dog",
+        3: "zzzunique the",
+        4: "",
+        5: "   ",
+    }
+    tbl = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()))})
+    out = unigram_stats(ray.data.from_arrow(tbl).repartition(3),
+                        num_partitions=4).to_pandas() \
+        .set_index("doc_id").sort_index()
+    from collections import Counter
+    cnt = Counter(t for s in docs.values() for t in s.split())
+    for d, s in docs.items():
+        toks = s.split()
+        if not toks:
+            assert d not in out.index
+            continue
+        assert out.loc[d, "n_tok"] == len(toks)
+        assert out.loc[d, "cnt_sum"] == sum(cnt[t] for t in toks)
+        assert out.loc[d, "cnt_min"] == min(cnt[t] for t in toks)
+    assert out.loc[3, "cnt_min"] == 1  # zzzunique appears once corpus-wide

@@ -114,6 +114,8 @@ def bench_queries() -> dict:
         "knn_lsh",
         "cluster_embeddings",
         "training_data_refresh",
+        "cdc_read_changes",
+        "unigram_lm_docs",
     ]
     qs = m.queries()
     for name in picks:

@@ -470,18 +470,28 @@ def unigram_stats(ds, *, text_col: str = "text", id_col: str = "doc_id",
         exploded.map_batches(partial_counts, batch_format="pyarrow"),
         ["tok"], reduce_counts, num_partitions=num_partitions)
 
-    joined = hash_join(exploded, counts, on="tok",
-                       left_cols={id_col: id_col},
+    # join side ships DISTINCT (doc, token) pairs with multiplicity k —
+    # a per-batch combiner that cuts the join and doc-reduce exchanges
+    # to distinct-pairs volume instead of one row per token instance
+    def pair_combine(batch: pa.Table) -> pa.Table:
+        t = batch.group_by([id_col, "tok"]).aggregate([([], "count_all")])
+        return pa.table({id_col: t[id_col], "tok": t["tok"],
+                         "k": t["count_all"].cast(pa.int64())})
+
+    pairs = exploded.map_batches(pair_combine, batch_format="pyarrow")
+    joined = hash_join(pairs, counts, on="tok",
+                       left_cols={id_col: id_col, "k": "k"},
                        right_cols={"cnt": "cnt"},
                        num_partitions=num_partitions)
 
     def doc_partial(batch: pa.Table) -> pa.Table:
-        t = batch.group_by(id_col).aggregate(
-            [("cnt", "sum"), ("cnt", "min"), ("cnt", "count")])
+        kc = pc.multiply(batch["k"], batch["cnt"])
+        t = batch.append_column("kc", kc).group_by(id_col).aggregate(
+            [("kc", "sum"), ("cnt", "min"), ("k", "sum")])
         return pa.table({id_col: t[id_col],
-                         "s": t["cnt_sum"].cast(pa.int64()),
+                         "s": t["kc_sum"].cast(pa.int64()),
                          "m": t["cnt_min"].cast(pa.int64()),
-                         "c": t["cnt_count"].cast(pa.int64())})
+                         "c": t["k_sum"].cast(pa.int64())})
 
     def doc_final(block: pa.Table) -> pa.Table:
         t = block.group_by(id_col).aggregate(

@@ -565,15 +565,29 @@ def _cdc_read_changes(sf_dir: str):
     downstream re-tokenize/re-index pipeline consumes instead of
     rescanning the lake.  Rows-only; the pytest oracle proves
     t1 + changes == t2 (test_read_changes_incremental)."""
+    from deltaray.pipeline import read_changes
+
+    lake, cut, _ = _two_phase_lake(sf_dir, "/tmp/deltaray_q_changes",
+                                   tail_applied=True)
+    # token payload dropped for a compact result; UPSERT rows would
+    # carry it for the downstream consumer
+    return read_changes(lake, "docs", cut).drop_columns(["tokens"])
+
+
+def _two_phase_lake(sf_dir: str, scratch: str, *, tail_applied: bool):
+    """Prefix-then-tail replay scaffold shared by the incremental
+    queries: synthesize a change log scaled to the sf dir, replay its
+    first half into a fresh lake, and return (lake, committed-high-
+    water-mark, tail_fn).  ``tail_applied=True`` applies the tail
+    immediately; otherwise call ``tail_fn()`` when the consumer has
+    snapshotted the prefix state."""
     import json as _json
 
     import pyarrow.parquet as pq
 
     from deltaray import ReplayConfig, replay
     from deltaray.gen import write_event_log
-    from deltaray.pipeline import read_changes
 
-    scratch = "/tmp/deltaray_q_changes"
     shutil.rmtree(scratch, ignore_errors=True)
     n_docs = pq.ParquetFile(
         os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
@@ -595,10 +609,79 @@ def _cdc_read_changes(sf_dir: str):
         _json.dump(hman, f)
     lake = os.path.join(scratch, "lake")
     replay(ReplayConfig(event_log=half, lake=lake, num_partitions=16))
-    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=16))
-    # token payload dropped for a compact result; UPSERT rows would
-    # carry it for the downstream consumer
-    return read_changes(lake, "docs", cut).drop_columns(["tokens"])
+
+    def tail_fn():
+        replay(ReplayConfig(event_log=log, lake=lake, num_partitions=16))
+
+    if tail_applied:
+        tail_fn()
+    return lake, cut, tail_fn
+
+
+def _incremental_refresh_docs(sf_dir: str):
+    """Close the CDC→training-data loop: a derived chunk table is kept
+    fresh by PATCHING — after a tail replay, only the documents
+    `read_changes` reports are re-chunked (UPSERT → recompute that
+    doc's chunks; DELETE → drop them); untouched docs' chunks are
+    reused from the previous materialization.  The query verifies the
+    patched chunk set EQUALS a full recompute of the live corpus and
+    returns the work-saved accounting.  At scale the changed-id set
+    joins anti-style instead of broadcasting; here (the point of CDC)
+    it is small.  Rows-only; the equality check is inside the query."""
+    import ray.data
+
+    from deltaray.functions.text import chunk_sequences
+    from deltaray.pipeline import read_changes, read_table_ds
+
+    scratch = "/tmp/deltaray_q_increfresh"
+    lake, cut, tail_fn = _two_phase_lake(sf_dir, scratch, tail_applied=False)
+
+    # materialize the prefix state's derived chunk table (partitioned
+    # parquet — the resumable-output shape a real pipeline would keep)
+    chunks_dir = os.path.join(scratch, "chunks_t1")
+    chunk_sequences(read_table_ds(lake, "docs"), max_len=128,
+                    with_stats=True).drop_columns(["tokens"]) \
+        .write_parquet(chunks_dir)
+
+    tail_fn()
+    ch = pa.concat_tables(list(
+        read_changes(lake, "docs", cut)
+        .iter_batches(batch_format="pyarrow")))
+    deleted = pc.equal(ch["change"], "DELETE")
+    changed_ids = ch["doc_id"].combine_chunks()
+    n_del = int(pc.sum(deleted.combine_chunks().cast(pa.int8())).as_py() or 0)
+
+    # patch: drop every changed/deleted doc's old chunks, re-chunk the
+    # UPSERT payloads read_changes already carries
+    def drop_changed(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(pc.is_in(
+            batch["doc_id"], value_set=changed_ids)))
+
+    kept = ray.data.read_parquet(chunks_dir) \
+        .map_batches(drop_changed, batch_format="pyarrow")
+    upserts = ch.filter(pc.invert(deleted)).select(["doc_id", "tokens"])
+    fresh = chunk_sequences(ray.data.from_arrow(upserts), max_len=128,
+                            with_stats=True).drop_columns(["tokens"])
+    patched = kept.union(fresh)
+
+    # verify: patched == full recompute of the live corpus
+    full = chunk_sequences(read_table_ds(lake, "docs"), max_len=128,
+                           with_stats=True).drop_columns(["tokens"])
+
+    def collect(ds):
+        t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+        return t.sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
+
+    pt, ft = collect(patched), collect(full)
+    ok = pt.num_rows == ft.num_rows and all(
+        pc.all(pc.equal(pt[c], ft[c])).as_py() for c in ft.column_names)
+    return pa.table({
+        "n_docs_changed": pa.array([len(changed_ids)], pa.int64()),
+        "n_docs_deleted": pa.array([n_del], pa.int64()),
+        "n_chunks_rechunked": pa.array([fresh.count()], pa.int64()),
+        "n_chunks_total": pa.array([ft.num_rows], pa.int64()),
+        "ok_equals_full_recompute": pa.array([ok], pa.bool_()),
+    })
 
 
 def _cdc_replay_docs(sf_dir: str):
@@ -1207,6 +1290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_ship_window": _lineitem_ship_window,
         "cdc_replay_docs": _cdc_replay_docs,
         "cdc_read_changes": _cdc_read_changes,
+        "incremental_refresh_docs": _incremental_refresh_docs,
         "training_data_refresh": _training_data_refresh,
         "decode_media": _decode_media,
         "audio_features": _audio_features,
@@ -1624,7 +1708,8 @@ def oracle_sql() -> dict[str, str]:
         # engine replay, order-dependent packing) — rows-only.
         # knn_lsh (random-hyperplane buckets), cluster_embeddings
         # (k-means), training_data_refresh (engine replay composition),
-        # cdc_read_changes (engine replay + incremental read):
+        # cdc_read_changes / incremental_refresh_docs (engine replay +
+        # incremental read / patch-vs-recompute equality asserted inside):
         # rows-only; pytest oracles — LSH full-probe == brute force,
         # distributed Lloyd == single-process replication, stage-to-stage
         # token/doc conservation, t1 + changes == t2.

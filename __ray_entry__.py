@@ -212,6 +212,19 @@ def _unigram_lm_docs(sf_dir: str):
     return unigram_stats(ds)
 
 
+def _unigram_lm_docs_cms(sf_dir: str):
+    """Map-only count-min variant of unigram_lm_docs — the 100-TB path:
+    a fixed-size sketch of the token counts streams to the driver once
+    and broadcasts back; no token exchange, no join.  Rows-only
+    (sketch estimates aren't SQL-expressible); the pytest oracle pins
+    never-underestimates + exact-n_tok + tightness bounds vs the exact
+    operator."""
+    from deltaray.functions.text import unigram_stats_cms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return unigram_stats_cms(ds, width=1 << 18, depth=4)
+
+
 def _fingerprint_docs(sf_dir: str):
     from deltaray.functions.text import fingerprint_batch
 
@@ -1244,6 +1257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_docs": _token_counts_docs,
         "quality_scores_docs": _quality_scores_docs,
         "unigram_lm_docs": _unigram_lm_docs,
+        "unigram_lm_docs_cms": _unigram_lm_docs_cms,
         "fingerprint_docs": _fingerprint_docs,
         "winnow_docs": _winnow_docs,
         "lang_id_docs": _lang_id_docs,

@@ -411,6 +411,24 @@ def winnow_batch(batch: pa.Table, *, k: int = 5, w: int = 4,
     return out
 
 
+def _explode_tokens(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """(id, tok) rows, one per whitespace token; empty/whitespace-only
+    docs contribute nothing.  Fully vectorized (regex split + flatten +
+    repeated-id take)."""
+    text = pc.utf8_trim_whitespace(batch[text_col])
+    mask = pc.greater(pc.utf8_length(text), 0)
+    ids = batch[id_col].filter(mask)
+    text = text.filter(mask)
+    toks = pc.split_pattern_regex(text, _WS)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    rep = ids.take(pa.array(np.repeat(np.arange(len(lens)), lens)))
+    return pa.table({id_col: rep, "tok": toks.flatten()})
+
+
 def unigram_stats(ds, *, text_col: str = "text", id_col: str = "doc_id",
                   num_partitions: int = 32):
     """Per-document unigram-LM corpus statistics — the exact skeleton of
@@ -439,21 +457,9 @@ def unigram_stats(ds, *, text_col: str = "text", id_col: str = "doc_id",
     from deltaray.functions.joins import hash_join
     from deltaray.functions.partition import hash_partitioned
 
-    def explode(batch: pa.Table) -> pa.Table:
-        text = pc.utf8_trim_whitespace(batch[text_col])
-        mask = pc.greater(pc.utf8_length(text), 0)
-        ids = batch[id_col].filter(mask)
-        text = text.filter(mask)
-        toks = pc.split_pattern_regex(text, _WS)
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        rep = ids.take(pa.array(np.repeat(np.arange(len(lens)), lens)))
-        return pa.table({id_col: rep, "tok": toks.flatten()})
-
-    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    exploded = ds.map_batches(
+        lambda b: _explode_tokens(b, text_col, id_col),
+        batch_format="pyarrow")
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         t = batch.select(["tok"]).group_by("tok") \
@@ -504,3 +510,87 @@ def unigram_stats(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return hash_partitioned(
         joined.map_batches(doc_partial, batch_format="pyarrow"),
         [id_col], doc_final, num_partitions=num_partitions)
+
+
+def unigram_stats_cms(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                      width: int = 1 << 20, depth: int = 4, seed: int = 42):
+    """Map-only 100-TB variant of :func:`unigram_stats`: the corpus's
+    token counts live in a FIXED-SIZE count-min sketch (depth×width
+    int64 — 32 MB at width 2^20) instead of a distributed count table.
+
+    Pass 1 streams the corpus once, folding per-batch exact local
+    counts into a partial sketch; only the depth×width arrays cross to
+    the driver (constant bytes per batch), where they reduce by
+    elementwise sum.  Pass 2 broadcasts the sketch via ``ray.put`` and
+    scores every document map-only: no token exchange, no join — two
+    streaming passes total, versus three hash exchanges for the exact
+    path.  Output columns mirror the exact operator with ``est_``
+    prefixes; the CMS guarantee (Cormode & Muthukrishnan 2005) makes
+    every estimate an overestimate bounded by eN (e ≈ e/width) with
+    probability 1-2^-depth per token, which the pytest oracle checks
+    against the exact path.
+    """
+    import ray
+
+    from deltaray.transforms import stable_hash_cols
+
+    row_seeds = np.arange(1, depth + 1, dtype=np.uint64) * np.uint64(seed * 2 + 1)
+
+    def mix64(h: np.ndarray) -> np.ndarray:
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        pairs = _explode_tokens(batch, text_col, id_col)
+        t = pairs.select(["tok"]).group_by("tok").aggregate(
+            [([], "count_all")]).rename_columns(["tok", "n"])
+        h = stable_hash_cols(t, ["tok"])
+        counts = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cm = np.zeros((depth, width), dtype=np.int64)
+        for d in range(depth):
+            idx = (mix64(h ^ row_seeds[d]) % np.uint64(width)).astype(np.int64)
+            np.add.at(cm[d], idx, counts)
+        return pa.table({"cm": pa.array([cm.tobytes()], pa.binary())})
+
+    cm_total = np.zeros((depth, width), dtype=np.int64)
+    for b in ds.map_batches(sketch_batch, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for buf in b["cm"].to_pylist():
+            cm_total += np.frombuffer(buf, np.int64).reshape(depth, width)
+    cm_ref = ray.put(cm_total)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cm_ref)
+        pairs = _explode_tokens(batch, text_col, id_col)
+        if pairs.num_rows == 0:
+            return pa.table({
+                id_col: batch[id_col].slice(0, 0),
+                "n_tok": pa.array([], pa.int64()),
+                "est_cnt_sum": pa.array([], pa.int64()),
+                "est_cnt_min": pa.array([], pa.int64()),
+            })
+        # distinct (doc, tok) with multiplicity, then CMS point queries
+        t = pairs.group_by([id_col, "tok"]).aggregate([([], "count_all")])
+        h = stable_hash_cols(t, ["tok"])
+        est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+        for d in range(depth):
+            idx = (mix64(h ^ row_seeds[d]) % np.uint64(width)).astype(np.int64)
+            est = np.minimum(est, cm[d][idx])
+        k = t["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pa.table({id_col: t[id_col],
+                      "kc": pa.array(k * est),
+                      "est": pa.array(est),
+                      "k": pa.array(k)}) \
+            .group_by(id_col).aggregate(
+                [("kc", "sum"), ("est", "min"), ("k", "sum")])
+        # a document sits wholly inside one input batch, so these
+        # per-batch aggregates are final — the pass stays map-only
+        return pa.table({
+            id_col: g[id_col],
+            "n_tok": g["k_sum"].cast(pa.int64()),
+            "est_cnt_sum": g["kc_sum"].cast(pa.int64()),
+            "est_cnt_min": g["est_min"].cast(pa.int64()),
+        })
+
+    return ds.map_batches(score_batch, batch_format="pyarrow")

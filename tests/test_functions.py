@@ -1183,3 +1183,30 @@ def test_unigram_stats_semantics():
         assert out.loc[d, "cnt_sum"] == sum(cnt[t] for t in toks)
         assert out.loc[d, "cnt_min"] == min(cnt[t] for t in toks)
     assert out.loc[3, "cnt_min"] == 1  # zzzunique appears once corpus-wide
+
+
+def test_unigram_stats_cms_bounds():
+    """The map-only CMS variant never underestimates the exact path and
+    n_tok matches exactly; with a wide sketch the estimates are tight."""
+    import ray.data
+
+    from deltaray.functions.text import unigram_stats, unigram_stats_cms
+
+    rng = np.random.default_rng(13)
+    words = [f"w{i:03d}" for i in range(200)]
+    texts = [" ".join(rng.choice(words, size=rng.integers(1, 60)))
+             for _ in range(120)]
+    tbl = pa.table({"doc_id": pa.array(range(120), pa.int64()),
+                    "text": pa.array(texts)})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    exact = unigram_stats(ds, num_partitions=4).to_pandas() \
+        .set_index("doc_id").sort_index()
+    approx = unigram_stats_cms(ds, width=1 << 16, depth=4).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert list(exact.index) == list(approx.index)
+    assert (approx["n_tok"] == exact["n_tok"]).all()
+    assert (approx["est_cnt_sum"] >= exact["cnt_sum"]).all()
+    assert (approx["est_cnt_min"] >= exact["cnt_min"]).all()
+    # wide sketch, tiny vocab: estimates are tight (CMS error <= eN)
+    rel = (approx["est_cnt_sum"] - exact["cnt_sum"]) / exact["cnt_sum"]
+    assert rel.mean() < 0.01

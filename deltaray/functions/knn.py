@@ -357,3 +357,61 @@ def train_centroids_ds(ds, n_centroids: int, *, iters: int = 8,
         C[live] = (S[live] / N[live, None]).astype(np.float32)
         C = _unit(C)
     return C
+
+
+def whiten_embeddings(ds, *, vec_col: str = "embedding",
+                      id_col: str = "vec_id", eps: float = 1e-5):
+    """ZCA-whiten an embedding column: one streaming pass reduces the
+    per-batch moment partials (Σx, Σxxᵀ, n — constant dim²·8 bytes per
+    batch to the driver), the driver eigendecomposes the covariance
+    once, and a second map-only pass projects (x−μ)·W with
+    W = U·diag(1/√(λ+eps))·Uᵀ broadcast in the task closure.  The
+    standard pre-step before cosine near-dup / ANN when raw embedding
+    dimensions are correlated (whitened space makes hyperplane LSH
+    bits independent).  Returns (id, embedding[whitened], w_norm).
+    """
+    import ray
+
+    first = next(iter(ds.iter_batches(batch_size=8, batch_format="pyarrow")))
+    dim = vecs_np(first[vec_col], np.float64).shape[1]
+
+    def moments(batch: pa.Table) -> pa.Table:
+        V = vecs_np(batch[vec_col], np.float64)
+        return pa.table({
+            "s": pa.array([V.sum(axis=0).tobytes()], pa.binary()),
+            "ss": pa.array([(V.T @ V).tobytes()], pa.binary()),
+            "n": pa.array([len(V)], pa.int64()),
+        })
+
+    S = np.zeros(dim, dtype=np.float64)
+    SS = np.zeros((dim, dim), dtype=np.float64)
+    N = 0
+    for b in ds.map_batches(moments, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for s, ss, n in zip(b["s"].to_pylist(), b["ss"].to_pylist(),
+                            b["n"].to_pylist()):
+            S += np.frombuffer(s, np.float64)
+            SS += np.frombuffer(ss, np.float64).reshape(dim, dim)
+            N += int(n)
+    if N == 0:
+        raise ValueError("empty embedding dataset")
+    mu = S / N
+    cov = SS / N - np.outer(mu, mu)
+    lam, U = np.linalg.eigh(cov)
+    W = (U * (1.0 / np.sqrt(np.maximum(lam, 0.0) + eps))) @ U.T
+    wref = ray.put((mu, W))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu_, W_ = ray.get(wref)
+        V = vecs_np(batch[vec_col], np.float64)
+        Z = (V - mu_) @ W_
+        flat = pa.array(Z.ravel(), pa.float32())
+        offs = pa.array(np.arange(0, (len(Z) + 1) * Z.shape[1], Z.shape[1],
+                                  dtype=np.int32))
+        return pa.table({
+            id_col: batch[id_col],
+            "embedding": pa.ListArray.from_arrays(offs, flat),
+            "w_norm": pa.array(np.linalg.norm(Z, axis=1)),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -1210,3 +1210,37 @@ def test_unigram_stats_cms_bounds():
     # wide sketch, tiny vocab: estimates are tight (CMS error <= eN)
     rel = (approx["est_cnt_sum"] - exact["cnt_sum"]) / exact["cnt_sum"]
     assert rel.mean() < 0.01
+
+
+def test_whiten_embeddings_zca():
+    """Distributed moment reduce + map-only projection: whitened vectors
+    have ~zero mean and ~identity covariance, and match a single-process
+    numpy ZCA of the same data."""
+    import ray.data
+
+    from deltaray.functions.knn import whiten_embeddings
+
+    rng = np.random.default_rng(17)
+    A = rng.standard_normal((12, 12))
+    V = rng.standard_normal((500, 12)) @ A + rng.standard_normal(12) * 3
+    tbl = pa.table({"vec_id": pa.array(np.arange(500)),
+                    "embedding": pa.array(list(V.astype(np.float32)),
+                                          pa.list_(pa.float32()))})
+    out = whiten_embeddings(ray.data.from_arrow(tbl).repartition(4)) \
+        .to_pandas().sort_values("vec_id")
+    Z = np.array([np.asarray(e) for e in out["embedding"]], dtype=np.float64)
+    assert Z.shape == (500, 12)
+    assert np.abs(Z.mean(axis=0)).max() < 1e-3
+    cov = (Z - Z.mean(axis=0)).T @ (Z - Z.mean(axis=0)) / len(Z)
+    # float32 output storage loosens the identity tolerance
+    assert np.abs(cov - np.eye(12)).max() < 1e-2
+    # matches single-process ZCA (same eps)
+    Vf = np.array([np.asarray(e) for e in
+                   tbl["embedding"].to_pylist()], dtype=np.float64)
+    mu = Vf.mean(axis=0)
+    c = np.cov(Vf.T, bias=True)
+    lam, U = np.linalg.eigh(c)
+    W = (U * (1.0 / np.sqrt(np.maximum(lam, 0.0) + 1e-5))) @ U.T
+    Zref = (Vf - mu) @ W
+    assert np.abs(Z - Zref).max() < 1e-3
+    assert np.allclose(out["w_norm"], np.linalg.norm(Zref, axis=1), atol=1e-3)

@@ -469,6 +469,17 @@ def _knn_ivf_fullprobe(sf_dir: str):
     return knn_ivf(ds, q, C, k=5, nprobe=16).drop_columns(["cosine"])
 
 
+def _whiten_embeddings(sf_dir: str):
+    """ZCA whitening of the embedding corpus (distributed moment reduce
+    → driver eigh → map-only projection) — rows-only (eigendecomposition
+    isn't SQL); pytest pins identity covariance and exact agreement
+    with single-process ZCA.  Output kept to (vec_id, w_norm)."""
+    from deltaray.functions.knn import whiten_embeddings
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return whiten_embeddings(ds).drop_columns(["embedding"])
+
+
 def _knn_lsh(sf_dir: str):
     """Hyperplane-LSH bucketed ANN — the data-independent scale path
     (no training pass, works on a cold stream).  Rows-only: pytest
@@ -1275,6 +1286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _knn_ivf,
         "knn_ivf_fullprobe": _knn_ivf_fullprobe,
         "knn_lsh": _knn_lsh,
+        "whiten_embeddings": _whiten_embeddings,
         "cluster_embeddings": _cluster_embeddings,
         "asof_prev_order": _asof_prev_order,
         "sessionize_events": _sessionize_events,

@@ -665,3 +665,60 @@ def test_read_changes_incremental(tmp_log, tmp_lake):
     full = collect(read_changes(tmp_lake, "docs", 0))
     ups = full[full["change"] == "UPSERT"]
     assert rowmap(ups) == rowmap(t2)
+
+
+def test_read_changes_unordered(tmp_log, tmp_lake):
+    """read_changes under UN_ORDERED sources: late events that LOSE the
+    (source_ts, sort_keys) race change nothing and are absent from the
+    feed; t1 + changes still equals t2 exactly."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    import pyarrow as pa
+
+    from deltaray.pipeline import read_changes
+
+    man = write_event_log(tmp_log, n_docs=120, n_events=2200, seed=43,
+                          segment_max_events=400, unordered=True)
+    half = tmp_log + "-half"
+    _os.makedirs(half, exist_ok=True)
+    head = man["segments"][: len(man["segments"]) // 2]
+    for s in head:
+        _shutil.copy(s["path"], half)
+    cut = max(s["seq_hi"] for s in head)
+    hman = dict(man, max_seq=cut, segments=[
+        dict(s, path=_os.path.join(half, _os.path.basename(s["path"])))
+        for s in head
+    ])
+    with open(_os.path.join(half, "manifest.json"), "w") as f:
+        _json.dump(hman, f)
+
+    kw = dict(lake=tmp_lake, num_partitions=4, chunk_max_events=500,
+              ordering="UN_ORDERED")
+    replay(ReplayConfig(event_log=half, **kw))
+    t1 = read_table(tmp_lake, "docs").to_pandas()
+    replay(ReplayConfig(event_log=tmp_log, **kw))
+    t2 = read_table(tmp_lake, "docs").to_pandas()
+    ch = pa.concat_tables(list(
+        read_changes(tmp_lake, "docs", cut)
+        .iter_batches(batch_format="pyarrow"))).to_pandas()
+    assert (ch["seq"] > cut).all() and ch["doc_id"].is_unique
+
+    def rowmap(df):
+        cols = [c for c in df.columns if c not in ("change", "seq")]
+        return {r["doc_id"]: tuple(
+            tuple(v) if hasattr(v, "__len__") and
+            not isinstance(v, (str, bytes)) else v
+            for v in (r[c] for c in cols)) for _, r in df.iterrows()}
+
+    state = rowmap(t1)
+    for _, r in ch.iterrows():
+        if r["change"] == "DELETE":
+            state.pop(r["doc_id"], None)
+        else:
+            state[r["doc_id"]] = tuple(
+                tuple(v) if hasattr(v, "__len__") and
+                not isinstance(v, (str, bytes)) else v
+                for v in (r[c] for c in t1.columns))
+    assert state == rowmap(t2)

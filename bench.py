@@ -64,8 +64,14 @@ def bench_replay(log: str, manifest: dict,
     for r in range(repeats):
         lake = os.path.join(os.path.dirname(log), f"lake-cpus{NUM_CPUS}")
         shutil.rmtree(lake, ignore_errors=True)
-        cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=64,
-                           chunk_max_events=50_000_000)
+        # GRAFT_CHUNK_EVENTS / GRAFT_PIPELINE_CHUNKS reproduce the
+        # chunked-replay pipelining measurements in BASELINE.md; the
+        # default single-chunk headline keeps the pipelining inactive
+        cfg = ReplayConfig(
+            event_log=log, lake=lake, num_partitions=64,
+            chunk_max_events=int(os.environ.get("GRAFT_CHUNK_EVENTS",
+                                                "50000000")),
+            pipeline_chunks=int(os.environ.get("GRAFT_PIPELINE_CHUNKS", "2")))
         t0 = time.perf_counter()
         res = replay(cfg)
         secs.append(time.perf_counter() - t0)

@@ -722,3 +722,79 @@ def test_read_changes_unordered(tmp_log, tmp_lake):
                 not isinstance(v, (str, bytes)) else v
                 for v in (r[c] for c in t1.columns))
     assert state == rowmap(t2)
+
+
+def test_follow_with_streaming_changes_consumer(tmp_log, tmp_lake):
+    """The full streaming loop: replay_follow tails a growing log while a
+    downstream consumer maintains its OWN copy of the table purely from
+    read_changes feeds (one incremental pull per cycle, anchored at the
+    previous cycle's committed high-water mark).  The consumer's state
+    converges to the lake's live table without ever scanning it."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    import pyarrow as pa
+
+    from deltaray.pipeline import read_changes, replay_follow
+
+    ext = tmp_log + "-full"
+    man0 = write_event_log(ext, n_docs=100, n_events=1600, seed=101,
+                           segment_max_events=250)
+
+    def publish(upto):
+        segs = [s for s in man0["segments"] if s["seq_hi"] <= upto] \
+            or man0["segments"]
+        _os.makedirs(tmp_log, exist_ok=True)
+        for s in segs:
+            dst = _os.path.join(tmp_log, _os.path.basename(s["path"]))
+            if not _os.path.exists(dst):
+                _shutil.copy(s["path"], dst)
+        with open(f"{tmp_log}/manifest.json", "w") as f:
+            _json.dump(dict(man0, segments=[
+                dict(s, path=_os.path.join(tmp_log,
+                                           _os.path.basename(s["path"])))
+                for s in segs
+            ], max_seq=max(s["seq_hi"] for s in segs)), f)
+
+    publish(500)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2,
+                       chunk_max_events=250)
+    consumer: dict = {}
+    mark = {"seq": 0}
+    pulls = []
+
+    def pull():
+        tabs = list(read_changes(tmp_lake, "docs", mark["seq"])
+                    .iter_batches(batch_format="pyarrow"))
+        if not tabs:
+            pulls.append(0)
+            return
+        ch = pa.concat_tables(tabs)
+        n = 0
+        for r in ch.to_pylist():
+            n += 1
+            mark["seq"] = max(mark["seq"], r["seq"])
+            if r["change"] == "DELETE":
+                consumer.pop(r["doc_id"], None)
+            else:
+                consumer[r["doc_id"]] = (tuple(r["tokens"]), r["n_tok"],
+                                         r["source"])
+        pulls.append(n)
+
+    grow = iter([900, 10**9])
+
+    def on_cycle(i, applied, res):
+        if applied:
+            pull()
+        nxt = next(grow, None)
+        if nxt is not None and applied:
+            publish(nxt)
+
+    replay_follow(cfg, poll_seconds=0.01, idle_polls=2, on_cycle=on_cycle)
+    pull()  # drain anything applied after the last mid-cycle pull
+    assert sum(1 for n in pulls if n > 0) >= 2  # genuinely incremental
+    live = read_table(tmp_lake, "docs").to_pylist()
+    want = {r["doc_id"]: (tuple(r["tokens"]), r["n_tok"], r["source"])
+            for r in live}
+    assert consumer == want

@@ -649,11 +649,18 @@ def _incremental_refresh_docs(sf_dir: str):
     doc's chunks; DELETE → drop them); untouched docs' chunks are
     reused from the previous materialization.  The query verifies the
     patched chunk set EQUALS a full recompute of the live corpus and
-    returns the work-saved accounting.  At scale the changed-id set
-    joins anti-style instead of broadcasting; here (the point of CDC)
-    it is small.  Rows-only; the equality check is inside the query."""
+    returns the work-saved accounting.  The changed-id set broadcasts
+    when small (the common CDC case) and switches to the distributed
+    anti-join past ``broadcast_cap`` ids — both paths covered by the
+    pytest parametrization.  Rows-only; the equality check is inside
+    the query."""
+    return _incremental_refresh_impl(sf_dir)
+
+
+def _incremental_refresh_impl(sf_dir: str, broadcast_cap: int = 1_000_000):
     import ray.data
 
+    from deltaray.functions.joins import semi_join
     from deltaray.functions.text import chunk_sequences
     from deltaray.pipeline import read_changes, read_table_ds
 
@@ -676,13 +683,21 @@ def _incremental_refresh_docs(sf_dir: str):
     n_del = int(pc.sum(deleted.combine_chunks().cast(pa.int8())).as_py() or 0)
 
     # patch: drop every changed/deleted doc's old chunks, re-chunk the
-    # UPSERT payloads read_changes already carries
-    def drop_changed(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.invert(pc.is_in(
-            batch["doc_id"], value_set=changed_ids)))
+    # UPSERT payloads read_changes already carries.  Small changed sets
+    # broadcast into a map-only is_in filter; large ones (a backfill /
+    # bulk re-ingest) anti-join so no node ever holds the whole set.
+    if len(changed_ids) <= broadcast_cap:
+        def drop_changed(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.invert(pc.is_in(
+                batch["doc_id"], value_set=changed_ids)))
 
-    kept = ray.data.read_parquet(chunks_dir) \
-        .map_batches(drop_changed, batch_format="pyarrow")
+        kept = ray.data.read_parquet(chunks_dir) \
+            .map_batches(drop_changed, batch_format="pyarrow")
+    else:
+        kept = semi_join(
+            ray.data.read_parquet(chunks_dir),
+            ray.data.from_arrow(pa.table({"doc_id": changed_ids})),
+            on="doc_id", anti=True, num_partitions=16)
     upserts = ch.filter(pc.invert(deleted)).select(["doc_id", "tokens"])
     fresh = chunk_sequences(ray.data.from_arrow(upserts), max_len=128,
                             with_stats=True).drop_columns(["tokens"])

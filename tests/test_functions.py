@@ -1244,3 +1244,16 @@ def test_whiten_embeddings_zca():
     Zref = (Vf - mu) @ W
     assert np.abs(Z - Zref).max() < 1e-3
     assert np.allclose(out["w_norm"], np.linalg.norm(Zref, axis=1), atol=1e-3)
+
+
+def test_incremental_refresh_antijoin_path(ray_session):
+    """broadcast_cap=0 forces the distributed anti-join patch path; the
+    patched chunk table must still equal the full recompute."""
+    import __ray_entry__ as entrymod
+
+    from tests.conftest import SF_DIR
+
+    t = entrymod._incremental_refresh_impl(SF_DIR, broadcast_cap=0) \
+        .to_pandas().iloc[0]
+    assert bool(t["ok_equals_full_recompute"])
+    assert t["n_docs_changed"] > 0

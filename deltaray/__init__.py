@@ -27,6 +27,7 @@ from deltaray.pipeline import (
     DeltaFailureError,
     bootstrap_table,
     lineage_report,
+    committed_watermark,
     read_changes,
     read_table,
     read_table_ds,
@@ -49,6 +50,7 @@ __all__ = [
     "TableConfig",
     "expand_macros",
     "lineage_report",
+    "committed_watermark",
     "read_changes",
     "read_table",
     "read_table_ds",

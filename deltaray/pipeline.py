@@ -967,6 +967,21 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
     return ds.repartition(len(parts))         .map_batches(load, batch_format="pyarrow", batch_size=1)
 
 
+def committed_watermark(lake_root: str, table: str,
+                        generation: int = 0) -> int:
+    """The safe ``read_changes`` anchor: min over partitions of the last
+    committed seq.  Every event at or below it is applied in EVERY
+    partition, so a consumer that pulls ``read_changes(since=previous
+    watermark)`` and advances to the new watermark never misses a row —
+    anchoring at the max seq SEEN in a feed instead can skip rows from
+    partitions that were still behind when the pull ran (they commit
+    later with smaller seqs).  O(P) lineage metadata reads."""
+    rep = lineage_report(lake_root, table, generation)
+    if table not in rep["tables"]:
+        return 0
+    return int(rep["tables"][table]["min_committed_seq"])
+
+
 def read_changes(lake_root: str, table: str, since_seq: int,
                  generation: int = 0):
     """CDC-out: streaming Dataset of the rows whose LATEST version is
@@ -989,7 +1004,14 @@ def read_changes(lake_root: str, table: str, since_seq: int,
     Contrast with the reference, whose consumers re-tail the source
     stream itself (DeltaSource SPI): here the LAKE is the replayable
     boundary, so any number of downstream pipelines can fan out from a
-    committed seq without touching the origin database."""
+    committed seq without touching the origin database.
+
+    Anchor ``since_seq`` at :func:`committed_watermark` (not at the max
+    seq seen in a previous feed) when a replay may be running
+    concurrently: partitions commit independently, so a lagging
+    partition's rows land later with SMALLER seqs than a fast
+    partition's — the min-committed watermark is the largest anchor
+    guaranteed not to skip them."""
     import ray.data
 
     lake = LakeState(lake_root, generation)

@@ -798,3 +798,37 @@ def test_follow_with_streaming_changes_consumer(tmp_log, tmp_lake):
     want = {r["doc_id"]: (tuple(r["tokens"]), r["n_tok"], r["source"])
             for r in live}
     assert consumer == want
+
+
+def test_committed_watermark_anchor(tmp_log, tmp_lake):
+    """committed_watermark = min committed seq across partitions; after a
+    partial run (killed mid-replay) it is the largest anchor from which
+    read_changes (post-recovery) misses nothing."""
+    from deltaray.pipeline import committed_watermark
+
+    write_event_log(tmp_log, n_docs=100, n_events=1500, seed=53,
+                    segment_max_events=250)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=300)
+
+    class Kill(Exception):
+        pass
+
+    calls = []
+
+    def killer(idx, chunk, rows):
+        calls.append(idx)
+        if len(calls) == 2:
+            raise Kill()
+
+    with pytest.raises(Kill):
+        replay(cfg, on_chunk=killer)
+    wm1 = committed_watermark(tmp_lake, "docs")
+    assert wm1 > 0
+    replay(cfg)  # recover
+    wm2 = committed_watermark(tmp_lake, "docs")
+    assert wm2 > wm1
+    # nothing past the final watermark; everything after wm1 shows up
+    from deltaray.pipeline import read_changes
+    assert read_changes(tmp_lake, "docs", wm2).count() == 0
+    assert read_changes(tmp_lake, "docs", wm1).count() > 0

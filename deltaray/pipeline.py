@@ -607,7 +607,21 @@ class ReplaySession:
 
         cfg = self.cfg
         self._check_generation_meta()
+        # the returned lineage list is a convenience payload — the durable
+        # record is the per-partition lineage files (lineage_report).  At
+        # 10^10-event scale chunks × shards reaches millions of rows, so
+        # the in-memory copy is capped; `lineage_total` counts them all.
+        LINEAGE_CAP = 100_000
         lineage_rows: list[dict] = []
+        lineage_total = 0
+
+        def keep_lineage(rows):
+            nonlocal lineage_total
+            lineage_total += len(rows)
+            room = LINEAGE_CAP - len(lineage_rows)
+            if room > 0:
+                lineage_rows.extend(rows[:room])
+
         t0 = time.time()
         window = max(1, int(getattr(cfg, "pipeline_chunks", 1) or 1))
         pipelined = cfg.shuffle != "sort" and window > 1
@@ -620,7 +634,7 @@ class ReplaySession:
             # DeltaPipelineStateStoreBaseTest.testFailureRetries:308-397)
             for t in self.schemas:
                 self.lake.clear_table_error(t)
-            lineage_rows.extend(rows)
+            keep_lineage(rows)
             atomic_write_json(marker, {"chunk": [chunk.seq_lo, chunk.seq_hi]})
             if on_chunk is not None:
                 on_chunk(idx, chunk, rows)
@@ -712,6 +726,7 @@ class ReplaySession:
             "chunks": len(self.chunks),
             "tables": sorted(self.schemas),
             "lineage": lineage_rows,
+            "lineage_total": lineage_total,
             "metrics": metrics,
         }
 

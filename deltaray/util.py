@@ -20,3 +20,45 @@ def auto_concurrency(lo: int = 1, cap: int | None = None) -> tuple[int, int]:
     if cap is not None:
         hi = min(hi, max(lo, cap))
     return (lo, hi)
+
+
+def to_table(ds, *, fallback_schema=None):
+    """Materialize a (small) Dataset as one pyarrow.Table, preserving the
+    schema even when the result has zero rows.
+
+    Ray 2.49's ``Dataset.to_pandas()`` returns a column-less DataFrame for
+    any empty dataset, and intermediate ``repartition`` can pad the plan
+    with schema-less empty blocks that bypass ``map_batches`` UDFs — so an
+    operator whose output happens to be empty (e.g. chunking a corpus of
+    zero-token docs) loses its schema at the driver.  This helper
+    concatenates the non-degenerate Arrow batches and, when none exist,
+    builds a typed empty table from ``ds.schema()`` (which Ray derives
+    correctly from the plan) or ``fallback_schema``.
+
+    Driver-side materialization — use ONLY on small results (reports,
+    lineage, test assertions), never on the bulk data path.
+    """
+    import pyarrow as pa
+
+    batches = [
+        b
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_columns
+    ]
+    if batches:
+        return pa.concat_tables(batches, promote_options="default")
+    schema = fallback_schema
+    if schema is None:
+        s = ds.schema()
+        if s is not None:
+            schema = pa.schema(
+                [pa.field(n, t) for n, t in zip(s.names, s.types)]
+            )
+    if schema is None:  # pragma: no cover - schema genuinely unknowable
+        return pa.table({})
+    return pa.table({f.name: pa.array([], f.type) for f in schema})
+
+
+def to_pandas(ds, *, fallback_schema=None):
+    """``to_table(...).to_pandas()`` — empty-result-safe driver fetch."""
+    return to_table(ds, fallback_schema=fallback_schema).to_pandas()

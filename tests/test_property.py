@@ -248,14 +248,17 @@ def test_chunk_sequences_matches_python_slicing(seed, max_len, stride,
     import ray.data
 
     from deltaray.functions.text import chunk_sequences
+    from deltaray.util import to_pandas
 
     rng = np.random.default_rng(seed)
     toks = [list(map(int, rng.integers(0, 100, rng.integers(0, 30))))
             for _ in range(n_docs)]
     tbl = pa.table({"doc_id": pa.array(range(n_docs), pa.int64()),
                     "tokens": pa.array(toks, pa.list_(pa.int32()))})
-    out = chunk_sequences(ray.data.from_arrow(tbl).repartition(3),
-                          max_len=max_len, stride=stride).to_pandas()
+    # to_pandas (deltaray.util): an all-zero-token corpus yields zero
+    # chunks, and raw Dataset.to_pandas drops the schema of empty results
+    out = to_pandas(chunk_sequences(ray.data.from_arrow(tbl).repartition(3),
+                                    max_len=max_len, stride=stride))
     out = out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
     step = max_len if stride is None else stride
     want = [(d, c, t[c * step:c * step + max_len])

@@ -346,3 +346,32 @@ def test_replay_tree_merge_matches_oracle(ray_session, tmp_log, tmp_lake):
     ok, msg = tables_equal(read_table(tmp_lake, "docs"),
                            replay_oracle(cfg)["docs"])
     assert ok, msg
+
+
+def test_to_table_preserves_schema_on_empty(ray_session):
+    """util.to_table keeps the typed schema when a pipeline's result is
+    empty — raw Dataset.to_pandas() on Ray 2.49 returns a column-less
+    frame for any empty dataset (repartition pads schema-less blocks)."""
+    import pyarrow as pa
+    import ray.data
+
+    from deltaray.util import to_pandas, to_table
+
+    tbl = pa.table({"doc_id": pa.array([0], pa.int64()),
+                    "v": pa.array(["x"], pa.string())})
+    ds = (ray.data.from_arrow(tbl).repartition(3)
+          .map_batches(lambda b: b.slice(0, 0), batch_format="pyarrow"))
+    out = to_table(ds)
+    assert out.num_rows == 0
+    assert out.schema.names == ["doc_id", "v"]
+    assert out.schema.field("doc_id").type == pa.int64()
+    pdf = to_pandas(ds)
+    assert list(pdf.columns) == ["doc_id", "v"] and pdf.empty
+    # non-empty path is a plain concat
+    full = to_table(ray.data.from_arrow(tbl).repartition(3))
+    assert full.num_rows == 1 and set(full.schema.names) == {"doc_id", "v"}
+    # explicit fallback schema wins when the plan can't provide one
+    fb = pa.schema([pa.field("a", pa.int32())])
+    empty = to_table(ray.data.from_arrow(tbl.slice(0, 0)).filter(
+        lambda r: False), fallback_schema=fb)
+    assert empty.schema == fb

@@ -598,6 +598,85 @@ def _cdc_read_changes(sf_dir: str):
     return read_changes(lake, "docs", cut).drop_columns(["tokens"])
 
 
+def _time_travel_read(sf_dir: str):
+    """Snapshot / time-travel reads (`pipeline.read_table(asof_seq=...)`)
+    plus bounded CDC pulls: replay a multi-chunk log with retention
+    (vacuum off), then read the lake AS OF every committed chunk anchor.
+    Self-checking: the first and last anchors are verified against a
+    single-process replay of the TRUNCATED log, and every consecutive
+    anchor pair is verified to obey the patch law asof(s1) +
+    read_changes(s1, as_of=s2) == asof(s2).  Rows-only (engine-internal
+    change log; test_time_travel.py holds the full per-anchor oracle)."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from deltaray import (ReplayConfig, read_changes, read_table, replay,
+                          replay_oracle, snapshots, tables_equal)
+    from deltaray.gen import write_event_log
+    from deltaray.util import to_table
+
+    scratch = "/tmp/deltaray_q_timetravel"
+    shutil.rmtree(scratch, ignore_errors=True)
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    log = os.path.join(scratch, "events")
+    write_event_log(log, n_docs=n_docs, n_events=n_docs * 4, seed=42,
+                    track_prev=False, segment_max_events=max(n_docs, 200))
+    lake = os.path.join(scratch, "lake")
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=8,
+                        chunk_max_events=max(n_docs, 200), vacuum=False))
+    anchors = snapshots(lake)
+
+    def truncated_oracle(S: int) -> pa.Table:
+        d = os.path.join(scratch, f"trunc-{S}")
+        os.makedirs(d, exist_ok=True)
+        kept = []
+        for f in sorted(_glob.glob(os.path.join(log, "*.parquet"))):
+            t = pq.read_table(f).filter(pc.less_equal(
+                pq.read_table(f, columns=["seq"])["seq"], S))
+            if t.num_rows:
+                kept.append(t)
+        pq.write_table(pa.concat_tables(kept, promote_options="default"),
+                       os.path.join(d, "events-00000.parquet"))
+        return replay_oracle(ReplayConfig(
+            event_log=d, lake=os.path.join(scratch, "unused")))["docs"]
+
+    rows = []
+    prev_state: dict | None = None
+    prev_anchor = 0
+    for S in anchors:
+        tbl = read_table(lake, "docs", asof_seq=S)
+        oracle_checked = S in (anchors[0], anchors[-1])
+        oracle_equal = (tables_equal(tbl, truncated_oracle(S))[0]
+                        if oracle_checked else None)
+        state = {r["doc_id"]: r for r in tbl.to_pylist()}
+        patch_ok = None
+        if prev_state is not None:
+            patched = dict(prev_state)
+            ch = to_table(read_changes(lake, "docs", since_seq=prev_anchor,
+                                       as_of_seq=S))
+            for r in ch.to_pylist():
+                if r["change"] == "DELETE":
+                    patched.pop(r["doc_id"], None)
+                else:
+                    patched[r["doc_id"]] = {
+                        k: v for k, v in r.items()
+                        if k not in ("change", "seq")}
+            patch_ok = patched == state
+        rows.append({"anchor": int(S), "rows_asof": tbl.num_rows,
+                     "oracle_checked": bool(oracle_checked),
+                     "oracle_equal": oracle_equal, "patch_law_ok": patch_ok})
+        prev_state, prev_anchor = state, S
+    out = pa.Table.from_pylist(rows)
+    bad = [r for r in rows
+           if r["oracle_equal"] is False or r["patch_law_ok"] is False]
+    if bad:
+        raise AssertionError(f"time-travel self-check failed: {bad}")
+    return out
+
+
 def _two_phase_lake(sf_dir: str, scratch: str, *, tail_applied: bool):
     """Prefix-then-tail replay scaffold shared by the incremental
     queries: synthesize a change log scaled to the sf dir, replay its
@@ -1331,6 +1410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_ship_window": _lineitem_ship_window,
         "cdc_replay_docs": _cdc_replay_docs,
         "cdc_read_changes": _cdc_read_changes,
+        "time_travel_read": _time_travel_read,
         "incremental_refresh_docs": _incremental_refresh_docs,
         "training_data_refresh": _training_data_refresh,
         "decode_media": _decode_media,
@@ -1750,8 +1830,10 @@ def oracle_sql() -> dict[str, str]:
         # knn_lsh (random-hyperplane buckets), cluster_embeddings
         # (k-means), training_data_refresh (engine replay composition),
         # cdc_read_changes / incremental_refresh_docs (engine replay +
-        # incremental read / patch-vs-recompute equality asserted inside):
+        # incremental read / patch-vs-recompute equality asserted inside),
+        # time_travel_read (as-of reads vs truncated-replay oracle + the
+        # asof(s1)+changes==asof(s2) patch law asserted inside):
         # rows-only; pytest oracles — LSH full-probe == brute force,
         # distributed Lloyd == single-process replication, stage-to-stage
-        # token/doc conservation, t1 + changes == t2.
+        # token/doc conservation, t1 + changes == t2, test_time_travel.py.
     }

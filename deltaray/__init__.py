@@ -33,6 +33,9 @@ from deltaray.pipeline import (
     read_table_ds,
     replay,
     replay_follow,
+    snapshots,
+    earliest_snapshot,
+    SnapshotExpiredError,
 )
 from deltaray.oracle import replay_oracle, tables_equal
 from deltaray.transforms import register_directive
@@ -58,5 +61,8 @@ __all__ = [
     "replay",
     "replay_follow",
     "replay_oracle",
+    "snapshots",
+    "earliest_snapshot",
+    "SnapshotExpiredError",
     "tables_equal",
 ]

@@ -150,6 +150,19 @@ def cmd_generations(a) -> int:
     return 0
 
 
+def cmd_snapshots(a) -> int:
+    from deltaray.pipeline import (committed_watermark, earliest_snapshot,
+                                   snapshots)
+
+    out = {"anchors": snapshots(a.lake, a.generation)}
+    if a.table:
+        out["earliest_readable"] = earliest_snapshot(a.lake, a.table,
+                                                     a.generation)
+        out["watermark"] = committed_watermark(a.lake, a.table, a.generation)
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="deltaray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -225,6 +238,14 @@ def main(argv=None) -> int:
     ge = sub.add_parser("generations")
     ge.add_argument("--lake", required=True)
     ge.set_defaults(fn=cmd_generations)
+
+    sn = sub.add_parser("snapshots",
+                        help="committed as-of anchors for time travel")
+    sn.add_argument("--lake", required=True)
+    sn.add_argument("--table", help="also report earliest readable anchor "
+                                    "and committed watermark")
+    sn.add_argument("--generation", type=int, default=0)
+    sn.set_defaults(fn=cmd_snapshots)
 
     a = p.parse_args(argv)
     return a.fn(a)

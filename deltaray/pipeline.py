@@ -861,31 +861,162 @@ def replay_follow(cfg: ReplayConfig, *, poll_seconds: float = 5.0,
         time.sleep(poll_seconds)
 
 
+# ------------------------------------------------------------ time travel
+class SnapshotExpiredError(RuntimeError):
+    """An as-of read needs data files that compaction + vacuum already
+    deleted.  Retention is physical: a snapshot stays readable exactly
+    while its (base + delta) files survive — replay with ``vacuum=False``
+    or a larger ``compact_every`` to keep history, and use
+    :func:`earliest_snapshot` to find the oldest still-readable anchor."""
+
+
+def snapshots(lake_root: str, generation: int = 0) -> list[int]:
+    """The committed chunk boundaries — the valid ``asof_seq`` anchors.
+
+    Snapshot isolation is at commit granularity: a DML chunk's delta
+    file holds only each key's LATEST version within the chunk, so state
+    strictly inside a chunk's seq range is not reconstructible; a chunk
+    marker, written only after EVERY partition committed the chunk,
+    marks a seq at which the whole lake is consistent.  ``0`` (the empty
+    lake) is always a valid anchor in addition to these.  O(#chunks)
+    directory listing, no data reads."""
+    d = os.path.join(LakeState(lake_root, generation).root, "_chunks")
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in sorted(os.listdir(d)):
+        if f.startswith("chunk-") and f.endswith(".done"):
+            out.append(int(f[:-len(".done")].split("-")[2]))
+    return sorted(out)
+
+
+def _anchor_or_raise(lake_root: str, seq: int, generation: int) -> int:
+    seq = int(seq)
+    if seq == 0:
+        return 0
+    snaps = snapshots(lake_root, generation)
+    if seq not in snaps:
+        raise ValueError(
+            f"asof_seq={seq} is not a committed snapshot boundary; valid "
+            f"anchors are 0 and the chunk commit seqs {snaps} (see "
+            f"snapshots())")
+    return seq
+
+
+def _schema_asof(lake: LakeState, table: str, seq: int | None):
+    """Effective TableSchema at ``seq`` (None = current).  None return =
+    the table did not exist yet at that point."""
+    if seq is None:
+        return lake.current_schema(table)
+    ss = [s for s in lake.schemas_for(table) if s.version_seq <= seq]
+    return ss[-1] if ss else None
+
+
+def _dropped_asof(lake: LakeState, table: str, seq: int | None) -> bool:
+    """True when the table is in dropped state at ``seq``.  Drop markers
+    carry their DDL seq and are cleared wholesale on re-CREATE, so the
+    surviving markers are exactly the drops since the last create."""
+    d = os.path.join(lake.table_dir(table), "_dropped")
+    if not os.path.isdir(d):
+        return False
+    if seq is None:
+        return True
+    return any(
+        int(f[len("drop-"):-len(".json")]) <= seq
+        for f in os.listdir(d)
+        if f.startswith("drop-") and f.endswith(".json")
+    )
+
+
+def _live_parts_asof(lake: LakeState, table: str,
+                     before: int | None) -> list[int]:
+    """Partitions with live commits (as of ``before``), verifying their
+    data files still exist — the vacuum-retention gate for as-of reads."""
+    parts = []
+    for d in sorted(glob.glob(os.path.join(lake.table_dir(table),
+                                           "part=*"))):
+        p = int(os.path.basename(d).split("=")[1])
+        live = lake.live_commits(table, p, before)
+        if not live:
+            continue
+        if before is not None:
+            missing = [c["file"] for c in live
+                       if not os.path.exists(os.path.join(d, c["file"]))]
+            if missing:
+                raise SnapshotExpiredError(
+                    f"snapshot seq<{before} of {table!r} part {p} needs "
+                    f"vacuumed file(s) {missing}; earliest readable anchor "
+                    f"is earliest_snapshot(...)")
+        parts.append(p)
+    return parts
+
+
+def earliest_snapshot(lake_root: str, table: str,
+                      generation: int = 0) -> int | None:
+    """Oldest ``asof_seq`` anchor whose files all still exist for
+    ``table`` (None = no readable snapshot).  Driver-side tooling:
+    O(anchors × partitions) metadata lookups, no data reads."""
+    lake = LakeState(lake_root, generation)
+    pdirs = sorted(glob.glob(os.path.join(lake.table_dir(table), "part=*")))
+    pstate = []
+    for d in pdirs:
+        p = int(os.path.basename(d).split("=")[1])
+        on_disk = {f for f in os.listdir(d) if f.endswith(".parquet")}
+        pstate.append((p, on_disk))
+    for s in snapshots(lake_root, generation):
+        ok = True
+        for p, on_disk in pstate:
+            live = lake.live_commits(table, p, s + 1)
+            if any(c["file"] not in on_disk for c in live):
+                ok = False
+                break
+        if ok:
+            return s
+    return None
+
+
 # ------------------------------------------------------------------ reads
 def read_table(lake_root: str, table: str, generation: int = 0,
-               with_previous: bool = False) -> pa.Table:
+               with_previous: bool = False,
+               asof_seq: int | None = None) -> pa.Table:
     """Driver-side materialization of one table's final state (small
     results / tests).  For large tables use ``read_table_ds``.
     ``with_previous=True`` (requires a lake replayed with
     ``track_previous``) appends each live row's before-image as
-    ``prev_tokens`` (DMLEvent.previousRow analog)."""
+    ``prev_tokens`` (DMLEvent.previousRow analog).
+
+    ``asof_seq``: time travel — the state as of a committed snapshot
+    boundary (:func:`snapshots`; 0 = before any data).  Reads the commit
+    prefix with ``seq_hi <= asof_seq`` under the schema effective at
+    that seq, so pre-DDL snapshots come back with their original
+    columns.  Raises :class:`SnapshotExpiredError` when compaction +
+    vacuum already deleted the needed files (retention is physical;
+    replay with ``vacuum=False`` to keep full history)."""
     lake = LakeState(lake_root, generation)
-    schema = lake.current_schema(table)
+    before = None
+    if asof_seq is not None:
+        before = _anchor_or_raise(lake_root, asof_seq, generation) + 1
+    schema = _schema_asof(lake, table, asof_seq)
     if schema is None:
+        if asof_seq is not None and lake.current_schema(table) is not None:
+            # table exists now but not yet at asof_seq → empty, typed by
+            # its FIRST schema (the closest honest answer pre-creation)
+            first = lake.schemas_for(table)[0]
+            return first.arrow_schema().empty_table()
         raise KeyError(f"unknown table {table!r}")
     out_schema = schema.arrow_schema()
     if with_previous:
         out_schema = out_schema.append(pa.field("prev_tokens",
                                                 pa.list_(pa.int32())))
-    if os.path.isdir(os.path.join(lake.table_dir(table), "_dropped")):
+    if _dropped_asof(lake, table, asof_seq):
         return out_schema.empty_table()
     parts = []
-    for d in sorted(glob.glob(os.path.join(lake.table_dir(table), "part=*"))):
-        part = int(os.path.basename(d).split("=")[1])
-        tbl, _ = lake.read_partition(table, part)
+    for part in _live_parts_asof(lake, table, before):
+        tbl, _ = lake.read_partition(table, part, before_seq=before)
         if tbl is not None and tbl.num_rows:
             parts.append(strip_internal(evolve_to(tbl, schema),
-                                        with_previous=with_previous))
+                                        with_previous=with_previous)
+                         .select(out_schema.names))
     if not parts:
         return out_schema.empty_table()
     out = pa.concat_tables(parts)
@@ -908,7 +1039,8 @@ def current_data_files(lake_root: str, table: str, generation: int = 0) -> list[
 
 def read_table_ds(lake_root: str, table: str, generation: int = 0,
                   with_previous: bool = False,
-                  columns: list[str] | None = None):
+                  columns: list[str] | None = None,
+                  asof_seq: int | None = None):
     """Streaming read of a table's current state as a ray.data.Dataset:
     one task per partition performs the merge-on-read (base + delta files
     → LWW reduce) and strips engine columns, so downstream operators see
@@ -916,12 +1048,23 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
 
     ``columns`` prunes the payload at the parquet read (key + version
     columns are always fetched for the merge): a 2-column scan of a
-    tokens-heavy lake never ships the token payload."""
+    tokens-heavy lake never ships the token payload.
+
+    ``asof_seq``: time travel to a committed snapshot boundary (see
+    :func:`read_table`); partition availability is checked against the
+    vacuum state up front (driver-side metadata), the data reads stay
+    one streaming task per partition."""
     import ray.data
 
     lake = LakeState(lake_root, generation)
-    schema = lake.current_schema(table)
+    before = None
+    if asof_seq is not None:
+        before = _anchor_or_raise(lake_root, asof_seq, generation) + 1
+    schema = _schema_asof(lake, table, asof_seq)
     if schema is None:
+        if asof_seq is not None and lake.current_schema(table) is not None:
+            first = lake.schemas_for(table)[0]
+            return ray.data.from_arrow(first.arrow_schema().empty_table())
         raise KeyError(f"unknown table {table!r}")
     if columns is not None:
         unknown = [c for c in columns if c not in schema.column_names()]
@@ -937,12 +1080,8 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
         out_schema = out_schema.append(pa.field("prev_tokens",
                                                 pa.list_(pa.int32())))
     parts = []
-    if not os.path.isdir(os.path.join(lake.table_dir(table), "_dropped")):
-        for d in sorted(glob.glob(os.path.join(lake.table_dir(table),
-                                               "part=*"))):
-            p = int(os.path.basename(d).split("=")[1])
-            if lake.live_commits(table, p):
-                parts.append(p)
+    if not _dropped_asof(lake, table, asof_seq):
+        parts = _live_parts_asof(lake, table, before)
     if not parts:
         return ray.data.from_arrow(out_schema.empty_table())
     sj = schema.to_json()
@@ -969,7 +1108,7 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
         out = []
         for p in batch["part"].to_pylist():
             tbl, _ = LakeState(lake_root, generation).read_partition(
-                table, p, columns=phys)
+                table, p, before_seq=before, columns=phys)
             if tbl is not None and tbl.num_rows:
                 out.append(strip_internal(evolve_to(tbl, target),
                                           with_previous=with_previous)
@@ -998,7 +1137,7 @@ def committed_watermark(lake_root: str, table: str,
 
 
 def read_changes(lake_root: str, table: str, since_seq: int,
-                 generation: int = 0):
+                 generation: int = 0, as_of_seq: int | None = None):
     """CDC-out: streaming Dataset of the rows whose LATEST version is
     newer than ``since_seq`` — the incremental feed for downstream
     consumers (re-tokenize / re-chunk / re-index only what changed
@@ -1026,23 +1165,41 @@ def read_changes(lake_root: str, table: str, since_seq: int,
     concurrently: partitions commit independently, so a lagging
     partition's rows land later with SMALLER seqs than a fast
     partition's — the min-committed watermark is the largest anchor
-    guaranteed not to skip them."""
+    guaranteed not to skip them.
+
+    ``as_of_seq``: bound the pull at a committed snapshot boundary
+    (:func:`snapshots`) — the feed of changes in ``(since_seq,
+    as_of_seq]`` against the state AS OF that anchor, under the schema
+    effective there.  This makes incremental pulls REPRODUCIBLE while
+    the lake keeps moving: two consumers pulling the same ``(since,
+    as_of)`` window get identical feeds regardless of what replayed in
+    between (subject to vacuum retention — expired anchors raise
+    :class:`SnapshotExpiredError`).  ``asof(s1) + changes(s1→s2) ==
+    asof(s2)`` exactly."""
     import ray.data
 
     lake = LakeState(lake_root, generation)
-    schema = lake.current_schema(table)
+    before = None
+    if as_of_seq is not None:
+        as_of_seq = _anchor_or_raise(lake_root, as_of_seq, generation)
+        if as_of_seq < since_seq:
+            raise ValueError(
+                f"as_of_seq={as_of_seq} precedes since_seq={since_seq}")
+        before = as_of_seq + 1
+    schema = _schema_asof(lake, table, as_of_seq)
     if schema is None:
-        raise KeyError(f"unknown table {table!r}")
+        raise KeyError(f"unknown table {table!r}"
+                       if lake.current_schema(table) is None else
+                       f"table {table!r} does not exist as of {as_of_seq}")
     out_schema = schema.arrow_schema() \
         .append(pa.field("change", pa.string())) \
         .append(pa.field("seq", pa.int64()))
     parts = []
-    if not os.path.isdir(os.path.join(lake.table_dir(table), "_dropped")):
-        for d in sorted(glob.glob(os.path.join(lake.table_dir(table),
-                                               "part=*"))):
-            p = int(os.path.basename(d).split("=")[1])
-            if any(c["seq_hi"] > since_seq
-                   for c in lake.list_commits(table, p)):
+    if not _dropped_asof(lake, table, as_of_seq):
+        for p in _live_parts_asof(lake, table, before):
+            if any(since_seq < c["seq_hi"]
+                   for c in lake.list_commits(table, p)
+                   if before is None or c["seq_hi"] < before):
                 parts.append(p)
     if not parts:
         return ray.data.from_arrow(out_schema.empty_table())
@@ -1052,7 +1209,8 @@ def read_changes(lake_root: str, table: str, since_seq: int,
         target = TableSchema.from_json(sj)
         out = []
         for p in batch["part"].to_pylist():
-            tbl, _ = LakeState(lake_root, generation).read_partition(table, p)
+            tbl, _ = LakeState(lake_root, generation).read_partition(
+                table, p, before_seq=before)
             if tbl is None or not tbl.num_rows:
                 continue
             t = evolve_to(tbl, target)

@@ -1,0 +1,180 @@
+"""Snapshot / time-travel reads (`asof_seq`) and bounded CDC-out pulls.
+
+Oracle strategy: the engine's state as of a committed chunk boundary S
+must equal a fresh single-process replay of the event log TRUNCATED at
+seq <= S (replay_oracle on a filtered copy of the segments) — chunking
+cannot change final state, so the truncated oracle is exact.  The
+bounded feed obeys the patch law asof(s1) + changes(s1→s2) == asof(s2).
+"""
+
+import glob
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from deltaray import (ReplayConfig, SnapshotExpiredError, earliest_snapshot,
+                      read_changes, read_table, read_table_ds, replay,
+                      replay_oracle, snapshots, tables_equal)
+from deltaray.gen import write_event_log
+from deltaray.util import to_table
+
+
+def _truncated_oracle(event_log: str, tmp: str, S: int,
+                      table: str = "docs") -> pa.Table:
+    """replay_oracle over a copy of the log filtered to seq <= S."""
+    d = os.path.join(tmp, f"trunc-{S}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    kept = []
+    for f in sorted(glob.glob(os.path.join(event_log, "*.parquet"))):
+        t = pq.read_table(f)
+        t = t.filter(pc.less_equal(t["seq"], S))
+        if t.num_rows:
+            kept.append(t)
+    pq.write_table(pa.concat_tables(kept, promote_options="default"),
+                   os.path.join(d, "events-00000.parquet"))
+    cfg = ReplayConfig(event_log=d, lake=os.path.join(tmp, "unused"))
+    return replay_oracle(cfg)[table]
+
+
+def test_asof_matches_truncated_replay(ray_session, tmp_log, tmp_lake,
+                                       tmp_path):
+    write_event_log(tmp_log, n_docs=250, n_events=3000, seed=11,
+                    segment_max_events=600)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=700, vacuum=False)
+    replay(cfg)
+    snaps = snapshots(tmp_lake)
+    assert len(snaps) >= 3
+    assert earliest_snapshot(tmp_lake, "docs") == snaps[0]
+    # anchor 0 = empty lake
+    assert read_table(tmp_lake, "docs", asof_seq=0).num_rows == 0
+    for S in snaps:
+        got = read_table(tmp_lake, "docs", asof_seq=S)
+        want = _truncated_oracle(tmp_log, str(tmp_path), S)
+        ok, msg = tables_equal(got, want)
+        assert ok, f"asof {S}: {msg}"
+    # the newest anchor is exactly the current state
+    ok, msg = tables_equal(read_table(tmp_lake, "docs", asof_seq=snaps[-1]),
+                           read_table(tmp_lake, "docs"))
+    assert ok, msg
+    # streaming variant agrees with the driver variant
+    mid = snaps[len(snaps) // 2]
+    ds_tbl = to_table(read_table_ds(tmp_lake, "docs", asof_seq=mid)) \
+        .sort_by([("doc_id", "ascending")])
+    ok, msg = tables_equal(ds_tbl, read_table(tmp_lake, "docs", asof_seq=mid))
+    assert ok, msg
+    # non-boundary seqs are rejected with the anchor list
+    with pytest.raises(ValueError, match="snapshot boundary"):
+        read_table(tmp_lake, "docs", asof_seq=snaps[0] + 1)
+
+
+def _patch(base: pa.Table, changes: pa.Table, key: str = "doc_id") -> dict:
+    state = {r[key]: r for r in base.to_pylist()}
+    for r in sorted(changes.to_pylist(), key=lambda r: r["seq"]):
+        if r["change"] == "DELETE":
+            state.pop(r[key], None)
+        else:
+            state[r[key]] = {k: v for k, v in r.items()
+                             if k not in ("change", "seq")}
+    return state
+
+
+def test_bounded_changes_patch_law(ray_session, tmp_log, tmp_lake):
+    """asof(s1) + read_changes(s1, as_of=s2) == asof(s2), every
+    consecutive anchor pair — the reproducible-incremental-pull
+    contract, in both orderings."""
+    for unordered in (False, True):
+        log = tmp_log + ("-u" if unordered else "-o")
+        lake = tmp_lake + ("-u" if unordered else "-o")
+        write_event_log(log, n_docs=150, n_events=2400, seed=23,
+                        segment_max_events=600, unordered=unordered)
+        cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                           chunk_max_events=600, vacuum=False,
+                           ordering="UN_ORDERED" if unordered else "ORDERED")
+        replay(cfg)
+        snaps = [0] + snapshots(lake)
+        for s1, s2 in zip(snaps, snaps[1:]):
+            base = read_table(lake, "docs", asof_seq=s1)
+            ch = to_table(read_changes(lake, "docs", since_seq=s1,
+                                       as_of_seq=s2))
+            # bounded feed: at most one row per key, all seqs in window
+            assert ch.num_rows == len(set(ch["doc_id"].to_pylist()))
+            seqs = ch["seq"].to_pylist()
+            assert all(s1 < s <= s2 for s in seqs)
+            want = read_table(lake, "docs", asof_seq=s2)
+            got = _patch(base, ch)
+            wstate = {r["doc_id"]: r for r in want.to_pylist()}
+            assert got == wstate, (s1, s2, unordered)
+        # a bounded pull is reproducible: same window, same feed
+        a = to_table(read_changes(lake, "docs", since_seq=snaps[1],
+                                  as_of_seq=snaps[-1]))
+        b = to_table(read_changes(lake, "docs", since_seq=snaps[1],
+                                  as_of_seq=snaps[-1]))
+        ok, msg = tables_equal(a.sort_by([("doc_id", "ascending")]),
+                               b.sort_by([("doc_id", "ascending")]))
+        assert ok, msg
+        with pytest.raises(ValueError, match="precedes"):
+            read_changes(lake, "docs", since_seq=snaps[-1],
+                         as_of_seq=snaps[1])
+
+
+def test_snapshot_expiry_under_vacuum(ray_session, tmp_log, tmp_lake):
+    """With vacuum on, compaction deletes history: expired anchors raise
+    SnapshotExpiredError, earliest_snapshot reports the oldest readable
+    one, and everything from it onward still reads correctly."""
+    write_event_log(tmp_log, n_docs=200, n_events=2400, seed=31,
+                    segment_max_events=400)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=400, vacuum=True, compact_every=2)
+    replay(cfg)
+    snaps = snapshots(tmp_lake)
+    es = earliest_snapshot(tmp_lake, "docs")
+    assert es in snaps
+    for S in snaps:
+        if S < es:
+            with pytest.raises(SnapshotExpiredError):
+                read_table(tmp_lake, "docs", asof_seq=S)
+        else:
+            assert read_table(tmp_lake, "docs", asof_seq=S).num_rows > 0
+    ok, msg = tables_equal(read_table(tmp_lake, "docs", asof_seq=snaps[-1]),
+                           read_table(tmp_lake, "docs"))
+    assert ok, msg
+
+
+def test_asof_respects_schema_evolution(ray_session, tmp_log, tmp_lake,
+                                        tmp_path):
+    """A snapshot taken before a RENAME_COLUMN comes back under the OLD
+    column name (the schema effective at that seq), after it under the
+    new one; values agree with the truncated-replay oracle either way."""
+    write_event_log(tmp_log, n_docs=120, n_events=2000, seed=5,
+                    segment_max_events=500,
+                    ddl=[(1200, "docs", "RENAME_COLUMN",
+                          {"rename": ("tokens", "toks")})])
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=500, vacuum=False)
+    replay(cfg)
+    from deltaray.commit import LakeState
+
+    # chunks split AT DDL events, so the rename's actual seq sits just
+    # past a chunk boundary — split anchors around the recorded seq
+    ddl_seq = LakeState(tmp_lake).schemas_for("docs")[-1].version_seq
+    snaps = snapshots(tmp_lake)
+    pre = [s for s in snaps if s < ddl_seq]
+    post = [s for s in snaps if s > ddl_seq]
+    assert pre and post
+    early = read_table(tmp_lake, "docs", asof_seq=pre[-1])
+    assert "tokens" in early.column_names
+    assert "toks" not in early.column_names
+    late = read_table(tmp_lake, "docs", asof_seq=post[0])
+    assert "toks" in late.column_names
+    ok, msg = tables_equal(early,
+                           _truncated_oracle(tmp_log, str(tmp_path), pre[-1]))
+    assert ok, msg
+    ok, msg = tables_equal(late,
+                           _truncated_oracle(tmp_log, str(tmp_path), post[0]))
+    assert ok, msg

@@ -338,6 +338,9 @@ class ReplaySession:
                 self.schemas[t] = sch
         self.dropped: set[str] = set()
         self.errors = 0  # failed apply attempts (dml.errors metric analog)
+        # (table, part) → events applied in the last chunk: the straggler
+        # heuristic for LPT merge submission (heaviest shards first)
+        self._shard_weights: dict[tuple[str, int], int] = {}
 
     # ------------------------------------------------------------ schemas
     def _effective(self) -> dict[str, TableSchema]:
@@ -535,18 +538,44 @@ class ReplaySession:
         merge_after = ray.remote(_merge_shard_after)
         combine = ray.remote(_combine_splits)
         fanin = max(2, int(getattr(self.cfg, "merge_fanin", 256) or 256))
-        out = []
+        out: list = [None] * n_shards
         chain = prev_refs if prev_refs and len(prev_refs) == n_shards else None
-        for s in range(n_shards):
+        for s in self._shard_order(n_shards):
             refs = [parts[b][s] for b in range(len(parts))]
             while len(refs) > fanin:
                 refs = [combine.remote(*refs[i:i + fanin])
                         for i in range(0, len(refs), fanin)]
             if chain is not None:
-                out.append(merge_after.remote(merge, chain[s], *refs))
+                out[s] = merge_after.remote(merge, chain[s], *refs)
             else:
-                out.append(merge_task.remote(merge, *refs))
+                out[s] = merge_task.remote(merge, *refs)
         return out
+
+    def _shard_order(self, n_shards: int) -> list[int]:
+        """Merge submission order: heaviest shards first (LPT heuristic).
+
+        Ray dispatches ready tasks roughly in submission order, so with
+        more shards than cluster slots, submitting a skewed-hot
+        partition's merge LAST leaves the whole chunk waiting on one
+        task at the end; submitting it first overlaps the fat merge with
+        all the small ones.  Weight = events the shard applied in the
+        previous chunk (skew is persistent across a hot-key workload);
+        unseen shards keep index order.  Pure reordering — every shard
+        is still submitted exactly once, so correctness is untouched."""
+        import numpy as np
+
+        if not self._shard_weights:
+            return list(range(n_shards))
+        P = self.cfg.num_partitions
+        tindex = {t: i for i, t in enumerate(sorted(self.schemas))}
+        w = np.zeros(n_shards, dtype=np.int64)
+        for (t, p), n in self._shard_weights.items():
+            ti = tindex.get(t)
+            if ti is not None:
+                s = ti * P + int(p)
+                if 0 <= s < n_shards:
+                    w[s] = int(n)
+        return list(np.argsort(-w, kind="stable"))
 
     def _check_generation_meta(self) -> None:
         """Persist the physical sharding config on first commit and fail
@@ -634,6 +663,10 @@ class ReplaySession:
             # DeltaPipelineStateStoreBaseTest.testFailureRetries:308-397)
             for t in self.schemas:
                 self.lake.clear_table_error(t)
+            for r in rows:  # feed the LPT merge-ordering heuristic
+                self._shard_weights[(r["table"], int(r["part"]))] = (
+                    int(r["applied_inserts"]) + int(r["applied_updates"])
+                    + int(r["applied_deletes"]))
             keep_lineage(rows)
             atomic_write_json(marker, {"chunk": [chunk.seq_lo, chunk.seq_hi]})
             if on_chunk is not None:

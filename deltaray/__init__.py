@@ -29,6 +29,7 @@ from deltaray.pipeline import (
     lineage_report,
     committed_watermark,
     read_changes,
+    read_rows,
     read_table,
     read_table_ds,
     replay,
@@ -55,6 +56,7 @@ __all__ = [
     "lineage_report",
     "committed_watermark",
     "read_changes",
+    "read_rows",
     "read_table",
     "read_table_ds",
     "register_directive",

@@ -1056,6 +1056,102 @@ def read_table(lake_root: str, table: str, generation: int = 0,
     return out.sort_by([(k, "ascending") for k in schema.keys])
 
 
+def read_rows(lake_root: str, table: str, keys: list, generation: int = 0,
+              asof_seq: int | None = None,
+              columns: list[str] | None = None) -> pa.Table:
+    """Point lookups: the live rows for specific keys, touching ONLY the
+    hash partitions those keys map to — O(distinct partitions of the
+    keys) merge-on-read units instead of a full-table scan, the
+    CDC-serving read path.  ``keys``: scalars for a single-component
+    key, tuples for composite keys; missing/deleted keys are simply
+    absent from the result.  Composable with ``asof_seq`` (time-travel
+    point lookups) and ``columns`` (payload pruning).
+
+    Partition routing replays the engine's own partitioner
+    (``stable_hash_cols % num_partitions`` from the generation meta), so
+    it is exact, not probabilistic.  Driver-side by design: lookups are
+    small; use ``read_table_ds`` for scans."""
+    import numpy as np
+
+    from deltaray.transforms import stable_hash_cols
+
+    lake = LakeState(lake_root, generation)
+    before = None
+    if asof_seq is not None:
+        before = _anchor_or_raise(lake_root, asof_seq, generation) + 1
+    schema = _schema_asof(lake, table, asof_seq)
+    if schema is None:
+        raise KeyError(f"unknown table {table!r}")
+    out_schema = schema.arrow_schema()
+    key_cols = list(schema.keys)
+    if not keys or _dropped_asof(lake, table, asof_seq):
+        return (out_schema.empty_table() if columns is None
+                else out_schema.empty_table().select(
+                    list(dict.fromkeys([*key_cols, *columns]))))
+    meta_path = os.path.join(lake.root, "_meta.json")
+    with open(meta_path) as f:
+        num_partitions = int(json.load(f)["num_partitions"])
+    rows = [k if isinstance(k, tuple) else (k,) for k in keys]
+    if any(len(r) != len(key_cols) for r in rows):
+        raise ValueError(f"key arity mismatch: table key is {key_cols}")
+    ktbl = pa.table({c: pa.array([r[i] for r in rows],
+                                 out_schema.field(c).type)
+                     for i, c in enumerate(key_cols)})
+    parts = np.unique(stable_hash_cols(ktbl, key_cols)
+                      % np.uint64(num_partitions)).tolist()
+    want = None
+    if columns is not None:
+        unknown = [c for c in columns if c not in schema.column_names()]
+        if unknown:
+            raise KeyError(f"unknown columns {unknown!r}")
+        want = list(dict.fromkeys([*key_cols, *columns]))
+        out_schema = pa.schema([out_schema.field(c) for c in want])
+    out = []
+    on_disk = {int(os.path.basename(d).split("=")[1])
+               for d in glob.glob(os.path.join(lake.table_dir(table),
+                                               "part=*"))}
+    for p in parts:
+        if p not in on_disk:
+            continue
+        if before is not None:
+            _live_parts_asof_one(lake, table, int(p), before)
+        tbl, _ = lake.read_partition(table, int(p), before_seq=before)
+        if tbl is None or not tbl.num_rows:
+            continue
+        t = strip_internal(evolve_to(tbl, schema))
+        if len(key_cols) == 1:
+            mask = pc.is_in(t[key_cols[0]], value_set=ktbl[key_cols[0]])
+        else:
+            # composite: exact membership via the same stable hash +
+            # verification join on the concatenated key string
+            import pandas as pd
+
+            lhs = pd.MultiIndex.from_arrays(
+                [t[c].to_pandas() for c in key_cols])
+            rhs = pd.MultiIndex.from_arrays(
+                [ktbl[c].to_pandas() for c in key_cols])
+            mask = pa.array(lhs.isin(rhs))
+        t = t.filter(mask)
+        if t.num_rows:
+            out.append(t.select(want) if want else t.select(out_schema.names))
+    if not out:
+        return out_schema.empty_table()
+    res = pa.concat_tables(out)
+    return res.sort_by([(k, "ascending") for k in key_cols])
+
+
+def _live_parts_asof_one(lake: LakeState, table: str, part: int,
+                         before: int) -> None:
+    """Vacuum-retention check for a single partition's as-of read."""
+    d = lake.part_dir(table, part)
+    missing = [c["file"] for c in lake.live_commits(table, part, before)
+               if not os.path.exists(os.path.join(d, c["file"]))]
+    if missing:
+        raise SnapshotExpiredError(
+            f"snapshot seq<{before} of {table!r} part {part} needs "
+            f"vacuumed file(s) {missing}")
+
+
 def current_data_files(lake_root: str, table: str, generation: int = 0) -> list[str]:
     """RAW live data files (last base + deltas per partition).  NOTE:
     with delta commits a key may appear in several of these files — use

@@ -178,3 +178,56 @@ def test_asof_respects_schema_evolution(ray_session, tmp_log, tmp_lake,
     ok, msg = tables_equal(late,
                            _truncated_oracle(tmp_log, str(tmp_path), post[0]))
     assert ok, msg
+
+
+def test_read_rows_point_lookups(ray_session, tmp_log, tmp_lake):
+    """read_rows == filtering the full table, for present, absent and
+    deleted keys; columns prune; asof_seq composes; only the keys'
+    hash partitions are touched."""
+    from deltaray import read_rows
+
+    write_event_log(tmp_log, n_docs=300, n_events=3000, seed=17,
+                    segment_max_events=1000)
+    replay(ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=8,
+                        chunk_max_events=1000, vacuum=False))
+    full = read_table(tmp_lake, "docs")
+    ids = full["doc_id"].to_pylist()
+    pick = ids[:3] + ids[-2:] + ["absent-a", "absent-b"]
+    got = read_rows(tmp_lake, "docs", pick)
+    want = full.filter(pc.is_in(full["doc_id"], value_set=pa.array(pick))) \
+        .sort_by([("doc_id", "ascending")])
+    assert got.to_pylist() == want.to_pylist()
+    assert got.num_rows == 5
+    # column pruning keeps the key + requested columns only
+    slim = read_rows(tmp_lake, "docs", pick[:2], columns=["n_tok"])
+    assert slim.column_names == ["doc_id", "n_tok"]
+    assert slim.num_rows == 2
+    # time-travel lookup: a key's historic value, not its current one
+    S = snapshots(tmp_lake)[0]
+    old = read_table(tmp_lake, "docs", asof_seq=S)
+    oid = old["doc_id"][0].as_py()
+    hist = read_rows(tmp_lake, "docs", [oid], asof_seq=S)
+    assert hist.num_rows == 1
+    assert hist["tokens"][0].as_py() == old["tokens"][0].as_py()
+    # empty key list → typed empty result
+    empty = read_rows(tmp_lake, "docs", [])
+    assert empty.num_rows == 0 and "doc_id" in empty.column_names
+    # arity guard
+    with pytest.raises(ValueError, match="arity"):
+        read_rows(tmp_lake, "docs", [("a", 1)])
+
+
+def test_read_rows_composite_keys(ray_session, tmp_log, tmp_lake):
+    from deltaray import read_rows
+    from tests.test_composite_keys import PAIRS, _write_composite_log
+
+    _write_composite_log(tmp_log)
+    # PAIRS schema arrives via CREATE_TABLE in the log
+    replay(ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4))
+    full = read_table(tmp_lake, "pairs")
+    rows = full.to_pylist()
+    pick = [(r["k1"], r["k2"]) for r in rows[:4]] + [("g0", 9999)]
+    got = read_rows(tmp_lake, "pairs", pick)
+    want = sorted([r for r in rows if (r["k1"], r["k2"]) in set(pick)],
+                  key=lambda r: (r["k1"], r["k2"]))
+    assert got.to_pylist() == want

@@ -34,6 +34,7 @@ from deltaray.pipeline import (
     read_table_ds,
     replay,
     replay_follow,
+    reshard_generation,
     snapshots,
     earliest_snapshot,
     SnapshotExpiredError,
@@ -62,6 +63,7 @@ __all__ = [
     "register_directive",
     "replay",
     "replay_follow",
+    "reshard_generation",
     "replay_oracle",
     "snapshots",
     "earliest_snapshot",

@@ -15,6 +15,8 @@ the library itself never calls ray.init.
     python -m deltaray drafts  --root D {list|get|save|delete|assess} [--name N]
                                [--config-json FILE] [--args k=v ...]
     python -m deltaray generations --lake D
+    python -m deltaray snapshots --lake D [--table T]
+    python -m deltaray reshard --lake D --partitions N [--src-generation G]
 """
 
 from __future__ import annotations
@@ -163,6 +165,16 @@ def cmd_snapshots(a) -> int:
     return 0
 
 
+def cmd_reshard(a) -> int:
+    from deltaray.pipeline import reshard_generation
+
+    _init_ray()
+    print(json.dumps(reshard_generation(
+        a.lake, a.partitions, src_generation=a.src_generation,
+        dst_generation=a.dst_generation)))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="deltaray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -246,6 +258,14 @@ def main(argv=None) -> int:
                                     "and committed watermark")
     sn.add_argument("--generation", type=int, default=0)
     sn.set_defaults(fn=cmd_snapshots)
+
+    rs = sub.add_parser("reshard",
+                        help="re-partition the lake into a new generation")
+    rs.add_argument("--lake", required=True)
+    rs.add_argument("--partitions", type=int, required=True)
+    rs.add_argument("--src-generation", type=int, default=0)
+    rs.add_argument("--dst-generation", type=int, default=None)
+    rs.set_defaults(fn=cmd_reshard)
 
     a = p.parse_args(argv)
     return a.fn(a)

@@ -861,6 +861,135 @@ def bootstrap_table(cfg: ReplayConfig, schema, snapshot_ds,
             "snapshot_seq": snapshot_seq}
 
 
+def reshard_generation(lake_root: str, new_num_partitions: int,
+                       src_generation: int = 0,
+                       dst_generation: int | None = None) -> dict:
+    """Migrate a lake to a different partition count — the tool the
+    generation-meta fail-fast points at ("re-shard into a new
+    generation instead").
+
+    Copies each table's RAW internal state (version columns, tombstones
+    and before-images included) through one hash exchange into per-new-
+    partition base commits in a fresh generation, and carries over the
+    schema history, truncate/drop markers and completed-chunk markers.
+    Because versions are preserved exactly and chunk markers transfer,
+    ``replay`` against the new generation skips the already-applied
+    prefix and tails only new events; a retried/lagging chunk re-applies
+    idempotently (every old event loses or ties the LWW race against
+    the copied state — tombstones included, so deletes cannot
+    resurrect).  Old data files are NOT copied: pre-reshard snapshot
+    anchors remain listed but raise :class:`SnapshotExpiredError`,
+    consistent with physical retention.
+
+    One streaming pass per table: src partitions are merge-on-read
+    units (one read task each), the exchange moves every row exactly
+    once, base commits are written partition-parallel."""
+    import shutil as _shutil
+
+    import numpy as np
+
+    from deltaray.commit import atomic_write_json, latest_generation
+    from deltaray.functions.partition import hash_partitioned
+    from deltaray.merge import stamp_schema
+    from deltaray.transforms import stable_hash_cols
+
+    src = LakeState(lake_root, src_generation)
+    meta_path = os.path.join(src.root, "_meta.json")
+    if not os.path.exists(meta_path):
+        raise KeyError(f"no generation meta at {meta_path}")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if dst_generation is None:
+        dst_generation = (latest_generation(lake_root) or 0) + 1
+    dst = LakeState(lake_root, dst_generation)
+    if os.path.isdir(dst.root):
+        raise ValueError(f"generation {dst_generation} already exists")
+    os.makedirs(dst.root)
+    atomic_write_json(os.path.join(dst.root, "_meta.json"),
+                      {**meta, "num_partitions": int(new_num_partitions)})
+    if os.path.isdir(os.path.join(src.root, "_chunks")):
+        _shutil.copytree(os.path.join(src.root, "_chunks"),
+                         os.path.join(dst.root, "_chunks"))
+    results: dict[str, dict] = {}
+    for table in src.list_tables():
+        for sub in ("_schema", "_truncate", "_dropped"):
+            sdir = os.path.join(src.table_dir(table), sub)
+            if os.path.isdir(sdir):
+                _shutil.copytree(sdir, os.path.join(dst.table_dir(table),
+                                                    sub))
+        schema = src.current_schema(table)
+        if schema is None or _dropped_asof(src, table, None):
+            results[table] = {"rows": 0, "skipped": "dropped or schemaless"}
+            continue
+        wm = committed_watermark(lake_root, table, src_generation)
+        parts = _live_parts_asof(src, table, None)
+        if not parts:
+            results[table] = {"rows": 0, "partitions": 0,
+                              "snapshot_seq": wm}
+            continue
+        sj = schema.to_json()
+        keys = list(schema.keys)
+        tname = table
+
+        def load_raw(batch: pa.Table) -> pa.Table:
+            """One src partition's merged RAW state, evolved to the
+            current schema (internal columns preserved)."""
+            target = TableSchema.from_json(sj)
+            out = []
+            for p in batch["part"].to_pylist():
+                tbl, _ = LakeState(lake_root, src_generation) \
+                    .read_partition(tname, p)
+                if tbl is not None and tbl.num_rows:
+                    t = evolve_to(tbl, target)
+                    part = (stable_hash_cols(t, keys)
+                            % np.uint64(new_num_partitions)).astype(np.int64)
+                    out.append(t.append_column("__rpart", pa.array(part)))
+            if not out:
+                return pa.table({})
+            return pa.concat_tables(out, promote_options="default")
+
+        def commit_block(block: pa.Table) -> pa.Table:
+            empty = pa.table({"part": pa.array([], pa.int64()),
+                              "rows": pa.array([], pa.int64())})
+            if block.num_rows == 0:
+                return empty
+            part = int(block["__rpart"][0].as_py())
+            target = TableSchema.from_json(sj)
+            # rows arriving here are already per-key-unique: a key lives
+            # in exactly one src partition, and read_partition LWW-
+            # reduced each — the exchange only re-buckets
+            data = stamp_schema(block.drop_columns(["__rpart"]), target)
+            lk = LakeState(lake_root, dst_generation)
+            counts = {"inserts": int(data.num_rows), "updates": 0,
+                      "deletes": 0, "bytes_in": int(data.nbytes),
+                      "late_events": 0}
+            rec = lk.try_commit(tname, part, 0, wm, data, counts,
+                                kind="base", state_rows=data.num_rows)
+            wsrc = pc.max(pc.fill_null(data["__src_ts"], 0)).as_py() or 0
+            lk.write_lineage(tname, part, {
+                "partition": part, "state": "REPLICATING",
+                "last_seq": wm, "watermark_src_ts": int(wsrc),
+                "file": rec["file"], "rows": rec["rows"], "counts": counts,
+            })
+            return pa.table({"part": pa.array([part], pa.int64()),
+                             "rows": pa.array([rec["rows"]], pa.int64())})
+
+        import ray.data
+
+        src_ds = ray.data.from_arrow(
+            pa.table({"part": pa.array(parts, pa.int64())})) \
+            .repartition(len(parts)) \
+            .map_batches(load_raw, batch_format="pyarrow", batch_size=1)
+        out = hash_partitioned(src_ds, keys, commit_block,
+                               num_partitions=int(new_num_partitions))
+        rows = out.take_all()  # tiny: one row per new partition
+        results[table] = {"rows": int(sum(r["rows"] for r in rows)),
+                          "partitions": len(rows), "snapshot_seq": wm}
+    return {"src_generation": src_generation,
+            "generation": dst_generation,
+            "num_partitions": int(new_num_partitions), "tables": results}
+
+
 def replay(cfg: ReplayConfig, on_chunk=None) -> dict:
     """Replay the event log into the lake.  Safe to call repeatedly —
     completed chunks are skipped, partial chunks resume idempotently."""

@@ -231,3 +231,62 @@ def test_read_rows_composite_keys(ray_session, tmp_log, tmp_lake):
     want = sorted([r for r in rows if (r["k1"], r["k2"]) in set(pick)],
                   key=lambda r: (r["k1"], r["k2"]))
     assert got.to_pylist() == want
+
+
+def test_reshard_generation(ray_session, tmp_path):
+    """Re-partition into a new generation: state equality, prefix chunks
+    skipped (not re-applied), tail replay lands on the resharded state,
+    and the final table matches the full-log oracle — in both orderings
+    (UN_ORDERED exercises preserved src_ts/sort-key versions)."""
+    from deltaray import read_rows, reshard_generation
+    from deltaray.commit import LakeState
+
+    for unordered in (False, True):
+        tag = "u" if unordered else "o"
+        log = str(tmp_path / f"events-{tag}")
+        prefix = str(tmp_path / f"prefix-{tag}")
+        lake = str(tmp_path / f"lake-{tag}")
+        write_event_log(log, n_docs=250, n_events=4000, seed=29,
+                        segment_max_events=800, unordered=unordered)
+        os.makedirs(prefix)
+        segs = sorted(glob.glob(os.path.join(log, "*.parquet")))
+        for f in segs[:3]:
+            shutil.copy(f, os.path.join(prefix, os.path.basename(f)))
+        ordering = "UN_ORDERED" if unordered else "ORDERED"
+        replay(ReplayConfig(event_log=prefix, lake=lake, num_partitions=4,
+                            chunk_max_events=800, ordering=ordering))
+        res = reshard_generation(lake, 7)
+        assert res["generation"] == 1
+        assert res["tables"]["docs"]["partitions"] == 7
+        # state carried over exactly (tombstones don't resurrect later)
+        ok, msg = tables_equal(read_table(lake, "docs", generation=1),
+                               read_table(lake, "docs", generation=0))
+        assert ok, msg
+        # meta pins the new partition count; old generation untouched
+        import json as _json
+        with open(os.path.join(LakeState(lake, 1).root, "_meta.json")) as f:
+            assert _json.load(f)["num_partitions"] == 7
+        # tail the FULL log into the new generation: copied chunk markers
+        # must skip the prefix — applied events ≈ tail only
+        cfg1 = ReplayConfig(event_log=log, lake=lake, num_partitions=7,
+                            chunk_max_events=800, generation=1,
+                            ordering=ordering)
+        ran: list[tuple] = []
+        replay(cfg1, on_chunk=lambda i, c, rows: ran.append(
+            (c.seq_lo, c.seq_hi)))
+        # prefix covered seqs <= 2400 via 3 copied chunk markers — only
+        # tail chunks may actually run
+        assert all(lo >= 2400 for lo, hi in ran), \
+            f"prefix chunks re-ran: {ran}"
+        assert ran, "no tail chunk ran"
+        want = replay_oracle(cfg1)["docs"]
+        ok, msg = tables_equal(read_table(lake, "docs", generation=1), want)
+        assert ok, f"[{tag}] {msg}"
+        # point lookups route with the new partition count
+        ids = want["doc_id"].to_pylist()[:3]
+        assert read_rows(lake, "docs", ids, generation=1).num_rows == 3
+        # replaying with the OLD partition count against gen1 fails fast
+        with pytest.raises(ValueError, match="generation config mismatch"):
+            replay(ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                                chunk_max_events=800, generation=1,
+                                ordering=ordering))

@@ -1261,6 +1261,34 @@ def _orders_customer_join(sf_dir: str):
                      how="inner")
 
 
+def _customers_orders_full(sf_dir: str):
+    """Distributed FULL OUTER hash join: high-balance customers against
+    frequent-orderer aggregates — both sides have exclusive keys, so the
+    result exercises left-only, right-only and matched rows (null
+    payloads on the unmatched side; keys coalesced)."""
+    from ray.data.aggregate import Max, Sum
+
+    from deltaray.functions.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    cust = cust.filter(expr="c_acctbal > 5000.0") \
+        .select_columns(["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("o_custkey").aggregate(
+            [([], "count_all"), ("o_orderkey", "max")])
+        return t.rename_columns(["custkey", "n_part", "max_part"])
+
+    agg = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("custkey").aggregate(Sum("n_part", alias_name="n_orders"),
+                                      Max("max_part",
+                                          alias_name="max_order")) \
+        .filter(expr="n_orders >= 10")
+    return hash_join(cust, agg, on="c_custkey", right_on="custkey",
+                     how="full")
+
+
 def _customers_without_orders(sf_dir: str):
     """Distributed anti-join: customers that never placed an order (the
     right side ships key columns only)."""
@@ -1391,6 +1419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_median": _user_value_median,
         "orders_customer_join": _orders_customer_join,
         "customers_without_orders": _customers_without_orders,
+        "customers_orders_full": _customers_orders_full,
         "top_docs_per_source": _top_docs_per_source,
         "pack_docs_sequences": _pack_docs_sequences,
         "chunk_docs_sequences": _chunk_docs_sequences,
@@ -1629,6 +1658,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (
                 SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "customers_orders_full": """
+            WITH l AS (SELECT c_custkey, c_name FROM customer
+                       WHERE c_acctbal > 5000.0),
+                 r AS (SELECT o_custkey AS custkey,
+                              CAST(COUNT(*) AS BIGINT) AS n_orders,
+                              MAX(o_orderkey) AS max_order
+                       FROM orders GROUP BY 1
+                       HAVING COUNT(*) >= 10)
+            SELECT COALESCE(l.c_custkey, r.custkey) AS c_custkey,
+                   l.c_name, r.n_orders, r.max_order
+            FROM l FULL OUTER JOIN r ON l.c_custkey = r.custkey
         """,
         "top_docs_per_source": """
             SELECT doc_id, source, n_chars FROM documents

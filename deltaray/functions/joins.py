@@ -324,8 +324,9 @@ def hash_join(left_ds, right_ds, *, on, right_on=None, how: str = "inner",
               left_cols: dict[str, str] | None = None,
               right_cols: dict[str, str] | None = None,
               num_partitions: int = 64):
-    """Distributed equi-join of two Datasets (inner / left outer) — the
-    large-×-large complement of ``broadcast_enrich``.
+    """Distributed equi-join of two Datasets (``how`` ∈ inner / left /
+    right / full outer) — the large-×-large complement of
+    ``broadcast_enrich``.
 
     One hash exchange co-locates both sides by key; within each partition
     block the sides are split by a tag column and joined with the Arrow
@@ -344,8 +345,11 @@ def hash_join(left_ds, right_ds, *, on, right_on=None, how: str = "inner",
     """
     from deltaray.functions.partition import hash_partitioned
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    join_types = {"inner": "inner", "left": "left outer",
+                  "right": "right outer", "full": "full outer"}
+    if how not in join_types:
+        raise ValueError(
+            f"how must be one of {sorted(join_types)}, got {how!r}")
     lkeys = [on] if isinstance(on, str) else list(on)
     rkeys = ([right_on] if isinstance(right_on, str) else list(right_on)) \
         if right_on is not None else lkeys
@@ -391,13 +395,16 @@ def hash_join(left_ds, right_ds, *, on, right_on=None, how: str = "inner",
     ).union(right_ds.map_batches(
         prep(rkeys, right_cols, out_l, l_out_types, 1),
         batch_format="pyarrow"))
-    join_type = "inner" if how == "inner" else "left outer"
+    join_type = join_types[how]
 
     def join_block(block: pa.Table) -> pa.Table:
         is_r = pc.equal(block["__side"], 1)
         left = block.filter(pc.invert(is_r)).select(key_names + out_l)
         right = block.filter(is_r).select(key_names + out_r)
-        return left.join(right, keys=key_names, join_type=join_type)
+        # outer joins coalesce the (identically named) key columns;
+        # pin the output column order — Arrow varies it by join type
+        return left.join(right, keys=key_names, join_type=join_type) \
+            .select(key_names + out_l + out_r)
 
     out = hash_partitioned(both, key_names, join_block,
                            num_partitions=num_partitions)

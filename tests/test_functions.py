@@ -1257,3 +1257,36 @@ def test_incremental_refresh_antijoin_path(ray_session):
         .to_pandas().iloc[0]
     assert bool(t["ok_equals_full_recompute"])
     assert t["n_docs_changed"] > 0
+
+
+def test_hash_join_all_types_match_pandas(ray_session):
+    """inner/left/right/full hash_join == the pandas merge of the same
+    frames, including unmatched-side nulls and coalesced keys."""
+    import numpy as np
+    import ray.data
+
+    from deltaray.functions.joins import hash_join
+    from deltaray.util import to_table
+
+    rng = np.random.default_rng(4)
+    L = pa.table({"k": rng.integers(0, 200, 500).astype("int64"),
+                  "lv": rng.integers(0, 9, 500).astype("int64")})
+    R = pa.table({"rk": rng.integers(100, 300, 400).astype("int64"),
+                  "rv": rng.integers(0, 9, 400).astype("int64")})
+    lds = ray.data.from_arrow(L).repartition(3)
+    rds = ray.data.from_arrow(R).repartition(3)
+    for how, pd_how in [("inner", "inner"), ("left", "left"),
+                        ("right", "right"), ("full", "outer")]:
+        got = to_table(hash_join(lds, rds, on="k", right_on="rk", how=how,
+                                 num_partitions=8)).to_pandas()
+        want = L.to_pandas().merge(
+            R.to_pandas().rename(columns={"rk": "k"}), on="k", how=pd_how)
+        cols = ["k", "lv", "rv"]
+        g = got[cols].astype("float64").fillna(-1) \
+            .sort_values(cols).reset_index(drop=True)
+        w = want[cols].astype("float64").fillna(-1) \
+            .sort_values(cols).reset_index(drop=True)
+        assert len(got) == len(want), how
+        assert g.equals(w), how
+    with pytest.raises(ValueError, match="how must be"):
+        hash_join(lds, rds, on="k", right_on="rk", how="cross")

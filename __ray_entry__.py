@@ -677,7 +677,61 @@ def _time_travel_read(sf_dir: str):
     return out
 
 
-def _two_phase_lake(sf_dir: str, scratch: str, *, tail_applied: bool):
+def _reshard_migration(sf_dir: str):
+    """Generation resharding (`pipeline.reshard_generation`): replay a
+    PREFIX of the change log at P=8, re-partition the lake into a new
+    generation at P=13, then tail the REST of the log against it.
+    Self-checking: post-reshard state equals the source generation
+    row-for-row, the copied chunk markers skip the prefix (asserted via
+    the chunk callback), and the final table equals the full-log
+    single-process oracle.  Rows-only (engine-internal log;
+    test_time_travel.py::test_reshard_generation is the pytest oracle)."""
+    from deltaray import (ReplayConfig, replay, replay_oracle,
+                          reshard_generation, tables_equal)
+    from deltaray.pipeline import read_table
+
+    scratch = "/tmp/deltaray_q_reshard"
+    import pyarrow.parquet as pq
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    seg = max(n_docs, 200)
+    # chunk == segment size in BOTH replays so the full-log plan's chunk
+    # boundaries line up with the copied prefix markers (skip is real)
+    lake, cut, tail_fn = _two_phase_lake(sf_dir, scratch, tail_applied=False,
+                                         num_partitions=8,
+                                         chunk_max_events=seg)
+    pre = read_table(lake, "docs")
+    res = reshard_generation(lake, 13)
+    post = read_table(lake, "docs", generation=res["generation"])
+    ok_state, msg = tables_equal(post, pre)
+    ran: list = []
+    full_cfg = ReplayConfig(
+        event_log=os.path.join(scratch, "events"), lake=lake,
+        num_partitions=13, generation=res["generation"],
+        chunk_max_events=seg)
+    replay(full_cfg, on_chunk=lambda i, c, rows: ran.append(
+        (c.seq_lo, c.seq_hi)))
+    prefix_reran = any(hi <= cut for _, hi in ran)
+    final = read_table(lake, "docs", generation=res["generation"])
+    ok_final, msg2 = tables_equal(final, replay_oracle(full_cfg)["docs"])
+    if not ok_state or prefix_reran or not ok_final:
+        raise AssertionError(
+            f"reshard self-check failed: state_eq={ok_state} ({msg}) "
+            f"prefix_reran={prefix_reran} final_eq={ok_final} ({msg2})")
+    return pa.Table.from_pylist([{
+        "generation": int(res["generation"]),
+        "new_partitions": int(res["num_partitions"]),
+        "rows_migrated": int(res["tables"]["docs"]["rows"]),
+        "snapshot_seq": int(res["tables"]["docs"]["snapshot_seq"]),
+        "tail_chunks_ran": len(ran),
+        "state_equal": bool(ok_state),
+        "final_equals_oracle": bool(ok_final),
+    }])
+
+
+def _two_phase_lake(sf_dir: str, scratch: str, *, tail_applied: bool,
+                    num_partitions: int = 16,
+                    chunk_max_events: int | None = None):
     """Prefix-then-tail replay scaffold shared by the incremental
     queries: synthesize a change log scaled to the sf dir, replay its
     first half into a fresh lake, and return (lake, committed-high-
@@ -711,10 +765,13 @@ def _two_phase_lake(sf_dir: str, scratch: str, *, tail_applied: bool):
     with open(os.path.join(half, "manifest.json"), "w") as f:
         _json.dump(hman, f)
     lake = os.path.join(scratch, "lake")
-    replay(ReplayConfig(event_log=half, lake=lake, num_partitions=16))
+    ck = {"chunk_max_events": chunk_max_events} if chunk_max_events else {}
+    replay(ReplayConfig(event_log=half, lake=lake,
+                        num_partitions=num_partitions, **ck))
 
     def tail_fn():
-        replay(ReplayConfig(event_log=log, lake=lake, num_partitions=16))
+        replay(ReplayConfig(event_log=log, lake=lake,
+                            num_partitions=num_partitions, **ck))
 
     if tail_applied:
         tail_fn()
@@ -1440,6 +1497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_docs": _cdc_replay_docs,
         "cdc_read_changes": _cdc_read_changes,
         "time_travel_read": _time_travel_read,
+        "reshard_migration": _reshard_migration,
         "incremental_refresh_docs": _incremental_refresh_docs,
         "training_data_refresh": _training_data_refresh,
         "decode_media": _decode_media,
@@ -1873,7 +1931,9 @@ def oracle_sql() -> dict[str, str]:
         # cdc_read_changes / incremental_refresh_docs (engine replay +
         # incremental read / patch-vs-recompute equality asserted inside),
         # time_travel_read (as-of reads vs truncated-replay oracle + the
-        # asof(s1)+changes==asof(s2) patch law asserted inside):
+        # asof(s1)+changes==asof(s2) patch law asserted inside),
+        # reshard_migration (state equality + prefix-skip + full-log
+        # oracle equality asserted inside):
         # rows-only; pytest oracles — LSH full-probe == brute force,
         # distributed Lloyd == single-process replication, stage-to-stage
         # token/doc conservation, t1 + changes == t2, test_time_travel.py.

@@ -956,6 +956,27 @@ def _asof_prev_order(sf_dir: str):
     )
 
 
+def _events_rank_per_user(sf_dir: str):
+    """row_number() per user by event time (rank_per_key operator)."""
+    from deltaray.functions.cdc_queries import rank_per_key
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return rank_per_key(ds, key="user_id",
+                        order=[("ts", "ascending"),
+                               ("event_id", "ascending")])
+
+
+def _events_prev_value(sf_dir: str):
+    """LAG(value) per user by event time (lag_per_key operator) — the
+    query-side general form of the engine's previousRow tracking."""
+    from deltaray.functions.cdc_queries import lag_per_key
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return lag_per_key(ds, key="user_id",
+                       order=[("ts", "ascending"), ("event_id", "ascending")],
+                       col="value")
+
+
 def _sessionize_events(sf_dir: str):
     from deltaray.functions.cdc_queries import sessionize
 
@@ -1469,6 +1490,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_embeddings": _cluster_embeddings,
         "asof_prev_order": _asof_prev_order,
         "sessionize_events": _sessionize_events,
+        "events_rank_per_user": _events_rank_per_user,
+        "events_prev_value": _events_prev_value,
         "ngram_jaccard_pairs_docs": _ngram_pairs_docs,
         "top_tokens_docs": _top_tokens_docs,
         "enrich_events_customers": _enrich_events_customers,
@@ -1605,6 +1628,20 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey
                          ORDER BY o_orderdate, o_orderkey)
+        """,
+        "events_rank_per_user": """
+            SELECT event_id, ts, user_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS BIGINT) AS rn
+            FROM events
+        """,
+        "events_prev_value": """
+            SELECT event_id, ts, user_id, value,
+                   lag(value) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_value
+            FROM events
         """,
         "sessionize_events": """
             WITH o AS (

@@ -168,6 +168,62 @@ def top_k_per_key(ds, *, key: str, order: list[tuple[str, str]], k: int,
                             num_partitions=num_partitions)
 
 
+def rank_per_key(ds, *, key: str, order: list[tuple[str, str]],
+                 rn_col: str = "rn", num_partitions: int = 64):
+    """``row_number() OVER (PARTITION BY key ORDER BY order)`` — the
+    per-key ordering primitive (curriculum position, nth-event-per-user,
+    dedup-rank).  Rank needs every row of a key together, so there is no
+    per-batch combiner: ONE hash exchange co-locates keys, then each
+    partition block is ranked fully vectorized (sort + group-run
+    arithmetic, no per-key Python)."""
+    sort_spec = [(key, "ascending"), *order]
+
+    def block_rank(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return block.append_column(rn_col, pa.array([], pa.int64()))
+        g = block.sort_by(sort_spec)
+        codes = group_codes(g, [key])
+        # g is key-sorted → codes are contiguous runs in first-appearance
+        # order, so unique(sorted) == appearance order
+        _, first, counts = np.unique(codes, return_index=True,
+                                     return_counts=True)
+        rn = np.arange(g.num_rows, dtype=np.int64) \
+            - np.repeat(first, counts) + 1
+        return g.append_column(rn_col, pa.array(rn))
+
+    return hash_partitioned(ds, [key], block_rank,
+                            num_partitions=num_partitions)
+
+
+def lag_per_key(ds, *, key: str, order: list[tuple[str, str]], col: str,
+                out_col: str | None = None, num_partitions: int = 64):
+    """``LAG(col) OVER (PARTITION BY key ORDER BY order)`` — each row's
+    previous value within its key (null on the key's first row): the
+    general form of the engine's previousRow tracking, as a query-side
+    operator.  One exchange; within a partition block the lagged column
+    is a single vectorized take with null indices on key starts."""
+    out_col = out_col or f"prev_{col}"
+    sort_spec = [(key, "ascending"), *order]
+
+    def block_lag(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return block.append_column(
+                out_col, block[col].slice(0, 0))
+        g = block.sort_by(sort_spec)
+        codes = group_codes(g, [key])
+        n = g.num_rows
+        is_first = np.empty(n, dtype=bool)
+        is_first[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=is_first[1:])
+        idx = np.arange(-1, n - 1, dtype=np.int64)
+        prev = pc.take(g[col].combine_chunks(),
+                       pa.array(idx, mask=is_first))
+        return g.append_column(out_col, prev)
+
+    return hash_partitioned(ds, [key], block_lag,
+                            num_partitions=num_partitions)
+
+
 def tumbling_window_agg(ds, *, key: str, ts_col: str,
                         window_minutes: int = 60):
     """Tumbling event-time windows: count of events per (key, window).

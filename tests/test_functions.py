@@ -1290,3 +1290,31 @@ def test_hash_join_all_types_match_pandas(ray_session):
         assert g.equals(w), how
     with pytest.raises(ValueError, match="how must be"):
         hash_join(lds, rds, on="k", right_on="rk", how="cross")
+
+
+def test_rank_and_lag_per_key(ray_session):
+    """rank_per_key/lag_per_key == hand-computed window results,
+    including a null payload value and a single-row key."""
+    import pandas as pd
+    import ray.data
+
+    from deltaray.functions.cdc_queries import lag_per_key, rank_per_key
+    from deltaray.util import to_table
+
+    tbl = pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b", "c"]),
+        "o": pa.array([3, 1, 2, 2, 1, 5], pa.int64()),
+        "v": pa.array([30.0, 10.0, None, 200.0, 100.0, 7.0]),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    r = to_table(rank_per_key(ds, key="k", order=[("o", "ascending")],
+                              num_partitions=4)).to_pandas() \
+        .sort_values(["k", "o"]).reset_index(drop=True)
+    assert list(r["rn"]) == [1, 2, 3, 1, 2, 1]
+    lg = to_table(lag_per_key(ds, key="k", order=[("o", "ascending")],
+                              col="v", num_partitions=4)).to_pandas() \
+        .sort_values(["k", "o"]).reset_index(drop=True)
+    want = [None, 10.0, None, None, 100.0, None]
+    got = [None if pd.isna(x) else x for x in lg["prev_value" if
+           "prev_value" in lg.columns else "prev_v"]]
+    assert got == want

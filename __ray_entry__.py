@@ -1138,6 +1138,69 @@ def _events_sliding_2h(sf_dir: str):
                               hop_minutes=60)
 
 
+def _dedup_spans_docs(sf_dir: str):
+    """Cross-doc duplicated-SPAN excision (Lee et al. 2022 windowed
+    analog, `dedup.dedup_spans`): every duplicated k-token window keeps
+    only its globally-first occurrence.  Self-checking at this scale:
+    the full result is verified against a single-process brute-force
+    reimplementation of the same rule.  Returns per-source aggregates
+    (ints — deterministic).  Rows-only (hash-defined removal set;
+    test_ingest_gate.py holds the unit brute-force oracle)."""
+    from deltaray.functions.dedup import dedup_spans
+    from deltaray.util import to_table
+
+    K = 8
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    stats: dict = {}
+    out = to_table(dedup_spans(ds, k=K, num_partitions=16,
+                               stats_out=stats))
+    src = {r["doc_id"]: r["source"]
+           for r in _read(sf_dir, "documents",
+                          ["doc_id", "source"]).take_all()}
+    docs = {r["doc_id"]: (r["text"] or "").split()
+            for r in _read(sf_dir, "documents",
+                           ["doc_id", "text"]).take_all()}
+    if len(docs) <= 20_000:  # brute-force self-check at test scales
+        occ: dict = {}
+        for d in sorted(docs):
+            t = docs[d]
+            for p in range(max(0, len(t) - K + 1)):
+                occ.setdefault(tuple(t[p:p + K]), []).append((d, p))
+        removals: dict = {}
+        for w, os_ in occ.items():
+            if len(os_) < 2:
+                continue
+            keeper = min(os_)
+            for d, p in os_:
+                if (d, p) != keeper:
+                    removals.setdefault(d, []).append(p)
+        import numpy as np
+        for r in out.to_pylist():
+            t = docs[r["doc_id"]]
+            drop = np.zeros(len(t) + 1, dtype=int)
+            for p in removals.get(r["doc_id"], []):
+                drop[p] += 1
+                drop[min(p + K, len(t))] -= 1
+            mask = np.cumsum(drop[:-1]) == 0 if len(t) else []
+            want = " ".join(tok for tok, m in zip(t, mask) if m)
+            if r["text"] != want:
+                raise AssertionError(
+                    f"span-dedup mismatch for {r['doc_id']}")
+    agg: dict = {}
+    for r in out.to_pylist():
+        s = src[r["doc_id"]]
+        a = agg.setdefault(s, {"source": s, "docs": 0, "docs_touched": 0,
+                               "tokens_before": 0, "tokens_after": 0,
+                               "spans_removed": 0})
+        a["docs"] += 1
+        a["docs_touched"] += int(r["n_spans_removed"] > 0)
+        a["tokens_before"] += int(r["n_tok_before"])
+        a["tokens_after"] += int(r["n_tok_after"])
+        a["spans_removed"] += int(r["n_spans_removed"])
+    return pa.Table.from_pylist(sorted(agg.values(),
+                                       key=lambda a: a["source"]))
+
+
 def _corpus_clean_docs(sf_dir: str):
     """Composed training-corpus cleaning pipeline: quality scoring →
     threshold filter → exact dedup (min doc_id per content) — the classic
@@ -1509,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_check": _approx_distinct_check,
         "events_sliding_2h": _events_sliding_2h,
         "corpus_clean_docs": _corpus_clean_docs,
+        "dedup_spans_docs": _dedup_spans_docs,
         "simhash_pairs_docs": _simhash_pairs_docs,
         "events_user_hourly": _events_user_hourly,
         "distinct_event_users": _distinct_event_users,

@@ -17,6 +17,7 @@ the library itself never calls ray.init.
     python -m deltaray generations --lake D
     python -m deltaray snapshots --lake D [--table T]
     python -m deltaray reshard --lake D --partitions N [--src-generation G]
+    python -m deltaray changes --lake D --table T --since N [--as-of M] [--out D]
 """
 
 from __future__ import annotations
@@ -165,6 +166,27 @@ def cmd_snapshots(a) -> int:
     return 0
 
 
+def cmd_changes(a) -> int:
+    from deltaray.pipeline import committed_watermark, read_changes
+
+    _init_ray()
+    since = (committed_watermark(a.lake, a.table, a.generation)
+             if a.since is None else a.since)
+    ds = read_changes(a.lake, a.table, since, generation=a.generation,
+                      as_of_seq=a.as_of)
+    if a.out:
+        ds.write_parquet(a.out)
+        import glob as _glob
+
+        files = _glob.glob(os.path.join(a.out, "*.parquet"))
+        print(json.dumps({"since": since, "as_of": a.as_of,
+                          "files": len(files)}))
+    else:
+        print(json.dumps({"since": since, "as_of": a.as_of,
+                          "rows": ds.count()}))
+    return 0
+
+
 def cmd_reshard(a) -> int:
     from deltaray.pipeline import reshard_generation
 
@@ -266,6 +288,18 @@ def main(argv=None) -> int:
     rs.add_argument("--src-generation", type=int, default=0)
     rs.add_argument("--dst-generation", type=int, default=None)
     rs.set_defaults(fn=cmd_reshard)
+
+    ch = sub.add_parser("changes",
+                        help="CDC-out feed: rows changed since a seq")
+    ch.add_argument("--lake", required=True)
+    ch.add_argument("--table", default="docs")
+    ch.add_argument("--since", type=int, default=None,
+                    help="default: the committed watermark (empty feed)")
+    ch.add_argument("--as-of", type=int, default=None,
+                    help="bound the pull at a snapshot anchor")
+    ch.add_argument("--out", help="write the feed as parquet here")
+    ch.add_argument("--generation", type=int, default=0)
+    ch.set_defaults(fn=cmd_changes)
 
     a = p.parse_args(argv)
     return a.fn(a)

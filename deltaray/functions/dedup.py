@@ -975,3 +975,252 @@ def minhash_dedup_docs(ds, *, num_hashes: int = 64, bands: int = 16,
             pc.invert(pc.is_in(docs[id_col], value_set=drops)))
 
     return hash_partitioned(both, [id_col], anti_block)
+
+
+# --------------------------------------------------------- span dedup
+_SPAN_B = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier for window poly
+
+
+def _token_windows(batch: pa.Table, *, text_col: str, id_col: str,
+                   k: int):
+    """Per-doc rolling k-token window hashes, batch-vectorized.
+
+    Whitespace tokens → per-token 64-bit hashes (flat across the batch)
+    → polynomial window hash H(p) = Σ_j h[p+j]·B^(k-1-j) mod 2^64 via k
+    vectorized gathers on the flat array (k is small and fixed; no
+    per-doc Python).  Returns (ids, tok_lists, n_windows_per_doc,
+    flat_window_hashes, flat_window_starts_within_doc)."""
+    assert k >= 2
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    trimmed = pc.utf8_trim_whitespace(pc.fill_null(text, ""))
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    # splitting "" yields one spurious "" token; such docs have 0 windows
+    empty = pc.equal(pc.utf8_length(trimmed), 0).to_numpy(
+        zero_copy_only=False)
+    flat = toks.flatten()
+    h = (stable_hash_strings(flat) if len(flat)
+         else np.empty(0, np.uint64))
+    n_win = np.where(empty, 0, np.maximum(lens - k + 1, 0))
+    total = int(n_win.sum())
+    doc_off = np.concatenate([[0], np.cumsum(lens)])
+    if total == 0:
+        return (batch[id_col], toks, n_win,
+                np.empty(0, np.uint64), np.empty(0, np.int64))
+    doc_ix = np.repeat(np.arange(len(lens)), n_win)
+    cum = np.concatenate([[0], np.cumsum(n_win)])
+    within = np.arange(total) - cum[doc_ix]
+    starts = doc_off[doc_ix] + within
+    with np.errstate(over="ignore"):
+        H = np.zeros(total, dtype=np.uint64)
+        for j in range(k):
+            H = H * _SPAN_B + h[starts + j]
+    return batch[id_col], toks, n_win, H, within
+
+
+def dedup_spans(ds, *, k: int = 20, text_col: str = "text",
+                id_col: str = "doc_id", num_partitions: int = 16,
+                broadcast_cap: int = 5_000_000,
+                stats_out: dict | None = None):
+    """Cross-document duplicated-SPAN removal (the windowed analog of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", which excises repeated ≥N-token substrings; public paper):
+    every k-token window that occurs more than once in the corpus keeps
+    only its globally-first occurrence (lexicographic (doc_id, pos));
+    all other occurrences' token spans are excised, with overlapping
+    removal spans merged per doc.  Whole-doc near-dups, boilerplate
+    headers and licence blocks all fall out of the same rule.
+
+    Scale shape (three bounded stages, no corpus-sized shuffle):
+      1. duplicate DISCOVERY: per-batch window-hash partial counts (the
+         combiner — shuffle volume is bounded by distinct hashes per
+         batch, not corpus tokens) → hash exchange → hashes with global
+         count ≥ 2.  That set is bounded by duplicated content volume;
+         it broadcasts via ``ray.put`` under ``broadcast_cap`` (raise =
+         honest failure, not silent truncation).
+      2. occurrence RESOLUTION: map-only membership probe (vectorized
+         searchsorted) re-derives windows and emits ONLY duplicated
+         occurrences (whash, doc, pos) → exchange on whash → per-hash
+         lexicographic-min keeper, the rest become removals.
+      3. EXCISION: docs and removals co-exchange on doc_id; per block
+         the merged spans are excised with one boundary-delta cumsum
+         over the flat token buffer and texts rebuilt with ONE
+         ``binary_join`` — no per-doc Python in the hot path.
+
+    Caveats (shared with the public algorithm): excision junctions can
+    form NEW k-windows (a second pass would catch them), and a removal
+    span may overlap a keeper window of a self-repeating doc.  The
+    pytest brute-force oracle mirrors exactly these semantics.
+
+    Output rows: (id, text [rewritten], n_tok_before, n_tok_after,
+    n_spans_removed)."""
+    import ray
+
+    def partials(batch: pa.Table) -> pa.Table:
+        _, _, _, H, _ = _token_windows(batch, text_col=text_col,
+                                       id_col=id_col, k=k)
+        u, c = np.unique(H, return_counts=True)
+        return pa.table({"whash": pa.array(u.astype(np.int64)),
+                         "n_part": pa.array(c.astype(np.int64))})
+
+    def dup_only(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"whash": pa.array([], pa.int64())})
+        t = block.group_by("whash").aggregate([("n_part", "sum")])
+        t = t.rename_columns(["whash", "n"])
+        return t.filter(pc.greater_equal(t["n"], 2)).select(["whash"])
+
+    dup_ds = hash_partitioned(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["whash"], dup_only, num_partitions=num_partitions)
+    parts = [b["whash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+             for b in dup_ds.iter_batches(batch_format="pyarrow")
+             if b.num_rows]
+    dup = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+    if len(dup) > broadcast_cap:
+        raise ValueError(
+            f"{len(dup)} duplicated window hashes exceed broadcast_cap="
+            f"{broadcast_cap}; raise the cap or pre-shard the corpus")
+    if stats_out is not None:
+        stats_out["dup_window_hashes"] = int(len(dup))
+    dup_ref = ray.put(dup)
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        ids, _, n_win, H, within = _token_windows(
+            batch, text_col=text_col, id_col=id_col, k=k)
+        ban = ray.get(dup_ref)
+        if not len(H) or not len(ban):
+            return pa.table({"whash": pa.array([], pa.int64()),
+                             id_col: ids.slice(0, 0),
+                             "pos": pa.array([], pa.int64())})
+        pos = np.searchsorted(ban, H)
+        pos[pos == len(ban)] = 0
+        hit = ban[pos] == H
+        doc_ix = np.repeat(np.arange(len(n_win)), n_win)[hit]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            "whash": pa.array(H[hit].astype(np.int64)),
+            id_col: ids.take(pa.array(doc_ix)),
+            "pos": pa.array(within[hit].astype(np.int64)),
+        })
+
+    def removals(block: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.string()),
+                          "pos": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        w = block["whash"].to_numpy(zero_copy_only=False)
+        d = block[id_col].to_pylist()
+        p = block["pos"].to_numpy(zero_copy_only=False)
+        # keeper per hash = lexicographic min (doc, pos); drop the rest
+        order = np.lexsort((p, np.array(d, dtype=object), w))
+        ws = w[order]
+        first = np.ones(len(ws), dtype=bool)
+        first[1:] = ws[1:] != ws[:-1]
+        drop = order[~first]
+        if not len(drop):
+            return empty
+        return pa.table({id_col: pa.array([d[i] for i in drop]),
+                         "pos": pa.array(p[drop].astype(np.int64))})
+
+    rem_ds = hash_partitioned(
+        ds.map_batches(occurrences, batch_format="pyarrow"),
+        ["whash"], removals, num_partitions=num_partitions)
+
+    # ---- stage 3: co-exchange docs + removals on the doc id
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        t = batch[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        return pa.table({id_col: batch[id_col], "text": t,
+                         "pos": pa.nulls(batch.num_rows, pa.int64())})
+
+    def tag_rem(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch[id_col],
+                         "text": pa.nulls(batch.num_rows, pa.string()),
+                         "pos": batch["pos"]})
+
+    both = ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        rem_ds.map_batches(tag_rem, batch_format="pyarrow"))
+
+    def excise(block: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            (id_col, pa.string()), ("text", pa.string()),
+            ("n_tok_before", pa.int32()), ("n_tok_after", pa.int32()),
+            ("n_spans_removed", pa.int32())])
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        is_doc = pc.is_valid(block["text"])
+        docs = block.filter(is_doc)
+        rem = block.filter(pc.invert(is_doc)).select([id_col, "pos"])
+        trimmed = pc.utf8_trim_whitespace(pc.fill_null(docs["text"], ""))
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # "" splits to one spurious "" token — report such docs as 0
+        # tokens (the physical token still flows through the keep mask,
+        # is never targeted by a span, and joins back to "")
+        empty = pc.equal(pc.utf8_length(trimmed), 0).to_numpy(
+            zero_copy_only=False)
+        lens = np.where(empty, 0, lens)
+        phys_lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = docs.num_rows
+        if rem.num_rows == 0:
+            return pa.table({
+                id_col: docs[id_col], "text": docs["text"],
+                "n_tok_before": pa.array(lens.astype(np.int32)),
+                "n_tok_after": pa.array(lens.astype(np.int32)),
+                "n_spans_removed": pa.array(np.zeros(n, np.int32))})
+        doc_index = {d: i for i, d in enumerate(docs[id_col].to_pylist())}
+        ridx = np.array([doc_index[d] for d in rem[id_col].to_pylist()],
+                        dtype=np.int64)
+        rpos = rem["pos"].to_numpy(zero_copy_only=False)
+        # offsets into the PHYSICAL flat buffer (incl. spurious "" toks)
+        doc_off = np.concatenate([[0], np.cumsum(phys_lens)])
+        total = int(doc_off[-1])
+        # merged-span removal mask via boundary deltas + cumsum
+        starts = doc_off[ridx] + rpos
+        ends = np.minimum(starts + k, doc_off[ridx + 1])
+        delta = np.zeros(total + 1, dtype=np.int64)
+        np.add.at(delta, starts, 1)
+        np.add.at(delta, ends, -1)
+        keep = np.cumsum(delta[:-1]) == 0
+        flat = toks.flatten()
+        kept = flat.filter(pa.array(keep))
+        # reduceat indices must stay < total (zero-length docs can push
+        # doc_off to the end); their segments are overwritten to 0 below
+        red_ix = np.minimum(doc_off[:-1], max(total - 1, 0))
+        kept_lens = (np.add.reduceat(keep.astype(np.int64), red_ix)
+                     if total else np.zeros(n, np.int64))
+        kept_lens[phys_lens == 0] = 0
+        offsets = pa.array(np.concatenate(
+            [[0], np.cumsum(kept_lens)]).astype(np.int32))
+        kept_lists = pa.ListArray.from_arrays(offsets, kept)
+        new_text = pc.binary_join(kept_lists, " ")
+        kept_lens = np.where(empty, 0, kept_lens)  # reporting only
+        # spans removed per doc = number of keep→drop transitions
+        drop = ~keep
+        trans = np.zeros(total, dtype=np.int64)
+        if total:
+            trans[0] = drop[0]
+            trans[1:] = drop[1:] & ~drop[:-1]
+        n_spans = (np.add.reduceat(trans, red_ix) if total
+                   else np.zeros(n, np.int64))
+        n_spans[lens == 0] = 0
+        return pa.table({
+            id_col: docs[id_col], "text": new_text,
+            "n_tok_before": pa.array(lens.astype(np.int32)),
+            "n_tok_after": pa.array(kept_lens.astype(np.int32)),
+            "n_spans_removed": pa.array(n_spans.astype(np.int32))})
+
+    return hash_partitioned(both, [id_col], excise,
+                            num_partitions=num_partitions)

@@ -584,12 +584,17 @@ class ReplaySession:
         hash(key) % P while old per-partition commits remain, silently
         duplicating keys across partition files.  Re-sharding requires a
         new generation."""
+        from deltaray.transforms import HASH_VERSION
+
         path = os.path.join(self.lake.root, "_meta.json")
         meta = {
             "num_partitions": self.cfg.num_partitions,
             "ordering": self.cfg.ordering,
             "sort_key_components": getattr(self.cfg, "sort_key_components", 2),
             "track_previous": bool(getattr(self.cfg, "track_previous", False)),
+            # partitioner identity: a lake written under another
+            # stable_hash_cols must fail fast, not mis-route keys
+            "hash_version": HASH_VERSION,
         }
         if os.path.exists(path):
             with open(path) as f:
@@ -904,9 +909,15 @@ def reshard_generation(lake_root: str, new_num_partitions: int,
     dst = LakeState(lake_root, dst_generation)
     if os.path.isdir(dst.root):
         raise ValueError(f"generation {dst_generation} already exists")
+    from deltaray.transforms import HASH_VERSION
+
     os.makedirs(dst.root)
+    # reshard re-routes every row with the CURRENT partitioner (src
+    # partitions are read raw, no src-hash needed), so it doubles as the
+    # migration path across hash_version bumps
     atomic_write_json(os.path.join(dst.root, "_meta.json"),
-                      {**meta, "num_partitions": int(new_num_partitions)})
+                      {**meta, "num_partitions": int(new_num_partitions),
+                       "hash_version": HASH_VERSION})
     if os.path.isdir(os.path.join(src.root, "_chunks")):
         _shutil.copytree(os.path.join(src.root, "_chunks"),
                          os.path.join(dst.root, "_chunks"))
@@ -1219,7 +1230,17 @@ def read_rows(lake_root: str, table: str, keys: list, generation: int = 0,
                     list(dict.fromkeys([*key_cols, *columns]))))
     meta_path = os.path.join(lake.root, "_meta.json")
     with open(meta_path) as f:
-        num_partitions = int(json.load(f)["num_partitions"])
+        gmeta = json.load(f)
+    num_partitions = int(gmeta["num_partitions"])
+    from deltaray.transforms import HASH_VERSION
+
+    if gmeta.get("hash_version") != HASH_VERSION:
+        raise ValueError(
+            f"lake written under partitioner hash_version="
+            f"{gmeta.get('hash_version')} but this engine routes with "
+            f"{HASH_VERSION}; point lookups would mis-route — migrate via "
+            f"reshard_generation (reads partitions raw, re-routes with the "
+            f"current hash)")
     rows = [k if isinstance(k, tuple) else (k,) for k in keys]
     if any(len(r) != len(key_cols) for r in rows):
         raise ValueError(f"key arity mismatch: table key is {key_cols}")

@@ -270,3 +270,80 @@ def test_minhash_gate_rejected_not_indexed(tmp_path):
     # and a's exact twin too
     got2 = gate.admit(rd.from_arrow(_docs_table([(3, b), (4, a)])), 2).take_all()
     assert got2 == []
+
+
+def test_dedup_spans_matches_bruteforce(ray_session):
+    """dedup_spans == a single-process reimplementation of the same
+    rule (global-first-occurrence keeper, merged-span excision) on a
+    corpus with planted boilerplate, self-repeats, short and empty
+    docs — exact text equality per doc."""
+    import numpy as np
+    import ray.data
+
+    from deltaray.functions.dedup import dedup_spans
+    from deltaray.util import to_table
+
+    K = 4
+    rng = np.random.default_rng(11)
+
+    def rand_toks(n):
+        return [f"w{int(x)}" for x in rng.integers(0, 40, n)]
+
+    boiler = ["the", "quick", "brown", "fox", "jumps"]
+    docs = {}
+    for i in range(30):
+        body = rand_toks(int(rng.integers(0, 25)))
+        if i % 3 == 0:
+            p = int(rng.integers(0, max(1, len(body))))
+            body = body[:p] + boiler + body[p:]
+        docs[f"d{i:03d}"] = body
+    docs["empty"] = []
+    docs["short"] = ["a", "b"]
+    docs["selfrep"] = ["x", "y", "z", "q"] * 4
+
+    def brute(docs, k):
+        occ: dict = {}
+        for d in sorted(docs):
+            t = docs[d]
+            for p in range(max(0, len(t) - k + 1)):
+                occ.setdefault(tuple(t[p:p + k]), []).append((d, p))
+        removals: dict = {}
+        for w, os_ in occ.items():
+            if len(os_) < 2:
+                continue
+            keeper = min(os_)
+            for d, p in os_:
+                if (d, p) != keeper:
+                    removals.setdefault(d, []).append(p)
+        out = {}
+        for d in sorted(docs):
+            t = docs[d]
+            drop = np.zeros(len(t) + 1, dtype=int)
+            for p in removals.get(d, []):
+                drop[p] += 1
+                drop[min(p + k, len(t))] -= 1
+            mask = (np.cumsum(drop[:-1]) == 0 if len(t)
+                    else np.array([], bool))
+            kept = [tok for tok, m in zip(t, mask) if m]
+            n_spans, prev = 0, False
+            for m in (~mask if len(t) else []):
+                if m and not prev:
+                    n_spans += 1
+                prev = m
+            out[d] = (" ".join(kept), len(t), len(kept), n_spans)
+        return out
+
+    tbl = pa.table({
+        "doc_id": pa.array(sorted(docs)),
+        "text": pa.array([" ".join(docs[d]) for d in sorted(docs)])})
+    stats: dict = {}
+    got = to_table(dedup_spans(
+        ray.data.from_arrow(tbl).repartition(4), k=K, num_partitions=5,
+        stats_out=stats)).to_pandas().set_index("doc_id").sort_index()
+    want = brute(docs, K)
+    assert len(got) == len(want)
+    for d, (txt, nb, na, ns) in want.items():
+        row = got.loc[d]
+        assert (row["text"], row["n_tok_before"], row["n_tok_after"],
+                row["n_spans_removed"]) == (txt, nb, na, ns), d
+    assert stats["dup_window_hashes"] > 0

@@ -402,3 +402,50 @@ def test_shard_order_lpt(tmp_log, tmp_lake):
     # weights for unknown tables are ignored, not crashed on
     sess._shard_weights[("ghost", 1)] = 999
     assert sorted(sess._shard_order(4)) == [0, 1, 2, 3]
+
+
+def test_stable_hash_spreads_small_odd_moduli():
+    """Regression: without the fmix64 finalizer, fixed-width synthetic
+    ids collapsed to ONE residue mod 3 (every key in 1 of 3 partitions).
+    All small moduli must use every residue on a structured id family."""
+    import numpy as np
+
+    from deltaray.transforms import stable_hash_cols
+
+    ids = pa.table({"doc_id": pa.array(
+        [f"docs-doc{i:08d}" for i in range(0, 20000, 4)])})
+    h = stable_hash_cols(ids, ["doc_id"])
+    assert len(set(h.tolist())) == 5000  # no collisions on 5000 keys
+    for m in (2, 3, 4, 5, 7, 13, 96):
+        counts = np.bincount((h % np.uint64(m)).astype(np.int64),
+                             minlength=m)
+        assert counts.min() > 0, f"mod {m}: empty residue"
+        # rough balance: no residue further than 3x from uniform
+        assert counts.max() < 3 * 5000 / m, f"mod {m}: skewed {counts}"
+    # composite keys spread too
+    comp = pa.table({"a": pa.array(["g"] * 200),
+                     "b": pa.array(list(range(200)), pa.int64())})
+    hc = stable_hash_cols(comp, ["a", "b"])
+    for m in (3, 7):
+        assert len(np.unique(hc % np.uint64(m))) == m
+
+
+def test_read_rows_rejects_foreign_hash_version(tmp_log, tmp_lake):
+    """A lake stamped with another partitioner version fails fast on
+    point lookups instead of silently mis-routing keys."""
+    import json as _json
+
+    from deltaray import ReplayConfig, read_rows, replay
+    from deltaray.commit import LakeState
+    from deltaray.gen import write_event_log
+
+    write_event_log(tmp_log, n_docs=40, n_events=200, seed=3)
+    replay(ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2))
+    meta_path = os.path.join(LakeState(tmp_lake).root, "_meta.json")
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    meta["hash_version"] = 1
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    with pytest.raises(ValueError, match="hash_version"):
+        read_rows(tmp_lake, "docs", ["docs-doc00000003"])

@@ -384,6 +384,20 @@ def test_cli_and_lineage_report(tmp_log, tmp_lake, capsys):
     assert "docs" in rep["tables"]
     assert rep["tables"]["docs"]["min_committed_seq"] > 0
     assert main(["assess", "--event-log", tmp_log]) == 0
+    # snapshots / changes / reshard surface
+    assert main(["snapshots", "--lake", tmp_lake, "--table", "docs"]) == 0
+    snap = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert snap["watermark"] > 0 and snap["anchors"]
+    assert main(["changes", "--lake", tmp_lake, "--table", "docs",
+                 "--since", "0", "--as-of", str(snap["anchors"][-1])]) == 0
+    ch = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ch["rows"] > 0
+    assert main(["changes", "--lake", tmp_lake, "--table", "docs"]) == 0
+    quiet = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert quiet["rows"] == 0  # watermark anchor → empty feed
+    assert main(["reshard", "--lake", tmp_lake, "--partitions", "3"]) == 0
+    rs = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rs["generation"] == 1 and rs["tables"]["docs"]["partitions"] == 3
 
 
 def test_vacuum_bounds_lake_files(tmp_log, tmp_lake):

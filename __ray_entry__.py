@@ -1160,7 +1160,7 @@ def _dedup_spans_docs(sf_dir: str):
     docs = {r["doc_id"]: (r["text"] or "").split()
             for r in _read(sf_dir, "documents",
                            ["doc_id", "text"]).take_all()}
-    if len(docs) <= 20_000:  # brute-force self-check at test scales
+    if len(docs) <= 2_000:  # brute-force self-check at test scales
         occ: dict = {}
         for d in sorted(docs):
             t = docs[d]
@@ -1407,9 +1407,8 @@ def _customers_orders_full(sf_dir: str):
     frequent-orderer aggregates — both sides have exclusive keys, so the
     result exercises left-only, right-only and matched rows (null
     payloads on the unmatched side; keys coalesced)."""
-    from ray.data.aggregate import Max, Sum
-
     from deltaray.functions.joins import hash_join
+    from deltaray.functions.partition import hash_partitioned
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
     cust = cust.filter(expr="c_acctbal > 5000.0") \
@@ -1421,11 +1420,23 @@ def _customers_orders_full(sf_dir: str):
             [([], "count_all"), ("o_orderkey", "max")])
         return t.rename_columns(["custkey", "n_part", "max_part"])
 
-    agg = orders.map_batches(partial, batch_format="pyarrow") \
-        .groupby("custkey").aggregate(Sum("n_part", alias_name="n_orders"),
-                                      Max("max_part",
-                                          alias_name="max_order")) \
-        .filter(expr="n_orders >= 10")
+    def final(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"custkey": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64()),
+                             "max_order": pa.array([], pa.int64())})
+        t = block.group_by("custkey").aggregate(
+            [("n_part", "sum"), ("max_part", "max")])
+        t = t.rename_columns(["custkey", "n_orders", "max_order"])
+        t = t.set_column(1, "n_orders", t["n_orders"].cast(pa.int64()))
+        return t.filter(pc.greater_equal(t["n_orders"], 10))
+
+    # partial combine per batch, then ONE task exchange + Arrow groupby
+    # per partition — the native Dataset.groupby sort shuffle measured
+    # ~5x slower on this shape
+    agg = hash_partitioned(orders.map_batches(partial,
+                                              batch_format="pyarrow"),
+                           ["custkey"], final, num_partitions=16)
     return hash_join(cust, agg, on="c_custkey", right_on="custkey",
                      how="full")
 

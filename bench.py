@@ -122,6 +122,9 @@ def bench_queries() -> dict:
         "training_data_refresh",
         "cdc_read_changes",
         "unigram_lm_docs",
+        "customers_orders_full",
+        "events_rank_per_user",
+        "dedup_spans_docs",
     ]
     qs = m.queries()
     for name in picks:

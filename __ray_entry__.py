@@ -1201,6 +1201,106 @@ def _dedup_spans_docs(sf_dir: str):
                                        key=lambda a: a["source"]))
 
 
+def _dedup_spans_lake(sf_dir: str):
+    """Span dedup on the LAKE payload: replay a synthetic change log,
+    stream the materialized table out (read_table_ds) and excise
+    duplicated 12-token windows directly on the pre-tokenized
+    list<int32> column — the north-star composition (CDC lake →
+    training-data transform) with no text round-trip.  Self-checking at
+    this scale against the single-process brute-force rule over the
+    lake's final state.  Rows-only (engine replay + hash-defined
+    removals; test_ingest_gate.py holds the unit oracles)."""
+    from deltaray import ReplayConfig, replay
+    from deltaray.functions.dedup import dedup_spans
+    from deltaray.gen import write_event_log
+    from deltaray.pipeline import read_table, read_table_ds
+    from deltaray.util import to_table
+
+    import pyarrow.parquet as pq
+
+    K = 12
+    scratch = "/tmp/deltaray_q_spanlake"
+    shutil.rmtree(scratch, ignore_errors=True)
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    log = os.path.join(scratch, "events")
+    lake = os.path.join(scratch, "lake")
+    write_event_log(log, n_docs=n_docs, n_events=n_docs * 3, seed=7,
+                    track_prev=False)
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=8))
+
+    # the synthetic tokens are random (no natural 12-token repeats) —
+    # plant a boilerplate header on ~1/5 of docs, the classic licence-
+    # block shape span dedup exists to excise
+    HEADER = pa.array(list(range(7000, 7000 + 16)), pa.int32())
+
+    def add_header(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        from deltaray.transforms import stable_hash_cols
+
+        pick = (stable_hash_cols(batch, ["doc_id"]) % np.uint64(5)) == 0
+        toks = batch["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        new = pa.array([
+            (HEADER.to_pylist() + (t or []) if p else (t or []))
+            for t, p in zip(toks.to_pylist(), pick)
+        ], pa.list_(pa.int32()))
+        return batch.set_column(batch.column_names.index("tokens"),
+                                "tokens", new)
+
+    import numpy as np
+
+    corpus = read_table_ds(lake, "docs", columns=["tokens"]) \
+        .map_batches(add_header, batch_format="pyarrow")
+    out = to_table(dedup_spans(corpus, k=K, tokens_col="tokens",
+                               num_partitions=8))
+    if n_docs <= 2_000:  # brute-force self-check at test scales
+        from deltaray.transforms import stable_hash_cols as _shc
+
+        base = read_table(lake, "docs")
+        pick = (_shc(base, ["doc_id"]) % np.uint64(5)) == 0
+        state = {r["doc_id"]: (HEADER.to_pylist() if p else [])
+                 + list(r["tokens"])
+                 for r, p in zip(base.to_pylist(), pick)}
+        occ: dict = {}
+        for d in sorted(state):
+            t = state[d]
+            for p in range(max(0, len(t) - K + 1)):
+                occ.setdefault(tuple(t[p:p + K]), []).append((d, p))
+        removals: dict = {}
+        for w, os_ in occ.items():
+            if len(os_) < 2:
+                continue
+            keeper = min(os_)
+            for d, p in os_:
+                if (d, p) != keeper:
+                    removals.setdefault(d, []).append(p)
+        for r in out.to_pylist():
+            t = state[r["doc_id"]]
+            drop = np.zeros(len(t) + 1, dtype=int)
+            for p in removals.get(r["doc_id"], []):
+                drop[p] += 1
+                drop[min(p + K, len(t))] -= 1
+            mask = np.cumsum(drop[:-1]) == 0 if len(t) else []
+            want = [tok for tok, m in zip(t, mask) if m]
+            if list(r["tokens"]) != want:
+                raise AssertionError(
+                    f"lake span-dedup mismatch for {r['doc_id']}")
+    import pyarrow.compute as _pc
+
+    return pa.Table.from_pylist([{
+        "docs": out.num_rows,
+        "docs_touched": int(_pc.sum(_pc.greater(
+            out["n_spans_removed"], 0).cast(pa.int64())).as_py() or 0),
+        "tokens_before": int(_pc.sum(out["n_tok_before"]).as_py() or 0),
+        "tokens_after": int(_pc.sum(out["n_tok_after"]).as_py() or 0),
+        "spans_removed": int(_pc.sum(
+            out["n_spans_removed"].cast(pa.int64())).as_py() or 0),
+    }])
+
+
 def _corpus_clean_docs(sf_dir: str):
     """Composed training-corpus cleaning pipeline: quality scoring →
     threshold filter → exact dedup (min doc_id per content) — the classic
@@ -1584,6 +1684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_2h": _events_sliding_2h,
         "corpus_clean_docs": _corpus_clean_docs,
         "dedup_spans_docs": _dedup_spans_docs,
+        "dedup_spans_lake": _dedup_spans_lake,
         "simhash_pairs_docs": _simhash_pairs_docs,
         "events_user_hourly": _events_user_hourly,
         "distinct_event_users": _distinct_event_users,

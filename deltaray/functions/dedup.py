@@ -981,16 +981,9 @@ def minhash_dedup_docs(ds, *, num_hashes: int = 64, bands: int = 16,
 _SPAN_B = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier for window poly
 
 
-def _token_windows(batch: pa.Table, *, text_col: str, id_col: str,
-                   k: int):
-    """Per-doc rolling k-token window hashes, batch-vectorized.
-
-    Whitespace tokens → per-token 64-bit hashes (flat across the batch)
-    → polynomial window hash H(p) = Σ_j h[p+j]·B^(k-1-j) mod 2^64 via k
-    vectorized gathers on the flat array (k is small and fixed; no
-    per-doc Python).  Returns (ids, tok_lists, n_windows_per_doc,
-    flat_window_hashes, flat_window_starts_within_doc)."""
-    assert k >= 2
+def _split_ws_tokens(batch: pa.Table, text_col: str):
+    """(list<string> tokens, physical lens, empty-doc mask) for a text
+    column — splitting "" yields one spurious "" token, masked out."""
     text = batch[text_col]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
@@ -998,14 +991,42 @@ def _token_windows(batch: pa.Table, *, text_col: str, id_col: str,
     toks = pc.split_pattern_regex(trimmed, r"\s+")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
-    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
-        .astype(np.int64)
-    # splitting "" yields one spurious "" token; such docs have 0 windows
     empty = pc.equal(pc.utf8_length(trimmed), 0).to_numpy(
         zero_copy_only=False)
-    flat = toks.flatten()
-    h = (stable_hash_strings(flat) if len(flat)
-         else np.empty(0, np.uint64))
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    return toks, lens, empty
+
+
+def _token_windows(batch: pa.Table, *, col: str, id_col: str,
+                   k: int, tokens_mode: bool):
+    """Per-doc rolling k-token window hashes, batch-vectorized.
+
+    ``tokens_mode=False``: whitespace tokens of a text column, hashed
+    per token.  ``tokens_mode=True``: the raw int ids of a
+    ``list<int32>`` tokens column (the lake's pre-tokenized payload) —
+    no string hashing at all.  Either way: polynomial window hash
+    H(p) = Σ_j h[p+j]·B^(k-1-j) mod 2^64 via k vectorized gathers on
+    the flat array (k is small and fixed; no per-doc Python).  Returns
+    (ids, tok_lists, n_windows_per_doc, flat_window_hashes,
+    flat_window_starts_within_doc)."""
+    assert k >= 2
+    if tokens_mode:
+        toks = batch[col]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        # null list slots flatten to 0 values; count them as 0 tokens
+        lens = pc.fill_null(pc.list_value_length(toks), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = np.zeros(len(lens), dtype=bool)
+        flat = toks.flatten()
+        h = (flat.to_numpy(zero_copy_only=False).astype(np.int64)
+             .astype(np.uint64) if len(flat) else np.empty(0, np.uint64))
+    else:
+        toks, lens, empty = _split_ws_tokens(batch, col)
+        flat = toks.flatten()
+        h = (stable_hash_strings(flat) if len(flat)
+             else np.empty(0, np.uint64))
     n_win = np.where(empty, 0, np.maximum(lens - k + 1, 0))
     total = int(n_win.sum())
     doc_off = np.concatenate([[0], np.cumsum(lens)])
@@ -1024,6 +1045,7 @@ def _token_windows(batch: pa.Table, *, text_col: str, id_col: str,
 
 
 def dedup_spans(ds, *, k: int = 20, text_col: str = "text",
+                tokens_col: str | None = None,
                 id_col: str = "doc_id", num_partitions: int = 16,
                 broadcast_cap: int = 5_000_000,
                 stats_out: dict | None = None):
@@ -1057,13 +1079,21 @@ def dedup_spans(ds, *, k: int = 20, text_col: str = "text",
     span may overlap a keeper window of a self-repeating doc.  The
     pytest brute-force oracle mirrors exactly these semantics.
 
-    Output rows: (id, text [rewritten], n_tok_before, n_tok_after,
-    n_spans_removed)."""
+    ``tokens_col``: operate directly on a ``list<int32>`` pre-tokenized
+    column (the lake payload) instead of whitespace-splitting
+    ``text_col`` — no string hashing, window hashes roll over the raw
+    int ids, and the rewritten column is the excised token list.
+
+    Output rows: (id, text [rewritten] | tokens [rewritten],
+    n_tok_before, n_tok_after, n_spans_removed)."""
     import ray
 
+    tokens_mode = tokens_col is not None
+    col = tokens_col if tokens_mode else text_col
+
     def partials(batch: pa.Table) -> pa.Table:
-        _, _, _, H, _ = _token_windows(batch, text_col=text_col,
-                                       id_col=id_col, k=k)
+        _, _, _, H, _ = _token_windows(batch, col=col, id_col=id_col,
+                                       k=k, tokens_mode=tokens_mode)
         u, c = np.unique(H, return_counts=True)
         return pa.table({"whash": pa.array(u.astype(np.int64)),
                          "n_part": pa.array(c.astype(np.int64))})
@@ -1092,7 +1122,7 @@ def dedup_spans(ds, *, k: int = 20, text_col: str = "text",
 
     def occurrences(batch: pa.Table) -> pa.Table:
         ids, _, n_win, H, within = _token_windows(
-            batch, text_col=text_col, id_col=id_col, k=k)
+            batch, col=col, id_col=id_col, k=k, tokens_mode=tokens_mode)
         ban = ray.get(dup_ref)
         if not len(H) or not len(ban):
             return pa.table({"whash": pa.array([], pa.int64()),
@@ -1134,16 +1164,21 @@ def dedup_spans(ds, *, k: int = 20, text_col: str = "text",
         ["whash"], removals, num_partitions=num_partitions)
 
     # ---- stage 3: co-exchange docs + removals on the doc id
+    payload = "tokens" if tokens_mode else "text"
+    pay_type = pa.list_(pa.int32()) if tokens_mode else pa.string()
+
     def tag_docs(batch: pa.Table) -> pa.Table:
-        t = batch[text_col]
+        t = batch[col]
         if isinstance(t, pa.ChunkedArray):
             t = t.combine_chunks()
-        return pa.table({id_col: batch[id_col], "text": t,
+        if tokens_mode and t.type != pay_type:
+            t = t.cast(pay_type)
+        return pa.table({id_col: batch[id_col], payload: t,
                          "pos": pa.nulls(batch.num_rows, pa.int64())})
 
     def tag_rem(batch: pa.Table) -> pa.Table:
         return pa.table({id_col: batch[id_col],
-                         "text": pa.nulls(batch.num_rows, pa.string()),
+                         payload: pa.nulls(batch.num_rows, pay_type),
                          "pos": batch["pos"]})
 
     both = ds.map_batches(tag_docs, batch_format="pyarrow").union(
@@ -1151,38 +1186,38 @@ def dedup_spans(ds, *, k: int = 20, text_col: str = "text",
 
     def excise(block: pa.Table) -> pa.Table:
         out_schema = pa.schema([
-            (id_col, pa.string()), ("text", pa.string()),
+            (id_col, pa.string()), (payload, pay_type),
             ("n_tok_before", pa.int32()), ("n_tok_after", pa.int32()),
             ("n_spans_removed", pa.int32())])
         if block.num_rows == 0:
             return out_schema.empty_table()
-        is_doc = pc.is_valid(block["text"])
+        is_doc = pc.is_valid(block[payload])
         docs = block.filter(is_doc)
         rem = block.filter(pc.invert(is_doc)).select([id_col, "pos"])
-        trimmed = pc.utf8_trim_whitespace(pc.fill_null(docs["text"], ""))
-        toks = pc.split_pattern_regex(trimmed, r"\s+")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        # "" splits to one spurious "" token — report such docs as 0
-        # tokens (the physical token still flows through the keep mask,
-        # is never targeted by a span, and joins back to "")
-        empty = pc.equal(pc.utf8_length(trimmed), 0).to_numpy(
-            zero_copy_only=False)
-        lens = np.where(empty, 0, lens)
-        phys_lens = pc.list_value_length(toks).to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        if tokens_mode:
+            toks = docs[payload]
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            phys_lens = pc.fill_null(pc.list_value_length(toks), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = phys_lens
+        else:
+            toks, phys_lens, empty = _split_ws_tokens(docs, payload)
+            # "" splits to one spurious "" token — report such docs as 0
+            # tokens (the physical token still flows through the keep
+            # mask, is never targeted by a span, and joins back to "")
+            lens = np.where(empty, 0, phys_lens)
         n = docs.num_rows
         if rem.num_rows == 0:
             return pa.table({
-                id_col: docs[id_col], "text": docs["text"],
+                id_col: docs[id_col], payload: docs[payload],
                 "n_tok_before": pa.array(lens.astype(np.int32)),
                 "n_tok_after": pa.array(lens.astype(np.int32)),
                 "n_spans_removed": pa.array(np.zeros(n, np.int32))})
         doc_index = {d: i for i, d in enumerate(docs[id_col].to_pylist())}
         ridx = np.array([doc_index[d] for d in rem[id_col].to_pylist()],
                         dtype=np.int64)
+
         rpos = rem["pos"].to_numpy(zero_copy_only=False)
         # offsets into the PHYSICAL flat buffer (incl. spurious "" toks)
         doc_off = np.concatenate([[0], np.cumsum(phys_lens)])
@@ -1196,30 +1231,35 @@ def dedup_spans(ds, *, k: int = 20, text_col: str = "text",
         keep = np.cumsum(delta[:-1]) == 0
         flat = toks.flatten()
         kept = flat.filter(pa.array(keep))
-        # reduceat indices must stay < total (zero-length docs can push
-        # doc_off to the end); their segments are overwritten to 0 below
-        red_ix = np.minimum(doc_off[:-1], max(total - 1, 0))
-        kept_lens = (np.add.reduceat(keep.astype(np.int64), red_ix)
-                     if total else np.zeros(n, np.int64))
-        kept_lens[phys_lens == 0] = 0
+        # per-doc segment sums via cumulative differences — exact even
+        # for zero-length docs anywhere in the block (np.add.reduceat
+        # mishandles empty trailing segments: clipping an index equal to
+        # ``total`` silently shortens the PREVIOUS doc's segment)
+        kcum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        kept_lens = kcum[doc_off[1:]] - kcum[doc_off[:-1]]
         offsets = pa.array(np.concatenate(
             [[0], np.cumsum(kept_lens)]).astype(np.int32))
-        kept_lists = pa.ListArray.from_arrays(offsets, kept)
-        new_text = pc.binary_join(kept_lists, " ")
-        kept_lens = np.where(empty, 0, kept_lens)  # reporting only
+        if tokens_mode:
+            if flat.type != pa.int32():
+                kept = kept.cast(pa.int32())
+            new_payload = pa.ListArray.from_arrays(offsets, kept)
+        else:
+            new_payload = pc.binary_join(
+                pa.ListArray.from_arrays(offsets, kept), " ")
+        rep_lens = np.where(lens == 0, 0, kept_lens)  # reporting only
         # spans removed per doc = number of keep→drop transitions
         drop = ~keep
         trans = np.zeros(total, dtype=np.int64)
         if total:
             trans[0] = drop[0]
             trans[1:] = drop[1:] & ~drop[:-1]
-        n_spans = (np.add.reduceat(trans, red_ix) if total
-                   else np.zeros(n, np.int64))
+        tcum = np.concatenate([[0], np.cumsum(trans)])
+        n_spans = tcum[doc_off[1:]] - tcum[doc_off[:-1]]
         n_spans[lens == 0] = 0
         return pa.table({
-            id_col: docs[id_col], "text": new_text,
+            id_col: docs[id_col], payload: new_payload,
             "n_tok_before": pa.array(lens.astype(np.int32)),
-            "n_tok_after": pa.array(kept_lens.astype(np.int32)),
+            "n_tok_after": pa.array(rep_lens.astype(np.int32)),
             "n_spans_removed": pa.array(n_spans.astype(np.int32))})
 
     return hash_partitioned(both, [id_col], excise,

@@ -347,3 +347,68 @@ def test_dedup_spans_matches_bruteforce(ray_session):
         assert (row["text"], row["n_tok_before"], row["n_tok_after"],
                 row["n_spans_removed"]) == (txt, nb, na, ns), d
     assert stats["dup_window_hashes"] > 0
+
+
+def test_dedup_spans_tokens_mode_matches_bruteforce(ray_session):
+    """tokens_col mode (pre-tokenized list<int32> lake payload) == the
+    same brute-force rule, including the regression where a zero-length
+    doc at the end of a partition block silently shortened the previous
+    doc's kept segment (np.add.reduceat empty-trailing-segment trap)."""
+    import numpy as np
+    import ray.data
+
+    from deltaray.functions.dedup import dedup_spans
+    from deltaray.util import to_table
+
+    K = 4
+    rng = np.random.default_rng(21)
+    boiler = [901, 902, 903, 904, 905]
+    docs = {}
+    for i in range(30):
+        body = [int(x) for x in rng.integers(0, 50, int(rng.integers(0, 25)))]
+        if i % 3 == 0:
+            p = int(rng.integers(0, max(1, len(body))))
+            body = body[:p] + boiler + body[p:]
+        docs[f"d{i:03d}"] = body
+    docs["empty"] = []          # zero-length doc: the reduceat trap
+    docs["selfrep"] = [7, 8, 9, 10] * 4
+
+    def brute(docs, k):
+        occ: dict = {}
+        for d in sorted(docs):
+            t = docs[d]
+            for p in range(max(0, len(t) - k + 1)):
+                occ.setdefault(tuple(t[p:p + k]), []).append((d, p))
+        removals: dict = {}
+        for w, os_ in occ.items():
+            if len(os_) < 2:
+                continue
+            keeper = min(os_)
+            for d, p in os_:
+                if (d, p) != keeper:
+                    removals.setdefault(d, []).append(p)
+        out = {}
+        for d in sorted(docs):
+            t = docs[d]
+            drop = np.zeros(len(t) + 1, dtype=int)
+            for p in removals.get(d, []):
+                drop[p] += 1
+                drop[min(p + k, len(t))] -= 1
+            mask = (np.cumsum(drop[:-1]) == 0 if len(t)
+                    else np.array([], bool))
+            out[d] = [tok for tok, m in zip(t, mask) if m]
+        return out
+
+    tbl = pa.table({
+        "doc_id": pa.array(sorted(docs)),
+        "tokens": pa.array([docs[d] for d in sorted(docs)],
+                           pa.list_(pa.int32()))})
+    got = to_table(dedup_spans(
+        ray.data.from_arrow(tbl).repartition(4), k=K, tokens_col="tokens",
+        num_partitions=5)).to_pandas().set_index("doc_id").sort_index()
+    want = brute(docs, K)
+    for d, kept in want.items():
+        row = got.loc[d]
+        assert list(row["tokens"]) == kept, d
+        assert row["n_tok_after"] == len(kept), d
+        assert row["n_tok_before"] == len(docs[d]), d

@@ -268,3 +268,143 @@ def test_chunk_sequences_matches_python_slicing(seed, max_len, stride,
            for r in out.itertuples(index=False)]
     assert got == want, (seed, max_len, stride)
     assert (out["n_tok"] == out["tokens"].map(len)).all()
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1),
+       n_docs=st.integers(30, 120),
+       n_events=st.integers(200, 1200),
+       chunk=st.integers(100, 500),
+       unordered=st.booleans())
+def test_time_travel_property(seed, n_docs, n_events, chunk, unordered,
+                              tmp_path_factory):
+    """For random stream shapes/chunkings/orderings: a random snapshot
+    anchor reproduces the truncated-log oracle, and the bounded change
+    feed obeys asof(s1) + changes(s1→s2) == asof(s2)."""
+    import glob
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from deltaray.pipeline import read_changes, snapshots
+    from deltaray.util import to_table
+
+    base = tmp_path_factory.mktemp("tt_prop")
+    log, lake = str(base / "events"), str(base / "lake")
+    write_event_log(log, n_docs=n_docs, n_events=n_events, seed=seed,
+                    segment_max_events=max(100, n_events // 4),
+                    unordered=unordered)
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=3,
+                       chunk_max_events=chunk, vacuum=False,
+                       ordering="UN_ORDERED" if unordered else "ORDERED")
+    replay(cfg)
+    snaps = snapshots(lake)
+    assert snaps
+    rng = np.random.default_rng(seed)
+    S = snaps[int(rng.integers(0, len(snaps)))]
+    got = read_table(lake, "docs", asof_seq=S)
+    # truncated-log oracle
+    d = str(base / f"trunc{S}")
+    os.makedirs(d, exist_ok=True)
+    kept = []
+    for f in sorted(glob.glob(os.path.join(log, "*.parquet"))):
+        t = pq.read_table(f).filter(
+            pc.less_equal(pq.read_table(f, columns=["seq"])["seq"], S))
+        if t.num_rows:
+            kept.append(t)
+    pq.write_table(pa.concat_tables(kept, promote_options="default"),
+                   os.path.join(d, "events-00000.parquet"))
+    want = replay_oracle(ReplayConfig(
+        event_log=d, lake=str(base / "unused"),
+        ordering=cfg.ordering))["docs"]
+    ok, msg = tables_equal(got, want)
+    assert ok, f"asof {S}: {msg}"
+    # patch law on a random anchor pair
+    s_pair = sorted(rng.choice([0] + snaps, size=2, replace=False))
+    s1, s2 = int(s_pair[0]), int(s_pair[1])
+    basekv = {r["doc_id"]: r for r in
+              read_table(lake, "docs", asof_seq=s1).to_pylist()}
+    for r in sorted(to_table(read_changes(lake, "docs", since_seq=s1,
+                                          as_of_seq=s2)).to_pylist(),
+                    key=lambda r: r["seq"]):
+        if r["change"] == "DELETE":
+            basekv.pop(r["doc_id"], None)
+        else:
+            basekv[r["doc_id"]] = {k: v for k, v in r.items()
+                                   if k not in ("change", "seq")}
+    wstate = {r["doc_id"]: r for r in
+              read_table(lake, "docs", asof_seq=s2).to_pylist()}
+    assert basekv == wstate, (seed, s1, s2)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), k=st.integers(2, 6),
+       n_docs=st.integers(5, 40), vocab=st.integers(3, 60))
+def test_dedup_spans_property(seed, k, n_docs, vocab):
+    """Random corpora (small vocab → organic window collisions) match
+    the brute-force global-first-occurrence excision rule exactly, in
+    both text and tokens modes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from deltaray.functions.dedup import dedup_spans
+    from deltaray.util import to_pandas
+
+    rng = np.random.default_rng(seed)
+    docs = {f"d{i:03d}": [int(x) for x in
+                          rng.integers(0, vocab, int(rng.integers(0, 30)))]
+            for i in range(n_docs)}
+
+    def brute(docs, k):
+        occ: dict = {}
+        for d in sorted(docs):
+            t = docs[d]
+            for p in range(max(0, len(t) - k + 1)):
+                occ.setdefault(tuple(t[p:p + k]), []).append((d, p))
+        removals: dict = {}
+        for w, os_ in occ.items():
+            if len(os_) < 2:
+                continue
+            keeper = min(os_)
+            for dd, p in os_:
+                if (dd, p) != keeper:
+                    removals.setdefault(dd, []).append(p)
+        out = {}
+        for d in sorted(docs):
+            t = docs[d]
+            drop = np.zeros(len(t) + 1, dtype=int)
+            for p in removals.get(d, []):
+                drop[p] += 1
+                drop[min(p + k, len(t))] -= 1
+            mask = (np.cumsum(drop[:-1]) == 0 if len(t)
+                    else np.array([], bool))
+            out[d] = [tok for tok, m in zip(t, mask) if m]
+        return out
+
+    want = brute(docs, k)
+    tok_tbl = pa.table({
+        "doc_id": pa.array(sorted(docs)),
+        "tokens": pa.array([docs[d] for d in sorted(docs)],
+                           pa.list_(pa.int32()))})
+    got = to_pandas(dedup_spans(
+        ray.data.from_arrow(tok_tbl).repartition(3), k=k,
+        tokens_col="tokens", num_partitions=4)).set_index("doc_id")
+    for d, kept in want.items():
+        assert list(got.loc[d]["tokens"]) == kept, (seed, k, d)
+    txt_tbl = pa.table({
+        "doc_id": pa.array(sorted(docs)),
+        "text": pa.array([" ".join(f"t{x}" for x in docs[d])
+                          for d in sorted(docs)])})
+    got2 = to_pandas(dedup_spans(
+        ray.data.from_arrow(txt_tbl).repartition(3), k=k,
+        num_partitions=4)).set_index("doc_id")
+    for d, kept in want.items():
+        assert got2.loc[d]["text"] == " ".join(f"t{x}" for x in kept), \
+            (seed, k, d)

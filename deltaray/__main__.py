@@ -18,6 +18,7 @@ the library itself never calls ray.init.
     python -m deltaray snapshots --lake D [--table T]
     python -m deltaray reshard --lake D --partitions N [--src-generation G]
     python -m deltaray changes --lake D --table T --since N [--as-of M] [--out D]
+    python -m deltaray fsck --lake D [--deep]
 """
 
 from __future__ import annotations
@@ -166,6 +167,14 @@ def cmd_snapshots(a) -> int:
     return 0
 
 
+def cmd_fsck(a) -> int:
+    from deltaray.assess import validate_lake
+
+    rep = validate_lake(a.lake, a.generation, deep=a.deep)
+    print(json.dumps(rep))
+    return 0 if rep["ok"] else 1
+
+
 def cmd_changes(a) -> int:
     from deltaray.pipeline import committed_watermark, read_changes
 
@@ -300,6 +309,13 @@ def main(argv=None) -> int:
     ch.add_argument("--out", help="write the feed as parquet here")
     ch.add_argument("--generation", type=int, default=0)
     ch.set_defaults(fn=cmd_changes)
+
+    fs = sub.add_parser("fsck", help="lake integrity check")
+    fs.add_argument("--lake", required=True)
+    fs.add_argument("--generation", type=int, default=0)
+    fs.add_argument("--deep", action="store_true",
+                    help="also open every live parquet footer")
+    fs.set_defaults(fn=cmd_fsck)
 
     a = p.parse_args(argv)
     return a.fn(a)

@@ -173,3 +173,138 @@ def assess_pipeline(cfg: ReplayConfig) -> dict:
         for ta in assessments
     ]
     return report
+
+
+def validate_lake(lake_root: str, generation: int = 0,
+                  deep: bool = False) -> dict:
+    """Lake integrity check (fsck): verify the physical state matches
+    the commit log — the operational tool an on-call runs before
+    trusting a resume or handing the lake to a consumer.
+
+    Metadata-level checks (no data reads):
+      - every live commit's data file exists (vacuum safety);
+      - per-partition commit seq ranges are strictly ascending and
+        non-overlapping;
+      - lineage agrees with the commit log (last_seq == committed_hi);
+      - generation meta present with a matching hash_version and
+        partition ids within num_partitions;
+      - orphan data files (unreferenced by any commit = safe vacuum
+        candidates) counted with their bytes.
+
+    ``deep=True`` additionally opens every live parquet footer and
+    checks the embedded TableSchema parses and the row count matches
+    the commit record — O(live files) footer reads, still no payload.
+
+    Returns {ok, errors, warnings, tables:{...}}; errors are states a
+    resume could corrupt or a read would crash on, warnings are
+    recoverable (orphans, missing lineage).
+    """
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from deltaray.commit import SCHEMA_META_KEY, LakeState
+    from deltaray.schemas import TableSchema
+    from deltaray.transforms import HASH_VERSION
+
+    lake = LakeState(lake_root, generation)
+    errors: list[str] = []
+    warnings: list[str] = []
+    tables: dict = {}
+    meta_path = os.path.join(lake.root, "_meta.json")
+    num_partitions = None
+    if not os.path.isdir(lake.root):
+        return {"ok": False, "errors": [f"no generation at {lake.root}"],
+                "warnings": [], "tables": {}}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        num_partitions = int(meta.get("num_partitions", 0)) or None
+        hv = meta.get("hash_version")
+        if hv != HASH_VERSION:
+            errors.append(
+                f"hash_version {hv} != engine {HASH_VERSION} — point "
+                f"lookups/merges would mis-route; migrate via "
+                f"reshard_generation")
+    else:
+        warnings.append("no _meta.json (pre-first-commit lake?)")
+    for t in lake.list_tables():
+        info = {"partitions": 0, "live_files": 0, "orphan_files": 0,
+                "bytes_live": 0, "bytes_orphan": 0}
+        tables[t] = info
+        if lake.current_schema(t) is None:
+            errors.append(f"{t}: no schema records")
+            continue
+        for d in sorted(glob.glob(os.path.join(lake.table_dir(t),
+                                               "part=*"))):
+            p = int(os.path.basename(d).split("=")[1])
+            info["partitions"] += 1
+            if num_partitions is not None and not 0 <= p < num_partitions:
+                errors.append(f"{t}/part={p}: outside num_partitions="
+                              f"{num_partitions}")
+            commits = lake.list_commits(t, p)
+            prev_hi = -1
+            for c in commits:
+                if not c["seq_lo"] <= c["seq_hi"]:
+                    errors.append(f"{t}/part={p}: inverted commit range "
+                                  f"({c['seq_lo']},{c['seq_hi']})")
+                # ranges are half-open (lo, hi]: adjacent chunks share
+                # the boundary seq, a true overlap starts BELOW it
+                if c["seq_lo"] < prev_hi:
+                    errors.append(f"{t}/part={p}: overlapping commit "
+                                  f"ranges at seq_hi={c['seq_hi']}")
+                prev_hi = c["seq_hi"]
+            live = lake.live_commits(t, p)
+            referenced = {c["file"] for c in commits}
+            on_disk = {f for f in os.listdir(d) if f.endswith(".parquet")}
+            for c in live:
+                path = os.path.join(d, c["file"])
+                if not os.path.exists(path):
+                    errors.append(f"{t}/part={p}: live file {c['file']} "
+                                  f"missing (bad vacuum / partial copy)")
+                    continue
+                info["live_files"] += 1
+                info["bytes_live"] += os.path.getsize(path)
+                if deep:
+                    try:
+                        fmeta = pq.ParquetFile(path)
+                        kv = fmeta.schema_arrow.metadata or {}
+                        if SCHEMA_META_KEY not in kv:
+                            errors.append(f"{t}/part={p}: {c['file']} "
+                                          f"lacks embedded schema")
+                        else:
+                            TableSchema.from_json(
+                                kv[SCHEMA_META_KEY].decode())
+                        if fmeta.metadata.num_rows != int(c["rows"]):
+                            errors.append(
+                                f"{t}/part={p}: {c['file']} rows "
+                                f"{fmeta.metadata.num_rows} != commit "
+                                f"{c['rows']}")
+                    except Exception as exc:  # corrupt footer
+                        errors.append(f"{t}/part={p}: {c['file']} "
+                                      f"unreadable: {exc}")
+            for f in sorted(on_disk - referenced):
+                info["orphan_files"] += 1
+                info["bytes_orphan"] += os.path.getsize(
+                    os.path.join(d, f))
+            lin = lake.read_lineage(t, p)
+            hi = lake.committed_hi(t, p)
+            if lin is None and commits:
+                warnings.append(f"{t}/part={p}: no lineage record")
+            elif lin is not None and int(lin.get("last_seq", -1)) != hi:
+                errors.append(
+                    f"{t}/part={p}: lineage last_seq "
+                    f"{lin.get('last_seq')} != committed_hi {hi}")
+        if info["orphan_files"]:
+            warnings.append(
+                f"{t}: {info['orphan_files']} orphan file(s), "
+                f"{info['bytes_orphan']} bytes — vacuum candidates")
+        err = lake.read_table_error(t)
+        if err is not None:
+            warnings.append(f"{t}: FAILING state persisted "
+                            f"(chunk {err.get('chunk')}): "
+                            f"{err.get('error')}")
+    return {"ok": not errors, "errors": errors, "warnings": warnings,
+            "tables": tables}

@@ -1416,7 +1416,8 @@ def committed_watermark(lake_root: str, table: str,
 
 
 def read_changes(lake_root: str, table: str, since_seq: int,
-                 generation: int = 0, as_of_seq: int | None = None):
+                 generation: int = 0, as_of_seq: int | None = None,
+                 columns: list[str] | None = None):
     """CDC-out: streaming Dataset of the rows whose LATEST version is
     newer than ``since_seq`` — the incremental feed for downstream
     consumers (re-tokenize / re-chunk / re-index only what changed
@@ -1454,7 +1455,11 @@ def read_changes(lake_root: str, table: str, since_seq: int,
     as_of)`` window get identical feeds regardless of what replayed in
     between (subject to vacuum retention — expired anchors raise
     :class:`SnapshotExpiredError`).  ``asof(s1) + changes(s1→s2) ==
-    asof(s2)`` exactly."""
+    asof(s2)`` exactly.
+
+    ``columns`` prunes the payload at the parquet read (keys + version
+    columns always fetched for the LWW merge) — a feed consumer that
+    only re-indexes ids never ships the token payload."""
     import ray.data
 
     lake = LakeState(lake_root, generation)
@@ -1470,9 +1475,29 @@ def read_changes(lake_root: str, table: str, since_seq: int,
         raise KeyError(f"unknown table {table!r}"
                        if lake.current_schema(table) is None else
                        f"table {table!r} does not exist as of {as_of_seq}")
+    if columns is not None:
+        unknown = [c for c in columns if c not in schema.column_names()]
+        if unknown:
+            raise KeyError(f"unknown columns {unknown!r}")
+        schema = TableSchema(
+            schema.name, schema.key,
+            [(n, c) for n, c in schema.fields
+             if n in set(columns) | set(schema.keys)],
+            dict(schema.renames), schema.version_seq)
     out_schema = schema.arrow_schema() \
         .append(pa.field("change", pa.string())) \
         .append(pa.field("seq", pa.int64()))
+    phys = None
+    if columns is not None:
+        meta_path = os.path.join(lake.root, "_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                gmeta = json.load(f)
+            n_sk = int(gmeta.get("sort_key_components", 2))
+            phys = list(dict.fromkeys([
+                *schema.column_names(), "__seq", "__src_ts",
+                *[f"__sk{i}" for i in range(n_sk)], "__deleted",
+            ]))
     parts = []
     if not _dropped_asof(lake, table, as_of_seq):
         for p in _live_parts_asof(lake, table, before):
@@ -1489,7 +1514,7 @@ def read_changes(lake_root: str, table: str, since_seq: int,
         out = []
         for p in batch["part"].to_pylist():
             tbl, _ = LakeState(lake_root, generation).read_partition(
-                table, p, before_seq=before)
+                table, p, before_seq=before, columns=phys)
             if tbl is None or not tbl.num_rows:
                 continue
             t = evolve_to(tbl, target)

@@ -1108,37 +1108,68 @@ def dedup_spans(ds, *, k: int = 20, text_col: str = "text",
     dup_ds = hash_partitioned(
         ds.map_batches(partials, batch_format="pyarrow"),
         ["whash"], dup_only, num_partitions=num_partitions)
-    parts = [b["whash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-             for b in dup_ds.iter_batches(batch_format="pyarrow")
-             if b.num_rows]
-    dup = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
-    if len(dup) > broadcast_cap:
-        raise ValueError(
-            f"{len(dup)} duplicated window hashes exceed broadcast_cap="
-            f"{broadcast_cap}; raise the cap or pre-shard the corpus")
+    n_dup = dup_ds.count()
     if stats_out is not None:
-        stats_out["dup_window_hashes"] = int(len(dup))
-    dup_ref = ray.put(dup)
+        stats_out["dup_window_hashes"] = int(n_dup)
 
-    def occurrences(batch: pa.Table) -> pa.Table:
-        ids, _, n_win, H, within = _token_windows(
-            batch, col=col, id_col=id_col, k=k, tokens_mode=tokens_mode)
-        ban = ray.get(dup_ref)
-        if not len(H) or not len(ban):
-            return pa.table({"whash": pa.array([], pa.int64()),
-                             id_col: ids.slice(0, 0),
-                             "pos": pa.array([], pa.int64())})
-        pos = np.searchsorted(ban, H)
-        pos[pos == len(ban)] = 0
-        hit = ban[pos] == H
-        doc_ix = np.repeat(np.arange(len(n_win)), n_win)[hit]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        return pa.table({
-            "whash": pa.array(H[hit].astype(np.int64)),
-            id_col: ids.take(pa.array(doc_ix)),
-            "pos": pa.array(within[hit].astype(np.int64)),
-        })
+    def occurrences_fn(dup_ref):
+        """Window occurrence emitter; ``dup_ref=None`` emits ALL
+        windows (the semi-join path filters downstream)."""
+
+        def occurrences(batch: pa.Table) -> pa.Table:
+            ids, _, n_win, H, within = _token_windows(
+                batch, col=col, id_col=id_col, k=k,
+                tokens_mode=tokens_mode)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            if not len(H):
+                return pa.table({"whash": pa.array([], pa.int64()),
+                                 id_col: ids.slice(0, 0),
+                                 "pos": pa.array([], pa.int64())})
+            if dup_ref is None:
+                hit = np.ones(len(H), dtype=bool)
+            else:
+                ban = ray.get(dup_ref)
+                if not len(ban):
+                    hit = np.zeros(len(H), dtype=bool)
+                else:
+                    pos = np.searchsorted(ban, H)
+                    pos[pos == len(ban)] = 0
+                    hit = ban[pos] == H
+            doc_ix = np.repeat(np.arange(len(n_win)), n_win)[hit]
+            return pa.table({
+                "whash": pa.array(H[hit].astype(np.int64)),
+                id_col: ids.take(pa.array(doc_ix)),
+                "pos": pa.array(within[hit].astype(np.int64)),
+            })
+
+        return occurrences
+
+    if n_dup <= broadcast_cap:
+        # common path: the dup set broadcasts once; the occurrence probe
+        # stays map-only (a vectorized searchsorted per batch)
+        parts = [b["whash"].to_numpy(zero_copy_only=False)
+                 .astype(np.uint64)
+                 for b in dup_ds.iter_batches(batch_format="pyarrow")
+                 if b.num_rows]
+        dup = (np.sort(np.concatenate(parts)) if parts
+               else np.empty(0, np.uint64))
+        occ_ds = ds.map_batches(occurrences_fn(ray.put(dup)),
+                                batch_format="pyarrow")
+        if stats_out is not None:
+            stats_out["path"] = "broadcast"
+    else:
+        # big-dup-volume path: emit every window once and semi-join
+        # against the dup-hash Dataset on whash — one extra exchange of
+        # (whash, id, pos) rows, no driver materialization of the dup
+        # set.  Honest cost scaling instead of a hard cap.
+        from deltaray.functions.joins import semi_join
+
+        occ_ds = semi_join(
+            ds.map_batches(occurrences_fn(None), batch_format="pyarrow"),
+            dup_ds, on="whash", num_partitions=num_partitions)
+        if stats_out is not None:
+            stats_out["path"] = "semi_join"
 
     def removals(block: pa.Table) -> pa.Table:
         empty = pa.table({id_col: pa.array([], pa.string()),
@@ -1159,9 +1190,8 @@ def dedup_spans(ds, *, k: int = 20, text_col: str = "text",
         return pa.table({id_col: pa.array([d[i] for i in drop]),
                          "pos": pa.array(p[drop].astype(np.int64))})
 
-    rem_ds = hash_partitioned(
-        ds.map_batches(occurrences, batch_format="pyarrow"),
-        ["whash"], removals, num_partitions=num_partitions)
+    rem_ds = hash_partitioned(occ_ds, ["whash"], removals,
+                              num_partitions=num_partitions)
 
     # ---- stage 3: co-exchange docs + removals on the doc id
     payload = "tokens" if tokens_mode else "text"

@@ -412,3 +412,32 @@ def test_dedup_spans_tokens_mode_matches_bruteforce(ray_session):
         assert list(row["tokens"]) == kept, d
         assert row["n_tok_after"] == len(kept), d
         assert row["n_tok_before"] == len(docs[d]), d
+
+
+def test_dedup_spans_semi_join_path(ray_session):
+    """broadcast_cap=0 forces the big-dup-volume semi-join path; results
+    must match the broadcast path exactly."""
+    import numpy as np
+    import ray.data
+
+    from deltaray.functions.dedup import dedup_spans
+    from deltaray.util import to_pandas
+
+    rng = np.random.default_rng(3)
+    docs = {f"d{i:02d}": [int(x) for x in rng.integers(0, 8, 20)]
+            for i in range(12)}
+    tbl = pa.table({"doc_id": pa.array(sorted(docs)),
+                    "tokens": pa.array([docs[d] for d in sorted(docs)],
+                                       pa.list_(pa.int32()))})
+    outs = {}
+    for cap in (10**6, 0):
+        stats: dict = {}
+        outs[cap] = to_pandas(dedup_spans(
+            ray.data.from_arrow(tbl).repartition(3), k=3,
+            tokens_col="tokens", num_partitions=4, broadcast_cap=cap,
+            stats_out=stats)).set_index("doc_id").sort_index()
+        assert stats["path"] == ("broadcast" if cap else "semi_join")
+        assert stats["dup_window_hashes"] > 0
+    for d in sorted(docs):
+        assert (list(outs[10**6].loc[d]["tokens"])
+                == list(outs[0].loc[d]["tokens"])), d

@@ -1044,11 +1044,10 @@ def _token_windows(batch: pa.Table, *, col: str, id_col: str,
     return batch[id_col], toks, n_win, H, within
 
 
-def dedup_spans(ds, *, k: int = 20, text_col: str = "text",
-                tokens_col: str | None = None,
-                id_col: str = "doc_id", num_partitions: int = 16,
-                broadcast_cap: int = 5_000_000,
-                stats_out: dict | None = None):
+def _dedup_spans_once(ds, *, k: int, text_col: str,
+                      tokens_col: str | None, id_col: str,
+                      num_partitions: int, broadcast_cap: int,
+                      stats_out: dict | None):
     """Cross-document duplicated-SPAN removal (the windowed analog of
     Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     Better", which excises repeated ≥N-token substrings; public paper):
@@ -1203,13 +1202,23 @@ def dedup_spans(ds, *, k: int = 20, text_col: str = "text",
             t = t.combine_chunks()
         if tokens_mode and t.type != pay_type:
             t = t.cast(pay_type)
+        n = batch.num_rows
+        # multi-pass carry: original token count + spans excised so far
+        ob = (batch["__orig_before"] if "__orig_before" in
+              batch.column_names else pa.nulls(n, pa.int32()))
+        sa = (batch["__spans_acc"] if "__spans_acc" in
+              batch.column_names else pa.nulls(n, pa.int32()))
         return pa.table({id_col: batch[id_col], payload: t,
-                         "pos": pa.nulls(batch.num_rows, pa.int64())})
+                         "pos": pa.nulls(n, pa.int64()),
+                         "__orig_before": ob, "__spans_acc": sa})
 
     def tag_rem(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
         return pa.table({id_col: batch[id_col],
-                         payload: pa.nulls(batch.num_rows, pay_type),
-                         "pos": batch["pos"]})
+                         payload: pa.nulls(n, pay_type),
+                         "pos": batch["pos"],
+                         "__orig_before": pa.nulls(n, pa.int32()),
+                         "__spans_acc": pa.nulls(n, pa.int32())})
 
     both = ds.map_batches(tag_docs, batch_format="pyarrow").union(
         rem_ds.map_batches(tag_rem, batch_format="pyarrow"))
@@ -1238,12 +1247,18 @@ def dedup_spans(ds, *, k: int = 20, text_col: str = "text",
             # mask, is never targeted by a span, and joins back to "")
             lens = np.where(empty, 0, phys_lens)
         n = docs.num_rows
+        ob = docs["__orig_before"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)  # int32-with-nulls → float w/ NaN
+        orig_before = np.where(np.isnan(ob), lens, ob).astype(np.int64)
+        spans_acc = pc.fill_null(docs["__spans_acc"], 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
         if rem.num_rows == 0:
             return pa.table({
                 id_col: docs[id_col], payload: docs[payload],
-                "n_tok_before": pa.array(lens.astype(np.int32)),
+                "n_tok_before": pa.array(orig_before.astype(np.int32)),
                 "n_tok_after": pa.array(lens.astype(np.int32)),
-                "n_spans_removed": pa.array(np.zeros(n, np.int32))})
+                "n_spans_removed": pa.array(
+                    spans_acc.astype(np.int32))})
         doc_index = {d: i for i, d in enumerate(docs[id_col].to_pylist())}
         ridx = np.array([doc_index[d] for d in rem[id_col].to_pylist()],
                         dtype=np.int64)
@@ -1288,9 +1303,62 @@ def dedup_spans(ds, *, k: int = 20, text_col: str = "text",
         n_spans[lens == 0] = 0
         return pa.table({
             id_col: docs[id_col], payload: new_payload,
-            "n_tok_before": pa.array(lens.astype(np.int32)),
+            "n_tok_before": pa.array(orig_before.astype(np.int32)),
             "n_tok_after": pa.array(rep_lens.astype(np.int32)),
-            "n_spans_removed": pa.array(n_spans.astype(np.int32))})
+            "n_spans_removed": pa.array(
+                (spans_acc + n_spans).astype(np.int32))})
 
     return hash_partitioned(both, [id_col], excise,
                             num_partitions=num_partitions)
+
+
+def dedup_spans(ds, *, k: int = 20, text_col: str = "text",
+                tokens_col: str | None = None,
+                id_col: str = "doc_id", num_partitions: int = 16,
+                broadcast_cap: int = 5_000_000, passes: int = 1,
+                stats_out: dict | None = None):
+    """See :func:`_dedup_spans_once` for the single-pass semantics and
+    scale shape (that docstring is the contract).  ``passes`` iterates
+    the excision to a fixed point: removing a span splices its
+    neighbors together, and the NEW k-windows formed at those junctions
+    can themselves be duplicates — a second pass catches them (Lee et
+    al. note one pass removes the overwhelming bulk; junction dups are
+    the residue).  Accounting columns thread through the passes:
+    ``n_tok_before`` stays the ORIGINAL count, ``n_spans_removed``
+    accumulates.  Iteration stops early once a pass finds zero
+    duplicated windows; intermediate passes materialize (each pass
+    scans its input three times, so re-deriving pass N-1 lazily would
+    re-run it thrice).  Per-pass duplicate-hash counts land in
+    ``stats_out["dup_per_pass"]``."""
+    assert passes >= 1
+    dup_per_pass: list[int] = []
+    out = ds
+    for i in range(passes):
+        st: dict = {}
+        out = _dedup_spans_once(
+            out, k=k,
+            text_col=text_col if i == 0 else "text",
+            tokens_col=(tokens_col if i == 0 else
+                        ("tokens" if tokens_col is not None else None)),
+            id_col=id_col, num_partitions=num_partitions,
+            broadcast_cap=broadcast_cap, stats_out=st)
+        dup_per_pass.append(st.get("dup_window_hashes", 0))
+        if stats_out is not None:
+            stats_out.update(st)
+        if i < passes - 1:
+            if dup_per_pass[-1] == 0:
+                break  # fixed point: nothing left to excise
+            payload = "tokens" if tokens_col is not None else "text"
+
+            def carry(batch: pa.Table, payload=payload) -> pa.Table:
+                return pa.table({
+                    id_col: batch[id_col], payload: batch[payload],
+                    "__orig_before": batch["n_tok_before"],
+                    "__spans_acc": batch["n_spans_removed"],
+                })
+
+            out = out.map_batches(carry,
+                                  batch_format="pyarrow").materialize()
+    if stats_out is not None:
+        stats_out["dup_per_pass"] = dup_per_pass
+    return out

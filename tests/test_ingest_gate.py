@@ -441,3 +441,77 @@ def test_dedup_spans_semi_join_path(ray_session):
     for d in sorted(docs):
         assert (list(outs[10**6].loc[d]["tokens"])
                 == list(outs[0].loc[d]["tokens"])), d
+
+
+def test_dedup_spans_multi_pass_junction_dups(ray_session):
+    """Excising a span splices its neighbors; the junction windows can
+    be NEW duplicates that only a second pass catches.  passes=3 must
+    match the brute-force rule iterated to a fixed point, keep
+    n_tok_before at the ORIGINAL count, accumulate n_spans_removed,
+    and early-stop once a pass finds nothing."""
+    import numpy as np
+    import ray.data
+
+    from deltaray.functions.dedup import dedup_spans
+    from deltaray.util import to_pandas
+
+    K = 3
+    boiler = [70, 71, 72]
+    docs = {
+        "a": boiler + [80, 81],            # boiler keeper
+        "b": [10, 11] + boiler + [12, 13],  # junction forms (10,11,12)
+        "c": [10, 11, 12, 13, 60],          # the junction's duplicate
+        "d": [50, 51, 52, 53],
+    }
+
+    def brute_once(state, k):
+        occ: dict = {}
+        for d in sorted(state):
+            t = state[d]
+            for p in range(max(0, len(t) - k + 1)):
+                occ.setdefault(tuple(t[p:p + k]), []).append((d, p))
+        removals: dict = {}
+        for w, os_ in occ.items():
+            if len(os_) < 2:
+                continue
+            keeper = min(os_)
+            for dd, p in os_:
+                if (dd, p) != keeper:
+                    removals.setdefault(dd, []).append(p)
+        out = {}
+        for d in sorted(state):
+            t = state[d]
+            drop = np.zeros(len(t) + 1, dtype=int)
+            for p in removals.get(d, []):
+                drop[p] += 1
+                drop[min(p + k, len(t))] -= 1
+            mask = (np.cumsum(drop[:-1]) == 0 if len(t)
+                    else np.array([], bool))
+            out[d] = [tok for tok, m in zip(t, mask) if m]
+        return out
+
+    state = dict(docs)
+    for _ in range(3):
+        state = brute_once(state, K)
+    # sanity: this corpus NEEDS a second pass — the junction windows in
+    # post-pass-1 "b" dup against "c", and "b" wins the keeper race, so
+    # the second pass excises from "c"
+    assert brute_once(dict(docs), K)["c"] != state["c"]
+
+    tbl = pa.table({"doc_id": pa.array(sorted(docs)),
+                    "tokens": pa.array([docs[d] for d in sorted(docs)],
+                                       pa.list_(pa.int32()))})
+    stats: dict = {}
+    got = to_pandas(dedup_spans(
+        ray.data.from_arrow(tbl).repartition(2), k=K, tokens_col="tokens",
+        num_partitions=3, passes=3, stats_out=stats)) \
+        .set_index("doc_id").sort_index()
+    assert len(stats["dup_per_pass"]) >= 2
+    assert stats["dup_per_pass"][0] > 0 and stats["dup_per_pass"][1] > 0
+    for d in sorted(docs):
+        assert list(got.loc[d]["tokens"]) == state[d], d
+        assert got.loc[d]["n_tok_before"] == len(docs[d]), d
+    # spans accumulate across passes: "c" is untouched in pass 1 and
+    # excised in pass 2
+    assert got.loc["c"]["n_spans_removed"] >= 1
+    assert got.loc["b"]["n_spans_removed"] >= 1

@@ -290,3 +290,38 @@ def test_reshard_generation(ray_session, tmp_path):
             replay(ReplayConfig(event_log=log, lake=lake, num_partitions=4,
                                 chunk_max_events=800, generation=1,
                                 ordering=ordering))
+
+
+def test_reshard_generation_multi_table(ray_session, tmp_path):
+    """Resharding migrates EVERY table: two-table lake, prefix replay,
+    reshard 4→6, tail the full log — both tables equal the full-log
+    oracle in the new generation."""
+    from deltaray import reshard_generation
+
+    log = str(tmp_path / "events")
+    prefix = str(tmp_path / "prefix")
+    lake = str(tmp_path / "lake")
+    write_event_log(log, n_docs=150, n_events=2400, seed=41,
+                    segment_max_events=600, tables=("docs", "logs"))
+    os.makedirs(prefix)
+    for f in sorted(glob.glob(os.path.join(log, "*.parquet")))[:2]:
+        shutil.copy(f, os.path.join(prefix, os.path.basename(f)))
+    replay(ReplayConfig(event_log=prefix, lake=lake, num_partitions=4,
+                        chunk_max_events=600))
+    res = reshard_generation(lake, 6)
+    assert set(res["tables"]) == {"docs", "logs"}
+    for t in ("docs", "logs"):
+        assert res["tables"][t]["partitions"] >= 1
+        ok, msg = tables_equal(read_table(lake, t, generation=1),
+                               read_table(lake, t, generation=0),
+                               key=read_table(lake, t).column_names[0])
+        assert ok, f"{t}: {msg}"
+    cfg1 = ReplayConfig(event_log=log, lake=lake, num_partitions=6,
+                        chunk_max_events=600, generation=1)
+    replay(cfg1)
+    oracle = replay_oracle(cfg1)
+    for t in ("docs", "logs"):
+        got = read_table(lake, t, generation=1)
+        ok, msg = tables_equal(got, oracle[t],
+                               key=oracle[t].column_names[0])
+        assert ok, f"{t}: {msg}"

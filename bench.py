@@ -85,6 +85,27 @@ def bench_replay(log: str, manifest: dict,
             "dml_events": dml_events}
 
 
+def bench_point_lookup(lake: str, n_keys: int = 10) -> dict:
+    """CDC-serving read path: latency of a 10-key `read_rows` against
+    the just-replayed lake vs a full-table scan of the same lake —
+    the point of partitioner-routed lookups is that the ratio stays
+    ~P/keys as the lake grows."""
+    from deltaray.pipeline import read_rows, read_table_ds
+
+    scan_t0 = time.perf_counter()
+    n_rows = read_table_ds(lake, "docs", columns=["n_tok"]).count()
+    scan_s = time.perf_counter() - scan_t0
+    ds = read_table_ds(lake, "docs", columns=["n_tok"]).limit(n_keys)
+    keys = [r["doc_id"] for r in ds.take(n_keys)]
+    t0 = time.perf_counter()
+    got = read_rows(lake, "docs", keys, columns=["n_tok"])
+    lookup_s = time.perf_counter() - t0
+    return {"keys": len(keys), "rows": got.num_rows,
+            "table_rows": int(n_rows),
+            "lookup_sec": round(lookup_s, 4),
+            "full_scan_sec": round(scan_s, 4)}
+
+
 def bench_queries() -> dict:
     import __ray_entry__ as m
 
@@ -158,6 +179,8 @@ def run_once() -> dict:
     os.sync()  # flush prior runs' dirty pages out of the timed window
 
     replay_stats = bench_replay(log, manifest)
+    lookup = bench_point_lookup(os.path.join(os.path.dirname(log),
+                                             f"lake-cpus{NUM_CPUS}"))
     queries = {} if os.environ.get("GRAFT_SKIP_QUERIES") else bench_queries()
     ray.shutdown()
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
@@ -171,6 +194,7 @@ def run_once() -> dict:
         "events_per_sec_median": round(
             replay_stats["events_per_sec_median"], 1),
         "replay_secs": replay_stats["secs"],
+        "point_lookup": lookup,
         "queries": queries,
         "sf": sf,
         "num_cpus": NUM_CPUS,

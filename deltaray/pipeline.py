@@ -1069,10 +1069,14 @@ def _anchor_or_raise(lake_root: str, seq: int, generation: int) -> int:
         return 0
     snaps = snapshots(lake_root, generation)
     if seq not in snaps:
+        import bisect
+
+        i = bisect.bisect_left(snaps, seq)
+        near = snaps[max(0, i - 2):i + 2]
         raise ValueError(
-            f"asof_seq={seq} is not a committed snapshot boundary; valid "
-            f"anchors are 0 and the chunk commit seqs {snaps} (see "
-            f"snapshots())")
+            f"asof_seq={seq} is not a committed snapshot boundary; "
+            f"nearest anchors: {near or [0]} of {len(snaps)} total "
+            f"(see snapshots())")
     return seq
 
 

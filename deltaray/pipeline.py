@@ -663,9 +663,21 @@ class ReplaySession:
         inflight: list[tuple] = []
         prev_refs: list | None = None
 
+        chunk_secs: list[dict] = []
+        last_done = time.time()
+
         def finish(idx, chunk, marker, rows):
             # successful apply clears FAILING (OK → FAILING → REPLICATING,
             # DeltaPipelineStateStoreBaseTest.testFailureRetries:308-397)
+            nonlocal last_done
+            now = time.time()
+            # per-chunk wall time; with pipelining (overlapping chunks)
+            # this measures drain-to-drain intervals, still the signal
+            # an operator needs to spot a straggling chunk
+            chunk_secs.append({"seq_lo": chunk.seq_lo,
+                               "seq_hi": chunk.seq_hi,
+                               "sec": round(now - last_done, 3)})
+            last_done = now
             for t in self.schemas:
                 self.lake.clear_table_error(t)
             for r in rows:  # feed the LPT merge-ordering heuristic
@@ -759,6 +771,7 @@ class ReplaySession:
         metrics = collect_metrics(self.lake, list(self.schemas) + sorted(self.dropped))
         metrics["errors"] = self.errors
         metrics["wall_seconds"] = round(time.time() - t0, 3)
+        metrics["chunk_secs"] = chunk_secs[-100:]  # bounded payload
         self.lake.write_metrics(metrics)
         return {
             "chunks": len(self.chunks),

@@ -246,7 +246,8 @@ class LakeState:
 
     # -------------------------------------------------------------- reads
     def read_partition(self, table: str, part: int, before_seq: int | None = None,
-                       columns: list[str] | None = None) -> tuple[pa.Table | None, int]:
+                       columns: list[str] | None = None,
+                       min_seq_hi: int | None = None) -> tuple[pa.Table | None, int]:
         """Current state of a partition, merged-on-read: the last base
         file plus subsequent delta files, unified to the newest embedded
         schema and LWW-reduced per key.  Returns (table_or_None,
@@ -265,6 +266,14 @@ class LakeState:
             return None, 0
         hi = int(commits[-1]["seq_hi"])
         live = self.live_commits(table, part, before_seq)
+        if min_seq_hi is not None:
+            # incremental-read pruning: skip live files wholly at or
+            # below the anchor.  ONLY correct for ORDERED lakes, where
+            # version == seq, so any row in a newer file beats every row
+            # of an older one — the caller (read_changes) enforces that.
+            # UN_ORDERED late arrivals could lose the LWW race to a
+            # pruned base row, which would surface a stale value.
+            live = [c for c in live if c["seq_hi"] > min_seq_hi]
         if not live:
             return None, hi
         paths = [os.path.join(self.part_dir(table, part), c["file"])

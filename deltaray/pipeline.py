@@ -1524,6 +1524,17 @@ def read_changes(lake_root: str, table: str, since_seq: int,
                 parts.append(p)
     if not parts:
         return ray.data.from_arrow(out_schema.empty_table())
+    # ORDERED lakes: version == seq, so files wholly at or below
+    # since_seq can never hold a changed key's WINNING row — prune them
+    # from the merge-on-read (read amplification drops from base+deltas
+    # to just the post-anchor deltas).  UN_ORDERED keeps the full merge
+    # (a late arrival may lose to a pruned base row).
+    min_hi = None
+    meta_path = os.path.join(lake.root, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f).get("ordering") == "ORDERED":
+                min_hi = since_seq
     sj = schema.to_json()
 
     def load(batch: pa.Table) -> pa.Table:
@@ -1531,7 +1542,8 @@ def read_changes(lake_root: str, table: str, since_seq: int,
         out = []
         for p in batch["part"].to_pylist():
             tbl, _ = LakeState(lake_root, generation).read_partition(
-                table, p, before_seq=before, columns=phys)
+                table, p, before_seq=before, columns=phys,
+                min_seq_hi=min_hi)
             if tbl is None or not tbl.num_rows:
                 continue
             t = evolve_to(tbl, target)

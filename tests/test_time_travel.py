@@ -325,3 +325,41 @@ def test_reshard_generation_multi_table(ray_session, tmp_path):
         ok, msg = tables_equal(got, oracle[t],
                                key=oracle[t].column_names[0])
         assert ok, f"{t}: {msg}"
+
+
+def test_ordered_feed_prunes_pre_anchor_files(ray_session, tmp_log,
+                                              tmp_lake):
+    """ORDERED lakes: read_changes(since) must not even OPEN live files
+    wholly at or below the anchor (version == seq, so they cannot hold
+    a changed key's winning row).  Proof: hide the base file below the
+    anchor — the feed still streams, while a full-state read fails."""
+    write_event_log(tmp_log, n_docs=120, n_events=1800, seed=19,
+                    segment_max_events=600)
+    replay(ReplayConfig(event_log=tmp_log, lake=tmp_lake,
+                        num_partitions=2, chunk_max_events=600,
+                        vacuum=False, compact_every=100))
+    snaps = snapshots(tmp_lake)
+    since = snaps[-2]
+    want = to_table(read_changes(tmp_lake, "docs", since)) \
+        .sort_by([("doc_id", "ascending")])
+    from deltaray.commit import LakeState
+
+    lake = LakeState(tmp_lake)
+    hidden = []
+    for p in (0, 1):
+        for c in lake.live_commits("docs", p):
+            if c["seq_hi"] <= since:
+                f = os.path.join(lake.part_dir("docs", p), c["file"])
+                os.rename(f, f + ".hidden")
+                hidden.append(f)
+    assert hidden, "test needs pre-anchor live files"
+    got = to_table(read_changes(tmp_lake, "docs", since)) \
+        .sort_by([("doc_id", "ascending")])
+    ok, msg = tables_equal(got, want)
+    assert ok, msg
+    # the full-state read DOES need those files
+    with pytest.raises(Exception):
+        read_table(tmp_lake, "docs")
+    for f in hidden:
+        os.rename(f + ".hidden", f)
+    assert read_table(tmp_lake, "docs").num_rows > 0

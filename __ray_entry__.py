@@ -1138,6 +1138,34 @@ def _events_sliding_2h(sf_dir: str):
                               hop_minutes=60)
 
 
+def _domain_mix_docs(sf_dir: str):
+    """Domain reweighting (pretraining-mix sampling): per-source
+    fractions via `partition.stratified_sample(frac={...})` — even
+    sources at 0.5, odd at 0.1 — returning exact per-source sampled
+    counts.  The counts are SQL-checkable (ceil(frac_s × n_s) under
+    decimal semantics); membership is hash-defined (deterministic,
+    pytest-covered by the stratified-sample suite)."""
+    from ray.data.aggregate import Sum
+
+    from deltaray.functions.partition import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    srcs = set()
+    for b in ds.select_columns(["source"]).iter_batches(
+            batch_format="pyarrow"):
+        srcs.update(b["source"].to_pylist())
+    weights = {s: (0.5 if int(s[3:]) % 2 == 0 else 0.1) for s in srcs}
+    out = stratified_sample(ds, strata_col="source", frac=weights,
+                            key_cols=["doc_id"], seed=7)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("source").aggregate([([], "count_all")])
+        return t.rename_columns(["source", "n_part"])
+
+    return out.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n_part", alias_name="n"))
+
+
 def _dedup_spans_docs(sf_dir: str):
     """Cross-doc duplicated-SPAN excision (Lee et al. 2022 windowed
     analog, `dedup.dedup_spans`): every duplicated k-token window keeps
@@ -1683,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_check": _approx_distinct_check,
         "events_sliding_2h": _events_sliding_2h,
         "corpus_clean_docs": _corpus_clean_docs,
+        "domain_mix_docs": _domain_mix_docs,
         "dedup_spans_docs": _dedup_spans_docs,
         "dedup_spans_lake": _dedup_spans_lake,
         "simhash_pairs_docs": _simhash_pairs_docs,
@@ -1929,6 +1958,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (
                 SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "domain_mix_docs": """
+            SELECT source,
+                   CAST(CEIL(COUNT(*) * CASE
+                        WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 0
+                        THEN 0.5 ELSE 0.1 END) AS BIGINT) AS n
+            FROM documents GROUP BY source
         """,
         "customers_orders_full": """
             WITH l AS (SELECT c_custkey, c_name FROM customer

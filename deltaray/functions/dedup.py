@@ -1328,8 +1328,10 @@ def dedup_spans(ds, *, k: int = 20, text_col: str = "text",
     accumulates.  Iteration stops early once a pass finds zero
     duplicated windows; intermediate passes materialize (each pass
     scans its input three times, so re-deriving pass N-1 lazily would
-    re-run it thrice).  Per-pass duplicate-hash counts land in
-    ``stats_out["dup_per_pass"]``."""
+    re-run it thrice — for the same reason, callers whose INPUT is
+    expensive to produce, e.g. a merge-on-read ``read_table_ds``,
+    should ``.materialize()`` it before the first pass).  Per-pass
+    duplicate-hash counts land in ``stats_out["dup_per_pass"]``."""
     assert passes >= 1
     dup_per_pass: list[int] = []
     out = ds

@@ -267,15 +267,21 @@ def deterministic_shuffle(ds, key_cols: list[str], *, seed: int = 0,
                             num_partitions=num_partitions)
 
 
-def stratified_sample(ds, *, strata_col: str, frac: float,
+def stratified_sample(ds, *, strata_col: str, frac,
                       key_cols: list[str], seed: int = 0,
+                      default_frac: float = 0.0,
                       num_partitions: int = 64):
     """Exact-size deterministic stratified sample: from each stratum of
-    ``strata_col`` take ``ceil(frac * n_s)`` rows — the ones with the
+    ``strata_col`` take ``ceil(frac_s * n_s)`` rows — the ones with the
     smallest ``mix64(stable_hash(key) ^ seed)`` rank (ties broken by
     key), so the choice is uniform-ish, reproducible across runs and
     cluster shapes, and the per-stratum size is EXACT (unlike Bernoulli
     sampling, whose stratum sizes fluctuate).
+
+    ``frac`` may be a single float or a ``{stratum: frac}`` dict — the
+    DOMAIN-REWEIGHTING form of a pretraining mix ("webtext at 0.3,
+    books at 1.0, code at 0.7"); strata absent from the dict fall back
+    to ``default_frac`` (0.0 = drop).
 
     Two passes: (1) per-stratum counts via a per-batch partial reduced
     on the driver (#strata is small — sources, languages, shards);
@@ -298,8 +304,12 @@ def stratified_sample(ds, *, strata_col: str, frac: float,
             counts[s] = counts.get(s, 0) + int(n)
     # ceil under exact DECIMAL semantics (Fraction of the decimal
     # literal), matching SQL ceil(frac * n) — float 0.2*15 rounds UP
-    f = Fraction(str(frac))
-    kmap = {s: min(n, math.ceil(f * n)) for s, n in counts.items()}
+    if isinstance(frac, dict):
+        fmap = {s: Fraction(str(frac.get(s, default_frac)))
+                for s in counts}
+    else:
+        fmap = {s: Fraction(str(frac)) for s in counts}
+    kmap = {s: min(n, math.ceil(fmap[s] * n)) for s, n in counts.items()}
 
     def tag(batch: pa.Table) -> pa.Table:
         h = _mix64(_hash_cols(batch, key_cols) ^ np.uint64(seed))

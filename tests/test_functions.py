@@ -1318,3 +1318,40 @@ def test_rank_and_lag_per_key(ray_session):
     got = [None if pd.isna(x) else x for x in lg["prev_value" if
            "prev_value" in lg.columns else "prev_v"]]
     assert got == want
+
+
+def test_stratified_sample_weighted(ray_session):
+    """frac as a {stratum: frac} dict (domain reweighting): per-stratum
+    sizes are exactly ceil(frac_s * n_s); absent strata fall back to
+    default_frac; the same seed reproduces the same membership."""
+    import ray.data
+
+    from deltaray.functions.partition import stratified_sample
+    from deltaray.util import to_table
+
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i:03d}" for i in range(90)]),
+        "source": pa.array((["web"] * 50) + (["books"] * 30)
+                           + (["code"] * 10)),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = to_table(stratified_sample(
+        ds, strata_col="source", frac={"web": 0.3, "books": 1.0},
+        key_cols=["doc_id"], seed=5, num_partitions=4))
+    counts = {}
+    for s in out["source"].to_pylist():
+        counts[s] = counts.get(s, 0) + 1
+    assert counts == {"web": 15, "books": 30}  # code dropped (default 0)
+    out2 = to_table(stratified_sample(
+        ds, strata_col="source", frac={"web": 0.3, "books": 1.0},
+        key_cols=["doc_id"], seed=5, num_partitions=4))
+    assert sorted(out["doc_id"].to_pylist()) == \
+        sorted(out2["doc_id"].to_pylist())
+    # default_frac keeps absent strata at a floor rate
+    out3 = to_table(stratified_sample(
+        ds, strata_col="source", frac={"books": 1.0}, default_frac=0.1,
+        key_cols=["doc_id"], seed=5, num_partitions=4))
+    c3 = {}
+    for s in out3["source"].to_pylist():
+        c3[s] = c3.get(s, 0) + 1
+    assert c3 == {"web": 5, "books": 30, "code": 1}

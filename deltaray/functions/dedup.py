@@ -1104,9 +1104,12 @@ def _dedup_spans_once(ds, *, k: int, text_col: str,
         t = t.rename_columns(["whash", "n"])
         return t.filter(pc.greater_equal(t["n"], 2)).select(["whash"])
 
+    # materialize: the dup set is consumed twice (count, then collect
+    # or semi-join) and is bounded by duplicated-content volume — w/o
+    # this the full corpus-hash pass would re-run per consumption
     dup_ds = hash_partitioned(
         ds.map_batches(partials, batch_format="pyarrow"),
-        ["whash"], dup_only, num_partitions=num_partitions)
+        ["whash"], dup_only, num_partitions=num_partitions).materialize()
     n_dup = dup_ds.count()
     if stats_out is not None:
         stats_out["dup_window_hashes"] = int(n_dup)
@@ -1202,6 +1205,16 @@ def _dedup_spans_once(ds, *, k: int, text_col: str,
             t = t.combine_chunks()
         if tokens_mode and t.type != pay_type:
             t = t.cast(pay_type)
+        if t.null_count:
+            # payload validity discriminates doc vs removal rows in the
+            # excise block — a null payload doc must become ""/[] here
+            if tokens_mode:
+                empty_lists = pa.ListArray.from_arrays(
+                    pa.array(np.zeros(len(t) + 1, np.int32)),
+                    pa.array([], pay_type.value_type))
+                t = pc.if_else(pc.is_valid(t), t, empty_lists)
+            else:
+                t = pc.fill_null(t, "")
         n = batch.num_rows
         # multi-pass carry: original token count + spans excised so far
         ob = (batch["__orig_before"] if "__orig_before" in
@@ -1292,12 +1305,15 @@ def _dedup_spans_once(ds, *, k: int, text_col: str,
             new_payload = pc.binary_join(
                 pa.ListArray.from_arrays(offsets, kept), " ")
         rep_lens = np.where(lens == 0, 0, kept_lens)  # reporting only
-        # spans removed per doc = number of keep→drop transitions
+        # spans removed per doc = number of keep→drop transitions,
+        # with the "previous" state RESET at every doc start — adjacent
+        # docs where A ends dropped and B starts dropped would
+        # otherwise merge across the boundary and undercount B
         drop = ~keep
-        trans = np.zeros(total, dtype=np.int64)
-        if total:
-            trans[0] = drop[0]
-            trans[1:] = drop[1:] & ~drop[:-1]
+        prev = np.concatenate([[False], drop[:-1]])
+        starts_ix = doc_off[:-1]
+        prev[starts_ix[starts_ix < total]] = False
+        trans = (drop & ~prev).astype(np.int64)
         tcum = np.concatenate([[0], np.cumsum(trans)])
         n_spans = tcum[doc_off[1:]] - tcum[doc_off[:-1]]
         n_spans[lens == 0] = 0

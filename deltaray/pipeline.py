@@ -946,7 +946,15 @@ def reshard_generation(lake_root: str, new_num_partitions: int,
             results[table] = {"rows": 0, "skipped": "dropped or schemaless"}
             continue
         wm = committed_watermark(lake_root, table, src_generation)
-        parts = _live_parts_asof(src, table, None)
+        # copy the state AS OF the watermark cut, not the partition
+        # head: on a non-quiesced lake some partitions hold rows from a
+        # chunk that never finished (seq > wm) — stamping those into a
+        # (0, wm] base would corrupt time travel at anchor wm.  The
+        # unfinished chunk has no marker, so the tail replay re-applies
+        # it idempotently on top.  _live_parts_asof also verifies the
+        # cut's files still exist (compaction past wm on a live lake →
+        # honest SnapshotExpiredError: quiesce the replay first).
+        parts = _live_parts_asof(src, table, wm + 1)
         if not parts:
             results[table] = {"rows": 0, "partitions": 0,
                               "snapshot_seq": wm}
@@ -962,7 +970,7 @@ def reshard_generation(lake_root: str, new_num_partitions: int,
             out = []
             for p in batch["part"].to_pylist():
                 tbl, _ = LakeState(lake_root, src_generation) \
-                    .read_partition(tname, p)
+                    .read_partition(tname, p, before_seq=wm + 1)
                 if tbl is not None and tbl.num_rows:
                     t = evolve_to(tbl, target)
                     part = (stable_hash_cols(t, keys)
@@ -1009,6 +1017,15 @@ def reshard_generation(lake_root: str, new_num_partitions: int,
         rows = out.take_all()  # tiny: one row per new partition
         results[table] = {"rows": int(sum(r["rows"] for r in rows)),
                           "partitions": len(rows), "snapshot_seq": wm}
+    # pre-reshard anchors have no data here: record the per-table floor
+    # so as-of reads below it raise SnapshotExpiredError instead of
+    # silently returning empty tables
+    atomic_write_json(os.path.join(dst.root, "_meta.json"),
+                      {**meta, "num_partitions": int(new_num_partitions),
+                       "hash_version": HASH_VERSION,
+                       "snapshot_floor": {
+                           t: int(r.get("snapshot_seq", 0))
+                           for t, r in results.items()}})
     return {"src_generation": src_generation,
             "generation": dst_generation,
             "num_partitions": int(new_num_partitions), "tables": results}
@@ -1141,6 +1158,18 @@ def _live_parts_asof(lake: LakeState, table: str,
     return parts
 
 
+def _snapshot_floor(lake: LakeState, table: str) -> int:
+    """Oldest seq whose state is physically reconstructible in this
+    generation — nonzero for resharded generations, whose base commits
+    start at the migration watermark (anchor 0 = empty stays valid)."""
+    meta_path = os.path.join(lake.root, "_meta.json")
+    if not os.path.exists(meta_path):
+        return 0
+    with open(meta_path) as f:
+        fl = json.load(f).get("snapshot_floor") or {}
+    return int(fl.get(table, 0))
+
+
 def earliest_snapshot(lake_root: str, table: str,
                       generation: int = 0) -> int | None:
     """Oldest ``asof_seq`` anchor whose files all still exist for
@@ -1153,7 +1182,10 @@ def earliest_snapshot(lake_root: str, table: str,
         p = int(os.path.basename(d).split("=")[1])
         on_disk = {f for f in os.listdir(d) if f.endswith(".parquet")}
         pstate.append((p, on_disk))
+    floor = _snapshot_floor(lake, table)
     for s in snapshots(lake_root, generation):
+        if 0 < s < floor:
+            continue  # pre-reshard anchor: state never copied over
         ok = True
         for p, on_disk in pstate:
             live = lake.live_commits(table, p, s + 1)
@@ -1186,6 +1218,12 @@ def read_table(lake_root: str, table: str, generation: int = 0,
     before = None
     if asof_seq is not None:
         before = _anchor_or_raise(lake_root, asof_seq, generation) + 1
+        floor = _snapshot_floor(lake, table)
+        if 0 < asof_seq < floor:
+            raise SnapshotExpiredError(
+                f"anchor {asof_seq} predates this generation's reshard "
+                f"floor {floor}: the state was never copied over — read "
+                f"the source generation instead")
     schema = _schema_asof(lake, table, asof_seq)
     if schema is None:
         if asof_seq is not None and lake.current_schema(table) is not None:
@@ -1236,8 +1274,19 @@ def read_rows(lake_root: str, table: str, keys: list, generation: int = 0,
     before = None
     if asof_seq is not None:
         before = _anchor_or_raise(lake_root, asof_seq, generation) + 1
+        floor = _snapshot_floor(lake, table)
+        if 0 < asof_seq < floor:
+            raise SnapshotExpiredError(
+                f"anchor {asof_seq} predates this generation's reshard "
+                f"floor {floor}: the state was never copied over — read "
+                f"the source generation instead")
     schema = _schema_asof(lake, table, asof_seq)
     if schema is None:
+        if asof_seq is not None and lake.current_schema(table) is not None:
+            # table exists now but not yet at asof_seq — match
+            # read_table/read_table_ds: typed empty, not an error
+            first = lake.schemas_for(table)[0]
+            return first.arrow_schema().empty_table()
         raise KeyError(f"unknown table {table!r}")
     out_schema = schema.arrow_schema()
     key_cols = list(schema.keys)
@@ -1249,6 +1298,15 @@ def read_rows(lake_root: str, table: str, keys: list, generation: int = 0,
     with open(meta_path) as f:
         gmeta = json.load(f)
     num_partitions = int(gmeta["num_partitions"])
+    phys = None
+    if columns is not None:
+        # prune the payload at the parquet read, like read_table_ds —
+        # this is the latency-sensitive serving path
+        n_sk = int(gmeta.get("sort_key_components", 2))
+        phys = list(dict.fromkeys([
+            *key_cols, *columns, "__seq", "__src_ts",
+            *[f"__sk{i}" for i in range(n_sk)], "__deleted",
+        ]))
     from deltaray.transforms import HASH_VERSION
 
     if gmeta.get("hash_version") != HASH_VERSION:
@@ -1282,7 +1340,8 @@ def read_rows(lake_root: str, table: str, keys: list, generation: int = 0,
             continue
         if before is not None:
             _live_parts_asof_one(lake, table, int(p), before)
-        tbl, _ = lake.read_partition(table, int(p), before_seq=before)
+        tbl, _ = lake.read_partition(table, int(p), before_seq=before,
+                                     columns=phys)
         if tbl is None or not tbl.num_rows:
             continue
         t = strip_internal(evolve_to(tbl, schema))
@@ -1356,6 +1415,12 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
     before = None
     if asof_seq is not None:
         before = _anchor_or_raise(lake_root, asof_seq, generation) + 1
+        floor = _snapshot_floor(lake, table)
+        if 0 < asof_seq < floor:
+            raise SnapshotExpiredError(
+                f"anchor {asof_seq} predates this generation's reshard "
+                f"floor {floor}: the state was never copied over — read "
+                f"the source generation instead")
     schema = _schema_asof(lake, table, asof_seq)
     if schema is None:
         if asof_seq is not None and lake.current_schema(table) is not None:
@@ -1486,6 +1551,11 @@ def read_changes(lake_root: str, table: str, since_seq: int,
         if as_of_seq < since_seq:
             raise ValueError(
                 f"as_of_seq={as_of_seq} precedes since_seq={since_seq}")
+        floor = _snapshot_floor(lake, table)
+        if 0 < as_of_seq < floor:
+            raise SnapshotExpiredError(
+                f"as_of anchor {as_of_seq} predates this generation's "
+                f"reshard floor {floor}")
         before = as_of_seq + 1
     schema = _schema_asof(lake, table, as_of_seq)
     if schema is None:
@@ -1515,15 +1585,6 @@ def read_changes(lake_root: str, table: str, since_seq: int,
                 *schema.column_names(), "__seq", "__src_ts",
                 *[f"__sk{i}" for i in range(n_sk)], "__deleted",
             ]))
-    parts = []
-    if not _dropped_asof(lake, table, as_of_seq):
-        for p in _live_parts_asof(lake, table, before):
-            if any(since_seq < c["seq_hi"]
-                   for c in lake.list_commits(table, p)
-                   if before is None or c["seq_hi"] < before):
-                parts.append(p)
-    if not parts:
-        return ray.data.from_arrow(out_schema.empty_table())
     # ORDERED lakes: version == seq, so files wholly at or below
     # since_seq can never hold a changed key's WINNING row — prune them
     # from the merge-on-read (read amplification drops from base+deltas
@@ -1535,6 +1596,28 @@ def read_changes(lake_root: str, table: str, since_seq: int,
         with open(meta_path) as f:
             if json.load(f).get("ordering") == "ORDERED":
                 min_hi = since_seq
+    parts = []
+    if not _dropped_asof(lake, table, as_of_seq):
+        for d in sorted(glob.glob(os.path.join(lake.table_dir(table),
+                                               "part=*"))):
+            p = int(os.path.basename(d).split("=")[1])
+            live = lake.live_commits(table, p, before)
+            cand = [c for c in live
+                    if min_hi is None or c["seq_hi"] > min_hi]
+            if before is not None:
+                # vacuum-retention gate — but ONLY for files this pull
+                # will actually read: pre-anchor files the ORDERED
+                # pruning skips may legitimately be vacuumed away
+                missing = [c["file"] for c in cand if not os.path.exists(
+                    os.path.join(d, c["file"]))]
+                if missing:
+                    raise SnapshotExpiredError(
+                        f"bounded feed as_of<{before} of {table!r} part "
+                        f"{p} needs vacuumed file(s) {missing}")
+            if any(since_seq < c["seq_hi"] for c in live):
+                parts.append(p)
+    if not parts:
+        return ray.data.from_arrow(out_schema.empty_table())
     sj = schema.to_json()
 
     def load(batch: pa.Table) -> pa.Table:

@@ -212,6 +212,9 @@ def test_read_rows_point_lookups(ray_session, tmp_log, tmp_lake):
     # empty key list → typed empty result
     empty = read_rows(tmp_lake, "docs", [])
     assert empty.num_rows == 0 and "doc_id" in empty.column_names
+    # anchor before the table's creation → typed empty, like read_table
+    pre = read_rows(tmp_lake, "docs", [oid], asof_seq=0)
+    assert pre.num_rows == 0 and "doc_id" in pre.column_names
     # arity guard
     with pytest.raises(ValueError, match="arity"):
         read_rows(tmp_lake, "docs", [("a", 1)])
@@ -363,3 +366,77 @@ def test_ordered_feed_prunes_pre_anchor_files(ray_session, tmp_log,
     for f in hidden:
         os.rename(f + ".hidden", f)
     assert read_table(tmp_lake, "docs").num_rows > 0
+
+
+def test_reshard_floor_blocks_precopy_anchors(ray_session, tmp_path):
+    """Anchors predating the reshard raise SnapshotExpiredError in the
+    new generation (the state was never copied) instead of silently
+    reading empty; the floor anchor itself reads the migrated state,
+    anchor 0 stays valid, and earliest_snapshot reports the floor."""
+    from deltaray import reshard_generation
+
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lake")
+    write_event_log(log, n_docs=150, n_events=2400, seed=3,
+                    segment_max_events=600)
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                        chunk_max_events=600, vacuum=False))
+    snaps = snapshots(lake)
+    res = reshard_generation(lake, 5)
+    g = res["generation"]
+    floor = res["tables"]["docs"]["snapshot_seq"]
+    assert floor == snaps[-1]
+    # pre-floor anchors: expired, not empty
+    for S in [s for s in snaps if s < floor]:
+        with pytest.raises(SnapshotExpiredError, match="floor"):
+            read_table(lake, "docs", generation=g, asof_seq=S)
+        with pytest.raises(SnapshotExpiredError, match="floor"):
+            read_table_ds(lake, "docs", generation=g, asof_seq=S)
+        with pytest.raises(SnapshotExpiredError, match="floor"):
+            read_changes(lake, "docs", since_seq=0, generation=g,
+                         as_of_seq=S)
+    # the floor anchor IS readable and equals the migrated state
+    ok, msg = tables_equal(
+        read_table(lake, "docs", generation=g, asof_seq=floor),
+        read_table(lake, "docs", generation=0))
+    assert ok, msg
+    assert read_table(lake, "docs", generation=g, asof_seq=0).num_rows == 0
+    assert earliest_snapshot(lake, "docs", generation=g) == floor
+
+
+def test_reshard_excludes_post_watermark_rows(ray_session, tmp_path):
+    """A non-quiesced source lake (one partition committed past the
+    global watermark) must NOT leak post-watermark rows into the
+    (0, wm] base: the new generation's floor state equals the source's
+    as-of-watermark state."""
+    from deltaray import reshard_generation
+    from deltaray.commit import LakeState
+
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lake")
+    write_event_log(log, n_docs=120, n_events=1800, seed=13,
+                    segment_max_events=600)
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=3,
+                        chunk_max_events=600, vacuum=False))
+    src = LakeState(lake)
+    wm = snapshots(lake)[-1]
+    # fabricate a partition that ran ahead: bump one live row's version
+    # past the watermark and commit it as an un-markered delta
+    tbl, _ = src.read_partition("docs", 0)
+    live_rows = tbl.filter(pc.invert(pc.fill_null(tbl["__deleted"],
+                                                  False)))
+    row = live_rows.slice(0, 1)
+    seq_ix = row.column_names.index("__seq")
+    row = row.set_column(seq_ix, "__seq",
+                         pa.array([wm + 50], row["__seq"].type))
+    ahead_key = row["doc_id"][0].as_py()
+    src.try_commit("docs", 0, wm, wm + 50, row,
+                   {"inserts": 0, "updates": 1, "deletes": 0,
+                    "bytes_in": 0, "late_events": 0}, kind="delta")
+    res = reshard_generation(lake, 5)
+    g = res["generation"]
+    assert res["tables"]["docs"]["snapshot_seq"] == wm
+    got = read_table(lake, "docs", generation=g, asof_seq=wm)
+    want = read_table(lake, "docs", generation=0, asof_seq=wm)
+    ok, msg = tables_equal(got, want)
+    assert ok, msg
+    seqs = {r["doc_id"]: r for r in got.to_pylist()}
+    assert ahead_key in seqs  # the key's PRE-watermark version survived

@@ -554,14 +554,17 @@ def _training_data_refresh(sf_dir: str):
             b["doc_id"], pc.cast(b["chunk_id"], pa.string()), "#")
         return b.append_column("chunk_key", key)
 
-    def chunks_ds():
-        return chunk_sequences(
-            _flagship_read("/tmp/deltaray_q_refresh"), max_len=128)
+    # materialize the chunk table once: it feeds BOTH the conservation
+    # totals and the packing pass, and re-deriving it would re-run the
+    # lake merge-on-read + chunking (the most expensive stage) twice
+    chunks = chunk_sequences(
+        _flagship_read("/tmp/deltaray_q_refresh"), max_len=128) \
+        .materialize()
 
     n_docs, n_lake_tok = totals(lake, "n_tok")
-    n_chunks, n_chunk_tok = totals(chunks_ds(), "n_tok")
+    n_chunks, n_chunk_tok = totals(chunks, "n_tok")
     packs = pack_sequences(
-        chunks_ds().map_batches(with_chunk_key, batch_format="pyarrow"),
+        chunks.map_batches(with_chunk_key, batch_format="pyarrow"),
         max_len=512, id_col="chunk_key", num_partitions=16)
     n_packs, n_pack_tok = totals(packs, "n_tokens")
     return pa.table({
@@ -811,9 +814,12 @@ def _incremental_refresh_impl(sf_dir: str, broadcast_cap: int = 1_000_000):
         .write_parquet(chunks_dir)
 
     tail_fn()
-    ch = pa.concat_tables(list(
-        read_changes(lake, "docs", cut)
-        .iter_batches(batch_format="pyarrow")))
+    from deltaray.util import to_table as _to_table
+
+    # to_table: an all-quiet tail (every event lost the LWW race, or a
+    # retry after the tail already committed) yields an EMPTY feed —
+    # raw concat of zero batches would raise
+    ch = _to_table(read_changes(lake, "docs", cut))
     deleted = pc.equal(ch["change"], "DELETE")
     changed_ids = ch["doc_id"].combine_chunks()
     n_del = int(pc.sum(deleted.combine_chunks().cast(pa.int8())).as_py() or 0)

@@ -113,10 +113,14 @@ def mfcc(samples: np.ndarray, rate: int, n_mfcc: int = 13,
 
     Multi-channel input is averaged to mono first.  One vectorized
     matmul chain over all frames — no per-frame Python loop."""
+    # dtype sniff BEFORE the float cast (post-cast kind is always 'f'):
+    # int PCM always normalizes, float only when clearly un-normalized —
+    # near-silent int16 (peak <= 1) must still divide by 32768
+    was_int = np.asarray(samples).dtype.kind != "f"
     s = np.asarray(samples, np.float64)
     if s.ndim == 2:
         s = s.mean(axis=1)
-    if s.dtype.kind != "f" or np.abs(s).max(initial=1.0) > 1.5:
+    if was_int or np.abs(s).max(initial=1.0) > 1.5:
         s = s / 32768.0
     flen = max(8, rate * frame_ms // 1000)
     hop = max(1, rate * hop_ms // 1000)

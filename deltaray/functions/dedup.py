@@ -448,9 +448,15 @@ def simhash_pairs(ds, *, max_hamming: int = 3, bands: int = 4,
     full clique — the transitive closure (what any dedup/clustering
     consumer uses) is unchanged while output stays linear.  Both events
     are logged (``deltaray.dedup`` logger) — no silent truncation.
-    Recall caveat: pairs separated by a split (docs agreeing on this
-    band's segment but differing in the splitting segment) are missed in
-    THIS band; the pigeonhole guarantee then rests on the other bands.
+    Recall caveat — stated precisely: a split separates pairs that agree
+    on this band's segment but differ in the splitting segment.  A pair
+    agreeing on SEVERAL segments is still found through its other
+    bands, but a pair whose ONLY agreeing segment lives in an oversized
+    bucket can be missed entirely (for such a pair hamming ≥ bands-1 ≥
+    max_hamming under the defaults, so the affected pairs are the
+    weakest candidates).  Raise ``max_bucket`` (quadratic within-bucket
+    cost returns) or lower ``bands`` for exact recall on homogeneous
+    corpora; splits/stars are logged, never silent.
     """
     import logging
 

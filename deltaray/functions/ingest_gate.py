@@ -194,6 +194,13 @@ class ExactIngestGate:
 
         out = hash_partitioned(tagged, ["__fp"], gate_block,
                                num_partitions=P)
+        # BLOCK until every partition's index write lands: the gate's
+        # persistence is a side effect of the merge tasks, and a later
+        # epoch's membership probe has no Ray dependency edge on them —
+        # returning an unconsumed Dataset would let epoch E+1 race
+        # epoch E's writes and admit the same text twice.  count() on
+        # the materialized result is metadata-cheap afterwards.
+        out = out.materialize()
         if stats_out is not None:
             stats_out["admitted"] = out.count()
         return out

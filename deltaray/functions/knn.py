@@ -76,7 +76,12 @@ def knn_bruteforce(ds, queries: np.ndarray, k: int = 5,
 
     cands = ds.map_batches(score, batch_format="pyarrow")
     # final reduction over the small candidate set (nq × k × n_batches rows)
-    tbl = pa.concat_tables(list(cands.iter_batches(batch_format="pyarrow")))
+    from deltaray.util import to_table
+
+    # empty-safe: zero candidate batches (e.g. no probed LSH bucket hit
+    # any corpus vector) must yield the typed empty result, not a
+    # concat_tables ValueError
+    tbl = to_table(cands)
     return _topk_reduce(tbl, k, id_col)
 
 
@@ -165,7 +170,12 @@ def knn_ivf(ds, queries: np.ndarray, centroids: np.ndarray, k: int = 5,
         )
 
     cands = ds.map_batches(score, batch_format="pyarrow")
-    tbl = pa.concat_tables(list(cands.iter_batches(batch_format="pyarrow")))
+    from deltaray.util import to_table
+
+    # empty-safe: zero candidate batches (e.g. no probed LSH bucket hit
+    # any corpus vector) must yield the typed empty result, not a
+    # concat_tables ValueError
+    tbl = to_table(cands)
     return _topk_reduce(tbl, k, id_col)
 
 
@@ -282,7 +292,12 @@ def knn_lsh(ds, queries: np.ndarray, k: int = 5, *, n_tables: int = 8,
         })
 
     cands = ds.map_batches(score, batch_format="pyarrow")
-    tbl = pa.concat_tables(list(cands.iter_batches(batch_format="pyarrow")))
+    from deltaray.util import to_table
+
+    # empty-safe: zero candidate batches (e.g. no probed LSH bucket hit
+    # any corpus vector) must yield the typed empty result, not a
+    # concat_tables ValueError
+    tbl = to_table(cands)
     # same (query, vec) may surface from several BLOCKS' bucket hits too
     tbl = take_first_per_key(tbl.sort_by([("query_id", "ascending"),
                                           (id_col, "ascending")]),

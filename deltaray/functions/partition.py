@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from deltaray.transforms import key_codes, stable_hash_cols
+from deltaray.transforms import key_codes, mix64, stable_hash_cols
 
 
 def _hash_cols(batch: pa.Table, cols: list[str]) -> np.ndarray:
@@ -236,12 +236,7 @@ def hash_partitioned(ds, key_cols: list[str], fn, *, num_partitions: int = 64,
     return ray.data.from_arrow_refs(outs)
 
 
-def _mix64(h: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer (public constant mixer) — full-width bit
-    diffusion for seeded reshuffles/splits."""
-    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return h ^ (h >> np.uint64(31))
+_mix64 = mix64  # shared splitmix64 finalizer (transforms.mix64)
 
 
 def deterministic_shuffle(ds, key_cols: list[str], *, seed: int = 0,

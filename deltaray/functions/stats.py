@@ -238,12 +238,7 @@ def approx_distinct(ds, col: str, *, precision: int = 14) -> pa.Table:
     """
     from deltaray.transforms import stable_hash_cols
 
-    def mix64(h: np.ndarray) -> np.ndarray:
-        # splitmix64 finalizer: the partition hash leaves numeric inputs
-        # weakly mixed in the HIGH bits HLL indexes by
-        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return h ^ (h >> np.uint64(31))
+    from deltaray.transforms import mix64
 
     def sketch(batch: pa.Table) -> pa.Table:
         h = _HLL(precision)
@@ -294,10 +289,7 @@ def heavy_hitters(ds, col: str, *, k: int = 20, width: int = 4096,
     cpb = candidates_per_batch or max(2 * k, 64)
     row_seeds = np.arange(1, depth + 1, dtype=np.uint64) * np.uint64(seed * 2 + 1)
 
-    def mix64(h: np.ndarray) -> np.ndarray:
-        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return h ^ (h >> np.uint64(31))
+    from deltaray.transforms import mix64
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
         t = pa.table({col: batch[col]}).group_by(col).aggregate(

@@ -536,10 +536,7 @@ def unigram_stats_cms(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     row_seeds = np.arange(1, depth + 1, dtype=np.uint64) * np.uint64(seed * 2 + 1)
 
-    def mix64(h: np.ndarray) -> np.ndarray:
-        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return h ^ (h >> np.uint64(31))
+    from deltaray.transforms import mix64
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
         pairs = _explode_tokens(batch, text_col, id_col)

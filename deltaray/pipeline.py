@@ -1490,7 +1490,20 @@ def committed_watermark(lake_root: str, table: str,
     watermark)`` and advances to the new watermark never misses a row —
     anchoring at the max seq SEEN in a feed instead can skip rows from
     partitions that were still behind when the pull ran (they commit
-    later with smaller seqs).  O(P) lineage metadata reads."""
+    later with smaller seqs).
+
+    Primary source: the newest CHUNK MARKER — written only after EVERY
+    partition committed that chunk, so it is a true consistent cut even
+    for partitions that have never produced a lineage record (a shard
+    empty in all chunks so far writes none; min-over-lineage alone
+    would overshoot while such a partition's first merge is still in
+    flight).  Marker-less lakes (snapshot bootstrap without a tail yet)
+    fall back to the lineage minimum, which bootstrap writes for every
+    populated partition at one consistent seq.  O(#chunks + P) metadata
+    reads."""
+    snaps = snapshots(lake_root, generation)
+    if snaps:
+        return int(snaps[-1])
     rep = lineage_report(lake_root, table, generation)
     if table not in rep["tables"]:
         return 0

@@ -333,6 +333,18 @@ def stable_hash_cols(tbl: pa.Table, cols: list[str]) -> np.ndarray:
 HASH_VERSION = 2
 
 
+def mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (Steele et al., public domain) — THE shared
+    avalanche for sampling ranks, shuffle orders and sketch row hashes.
+    One definition: the sketches' row-hash scheme and the sampler both
+    depend on it bit-for-bit, so copies must not drift."""
+    h = np.asarray(h, dtype=np.uint64).copy()
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
+
 def key_codes(tbl: pa.Table, cols: list[str]) -> np.ndarray:
     """First-appearance group codes for a (possibly composite) key,
     vectorized: factorize each component (exact C hash table, no collision

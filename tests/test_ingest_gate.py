@@ -515,3 +515,25 @@ def test_dedup_spans_multi_pass_junction_dups(ray_session):
     # excised in pass 2
     assert got.loc["c"]["n_spans_removed"] >= 1
     assert got.loc["b"]["n_spans_removed"] >= 1
+
+
+def test_exact_gate_admit_blocks_until_persisted(ray_session, tmp_path):
+    """Structural pin for the epoch-race fix: admit() must return a
+    MATERIALIZED dataset (index writes are side effects of the merge
+    tasks — a lazy return would let epoch E+1's membership probe race
+    epoch E's writes)."""
+    import ray.data
+    from ray.data.dataset import MaterializedDataset
+
+    from deltaray.functions.ingest_gate import ExactIngestGate
+
+    gate = ExactIngestGate(str(tmp_path / "idx"), num_partitions=2)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["aa", "bb"])}))
+    out = gate.admit(ds, 0)
+    assert isinstance(out, MaterializedDataset)
+    # and the persistence is already on disk when admit returns
+    import glob
+    assert glob.glob(str(tmp_path / "idx" / "**" / "*.parquet"),
+                     recursive=True)

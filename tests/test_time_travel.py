@@ -440,3 +440,27 @@ def test_reshard_excludes_post_watermark_rows(ray_session, tmp_path):
     assert ok, msg
     seqs = {r["doc_id"]: r for r in got.to_pylist()}
     assert ahead_key in seqs  # the key's PRE-watermark version survived
+
+
+def test_watermark_is_marker_based(ray_session, tmp_log, tmp_lake):
+    """committed_watermark anchors on chunk markers, not min-over-
+    lineage: partitions that never produced a lineage record (or whose
+    record vanished) cannot drag or overshoot the anchor."""
+    import glob as _glob
+
+    from deltaray import committed_watermark
+    from deltaray.commit import LakeState
+
+    write_event_log(tmp_log, n_docs=5, n_events=60, seed=2)
+    # 8 partitions over 5 docs: several partitions never see a row and
+    # write no lineage record
+    replay(ReplayConfig(event_log=tmp_log, lake=tmp_lake,
+                        num_partitions=8, chunk_max_events=30))
+    snaps = snapshots(tmp_lake)
+    assert committed_watermark(tmp_lake, "docs") == snaps[-1]
+    # even with every lineage record gone the marker cut stands
+    lake = LakeState(tmp_lake)
+    for f in _glob.glob(os.path.join(lake.root, "_lineage", "docs",
+                                     "part=*.json")):
+        os.remove(f)
+    assert committed_watermark(tmp_lake, "docs") == snaps[-1]

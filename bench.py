@@ -133,10 +133,10 @@ def bench_queries() -> dict:
         "value_percentiles_events",
         "orders_customer_join",
         "corpus_clean_docs",
-        "pack_docs_sequences",
+        "pack_docs_invariants",
         "chunk_docs_sequences",
         "decontaminate_docs",
-        "stratified_sample_docs",
+        "stratified_sample_counts",
         "ingest_gate_exact",
         "knn_lsh",
         "cluster_embeddings",

@@ -56,7 +56,8 @@ def atomic_write_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)  # atomic on POSIX
 
 
-def atomic_write_parquet(path: str, tbl: pa.Table) -> None:
+def atomic_write_parquet(path: str, tbl: pa.Table,
+                         row_group_size: int | None = None) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
     os.close(fd)
@@ -67,7 +68,8 @@ def atomic_write_parquet(path: str, tbl: pa.Table) -> None:
     # self-describing.
     pq.write_table(tbl, tmp,
                    compression=os.environ.get("GRAFT_PARQUET_CODEC",
-                                              "zstd"))
+                                              "zstd"),
+                   row_group_size=row_group_size)
     os.replace(tmp, path)
 
 

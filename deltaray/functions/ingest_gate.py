@@ -31,7 +31,13 @@ bounded by the MICRO-BATCH size, so driver-side sets here are O(epoch),
 never O(corpus).  The corpus-scale state is the index, which lives
 hash-partitioned on disk; each epoch touches every index partition once
 with a column-pruned parquet read (fp / bucket keys only on the
-membership side).  Replaying an epoch is idempotent: membership is
+membership side).  Index partitions COMPACT: once a partition's live
+file count exceeds ``compact_threshold``, its epoch files merge into a
+single run sorted on the probe column (write-once, replay-idempotent),
+so the per-admit file count stays O(threshold) at any epoch count, and
+membership reads of the run are zone-map-pruned to the row groups whose
+min-max intersects the probe values — O(epoch x row_group) bytes
+instead of O(index) once the index outgrows the micro-batch.  Replaying an epoch is idempotent: membership is
 always evaluated against index epochs STRICTLY BELOW the one being
 admitted and the epoch files are write-once, so a retried `admit` of
 the same (epoch, data) recomputes byte-identical output and skips the
@@ -63,6 +69,21 @@ def _epoch6(e: int) -> str:
     return f"{int(e):06d}"
 
 
+# Membership-read instrumentation (process-local; the compaction soak in
+# tests/test_ingest_gate.py asserts bounded file counts and sub-linear
+# read volume from these counters).  Updated inside the partition tasks,
+# so meaningful only when the gate runs in the driver process or the
+# counters are read back per-task — the soak test drives the helpers
+# directly.
+READ_STATS = {"files": 0, "rows": 0, "row_groups_read": 0,
+              "row_groups_total": 0}
+
+
+def reset_read_stats() -> None:
+    for k in READ_STATS:
+        READ_STATS[k] = 0
+
+
 def _pin_meta(index_root: str, meta: dict) -> None:
     """Persist the index's layout/hash parameters on first use and
     fail fast when it is reopened with different ones — a partitioning
@@ -85,26 +106,147 @@ def _pin_meta(index_root: str, meta: dict) -> None:
     atomic_write_json(mpath, meta)
 
 
-def _index_files(index_dir: str, part: int, before_epoch: int) -> list[str]:
-    """Epoch files of one index partition with epoch < ``before_epoch``
-    whose write-once commit marker exists (a data file without its marker
-    is an aborted write and is ignored — the retry rewrites it)."""
-    pdir = os.path.join(index_dir, f"part={part:05d}")
-    if not os.path.isdir(pdir):
-        return []
-    out = []
-    for f in sorted(os.listdir(pdir)):
-        if not (f.startswith("epoch-") and f.endswith(".parquet")):
-            continue
-        e = int(f[len("epoch-"):-len(".parquet")])
-        if e < before_epoch and os.path.exists(_marker_path(index_dir, part, e)):
-            out.append(os.path.join(pdir, f))
-    return out
-
-
 def _marker_path(index_dir: str, part: int, epoch: int) -> str:
     return os.path.join(index_dir, "_commits", f"part={part:05d}",
                         f"epoch-{_epoch6(epoch)}.json")
+
+
+def _run_marker_path(index_dir: str, part: int, hi_epoch: int) -> str:
+    return os.path.join(index_dir, "_commits", f"part={part:05d}",
+                        f"run-{_epoch6(hi_epoch)}.json")
+
+
+def _live_state(index_dir: str, part: int,
+                before_epoch: int) -> tuple[tuple[str, int] | None, list[str]]:
+    """One partition's live index files for a membership probe of epochs
+    strictly below ``before_epoch``: the newest compacted run (as
+    ``(path, hi_epoch)`` — it covers every epoch <= hi_epoch and every
+    older run, so older runs left behind by an interrupted compaction
+    are ignored; their rows are duplicated in the newest run and set
+    membership is insensitive to duplicates) plus the uncompacted epoch
+    files above it.  A data file without its write-once commit marker is
+    an aborted write and is skipped."""
+    pdir = os.path.join(index_dir, f"part={part:05d}")
+    cdir = os.path.join(index_dir, "_commits", f"part={part:05d}")
+    if not os.path.isdir(pdir):
+        return None, []
+    names = set(os.listdir(pdir))
+    run: tuple[str, int] | None = None
+    if os.path.isdir(cdir):
+        for f in os.listdir(cdir):
+            if f.startswith("run-") and f.endswith(".json"):
+                hi = int(f[len("run-"):-len(".json")])
+                data = f"run-{_epoch6(hi)}.parquet"
+                if data in names and (run is None or hi > run[1]):
+                    run = (os.path.join(pdir, data), hi)
+    covered = run[1] if run is not None else -1
+    epochs = []
+    for f in sorted(names):
+        if not (f.startswith("epoch-") and f.endswith(".parquet")):
+            continue
+        e = int(f[len("epoch-"):-len(".parquet")])
+        if covered < e < before_epoch and os.path.exists(
+                _marker_path(index_dir, part, e)):
+            epochs.append(os.path.join(pdir, f))
+    return run, epochs
+
+
+def _read_index(index_dir: str, part: int, before_epoch: int,
+                columns: list[str], *, probe_col: str | None = None,
+                probe: np.ndarray | None = None) -> pa.Table | None:
+    """All index rows of ``part`` from epochs < ``before_epoch``,
+    column-pruned.  The compacted run is sorted on its probe column, so
+    its read is pruned to the row groups whose min-max zone intersects
+    the probe values — at a large index / small epoch ratio the
+    membership read volume is bounded by O(epoch x row_group) instead
+    of O(index)."""
+    run, epochs = _live_state(index_dir, part, before_epoch)
+    tables = [pq.read_table(f, columns=columns) for f in epochs]
+    if run is not None:
+        path, hi = run
+        pf = pq.ParquetFile(path)
+        # hi >= before_epoch only on a replayed admit whose original
+        # attempt already compacted: the run then contains the replayed
+        # epoch's own rows, which must not gate it against itself
+        need_filter = hi >= before_epoch
+        cols = list(columns)
+        if need_filter and "epoch" not in cols:
+            cols.append("epoch")
+        ngroups = pf.metadata.num_row_groups
+        groups = list(range(ngroups))
+        if probe is not None and probe_col is not None and len(probe):
+            ci = [c.name for c in pf.schema_arrow].index(probe_col)
+            pv = np.sort(np.asarray(probe))
+            sel = []
+            for i in range(ngroups):
+                st = pf.metadata.row_group(i).column(ci).statistics
+                if st is None or st.min is None or st.max is None:
+                    sel.append(i)
+                    continue
+                j = int(np.searchsorted(pv, st.min))
+                if j < len(pv) and pv[j] <= st.max:
+                    sel.append(i)
+            groups = sel
+        READ_STATS["row_groups_total"] += ngroups
+        READ_STATS["row_groups_read"] += len(groups)
+        if groups:
+            t = pf.read_row_groups(groups, columns=cols)
+            if need_filter:
+                t = t.filter(pc.less(t["epoch"], before_epoch))
+            tables.append(t.select(columns))
+    if not tables:
+        return None
+    READ_STATS["files"] += len(epochs) + (1 if run is not None else 0)
+    READ_STATS["rows"] += sum(t.num_rows for t in tables)
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def _maybe_compact(index_dir: str, part: int, epoch: int, *,
+                   sort_cols: list[str], threshold: int,
+                   row_group_size: int) -> bool:
+    """Merge one partition's epoch files (plus the previous run) into a
+    single run sorted on the probe column once the live file count
+    exceeds ``threshold`` — the lake's ``compact_every`` idempotent-
+    rewrite pattern applied to the gate index, bounding the per-admit
+    file count at O(threshold) regardless of epoch count.  The run keeps
+    the ``epoch`` column so a replayed admit can exclude its own rows.
+    Covered data files are deleted best-effort AFTER the run commits; a
+    crash in between leaves duplicates, which membership tolerates and
+    the next compaction clears."""
+    run, epochs = _live_state(index_dir, part, epoch + 1)
+    if not epochs or len(epochs) + (1 if run is not None else 0) <= threshold:
+        return False
+    mpath = _run_marker_path(index_dir, part, epoch)
+    if os.path.exists(mpath):  # replayed admit — compaction already done
+        return False
+    parts = []
+    if run is not None:
+        parts.append(pq.read_table(run[0]))
+    for f in epochs:
+        e = int(os.path.basename(f)[len("epoch-"):-len(".parquet")])
+        t = pq.read_table(f)
+        parts.append(t.append_column(
+            "epoch", pa.array(np.full(t.num_rows, e, np.int64))))
+    merged = pa.concat_tables(parts, promote_options="default") \
+        .sort_by([(c, "ascending") for c in sort_cols])
+    dpath = os.path.join(index_dir, f"part={part:05d}",
+                         f"run-{_epoch6(epoch)}.parquet")
+    atomic_write_parquet(dpath, merged, row_group_size=row_group_size)
+    atomic_write_json(mpath, {"part": int(part), "hi_epoch": int(epoch),
+                              "rows": int(merged.num_rows),
+                              "covered_files": len(parts)})
+    for f in epochs:
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+    if run is not None:
+        for f in (run[0], _run_marker_path(index_dir, part, run[1])):
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+    return True
 
 
 def _persist_partition(index_dir: str, part: int, epoch: int,
@@ -141,11 +283,17 @@ class ExactIngestGate:
     """
 
     def __init__(self, index_root: str, *, text_col: str = "text",
-                 id_col: str = "doc_id", num_partitions: int = 32):
+                 id_col: str = "doc_id", num_partitions: int = 32,
+                 compact_threshold: int = 8,
+                 run_row_group_size: int = 32768):
         self.index_dir = os.path.join(index_root, "fp")
         self.text_col = text_col
         self.id_col = id_col
         self.P = num_partitions
+        # layout knobs, not semantics: safe to vary per reopen, so NOT
+        # pinned in _meta.json
+        self.compact_threshold = compact_threshold
+        self.run_row_group_size = run_row_group_size
         _pin_meta(index_root, {"kind": "exact", "text_col": text_col,
                                "id_col": id_col,
                                "num_partitions": int(num_partitions)})
@@ -158,6 +306,7 @@ class ExactIngestGate:
         returns the same rows and writes nothing."""
         text_col, id_col = self.text_col, self.id_col
         index_dir, P = self.index_dir, self.P
+        threshold, rg_size = self.compact_threshold, self.run_row_group_size
 
         def fp_tag(batch: pa.Table) -> pa.Table:
             h = stable_hash_strings(batch[text_col]).astype(np.int64)
@@ -179,17 +328,20 @@ class ExactIngestGate:
             codes = group_codes(g, ["__fp"])
             first = np.unique(codes, return_index=True)[1]
             g = g.take(pa.array(np.sort(first)))
-            # membership vs strictly-earlier epochs (pruned to fp column)
-            files = _index_files(index_dir, part, epoch)
-            if files:
-                old = pa.concat_tables(
-                    [pq.read_table(f, columns=["fp"]) for f in files])
+            # membership vs strictly-earlier epochs: fp column only, the
+            # compacted run zone-map-pruned to the probe fps
+            old = _read_index(index_dir, part, epoch, ["fp"],
+                              probe_col="fp",
+                              probe=g["__fp"].to_numpy())
+            if old is not None:
                 keep = pc.invert(
                     pc.is_in(g["__fp"], value_set=old["fp"].combine_chunks()))
                 g = g.filter(keep)
             _persist_partition(
                 index_dir, part, epoch,
                 pa.table({"fp": g["__fp"], "doc_id": g[id_col].cast(pa.int64())}))
+            _maybe_compact(index_dir, part, epoch, sort_cols=["fp"],
+                           threshold=threshold, row_group_size=rg_size)
             return g.drop_columns(["__fp"])
 
         out = hash_partitioned(tagged, ["__fp"], gate_block,
@@ -236,8 +388,13 @@ class MinHashIngestGate:
                  bands: int = 16, shingle_k: int = 5,
                  jaccard_threshold: float = 0.5, seed: int = 42,
                  text_col: str = "text", id_col: str = "doc_id",
-                 num_partitions: int = 32, max_bucket: int = 512):
+                 num_partitions: int = 32, max_bucket: int = 512,
+                 compact_threshold: int = 8,
+                 run_row_group_size: int = 32768):
         assert num_hashes % bands == 0
+        # layout knobs, not semantics — not pinned in _meta.json
+        self.compact_threshold = compact_threshold
+        self.run_row_group_size = run_row_group_size
         # within-epoch buckets larger than max_bucket emit a STAR
         # (min-id vs others) instead of all O(m²) pairs — identical-
         # signature floods (the degenerate case) verify exactly under
@@ -291,6 +448,7 @@ class MinHashIngestGate:
         bands_dir, sigs_dir = self.bands_dir, self.sigs_dir
         band_hashes = self._band_hashes
         max_bucket = self.max_bucket
+        compact_thr, rg_size = self.compact_threshold, self.run_row_group_size
 
         def sig_map(batch: pa.Table) -> pa.Table:
             sigs = hasher.signatures(batch[text_col].to_pylist())
@@ -324,9 +482,11 @@ class MinHashIngestGate:
                 return empty
             part = _part_of(block, ["band", "band_hash"], P)
             outs = []
-            files = _index_files(bands_dir, part, epoch)
-            if files:
-                old = pa.concat_tables([pq.read_table(f) for f in files])
+            old = _read_index(bands_dir, part, epoch,
+                              ["band", "band_hash", "doc_id"],
+                              probe_col="band_hash",
+                              probe=block["band_hash"].to_numpy())
+            if old is not None:
                 hit = block.join(old, keys=["band", "band_hash"],
                                  join_type="inner",
                                  right_suffix="_old")
@@ -409,8 +569,11 @@ class MinHashIngestGate:
             tables = [pa.table({"id": sig_rows["__key"],
                                 "s": sig_rows["sig"]})]
             if with_old:
-                for f in _index_files(sigs_dir, part, epoch):
-                    t = pq.read_table(f)
+                t = _read_index(
+                    sigs_dir, part, epoch, ["doc_id", "sig"],
+                    probe_col="doc_id",
+                    probe=pairs_t["__key"].to_numpy())
+                if t is not None:
                     tables.append(pa.table({"id": t["doc_id"],
                                             "s": t["sig"].cast(sig_t)}))
             lut = pa.concat_tables(tables)
@@ -515,6 +678,9 @@ class MinHashIngestGate:
             _persist_partition(bands_dir, part, epoch, pa.table({
                 "band": block["band"], "band_hash": block["band_hash"],
                 "doc_id": block[id_col].cast(pa.int64())}))
+            _maybe_compact(bands_dir, part, epoch,
+                           sort_cols=["band_hash", "band"],
+                           threshold=compact_thr, row_group_size=rg_size)
             return pa.table({"part": pa.array([part], pa.int32()),
                              "rows": pa.array([block.num_rows], pa.int64())})
 
@@ -526,6 +692,8 @@ class MinHashIngestGate:
             _persist_partition(sigs_dir, part, epoch, pa.table({
                 "doc_id": block[id_col].cast(pa.int64()),
                 "sig": block["sig"].cast(sig_t)}))
+            _maybe_compact(sigs_dir, part, epoch, sort_cols=["doc_id"],
+                           threshold=compact_thr, row_group_size=rg_size)
             return pa.table({"part": pa.array([part], pa.int32()),
                              "rows": pa.array([block.num_rows], pa.int64())})
 

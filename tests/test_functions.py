@@ -287,9 +287,9 @@ def test_simhash_pairs_near_dups():
              "query engines and columnar formats and object stores", base]
     tbl = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
                     "text": pa.array(texts)})
-    # short texts give coarse 64-bit signatures (even unrelated docs sit
-    # within ~2 bits here), so test at the strictest threshold: only the
-    # exact duplicate survives max_hamming=1
+    # short texts give coarse 64-bit signatures (the unrelated doc sits
+    # ~8 bits away here, the one-char edit ~2), so test at the strictest
+    # threshold: only the exact duplicate survives max_hamming=1
     out = simhash_pairs(ray.data.from_arrow(tbl), max_hamming=1).to_pandas()
     pairs = {tuple(p) for p in out[["id_a", "id_b"]].itertuples(index=False)}
     assert pairs == {(1, 4)}         # identical text -> distance 0

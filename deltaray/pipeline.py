@@ -1324,6 +1324,11 @@ def read_rows(lake_root: str, table: str, keys: list, generation: int = 0,
                      for i, c in enumerate(key_cols)})
     parts = np.unique(stable_hash_cols(ktbl, key_cols)
                       % np.uint64(num_partitions)).tolist()
+    # composite-key membership state: unique key rows (a duplicated
+    # lookup key must not duplicate result rows) + their sorted stable
+    # hashes for the vectorized prefilter
+    kt_unique = ktbl.group_by(key_cols).aggregate([])
+    key_hashes = np.sort(np.unique(stable_hash_cols(kt_unique, key_cols)))
     want = None
     if columns is not None:
         unknown = [c for c in columns if c not in schema.column_names()]
@@ -1346,18 +1351,18 @@ def read_rows(lake_root: str, table: str, keys: list, generation: int = 0,
             continue
         t = strip_internal(evolve_to(tbl, schema))
         if len(key_cols) == 1:
-            mask = pc.is_in(t[key_cols[0]], value_set=ktbl[key_cols[0]])
+            t = t.filter(pc.is_in(t[key_cols[0]], value_set=ktbl[key_cols[0]]))
         else:
-            # composite: exact membership via the same stable hash +
-            # verification join on the concatenated key string
-            import pandas as pd
-
-            lhs = pd.MultiIndex.from_arrays(
-                [t[c].to_pandas() for c in key_cols])
-            rhs = pd.MultiIndex.from_arrays(
-                [ktbl[c].to_pandas() for c in key_cols])
-            mask = pa.array(lhs.isin(rhs))
-        t = t.filter(mask)
+            # composite: vectorized stable-hash prefilter, then exact
+            # verification via an Arrow semi-join on the key columns
+            # (kt_unique carries ONLY the keys, so the inner join adds
+            # no columns) — Arrow-native, no pandas in the serving path
+            h_t = stable_hash_cols(t, key_cols)
+            pos = np.searchsorted(key_hashes, h_t)
+            pos[pos == len(key_hashes)] = 0
+            t = t.filter(pa.array(key_hashes[pos] == h_t))
+            if t.num_rows:
+                t = t.join(kt_unique, keys=key_cols, join_type="inner")
         if t.num_rows:
             out.append(t.select(want) if want else t.select(out_schema.names))
     if not out:

@@ -99,13 +99,60 @@ def token_topk(ds, *, text_col: str = "text", top_k: int = 20,
         .slice(0, top_k)
 
 
-class LangId:
-    """Character-n-gram language-ID heuristic (actor-pool stage: profiles
-    built once per actor in __init__, scored per batch).
+def train_langid_model(corpus: dict[str, list[str]], *, n: int = 3,
+                       vocab_per_lang: int = 4000) -> pa.Table:
+    """Train loadable language-ID profiles: per language, the top
+    ``vocab_per_lang`` byte n-grams by frequency with add-one-smoothed
+    log probabilities (the Cavnar-Trenkle / fastText-supervised shape).
+    Returns the model as a Parquet-ready table ``(lang, ngram:binary,
+    logp:float64)`` with the n-gram order and per-language unseen-ngram
+    floors pinned in schema metadata — persist with ``pq.write_table``
+    and load with ``LangId(model_path=...)``.  Training is offline
+    driver-side by design; scoring is the distributed stage."""
+    import json as _json
 
-    Tiny built-in profiles — a real deployment would load fastText-style
-    models here; the Ray plumbing (stateful actor pool, vectorized scoring)
-    is the point."""
+    langs, ngrams, logps, floors = [], [], [], {}
+    for lang in sorted(corpus):
+        wins = []
+        for t in corpus[lang]:
+            b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+            if len(b) >= n:
+                wins.append(np.lib.stride_tricks.sliding_window_view(b, n))
+        if not wins:
+            raise ValueError(f"no trainable text for language {lang!r}")
+        allw = np.concatenate(wins)
+        uniq, counts = np.unique(allw, axis=0, return_counts=True)
+        top = np.argsort(-counts, kind="stable")[:vocab_per_lang]
+        total = int(counts.sum())
+        V = len(uniq)
+        lp = np.log((counts[top] + 1.0) / (total + V))
+        floors[lang] = float(np.log(1.0 / (total + V)))
+        langs.extend([lang] * len(top))
+        ngrams.extend(bytes(r) for r in uniq[top])
+        logps.extend(lp.tolist())
+    meta = {b"deltaray_langid": _json.dumps(
+        {"n": int(n), "floors": floors}).encode()}
+    return pa.table({"lang": pa.array(langs, pa.string()),
+                     "ngram": pa.array(ngrams, pa.binary()),
+                     "logp": pa.array(logps, pa.float64())}) \
+        .replace_schema_metadata(meta)
+
+
+class LangId:
+    """Character-n-gram language ID (actor-pool stage: the model loads
+    once per actor in ``__init__``, scoring is vectorized per batch).
+
+    With ``model_path``, loads trained profiles (see
+    :func:`train_langid_model`) and scores each document as the mean
+    smoothed log probability of its byte n-grams per language (unseen
+    n-grams take the language's floor), argmax over languages — one flat
+    shingle-hash pass plus a searchsorted lookup per batch, no per-doc
+    Python.  Without a model, falls back to the tiny built-in regex
+    profiles (honestly toy; kept for oracle-mirrored driver checks).
+
+    Reference seam note: the reference loads its transformation plugins
+    once per worker (DeltaWorker.java:246-267); this is the same
+    state-in-init contract for model files."""
 
     PROFILES = {
         "en": ["the", "and", "ing", "ion", "he ", " th"],
@@ -114,12 +161,70 @@ class LangId:
         "es": ["que", " de", "los", "ión", "ent", "ar "],
     }
 
-    def __init__(self):
-        self.langs = sorted(self.PROFILES)
-        self.pats = {l: re.compile("|".join(map(re.escape, g)))
-                     for l, g in self.PROFILES.items()}
+    def __init__(self, model_path: str | None = None):
+        import json as _json
+
+        self.model_path = model_path
+        if model_path is None:
+            self.langs = sorted(self.PROFILES)
+            self.pats = {l: re.compile("|".join(map(re.escape, g)))
+                         for l, g in self.PROFILES.items()}
+            return
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(model_path)
+        meta = _json.loads(tbl.schema.metadata[b"deltaray_langid"])
+        self.n = int(meta["n"])
+        self.langs = sorted(meta["floors"])
+        self.floors = np.array([meta["floors"][l] for l in self.langs],
+                               dtype=np.float64)
+        lang_idx = {l: i for i, l in enumerate(self.langs)}
+        grams = tbl["ngram"].to_pylist()
+        # hash each model n-gram with the SAME rolling polynomial the
+        # batch kernel uses, so lookups compare like with like
+        mat = np.frombuffer(b"".join(grams), dtype=np.uint8) \
+            .reshape(len(grams), self.n).astype(np.uint64)
+        weights = np.uint64(31) ** np.arange(self.n, dtype=np.uint64)
+        h = (mat * weights).sum(axis=1)
+        order = np.argsort(h, kind="stable")
+        self.hashes = h[order]
+        li = np.array([lang_idx[l] for l in tbl["lang"].to_pylist()],
+                      dtype=np.int64)[order]
+        lp = tbl["logp"].to_numpy(zero_copy_only=False)[order]
+        # (vocab, n_langs) log-prob matrix, floor-filled; identical
+        # hashes across languages collapse onto one row
+        uniq, inv = np.unique(self.hashes, return_inverse=True)
+        self.hashes = uniq
+        self.logp = np.tile(self.floors, (len(uniq), 1))
+        self.logp[inv, li] = lp
+
+    def _call_model(self, batch: pa.Table) -> pa.Table:
+        from deltaray.functions.dedup import _shingle_hashes_flat
+
+        col = batch["text"]
+        flat, offs = _shingle_hashes_flat(col, self.n)
+        nbytes = pc.binary_length(pc.fill_null(
+            col.combine_chunks(), "")).to_numpy(zero_copy_only=False)
+        ok = nbytes >= self.n
+        pos = np.searchsorted(self.hashes, flat)
+        pos[pos == len(self.hashes)] = 0
+        hit = self.hashes[pos] == flat
+        contrib = np.where(hit[:, None], self.logp[pos],
+                           self.floors[None, :])
+        counts = np.diff(offs)
+        scores = np.add.reduceat(contrib, offs[:-1], axis=0) \
+            / counts[:, None] if len(flat) else \
+            np.zeros((0, len(self.langs)))
+        guess = np.array(self.langs, dtype=object)[
+            scores.argmax(axis=1)] if len(scores) else \
+            np.empty(0, dtype=object)
+        guess[~ok] = "unk"  # sub-n docs have no n-grams to score
+        return batch.append_column("lang_guess",
+                                   pa.array(guess, pa.string()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.model_path is not None:
+            return self._call_model(batch)
         texts = batch["text"].to_pylist()
         scores = np.zeros((len(texts), len(self.langs)), dtype=np.int64)
         for j, l in enumerate(self.langs):

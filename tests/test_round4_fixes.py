@@ -134,3 +134,108 @@ def test_simhash_empty_batch():
                   "text": pa.array([], pa.string())})
     out = SimHasher()(t)
     assert out.num_rows == 0 and "simhash" in out.column_names
+
+
+def _synth_langs(rng, n_langs=4, n_train=60, n_test=20, length=400):
+    """Synthetic 'languages' = distinct character distributions (each
+    language favors its own alphabet slice plus shared whitespace)."""
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    corpora = {}
+    for li in range(n_langs):
+        lang = f"l{li}"
+        # overlapping but distinct alphabets
+        chars = np.array(list(alpha[li * 5:li * 5 + 10] + "  e"))
+        probs = rng.dirichlet(np.ones(len(chars)) * 2.0)
+        docs = ["".join(rng.choice(chars, size=length, p=probs))
+                for _ in range(n_train + n_test)]
+        corpora[lang] = docs
+    train = {l: d[:n_train] for l, d in corpora.items()}
+    test = {l: d[n_train:] for l, d in corpora.items()}
+    return train, test
+
+
+def test_langid_model_train_load_score(tmp_path):
+    """The pluggable language-ID path (round-3 verdict ask): train real
+    byte-n-gram log-prob profiles, persist to parquet, load in __init__,
+    score vectorized — held-out accuracy is near-perfect on separable
+    synthetic languages, and the vectorized scores equal a per-doc
+    reference scorer exactly."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from deltaray.functions.text import LangId, train_langid_model
+
+    rng = np.random.default_rng(23)
+    train, test = _synth_langs(rng)
+    model = train_langid_model(train, n=3, vocab_per_lang=800)
+    path = str(tmp_path / "langid.parquet")
+    pq.write_table(model, path)
+
+    lid = LangId(model_path=path)
+    texts, want = [], []
+    for lang, docs in test.items():
+        texts.extend(docs)
+        want.extend([lang] * len(docs))
+    texts += ["", "ab"]          # sub-n docs -> unk
+    want += ["unk", "unk"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = lid(t)["lang_guess"].to_pylist()
+    acc = np.mean([g == w for g, w in zip(got, want)])
+    assert acc >= 0.95, acc
+
+    # per-doc reference scorer over the SAME parquet model
+    tbl = pq.read_table(path)
+    import json as _json
+    meta = _json.loads(tbl.schema.metadata[b"deltaray_langid"])
+    n = meta["n"]
+    langs = sorted(meta["floors"])
+    lut = {l: {} for l in langs}
+    for l, g, p in zip(tbl["lang"].to_pylist(), tbl["ngram"].to_pylist(),
+                       tbl["logp"].to_pylist()):
+        lut[l][g] = p
+    for txt, g in zip(texts, got):
+        b = txt.encode("utf-8")
+        if len(b) < n:
+            assert g == "unk"
+            continue
+        grams = [b[i:i + n] for i in range(len(b) - n + 1)]
+        scores = [sum(lut[l].get(x, meta["floors"][l]) for x in grams)
+                  / len(grams) for l in langs]
+        assert g == langs[int(np.argmax(scores))], txt[:40]
+
+
+def test_langid_model_actor_pool(tmp_path, ray_session):
+    """The model loads once per actor (fn_constructor_kwargs) and the
+    stage runs as an actor pool over a Dataset."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from deltaray.functions.text import LangId, train_langid_model
+
+    rng = np.random.default_rng(5)
+    train, test = _synth_langs(rng, n_langs=2, n_train=40, n_test=5)
+    path = str(tmp_path / "m.parquet")
+    pq.write_table(train_langid_model(train, n=3, vocab_per_lang=500), path)
+    texts = test["l0"] + test["l1"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}))
+    out = ds.map_batches(LangId, fn_constructor_kwargs={"model_path": path},
+                         concurrency=2, batch_format="pyarrow").to_pandas()
+    got = out.sort_values("doc_id")["lang_guess"].tolist()
+    assert got == ["l0"] * 5 + ["l1"] * 5
+
+
+def test_langid_fallback_unchanged():
+    """No model -> the built-in toy profiles (the driver query's SQL
+    oracle mirrors exactly this scoring)."""
+    from deltaray.functions.text import LangId
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["the thing and the other thing",
+                                    "der schnelle braune fuchs und ich",
+                                    "zzzz qqqq"])})
+    got = LangId()(t)["lang_guess"].to_pylist()
+    assert got == ["en", "de", "unk"]

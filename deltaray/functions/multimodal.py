@@ -184,21 +184,66 @@ def _to_rgb(img: np.ndarray) -> np.ndarray:
     return img
 
 
+def probe_native_decoders() -> dict:
+    """Best-effort probe for a native image decoder: PIL first, then
+    OpenCV.  Returns ``{mime: decode_fn}`` for the formats the found
+    library covers, empty when neither is installed (this container
+    ships neither, so the pure-numpy codecs carry the load).  Probed
+    once per actor in ``DecodeImage.__init__`` — the pure-Python JPEG
+    Huffman decode is honest but would rate-limit a real image corpus;
+    this seam swaps in libjpeg-class throughput wherever the deployment
+    image has it, with zero pipeline changes."""
+    out: dict = {}
+    try:
+        import io
+
+        from PIL import Image
+
+        def _pil(raw: bytes) -> np.ndarray:
+            return np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+
+        out["image/png"] = _pil
+        out["image/jpeg"] = _pil
+        return out
+    except ImportError:
+        pass
+    try:
+        import cv2
+
+        def _cv(raw: bytes) -> np.ndarray:
+            img = cv2.imdecode(np.frombuffer(raw, np.uint8),
+                               cv2.IMREAD_COLOR)
+            if img is None:
+                raise ValueError("native decode failed")
+            return img[:, :, ::-1]          # BGR -> RGB
+
+        out["image/png"] = _cv
+        out["image/jpeg"] = _cv
+    except ImportError:
+        pass
+    return out
+
+
 class DecodeImage:
     """Actor-pool stage: decode + resize + feature-extract.
 
     Decode is REAL for PPM/BMP/PNG/JPEG via the pure-numpy codecs (the
-    codec dispatch table is built once per actor here in ``__init__`` —
-    a real deployment loads libjpeg/opencv handles the same way).
-    Unknown mimes raise under ``strict=True``; otherwise they yield a
-    deterministic 8-dim feature from payload byte stats so foreign
-    corpora still flow.
+    codec dispatch table is built once per actor here in ``__init__``).
+    ``use_native`` controls the native-decoder seam: ``"auto"`` (the
+    default) probes for PIL/OpenCV once per actor and overrides the
+    PNG/JPEG entries when found; ``False`` pins the pure-Python codecs;
+    a dict ``{mime: fn}`` injects decoders directly (tests, or a custom
+    libjpeg-turbo binding).  Unknown mimes raise under ``strict=True``;
+    otherwise they yield a deterministic 8-dim feature from payload
+    byte stats so foreign corpora still flow.
 
     Use small ``batch_size`` (e.g. 64) — batches of wide binary rows must
     fit worker heap × concurrency.
     """
 
-    def __init__(self, strict: bool = False, target: tuple[int, int] = (224, 224)):
+    def __init__(self, strict: bool = False,
+                 target: tuple[int, int] = (224, 224),
+                 use_native="auto"):
         from deltaray.functions.imagecodecs import decode_jpeg, decode_png
 
         self.strict = strict
@@ -209,6 +254,10 @@ class DecodeImage:
             "image/png": decode_png,
             "image/jpeg": decode_jpeg,
         }
+        if use_native == "auto":
+            self.codecs.update(probe_native_decoders())
+        elif isinstance(use_native, dict):
+            self.codecs.update(use_native)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mimes = batch["mime"].to_pylist() if "mime" in batch.column_names \

@@ -239,3 +239,40 @@ def test_langid_fallback_unchanged():
                                     "zzzz qqqq"])})
     got = LangId()(t)["lang_guess"].to_pylist()
     assert got == ["en", "de", "unk"]
+
+
+def test_native_decoder_seam():
+    """The DecodeImage native-decoder seam (round-3 verdict ask): the
+    probe finds nothing in this container (no PIL/cv2), an injected
+    'native' decoder is actually used for its mimes, and use_native=False
+    pins the pure-numpy codecs — all three paths produce the documented
+    output schema."""
+    from deltaray.functions.imagecodecs import encode_png
+    from deltaray.functions.multimodal import (DecodeImage,
+                                               probe_native_decoders)
+
+    assert probe_native_decoders() == {}  # neither PIL nor cv2 ships here
+
+    rng = np.random.default_rng(2)
+    img = (rng.integers(0, 255, size=(8, 8, 3))).astype(np.uint8)
+    payload = encode_png(img)
+    batch = pa.table({
+        "media_id": pa.array(["a"], pa.string()),
+        "payload": pa.array([payload], pa.binary()),
+        "mime": pa.array(["image/png"], pa.string()),
+    })
+
+    pure = DecodeImage(strict=True, use_native=False)(batch)
+    assert pure.column_names[-3:] == ["resized_w", "resized_h", "features"]
+
+    calls = []
+
+    def fake_native(raw: bytes) -> np.ndarray:
+        calls.append(len(raw))
+        return img  # pretend-decode: return the known pixels
+
+    injected = DecodeImage(strict=True,
+                           use_native={"image/png": fake_native})(batch)
+    assert calls == [len(payload)]  # the injected decoder carried decode
+    # same pixels through either path -> identical features
+    assert injected["features"].to_pylist() == pure["features"].to_pylist()

@@ -256,8 +256,129 @@ def run_scaling() -> dict:
     }
 
 
+def run_exchange_soak() -> dict:
+    """Cluster-scale exchange paths at REAL block counts (round-3 verdict
+    ask #8): the tree-combine merge and the two-level split previously
+    bound only under forced-small caps in pytest.
+
+    Engine leg: one log written as ~2000 segment files (each file is at
+    least one map unit, so the chunk's merge sees ~2000 upstream splits
+    per shard) replayed twice — flat merge (fanin > units) vs tree merge
+    (fanin 8, ~4 combine levels) — and the lakes compared row-for-row.
+
+    Library leg: hash_partitioned over 1024 upstream blocks x 128
+    partitions, flat (131k driver refs) vs split_groups=8 + fanin=8
+    two-level (≈12k refs), outputs compared exactly.
+    """
+    import hashlib
+    import ray
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deltaray import ReplayConfig, replay
+    from deltaray.gen import write_event_log_fast
+    from deltaray.oracle import tables_equal
+    from deltaray.pipeline import read_table
+
+    root = "/tmp/deltaray_bench/exchange_soak"
+    log = os.path.join(root, "events")
+    n_docs, n_events, seg = 100_000, 2_000_000, 1_000
+    if not os.path.exists(os.path.join(log, "manifest.json")):
+        write_event_log_fast(log, n_docs=n_docs, n_events=n_events,
+                             seed=42, segment_max_events=seg)
+    n_segments = len([f for f in os.listdir(log) if f.endswith(".parquet")])
+
+    def replay_leg(tag: str, fanin: int) -> tuple[float, "pa.Table"]:
+        lake = os.path.join(root, f"lake-{tag}")
+        shutil.rmtree(lake, ignore_errors=True)
+        t0 = time.perf_counter()
+        replay(ReplayConfig(event_log=log, lake=lake, num_partitions=64,
+                            merge_fanin=fanin))
+        sec = time.perf_counter() - t0
+        return sec, read_table(lake, "docs")
+
+    flat_sec, flat_tbl = replay_leg("flat", 1 << 20)
+    tree_sec, tree_tbl = replay_leg("tree", 64)     # recommended setting
+    tree8_sec, tree8_tbl = replay_leg("tree8", 8)   # stress: ~4 levels
+    eq_engine, msg = tables_equal(flat_tbl, tree_tbl)
+    eq_engine8, _ = tables_equal(flat_tbl, tree8_tbl)
+
+    def table_hash(t: pa.Table) -> str:
+        t = t.sort_by("doc_id").select(sorted(t.column_names))
+        h = hashlib.sha256()
+        for c in t.column_names:
+            for chunk in t[c].chunks:
+                h.update(str(len(chunk)).encode())
+            h.update(c.encode())
+        h.update(str(t.num_rows).encode())
+        # content: one pass over the concatenated string form per column
+        for c in t.column_names:
+            h.update(pa.Table.from_arrays([t[c]], [c]).to_pandas()
+                     .to_csv(index=False).encode())
+        return h.hexdigest()[:16]
+
+    # library leg: hash_partitioned flat vs two-level
+    from deltaray.functions.partition import hash_partitioned
+
+    import ray.data
+
+    def mk(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["id"].to_numpy()
+        return pa.table({"k": pa.array(ids % 10_000, pa.int64()),
+                         "v": pa.array(ids.astype("int64"))})
+
+    ds = ray.data.range(2_000_000).map_batches(
+        mk, batch_format="pyarrow").repartition(1024).materialize()
+
+    def agg(block: pa.Table) -> pa.Table:
+        g = block.group_by("k").aggregate([("v", "sum"), ([], "count_all")])
+        return g.rename_columns(["k", "v_sum", "n"])
+
+    def lib_leg(**kw) -> tuple[float, "pa.Table"]:
+        t0 = time.perf_counter()
+        out = hash_partitioned(ds, ["k"], agg, num_partitions=128, **kw)
+        tbl = pa.concat_tables(
+            list(out.iter_batches(batch_format="pyarrow"))).sort_by("k")
+        return time.perf_counter() - t0, tbl.combine_chunks()
+
+    lib_flat_sec, lib_flat = lib_leg()
+    lib_two_sec, lib_two = lib_leg(split_groups=8, merge_fanin=8)
+    eq_lib = lib_flat.equals(lib_two)
+
+    ray.shutdown()
+    return {
+        "metric": "exchange_soak",
+        "engine": {"segments": n_segments, "events": n_events,
+                   "flat_sec": round(flat_sec, 2),
+                   "tree64_sec": round(tree_sec, 2),
+                   "tree64_overhead": round(tree_sec / flat_sec, 3),
+                   "tree8_sec": round(tree8_sec, 2),
+                   "tree8_overhead": round(tree8_sec / flat_sec, 3),
+                   "equal": bool(eq_engine and eq_engine8), "msg": msg,
+                   "state_hash": table_hash(flat_tbl)},
+        "library": {"blocks": 1024, "partitions": 128,
+                    "flat_sec": round(lib_flat_sec, 2),
+                    "two_level_sec": round(lib_two_sec, 2),
+                    "two_level_overhead": round(lib_two_sec / lib_flat_sec,
+                                                3),
+                    "equal": bool(eq_lib)},
+        "num_cpus": NUM_CPUS,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--exchange-soak" in sys.argv:
+        print(json.dumps(run_exchange_soak()))
     else:
         print(json.dumps(run_once()))

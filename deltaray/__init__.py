@@ -26,9 +26,11 @@ from deltaray.drafts import DraftStore
 from deltaray.pipeline import (
     DeltaFailureError,
     bootstrap_table,
+    build_aggregate,
     lineage_report,
     committed_watermark,
     read_changes,
+    refresh_aggregate,
     read_rows,
     read_table,
     read_table_ds,
@@ -56,7 +58,9 @@ __all__ = [
     "expand_macros",
     "lineage_report",
     "committed_watermark",
+    "build_aggregate",
     "read_changes",
+    "refresh_aggregate",
     "read_rows",
     "read_table",
     "read_table_ds",

@@ -276,3 +276,48 @@ def test_native_decoder_seam():
     assert calls == [len(payload)]  # the injected decoder carried decode
     # same pixels through either path -> identical features
     assert injected["features"].to_pylist() == pure["features"].to_pylist()
+
+
+def test_refresh_aggregate_matches_full_recompute(tmp_path):
+    """Incremental materialized-aggregate maintenance (new in round 4):
+    prev(anchor) - old(changed keys) + new(changed keys) == full
+    recompute, at every anchor pair, including DELETE-closed groups and
+    the empty window."""
+    from deltaray import (ReplayConfig, build_aggregate, read_table_ds,
+                          refresh_aggregate, replay, snapshots)
+    from deltaray.gen import write_event_log
+
+    log, lake = str(tmp_path / "events"), str(tmp_path / "lake")
+    write_event_log(log, n_docs=300, n_events=1500, seed=13,
+                    segment_max_events=300)
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=8,
+                        chunk_max_events=300, vacuum=False))
+    anchors = snapshots(lake)
+    assert len(anchors) >= 4
+
+    def full(asof=None):
+        return build_aggregate(read_table_ds(lake, "docs", asof_seq=asof),
+                               group_col="source", sum_cols=["n_tok"])
+
+    S0 = anchors[0]
+    prev = full(S0)
+    # anchor -> current
+    got = refresh_aggregate(lake, "docs", prev, group_col="source",
+                            sum_cols=["n_tok"], since_seq=S0)
+    assert got.equals(full())
+    # anchor -> bounded intermediate anchor
+    S1 = anchors[len(anchors) // 2]
+    got1 = refresh_aggregate(lake, "docs", prev, group_col="source",
+                             sum_cols=["n_tok"], since_seq=S0,
+                             as_of_seq=S1)
+    want1 = full(S1)
+    assert got1.equals(want1)
+    # chained: continue from the refreshed view, not the rebuilt one
+    got2 = refresh_aggregate(lake, "docs", got1, group_col="source",
+                             sum_cols=["n_tok"], since_seq=S1)
+    assert got2.equals(full())
+    # empty window: nothing changed past the last anchor
+    last = anchors[-1]
+    got3 = refresh_aggregate(lake, "docs", full(last), group_col="source",
+                             sum_cols=["n_tok"], since_seq=last)
+    assert got3.equals(full())

@@ -766,6 +766,90 @@ def _incremental_matview_docs(sf_dir: str):
     return got
 
 
+def _doc_history_read(sf_dir: str):
+    """Per-key version-history reads (`pipeline.read_history`, new in
+    round 4): replay a multi-chunk log with full retention, then pull
+    the audit trail of a deterministic key sample.  Self-checking: each
+    key's returned versions must equal the per-anchor-window LWW
+    winners of the RAW event log (brute force over the sample only —
+    scale-safe), with correct DELETE tombstones, valid_to_seq chaining,
+    and is_current rows agreeing with the live table.  Returns a
+    per-key summary (ints).  Rows-only (engine-internal log;
+    test_round4_fixes.py holds the unit oracle)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from deltaray import (ReplayConfig, read_history, read_table, replay,
+                          snapshots)
+    from deltaray.gen import write_event_log
+
+    scratch = "/tmp/deltaray_q_history"
+    shutil.rmtree(scratch, ignore_errors=True)
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    log = os.path.join(scratch, "events")
+    lake = os.path.join(scratch, "lake")
+    seg = max(n_docs, 200)
+    write_event_log(log, n_docs=n_docs, n_events=n_docs * 4, seed=11,
+                    track_prev=False, segment_max_events=seg)
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=8,
+                        chunk_max_events=seg, vacuum=False,
+                        compact_every=10_000))
+    anchors = snapshots(lake)
+    ev = pa.concat_tables(
+        [pq.read_table(f, columns=["seq", "op", "doc_id", "n_tok"])
+         for f in sorted(_glob.glob(os.path.join(log, "*.parquet")))],
+        promote_options="default").sort_by("seq")
+    dml = ev.filter(pc.is_in(
+        ev["op"], value_set=pa.array(["INSERT", "UPDATE", "DELETE"])))
+    all_ids = sorted(set(dml["doc_id"].to_pylist()))
+    sample = all_ids[::max(1, len(all_ids) // 48)][:48]
+    dml = dml.filter(pc.is_in(dml["doc_id"],
+                              value_set=pa.array(sample)))
+    rows = dml.to_pylist()
+    hist: dict = {}
+    lo = 0
+    for hi in anchors:
+        win: dict = {}
+        for r in rows:
+            if lo < r["seq"] <= hi:
+                win[r["doc_id"]] = r
+        for d, r in sorted(win.items()):
+            hist.setdefault(d, []).append(r)
+        lo = hi
+    got = read_history(lake, "docs", sample, columns=["n_tok"])
+    by_key: dict = {}
+    for r in got.to_pylist():
+        by_key.setdefault(r["doc_id"], []).append(r)
+    live_ids = set(read_table(lake, "docs")["doc_id"].to_pylist())
+    out_rows = []
+    for d in sorted(hist):
+        want, have = hist[d], by_key.get(d, [])
+        ok = len(want) == len(have)
+        for i, (w, h) in enumerate(zip(want, have)):
+            ok = ok and h["seq"] == w["seq"]
+            ok = ok and h["change"] == ("DELETE" if w["op"] == "DELETE"
+                                        else "UPSERT")
+            ok = ok and h["n_tok"] == (None if w["op"] == "DELETE"
+                                       else w["n_tok"])
+            ok = ok and h["valid_to_seq"] == (
+                want[i + 1]["seq"] if i + 1 < len(want) else None)
+            ok = ok and h["is_current"] == (
+                i == len(want) - 1 and w["op"] != "DELETE")
+        ok = ok and (any(h["is_current"] for h in have)
+                     == (d in live_ids))
+        if not ok:
+            raise AssertionError(f"history mismatch for {d}: "
+                                 f"{have} vs {want}")
+        out_rows.append({
+            "doc_id": d, "n_versions": len(have),
+            "n_deletes": sum(h["change"] == "DELETE" for h in have),
+            "is_live": d in live_ids,
+            "first_seq": have[0]["seq"], "last_seq": have[-1]["seq"]})
+    return pa.Table.from_pylist(out_rows)
+
+
 def _incremental_refresh_docs(sf_dir: str):
     """Close the CDC→training-data loop: a derived chunk table is kept
     fresh by PATCHING — after a tail replay, only the documents
@@ -1659,6 +1743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reshard_migration": _reshard_migration,
         "incremental_refresh_docs": _incremental_refresh_docs,
         "incremental_matview_docs": _incremental_matview_docs,
+        "doc_history_read": _doc_history_read,
         "training_data_refresh": _training_data_refresh,
         "dedup_spans_docs": _dedup_spans_docs,
         "dedup_spans_lake": _dedup_spans_lake,
@@ -1700,7 +1785,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _knn_bruteforce,
         "knn_ivf_fullprobe": _knn_ivf_fullprobe,
         "knn_lsh": _knn_lsh,
-        "cluster_embeddings": _cluster_embeddings,
         # -- windows / joins --
         "asof_prev_order": _asof_prev_order,
         "sessionize_events": _sessionize_events,
@@ -1711,6 +1795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_counts": _stratified_sample_counts,
         # ---- past the ~50-entry driver window: low-signal entries, all
         # ---- green in CORRECTNESS_r03 (driver artifact) ----
+        "cluster_embeddings": _cluster_embeddings,
         "whiten_embeddings": _whiten_embeddings,
         "customers_without_orders": _customers_without_orders,
         "enrich_events_customers": _enrich_events_customers,

@@ -31,6 +31,7 @@ from deltaray.pipeline import (
     committed_watermark,
     read_changes,
     refresh_aggregate,
+    read_history,
     read_rows,
     read_table,
     read_table_ds,
@@ -60,6 +61,7 @@ __all__ = [
     "committed_watermark",
     "build_aggregate",
     "read_changes",
+    "read_history",
     "refresh_aggregate",
     "read_rows",
     "read_table",

@@ -1371,6 +1371,130 @@ def read_rows(lake_root: str, table: str, keys: list, generation: int = 0,
     return res.sort_by([(k, "ascending") for k in key_cols])
 
 
+def read_history(lake_root: str, table: str, keys: list,
+                 generation: int = 0,
+                 columns: list[str] | None = None) -> pa.Table:
+    """Per-key version HISTORY (the CDC audit-trail query): every
+    retained stored version of the given keys, oldest to newest, with
+    validity intervals — ``seq`` (the version), ``change``
+    ("UPSERT" | "DELETE"; DELETE tombstones carry null payload),
+    ``valid_to_seq`` (the key's next version's seq, null while open)
+    and ``is_current`` (the live state).  Routed like
+    :func:`read_rows`: only the keys' hash partitions' live
+    merge-on-read files are read, never a table scan.
+
+    Granularity and retention: the lake stores one version per key per
+    COMMITTED CHUNK (chunk-level LWW — intra-chunk intermediates were
+    never written; the same snapshot-isolation boundary as
+    :func:`snapshots`), and compaction folds superseded versions into
+    the base file, so the visible depth is the retained base+delta
+    window — complete from the beginning on a ``vacuum=False`` lake
+    whose ``compact_every`` exceeds its chunk count.  Rows are
+    returned under the CURRENT
+    schema (older versions evolve forward through the rename chain).
+    On UN_ORDERED lakes rows are ordered by apply seq; the logical LWW
+    order is (source_ts, sort_keys), so interpret intervals there as
+    arrival history, not event-time history.
+
+    Reference contrast: the reference can only re-tail the source to
+    reconstruct what happened (EventReader SPI); here the commit log IS
+    the audit trail."""
+    import numpy as np
+
+    from deltaray.functions.partition import group_codes
+    from deltaray.merge import evolve_to
+    from deltaray.transforms import HASH_VERSION, stable_hash_cols
+
+    lake = LakeState(lake_root, generation)
+    schema = lake.current_schema(table)
+    if schema is None:
+        raise KeyError(f"unknown table {table!r}")
+    key_cols = list(schema.keys)
+    out_cols = schema.column_names()
+    if columns is not None:
+        unknown = [c for c in columns if c not in out_cols]
+        if unknown:
+            raise KeyError(f"unknown columns {unknown!r}")
+        out_cols = list(dict.fromkeys([*key_cols, *columns]))
+    out_schema = pa.schema(
+        [schema.arrow_schema().field(c) for c in out_cols]
+        + [pa.field("seq", pa.int64()), pa.field("change", pa.string()),
+           pa.field("valid_to_seq", pa.int64()),
+           pa.field("is_current", pa.bool_())])
+    if not keys:
+        return out_schema.empty_table()
+    meta_path = os.path.join(lake.root, "_meta.json")
+    with open(meta_path) as f:
+        gmeta = json.load(f)
+    if gmeta.get("hash_version") != HASH_VERSION:
+        raise ValueError(
+            f"lake written under partitioner hash_version="
+            f"{gmeta.get('hash_version')}; this engine routes with "
+            f"{HASH_VERSION} — migrate via reshard_generation")
+    num_partitions = int(gmeta["num_partitions"])
+    rows = [k if isinstance(k, tuple) else (k,) for k in keys]
+    if any(len(r) != len(key_cols) for r in rows):
+        raise ValueError(f"key arity mismatch: table key is {key_cols}")
+    ktbl = pa.table({c: pa.array([r[i] for r in rows],
+                                 schema.arrow_schema().field(c).type)
+                     for i, c in enumerate(key_cols)})
+    kt_unique = ktbl.group_by(key_cols).aggregate([])
+    key_hashes = np.sort(np.unique(stable_hash_cols(kt_unique, key_cols)))
+    parts = np.unique(stable_hash_cols(ktbl, key_cols)
+                      % np.uint64(num_partitions)).tolist()
+    keep_cols = [*out_cols, "__seq", "__deleted"]
+    collected = []
+    for p in parts:
+        pdir = lake.part_dir(table, int(p))
+        if not os.path.isdir(pdir):
+            continue
+        for c in lake.live_commits(table, int(p)):
+            t = pq.read_table(os.path.join(pdir, c["file"]))
+            t = evolve_to(t, schema)
+            if len(key_cols) == 1:
+                t = t.filter(pc.is_in(t[key_cols[0]],
+                                      value_set=ktbl[key_cols[0]]))
+            else:
+                h_t = stable_hash_cols(t, key_cols)
+                pos = np.searchsorted(key_hashes, h_t)
+                pos[pos == len(key_hashes)] = 0
+                t = t.filter(pa.array(key_hashes[pos] == h_t))
+                if t.num_rows:
+                    t = t.join(kt_unique, keys=key_cols, join_type="inner")
+            if t.num_rows:
+                collected.append(t.select(keep_cols))
+    if not collected:
+        return out_schema.empty_table()
+    h = pa.concat_tables(collected, promote_options="default") \
+        .sort_by([*[(k, "ascending") for k in key_cols],
+                  ("__seq", "ascending")]).combine_chunks()
+    codes = group_codes(h, key_cols)
+    seqs = h["__seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+    same_next = codes[1:] == codes[:-1]
+    # a version can sit in several retained files (e.g. a base built
+    # from a delta it subsumes) — identical (key, seq) copies collapse
+    dup = np.concatenate(([False], same_next & (seqs[1:] == seqs[:-1])))
+    if dup.any():
+        h = h.filter(pa.array(~dup))
+        codes = group_codes(h, key_cols)
+        seqs = seqs[~dup]
+        same_next = codes[1:] == codes[:-1]
+    deleted = pc.fill_null(h["__deleted"], False)
+    valid_to = np.concatenate((np.where(same_next, seqs[1:], -1), [-1]))
+    last_of_key = np.concatenate((~same_next, [True]))
+    is_current = pa.array(last_of_key
+                          & ~deleted.to_numpy(zero_copy_only=False))
+    out = h.select(out_cols) \
+        .append_column("seq", pa.array(seqs)) \
+        .append_column("change", pc.if_else(deleted, pa.scalar("DELETE"),
+                                            pa.scalar("UPSERT"))) \
+        .append_column("valid_to_seq",
+                       pa.array(np.where(valid_to < 0, None, valid_to),
+                                pa.int64(), from_pandas=True)) \
+        .append_column("is_current", is_current)
+    return out
+
+
 def _live_parts_asof_one(lake: LakeState, table: str, part: int,
                          before: int) -> None:
     """Vacuum-retention check for a single partition's as-of read."""

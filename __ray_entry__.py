@@ -437,6 +437,76 @@ def _decontaminate_docs(sf_dir: str):
     return out.drop_columns(["text"])
 
 
+def _ingest_gate_embedding(sf_dir: str):
+    """Embedding near-dup ingest gate (`EmbeddingIngestGate`, new in
+    round 4 — cosine-LSH buckets + exact-cosine verify over a persisted
+    compacting index): stream the embeddings in two vec_id-parity
+    epochs with deterministic planted twins (vec_id + 1M, cosine ~0.999
+    copies of the first 8 vectors, split across the epochs) — the gate
+    must admit each original and reject its twin, whether the twin
+    arrives in the same epoch or the next.  Rows-only (LSH-recall
+    semantics; tests/test_ingest_gate.py holds the brute-force
+    greedy-temporal oracle)."""
+    import pyarrow.parquet as pq
+
+    from deltaray.functions.ingest_gate import EmbeddingIngestGate
+
+    dim = len(pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["embedding"])["embedding"][0])
+    scratch = "/tmp/deltaray_gate_embedding"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.less(batch["vec_id"], 8))
+        if sel.num_rows == 0:
+            return batch.select(["vec_id", "embedding"])
+        ids = sel["vec_id"].to_numpy(zero_copy_only=False)
+        vecs = np.array(sel["embedding"].to_pylist(), dtype=np.float32)
+        twins = []
+        for vid, row in zip(ids, vecs):
+            g = np.random.default_rng(20_000 + int(vid)) \
+                .standard_normal(len(row)).astype(np.float32)
+            twins.append(row + 0.02 * np.linalg.norm(row)
+                         * g / np.linalg.norm(g))
+        extra = pa.table({
+            "vec_id": pa.array((ids + 1_000_000).astype(np.int64)),
+            "embedding": pa.array([t.tolist() for t in twins],
+                                  batch["embedding"].type),
+        })
+        return pa.concat_tables(
+            [batch.select(["vec_id", "embedding"]), extra],
+            promote_options="default")
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(plant, batch_format="pyarrow")
+    gate = EmbeddingIngestGate(scratch, dim=dim, num_partitions=8,
+                               cosine_threshold=0.95)
+
+    def parity(p: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["vec_id"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == p))
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    outs = []
+    for e in (0, 1):
+        t = pa.concat_tables(list(
+            gate.admit(parity(e), e).iter_batches(batch_format="pyarrow")),
+            promote_options="default")
+        outs.append(pa.table({"vec_id": t["vec_id"],
+                              "epoch": pa.array(
+                                  np.full(t.num_rows, e, np.int64))}))
+    out = pa.concat_tables(outs)
+    # self-check: every planted twin rejected, every original admitted
+    admitted = set(out["vec_id"].to_pylist())
+    missing = [i for i in range(8) if i not in admitted]
+    leaked = [i + 1_000_000 for i in range(8) if i + 1_000_000 in admitted]
+    if missing or leaked:
+        raise AssertionError(f"embedding gate: originals missing "
+                             f"{missing}, twins leaked {leaked}")
+    return out.sort_by("vec_id")
+
+
 def _embedding_neardup(sf_dir: str):
     """The driver's synthetic embeddings contain no true near-dups (max
     pairwise cosine ~0.51), so the query PLANTS deterministic twins of the
@@ -1868,9 +1938,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": _dedup_exact_docs,
         "ingest_gate_exact": _ingest_gate_exact,
         "ingest_gate_minhash": _ingest_gate_minhash,
+        "ingest_gate_embedding": _ingest_gate_embedding,
         "decontaminate_docs": _decontaminate_docs,
         "minhash_pairs_docs": _minhash_pairs_docs,
-        "minhash_dedup_docs": _minhash_dedup_docs,
         "ngram_jaccard_pairs_docs": _ngram_pairs_docs,
         "embedding_neardup": _embedding_neardup,
         # -- similarity search / embeddings --
@@ -1889,6 +1959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "whiten_embeddings": _whiten_embeddings,
         "events_rank_per_user": _events_rank_per_user,
         "events_prev_value": _events_prev_value,
+        "minhash_dedup_docs": _minhash_dedup_docs,
         "customers_without_orders": _customers_without_orders,
         "enrich_events_customers": _enrich_events_customers,
         "value_percentiles_events": _value_percentiles_events,

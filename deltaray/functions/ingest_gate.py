@@ -440,26 +440,16 @@ class MinHashIngestGate:
 
     # --------------------------------------------------------------- admit
     def admit(self, ds, epoch: int, *, stats_out: dict | None = None):
-        import ray
-
-        hasher, bands = self.hasher, self.bands
-        num_hashes, threshold = self.num_hashes, self.threshold
-        text_col, id_col, P = self.text_col, self.id_col, self.P
-        bands_dir, sigs_dir = self.bands_dir, self.sigs_dir
+        hasher = self.hasher
+        num_hashes, bands = self.num_hashes, self.bands
+        text_col, id_col = self.text_col, self.id_col
         band_hashes = self._band_hashes
-        max_bucket = self.max_bucket
-        compact_thr, rg_size = self.compact_threshold, self.run_row_group_size
 
         def sig_map(batch: pa.Table) -> pa.Table:
             sigs = hasher.signatures_from_arrow(batch[text_col])
             ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             return pa.table({id_col: pa.array(ids), "sig": _sig_binary(sigs)})
 
-        # signatures cross the object store once; consumed by the band
-        # stage, both attach stages, and the final persist
-        sig_ds = ds.map_batches(sig_map, batch_format="pyarrow").materialize()
-
-        # -- stage 2: band rows → bucket partitions → candidates
         def band_rows(block: pa.Table) -> pa.Table:
             sigs = _sig_matrix(block["sig"], num_hashes)
             n = len(block)
@@ -472,237 +462,395 @@ class MinHashIngestGate:
                 id_col: pa.array(np.tile(ids, bands)),
             })
 
-        rows = sig_ds.map_batches(band_rows, batch_format="pyarrow")
-
-        def cand_block(block: pa.Table) -> pa.Table:
-            empty = pa.table({"new_id": pa.array([], pa.int64()),
-                              "other_id": pa.array([], pa.int64()),
-                              "other_is_old": pa.array([], pa.bool_())})
-            if block.num_rows == 0:
-                return empty
-            part = _part_of(block, ["band", "band_hash"], P)
-            outs = []
-            old = _read_index(bands_dir, part, epoch,
-                              ["band", "band_hash", "doc_id"],
-                              probe_col="band_hash",
-                              probe=block["band_hash"].to_numpy())
-            if old is not None:
-                hit = block.join(old, keys=["band", "band_hash"],
-                                 join_type="inner",
-                                 right_suffix="_old")
-                old_col = ("doc_id_old" if "doc_id_old" in hit.column_names
-                           else "doc_id")
-                if hit.num_rows:
-                    outs.append(pa.table({
-                        "new_id": hit[id_col].cast(pa.int64()),
-                        "other_id": hit[old_col].cast(pa.int64()),
-                        "other_is_old": pa.array(
-                            np.ones(hit.num_rows, dtype=bool)),
-                    }))
-            # new-vs-new within buckets
-            g = block.sort_by([("band", "ascending"),
-                               ("band_hash", "ascending"),
-                               (id_col, "ascending")])
-            codes = group_codes(g, ["band", "band_hash"])
-            ids = g[id_col].to_numpy(zero_copy_only=False)
-            first = np.unique(codes, return_index=True)[1]
-            ends = np.append(first[1:], len(codes))
-            sizes = ends - first
-            pa_, pb_ = [], []
-            for s, e in zip(first[sizes > 1], ends[sizes > 1]):
-                if e - s > max_bucket:
-                    # degenerate bucket: star on the min id (ids are
-                    # sorted within the bucket), O(m) not O(m²)
-                    pa_.append(np.full(e - s - 1, ids[s]))
-                    pb_.append(ids[s + 1:e])
-                    continue
-                ia, ib = np.triu_indices(e - s, k=1)
-                pa_.append(ids[s + ia])
-                pb_.append(ids[s + ib])
-            if pa_:
-                a = np.concatenate(pa_).astype(np.int64)
-                b = np.concatenate(pb_).astype(np.int64)
-                outs.append(pa.table({
-                    "new_id": pa.array(a), "other_id": pa.array(b),
-                    "other_is_old": pa.array(np.zeros(len(a), dtype=bool)),
-                }))
-            if not outs:
-                return empty
-            return pa.concat_tables(outs)
-
-        cand = hash_partitioned(rows, ["band", "band_hash"], cand_block,
-                                num_partitions=P)
-
-        # -- stage 3: attach signatures.  Epoch sig rows ride the same
-        # exchange as the pairs (union + marker column), old sigs are a
-        # pruned read of the partition's index files.
-        sig_t = pa.binary(8 * num_hashes)
-
-        def _pairs_with(batch: pa.Table, key: str) -> pa.Table:
-            n = batch.num_rows
-            return pa.table({
-                "__key": batch[key].cast(pa.int64()),
-                "new_id": batch["new_id"],
-                "other_id": batch["other_id"],
-                "other_is_old": batch["other_is_old"],
-                "sig_other": (batch["sig_other"] if "sig_other" in
-                              batch.column_names else pa.nulls(n, sig_t)),
-                "sig": pa.nulls(n, sig_t),
-                "__is_sig": pa.array(np.zeros(n, dtype=bool)),
-            })
-
-        def _sigs_as_rows(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            return pa.table({
-                "__key": batch[id_col].cast(pa.int64()),
-                "new_id": pa.nulls(n, pa.int64()),
-                "other_id": pa.nulls(n, pa.int64()),
-                "other_is_old": pa.nulls(n, pa.bool_()),
-                "sig_other": pa.nulls(n, sig_t),
-                "sig": batch["sig"].cast(sig_t),
-                "__is_sig": pa.array(np.ones(n, dtype=bool)),
-            })
-
-        def _lookup(pairs_t: pa.Table, sig_rows: pa.Table, part: int,
-                    with_old: bool) -> pa.Array:
-            """sig of pairs_t['__key'] from epoch sig rows (+ old index)."""
-            tables = [pa.table({"id": sig_rows["__key"],
-                                "s": sig_rows["sig"]})]
-            if with_old:
-                t = _read_index(
-                    sigs_dir, part, epoch, ["doc_id", "sig"],
-                    probe_col="doc_id",
-                    probe=pairs_t["__key"].to_numpy())
-                if t is not None:
-                    tables.append(pa.table({"id": t["doc_id"],
-                                            "s": t["sig"].cast(sig_t)}))
-            lut = pa.concat_tables(tables)
-            idx = pc.index_in(pairs_t["__key"], value_set=lut["id"].combine_chunks())
-            return lut["s"].combine_chunks().take(idx)
-
-        def attach_other(block: pa.Table) -> pa.Table:
-            is_sig = pc.fill_null(block["__is_sig"], False)
-            sig_rows = block.filter(is_sig)
-            pairs_t = block.filter(pc.invert(is_sig))
-            if pairs_t.num_rows == 0:
-                return _pairs_with(
-                    pa.table({"new_id": pa.array([], pa.int64()),
-                              "other_id": pa.array([], pa.int64()),
-                              "other_is_old": pa.array([], pa.bool_()),
-                              "sig_other": pa.array([], sig_t)}),
-                    "new_id")
-            part = _part_of(block, ["__key"], P)
-            # multi-band copies of one (new, other) pair collapse here
-            pairs_t = take_first_per_key(pairs_t, ["new_id", "other_id"])
-            sig_other = _lookup(pairs_t, sig_rows, part, with_old=True)
-            pairs_t = pairs_t.drop_columns(["sig_other"]).append_column(
-                "sig_other", sig_other)
-            return _pairs_with(pairs_t, "new_id")
-
-        def verify_block(block: pa.Table) -> pa.Table:
-            is_sig = pc.fill_null(block["__is_sig"], False)
-            sig_rows = block.filter(is_sig)
-            pairs_t = block.filter(pc.invert(is_sig))
-            empty = pa.table({"new_id": pa.array([], pa.int64()),
-                              "other_id": pa.array([], pa.int64()),
-                              "other_is_old": pa.array([], pa.bool_()),
-                              "jaccard_est": pa.array([], pa.float64())})
-            if pairs_t.num_rows == 0:
-                return empty
-            part = _part_of(block, ["__key"], P)
-            # (new_id, other_id) was already deduped in attach_other;
-            # the re-key by new_id cannot reintroduce duplicates
-            sig_new = _lookup(pairs_t, sig_rows, part, with_old=False)
+        def estimate(sig_new, sig_other) -> np.ndarray:
             A = _sig_matrix(sig_new, num_hashes)
-            B = _sig_matrix(pairs_t["sig_other"].combine_chunks(), num_hashes)
-            est = (A == B).mean(axis=1)
-            keep = est >= threshold
-            sel = pa.array(keep)
+            B = _sig_matrix(sig_other, num_hashes)
+            return (A == B).mean(axis=1)
+
+        return _neardup_admit(
+            self, ds, epoch, sig_map=sig_map, band_rows_fn=band_rows,
+            estimate_fn=estimate, sig_type=pa.binary(8 * num_hashes),
+            stats_out=stats_out)
+
+
+def _neardup_admit(gate, ds, epoch: int, *, sig_map, band_rows_fn,
+                   estimate_fn, sig_type, stats_out: dict | None = None):
+    """The shared near-duplicate gate exchange (stages 2-5 of the
+    MinHash gate's docstring), parametrized by the signature kernel:
+    ``sig_map(batch) -> (id, sig)``, ``band_rows_fn(sig_block) ->
+    (band, band_hash, id)`` bucket rows, and ``estimate_fn(sig_new,
+    sig_other) -> similarity`` thresholded against ``gate.threshold``.
+    MinHashIngestGate and EmbeddingIngestGate differ ONLY in those
+    three kernels and their index metadata."""
+    import ray
+
+    id_col, P = gate.id_col, gate.P
+    bands_dir, sigs_dir = gate.bands_dir, gate.sigs_dir
+    threshold, max_bucket = gate.threshold, gate.max_bucket
+    compact_thr, rg_size = gate.compact_threshold, gate.run_row_group_size
+    band_rows = band_rows_fn
+    sig_t = sig_type
+
+    # signatures cross the object store once; consumed by the band
+    # stage, both attach stages, and the final persist
+    sig_ds = ds.map_batches(sig_map, batch_format="pyarrow").materialize()
+
+    # -- stage 2: band rows → bucket partitions → candidates
+    rows = sig_ds.map_batches(band_rows, batch_format="pyarrow")
+
+    def cand_block(block: pa.Table) -> pa.Table:
+        empty = pa.table({"new_id": pa.array([], pa.int64()),
+                          "other_id": pa.array([], pa.int64()),
+                          "other_is_old": pa.array([], pa.bool_())})
+        if block.num_rows == 0:
+            return empty
+        part = _part_of(block, ["band", "band_hash"], P)
+        outs = []
+        old = _read_index(bands_dir, part, epoch,
+                          ["band", "band_hash", "doc_id"],
+                          probe_col="band_hash",
+                          probe=block["band_hash"].to_numpy())
+        if old is not None:
+            hit = block.join(old, keys=["band", "band_hash"],
+                             join_type="inner",
+                             right_suffix="_old")
+            old_col = ("doc_id_old" if "doc_id_old" in hit.column_names
+                       else "doc_id")
+            if hit.num_rows:
+                outs.append(pa.table({
+                    "new_id": hit[id_col].cast(pa.int64()),
+                    "other_id": hit[old_col].cast(pa.int64()),
+                    "other_is_old": pa.array(
+                        np.ones(hit.num_rows, dtype=bool)),
+                }))
+        # new-vs-new within buckets
+        g = block.sort_by([("band", "ascending"),
+                           ("band_hash", "ascending"),
+                           (id_col, "ascending")])
+        codes = group_codes(g, ["band", "band_hash"])
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        first = np.unique(codes, return_index=True)[1]
+        ends = np.append(first[1:], len(codes))
+        sizes = ends - first
+        pa_, pb_ = [], []
+        for s, e in zip(first[sizes > 1], ends[sizes > 1]):
+            if e - s > max_bucket:
+                # degenerate bucket: star on the min id (ids are
+                # sorted within the bucket), O(m) not O(m²)
+                pa_.append(np.full(e - s - 1, ids[s]))
+                pb_.append(ids[s + 1:e])
+                continue
+            ia, ib = np.triu_indices(e - s, k=1)
+            pa_.append(ids[s + ia])
+            pb_.append(ids[s + ib])
+        if pa_:
+            a = np.concatenate(pa_).astype(np.int64)
+            b = np.concatenate(pb_).astype(np.int64)
+            outs.append(pa.table({
+                "new_id": pa.array(a), "other_id": pa.array(b),
+                "other_is_old": pa.array(np.zeros(len(a), dtype=bool)),
+            }))
+        if not outs:
+            return empty
+        return pa.concat_tables(outs)
+
+    cand = hash_partitioned(rows, ["band", "band_hash"], cand_block,
+                            num_partitions=P)
+
+    # -- stage 3: attach signatures.  Epoch sig rows ride the same
+    # exchange as the pairs (union + marker column), old sigs are a
+    # pruned read of the partition's index files (sig_t: the gate's
+    # fixed-width signature type).
+
+    def _pairs_with(batch: pa.Table, key: str) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "__key": batch[key].cast(pa.int64()),
+            "new_id": batch["new_id"],
+            "other_id": batch["other_id"],
+            "other_is_old": batch["other_is_old"],
+            "sig_other": (batch["sig_other"] if "sig_other" in
+                          batch.column_names else pa.nulls(n, sig_t)),
+            "sig": pa.nulls(n, sig_t),
+            "__is_sig": pa.array(np.zeros(n, dtype=bool)),
+        })
+
+    def _sigs_as_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "__key": batch[id_col].cast(pa.int64()),
+            "new_id": pa.nulls(n, pa.int64()),
+            "other_id": pa.nulls(n, pa.int64()),
+            "other_is_old": pa.nulls(n, pa.bool_()),
+            "sig_other": pa.nulls(n, sig_t),
+            "sig": batch["sig"].cast(sig_t),
+            "__is_sig": pa.array(np.ones(n, dtype=bool)),
+        })
+
+    def _lookup(pairs_t: pa.Table, sig_rows: pa.Table, part: int,
+                with_old: bool) -> pa.Array:
+        """sig of pairs_t['__key'] from epoch sig rows (+ old index)."""
+        tables = [pa.table({"id": sig_rows["__key"],
+                            "s": sig_rows["sig"]})]
+        if with_old:
+            t = _read_index(
+                sigs_dir, part, epoch, ["doc_id", "sig"],
+                probe_col="doc_id",
+                probe=pairs_t["__key"].to_numpy())
+            if t is not None:
+                tables.append(pa.table({"id": t["doc_id"],
+                                        "s": t["sig"].cast(sig_t)}))
+        lut = pa.concat_tables(tables)
+        idx = pc.index_in(pairs_t["__key"], value_set=lut["id"].combine_chunks())
+        return lut["s"].combine_chunks().take(idx)
+
+    def attach_other(block: pa.Table) -> pa.Table:
+        is_sig = pc.fill_null(block["__is_sig"], False)
+        sig_rows = block.filter(is_sig)
+        pairs_t = block.filter(pc.invert(is_sig))
+        if pairs_t.num_rows == 0:
+            return _pairs_with(
+                pa.table({"new_id": pa.array([], pa.int64()),
+                          "other_id": pa.array([], pa.int64()),
+                          "other_is_old": pa.array([], pa.bool_()),
+                          "sig_other": pa.array([], sig_t)}),
+                "new_id")
+        part = _part_of(block, ["__key"], P)
+        # multi-band copies of one (new, other) pair collapse here
+        pairs_t = take_first_per_key(pairs_t, ["new_id", "other_id"])
+        sig_other = _lookup(pairs_t, sig_rows, part, with_old=True)
+        pairs_t = pairs_t.drop_columns(["sig_other"]).append_column(
+            "sig_other", sig_other)
+        return _pairs_with(pairs_t, "new_id")
+
+    def verify_block(block: pa.Table) -> pa.Table:
+        is_sig = pc.fill_null(block["__is_sig"], False)
+        sig_rows = block.filter(is_sig)
+        pairs_t = block.filter(pc.invert(is_sig))
+        empty = pa.table({"new_id": pa.array([], pa.int64()),
+                          "other_id": pa.array([], pa.int64()),
+                          "other_is_old": pa.array([], pa.bool_()),
+                          "sim_est": pa.array([], pa.float64())})
+        if pairs_t.num_rows == 0:
+            return empty
+        part = _part_of(block, ["__key"], P)
+        # (new_id, other_id) was already deduped in attach_other;
+        # the re-key by new_id cannot reintroduce duplicates
+        sig_new = _lookup(pairs_t, sig_rows, part, with_old=False)
+        est = estimate_fn(sig_new, pairs_t["sig_other"].combine_chunks())
+        keep = est >= threshold
+        sel = pa.array(keep)
+        return pa.table({
+            "new_id": pairs_t["new_id"].combine_chunks().filter(sel),
+            "other_id": pairs_t["other_id"].combine_chunks().filter(sel),
+            "other_is_old": pairs_t["other_is_old"].combine_chunks().filter(sel),
+            "sim_est": pa.array(est[keep].astype(np.float64)),
+        })
+
+    leg1 = cand.map_batches(
+        lambda b: _pairs_with(b, "other_id"), batch_format="pyarrow") \
+        .union(sig_ds.map_batches(_sigs_as_rows, batch_format="pyarrow"))
+    with_other = hash_partitioned(leg1, ["__key"], attach_other,
+                                  num_partitions=P)
+    leg2 = with_other.map_batches(
+        lambda b: _pairs_with(b, "new_id"), batch_format="pyarrow") \
+        .union(sig_ds.map_batches(_sigs_as_rows, batch_format="pyarrow"))
+    matches = hash_partitioned(leg2, ["__key"], verify_block,
+                               num_partitions=P)
+
+    # -- stage 4: O(epoch)-bounded reject logic on the driver
+    rejected: set = set()
+    epoch_edges = []
+    for t in matches.iter_batches(batch_format="pyarrow"):
+        for nid, oid, old in zip(t["new_id"].to_pylist(),
+                                 t["other_id"].to_pylist(),
+                                 t["other_is_old"].to_pylist()):
+            if old:
+                rejected.add(nid)
+            else:
+                epoch_edges.append((nid, oid))
+    live_edges = [(a, b) for a, b in epoch_edges
+                  if a not in rejected and b not in rejected]
+    drop_epoch = _union_find_drops(iter(live_edges))
+    all_drop = rejected | drop_epoch
+    if stats_out is not None:
+        stats_out.update(rejected_vs_index=len(rejected),
+                         rejected_within_epoch=len(drop_epoch))
+
+    drop_ref = ray.put(pa.array(sorted(all_drop), pa.int64()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        if len(d) == 0:
+            return batch
+        return batch.filter(pc.invert(pc.is_in(
+            batch[id_col].cast(pa.int64()), value_set=d)))
+
+    admitted = ds.map_batches(keep, batch_format="pyarrow")
+    # consumed by BOTH persist exchanges — filter once, not twice
+    admitted_sigs = sig_ds.map_batches(
+        keep, batch_format="pyarrow").materialize()
+
+    # -- stage 5: persist admitted band rows + signatures write-once
+    def persist_bands(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "rows": pa.array([], pa.int64())})
+        part = _part_of(block, ["band", "band_hash"], P)
+        _persist_partition(bands_dir, part, epoch, pa.table({
+            "band": block["band"], "band_hash": block["band_hash"],
+            "doc_id": block[id_col].cast(pa.int64())}))
+        _maybe_compact(bands_dir, part, epoch,
+                       sort_cols=["band_hash", "band"],
+                       threshold=compact_thr, row_group_size=rg_size)
+        return pa.table({"part": pa.array([part], pa.int32()),
+                         "rows": pa.array([block.num_rows], pa.int64())})
+
+    def persist_sigs(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "rows": pa.array([], pa.int64())})
+        part = _part_of(block, [id_col], P)
+        _persist_partition(sigs_dir, part, epoch, pa.table({
+            "doc_id": block[id_col].cast(pa.int64()),
+            "sig": block["sig"].cast(sig_t)}))
+        _maybe_compact(sigs_dir, part, epoch, sort_cols=["doc_id"],
+                       threshold=compact_thr, row_group_size=rg_size)
+        return pa.table({"part": pa.array([part], pa.int32()),
+                         "rows": pa.array([block.num_rows], pa.int64())})
+
+    band_admit = admitted_sigs.map_batches(band_rows,
+                                           batch_format="pyarrow")
+    n_band = hash_partitioned(band_admit, ["band", "band_hash"],
+                              persist_bands, num_partitions=P).count()
+    n_sig = hash_partitioned(admitted_sigs, [id_col], persist_sigs,
+                             num_partitions=P).count()
+    if stats_out is not None:
+        stats_out.update(band_parts=n_band, sig_parts=n_sig)
+    return admitted
+
+
+def _f32_binary(mat: np.ndarray) -> pa.Array:
+    """(n, dim) float32 → fixed_size_binary(4*dim) column, one buffer
+    copy (the embedding analog of dedup._sig_binary)."""
+    n, dim = mat.shape
+    return pa.Array.from_buffers(
+        pa.binary(4 * dim), n,
+        [None, pa.py_buffer(np.ascontiguousarray(
+            mat, dtype=np.float32).tobytes())])
+
+
+def _f32_matrix(arr, dim: int) -> np.ndarray:
+    """Zero-copy fixed_size_binary(4*dim) column → (n, dim) float32
+    matrix (honors array offset after take/slice)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, dim), dtype=np.float32)
+    buf = np.frombuffer(arr.buffers()[1], dtype=np.float32)
+    start = arr.offset * dim
+    return buf[start:start + n * dim].reshape(n, dim)
+
+
+class EmbeddingIngestGate:
+    """Persisted embedding near-duplicate gate — the third member of the
+    gate family (exact fp / MinHash text / embedding cosine), sharing
+    the entire exchange with :class:`MinHashIngestGate` via
+    :func:`_neardup_admit`; only the signature kernels differ.
+
+    Buckets are random-hyperplane LSH tables (Charikar 2002 cosine LSH,
+    public): per table, the sign pattern of ``n_planes`` projections of
+    the L2-normalized vector packs into one int64 bucket hash —
+    ``band_rows`` = (table, bucket, id), hash-partitioned like MinHash
+    band rows.  Candidates verify by EXACT cosine (dot product of the
+    stored normalized vectors), so admitted/rejected decisions are
+    exact given a bucket collision; recall is the standard LSH recall
+    of (n_tables, n_planes) — a near-dup pair is missed only if it
+    disagrees on ≥1 plane of EVERY table (probability
+    ``(1 - (1-θ/π)^n_planes)^n_tables`` for angle θ).
+
+    Index state per admitted vector: ``n_tables`` bucket rows plus one
+    normalized-vector row (doc_id, sig: fixed 4·dim-byte float32) —
+    both compacting, zone-map-pruned like every gate index.
+    """
+
+    def __init__(self, index_root: str, *, dim: int, n_tables: int = 8,
+                 n_planes: int = 12, cosine_threshold: float = 0.95,
+                 seed: int = 42, emb_col: str = "embedding",
+                 id_col: str = "vec_id", num_partitions: int = 32,
+                 max_bucket: int = 512, compact_threshold: int = 8,
+                 run_row_group_size: int = 32768):
+        self.dim = int(dim)
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal(
+            (n_tables, n_planes, dim)).astype(np.float32)
+        self.n_tables = int(n_tables)
+        self.n_planes = int(n_planes)
+        self.threshold = float(cosine_threshold)
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.P = num_partitions
+        self.max_bucket = max_bucket
+        self.compact_threshold = compact_threshold
+        self.run_row_group_size = run_row_group_size
+        self.bands_dir = os.path.join(index_root, "bands")
+        self.sigs_dir = os.path.join(index_root, "sigs")
+        _pin_meta(index_root, {
+            "kind": "embedding", "dim": int(dim),
+            "n_tables": int(n_tables), "n_planes": int(n_planes),
+            "cosine_threshold": float(cosine_threshold),
+            "seed": int(seed), "emb_col": emb_col, "id_col": id_col,
+            "num_partitions": int(num_partitions)})
+        os.makedirs(self.bands_dir, exist_ok=True)
+        os.makedirs(self.sigs_dir, exist_ok=True)
+
+    def admit(self, ds, epoch: int, *, stats_out: dict | None = None):
+        from deltaray.functions.knn import vecs_np
+
+        dim, planes = self.dim, self.planes
+        emb_col, id_col = self.emb_col, self.id_col
+        n_tables, n_planes = self.n_tables, self.n_planes
+
+        def sig_map(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if batch.num_rows == 0:
+                return pa.table({id_col: pa.array(ids),
+                                 "sig": pa.array([], pa.binary(4 * dim))})
+            V = vecs_np(batch[emb_col], dtype=np.float32)
+            if V.shape[1] != dim:
+                raise ValueError(f"embedding dim {V.shape[1]} != "
+                                 f"index dim {dim}")
+            nrm = np.linalg.norm(V, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            return pa.table({id_col: pa.array(ids),
+                             "sig": _f32_binary(V / nrm)})
+
+        def band_rows(block: pa.Table) -> pa.Table:
+            V = _f32_matrix(block["sig"], dim)
+            n = len(block)
+            ids = block[id_col].to_numpy(zero_copy_only=False)
+            weights = (np.uint64(1) << np.arange(n_planes,
+                                                 dtype=np.uint64))
+            bh = np.empty((n_tables, n), dtype=np.int64)
+            for t in range(n_tables):
+                bits = (V @ planes[t].T) > 0
+                bh[t] = (bits.astype(np.uint64) @ weights).astype(np.int64)
             return pa.table({
-                "new_id": pairs_t["new_id"].combine_chunks().filter(sel),
-                "other_id": pairs_t["other_id"].combine_chunks().filter(sel),
-                "other_is_old": pairs_t["other_is_old"].combine_chunks().filter(sel),
-                "jaccard_est": pa.array(est[keep].astype(np.float64)),
+                "band": pa.array(np.repeat(
+                    np.arange(n_tables, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.reshape(-1)),
+                id_col: pa.array(np.tile(ids, n_tables)),
             })
 
-        leg1 = cand.map_batches(
-            lambda b: _pairs_with(b, "other_id"), batch_format="pyarrow") \
-            .union(sig_ds.map_batches(_sigs_as_rows, batch_format="pyarrow"))
-        with_other = hash_partitioned(leg1, ["__key"], attach_other,
-                                      num_partitions=P)
-        leg2 = with_other.map_batches(
-            lambda b: _pairs_with(b, "new_id"), batch_format="pyarrow") \
-            .union(sig_ds.map_batches(_sigs_as_rows, batch_format="pyarrow"))
-        matches = hash_partitioned(leg2, ["__key"], verify_block,
-                                   num_partitions=P)
+        def estimate(sig_new, sig_other) -> np.ndarray:
+            A = _f32_matrix(sig_new, dim)
+            B = _f32_matrix(sig_other, dim)
+            # vectors are L2-normalized, so the exact cosine is the dot
+            return np.einsum("ij,ij->i", A, B).astype(np.float64)
 
-        # -- stage 4: O(epoch)-bounded reject logic on the driver
-        rejected: set = set()
-        epoch_edges = []
-        for t in matches.iter_batches(batch_format="pyarrow"):
-            for nid, oid, old in zip(t["new_id"].to_pylist(),
-                                     t["other_id"].to_pylist(),
-                                     t["other_is_old"].to_pylist()):
-                if old:
-                    rejected.add(nid)
-                else:
-                    epoch_edges.append((nid, oid))
-        live_edges = [(a, b) for a, b in epoch_edges
-                      if a not in rejected and b not in rejected]
-        drop_epoch = _union_find_drops(iter(live_edges))
-        all_drop = rejected | drop_epoch
-        if stats_out is not None:
-            stats_out.update(rejected_vs_index=len(rejected),
-                             rejected_within_epoch=len(drop_epoch))
-
-        drop_ref = ray.put(pa.array(sorted(all_drop), pa.int64()))
-
-        def keep(batch: pa.Table) -> pa.Table:
-            d = ray.get(drop_ref)
-            if len(d) == 0:
-                return batch
-            return batch.filter(pc.invert(pc.is_in(
-                batch[id_col].cast(pa.int64()), value_set=d)))
-
-        admitted = ds.map_batches(keep, batch_format="pyarrow")
-        # consumed by BOTH persist exchanges — filter once, not twice
-        admitted_sigs = sig_ds.map_batches(
-            keep, batch_format="pyarrow").materialize()
-
-        # -- stage 5: persist admitted band rows + signatures write-once
-        def persist_bands(block: pa.Table) -> pa.Table:
-            if block.num_rows == 0:
-                return pa.table({"part": pa.array([], pa.int32()),
-                                 "rows": pa.array([], pa.int64())})
-            part = _part_of(block, ["band", "band_hash"], P)
-            _persist_partition(bands_dir, part, epoch, pa.table({
-                "band": block["band"], "band_hash": block["band_hash"],
-                "doc_id": block[id_col].cast(pa.int64())}))
-            _maybe_compact(bands_dir, part, epoch,
-                           sort_cols=["band_hash", "band"],
-                           threshold=compact_thr, row_group_size=rg_size)
-            return pa.table({"part": pa.array([part], pa.int32()),
-                             "rows": pa.array([block.num_rows], pa.int64())})
-
-        def persist_sigs(block: pa.Table) -> pa.Table:
-            if block.num_rows == 0:
-                return pa.table({"part": pa.array([], pa.int32()),
-                                 "rows": pa.array([], pa.int64())})
-            part = _part_of(block, [id_col], P)
-            _persist_partition(sigs_dir, part, epoch, pa.table({
-                "doc_id": block[id_col].cast(pa.int64()),
-                "sig": block["sig"].cast(sig_t)}))
-            _maybe_compact(sigs_dir, part, epoch, sort_cols=["doc_id"],
-                           threshold=compact_thr, row_group_size=rg_size)
-            return pa.table({"part": pa.array([part], pa.int32()),
-                             "rows": pa.array([block.num_rows], pa.int64())})
-
-        band_admit = admitted_sigs.map_batches(band_rows,
-                                               batch_format="pyarrow")
-        n_band = hash_partitioned(band_admit, ["band", "band_hash"],
-                                  persist_bands, num_partitions=P).count()
-        n_sig = hash_partitioned(admitted_sigs, [id_col], persist_sigs,
-                                 num_partitions=P).count()
-        if stats_out is not None:
-            stats_out.update(band_parts=n_band, sig_parts=n_sig)
-        return admitted
+        return _neardup_admit(
+            self, ds, epoch, sig_map=sig_map, band_rows_fn=band_rows,
+            estimate_fn=estimate, sig_type=pa.binary(4 * dim),
+            stats_out=stats_out)

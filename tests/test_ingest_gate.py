@@ -675,3 +675,135 @@ def test_minhash_gate_compaction_matches_oracle(tmp_path):
             live = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
             assert len(live) <= 4, (sub, p, live)
             assert any(f.startswith("run-") for f in live), (sub, p, live)
+
+
+# -------------------------------------------------------- embedding gate
+def _vec_corpus(rng, n, n_groups, dim=32):
+    """Vectors with planted near-dup groups (base + tiny noise, cosine
+    ~0.99); the rest are independent Gaussians (cosine ~0 at dim 32)."""
+    rows = []
+    bases = [rng.standard_normal(dim) for _ in range(n_groups)]
+    gi = 0
+    for i in range(n):
+        if gi < len(bases) and i % 4 == 0:
+            v = bases[gi] + 0.05 * rng.standard_normal(dim)
+            if i % 8 == 4:
+                gi += 1
+        else:
+            v = rng.standard_normal(dim)
+        rows.append((i, (v / np.linalg.norm(v)).astype(np.float32)))
+    return rows
+
+
+def _vec_table(rows):
+    return pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1].tolist() for r in rows],
+                              pa.list_(pa.float32())),
+    })
+
+
+def _emb_oracle(epochs, gate):
+    """Brute-force greedy-temporal gate with the SAME LSH tables and the
+    exact-cosine verify: rejected iff some admitted vector shares a
+    bucket and has cosine >= threshold; within-epoch survivors cluster
+    by union-find and keep the min id."""
+    planes, thr = gate.planes, gate.threshold
+    weights = np.uint64(1) << np.arange(gate.n_planes, dtype=np.uint64)
+
+    def buckets(v):
+        out = set()
+        for t in range(gate.n_tables):
+            bits = ((v @ planes[t].T) > 0).astype(np.uint64)
+            out.add((t, int((bits @ weights).astype(np.int64))))
+        return out
+
+    index = {}
+    admitted_per_epoch = []
+    for rows in epochs:
+        ids = [r[0] for r in rows]
+        vecs = {r[0]: r[1] / np.linalg.norm(r[1]) for r in rows}
+        bks = {d: buckets(vecs[d]) for d in ids}
+        rejected = set()
+        for d in ids:
+            for oid, ov in index.items():
+                if bks[d] & buckets(ov) and float(vecs[d] @ ov) >= thr:
+                    rejected.add(d)
+                    break
+        edges = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                if a in rejected or b in rejected:
+                    continue
+                if bks[a] & bks[b] and float(vecs[a] @ vecs[b]) >= thr:
+                    edges.append((a, b))
+        drop = _union_find_drops(iter(edges))
+        adm = [d for d in ids if d not in rejected and d not in drop]
+        admitted_per_epoch.append(sorted(adm))
+        for d in adm:
+            index[d] = vecs[d]
+    return admitted_per_epoch
+
+
+def test_embedding_gate_matches_bruteforce(tmp_path):
+    from deltaray.functions.ingest_gate import EmbeddingIngestGate
+
+    rng = np.random.default_rng(41)
+    all_rows = _vec_corpus(rng, 48, 4)
+    epochs = [all_rows[:16], all_rows[16:32], all_rows[32:]]
+    gate = EmbeddingIngestGate(str(tmp_path / "idx"), dim=32,
+                               num_partitions=4, cosine_threshold=0.9)
+    expected = _emb_oracle(epochs, gate)
+    n_rejected = sum(len(e) for e in epochs) - sum(len(a) for a in expected)
+    assert n_rejected >= 2  # the corpus really plants cross-epoch dups
+    got = []
+    for e, rows in enumerate(epochs):
+        stats = {}
+        out = gate.admit(rd.from_arrow(_vec_table(rows)), e,
+                         stats_out=stats)
+        got.append(sorted(r["vec_id"] for r in out.take_all()))
+    assert got == expected
+
+
+def test_embedding_gate_replay_and_compaction(tmp_path):
+    from deltaray.functions.ingest_gate import EmbeddingIngestGate
+
+    rng = np.random.default_rng(43)
+    all_rows = _vec_corpus(rng, 60, 5)
+    epochs = [all_rows[i * 10:(i + 1) * 10] for i in range(6)]
+    root = str(tmp_path / "idx")
+    gate = EmbeddingIngestGate(root, dim=32, num_partitions=2,
+                               cosine_threshold=0.9, compact_threshold=2,
+                               run_row_group_size=64)
+    expected = _emb_oracle(epochs, gate)
+    got = []
+    for e, rows in enumerate(epochs[:-1]):
+        got.append(sorted(r["vec_id"] for r in
+                          gate.admit(rd.from_arrow(_vec_table(rows)),
+                                     e).take_all()))
+
+    def index_files():
+        return sorted(os.path.join(d, f) for d, _, fs in os.walk(root)
+                      for f in fs)
+
+    # last epoch: run, snapshot, replay — identical rows, no new files
+    last = sorted(r["vec_id"] for r in gate.admit(
+        rd.from_arrow(_vec_table(epochs[-1])), 5).take_all())
+    snap = index_files()
+    again = sorted(r["vec_id"] for r in gate.admit(
+        rd.from_arrow(_vec_table(epochs[-1])), 5).take_all())
+    assert got + [last] == expected
+    assert again == last
+    assert index_files() == snap
+    # compaction really ran on both indexes
+    for sub in ("bands", "sigs"):
+        for p in range(2):
+            pdir = os.path.join(root, sub, f"part={p:05d}")
+            if os.path.isdir(pdir):
+                live = [f for f in os.listdir(pdir)
+                        if f.endswith(".parquet")]
+                assert len(live) <= 4, (sub, p, live)
+    # meta pin
+    with pytest.raises(ValueError, match="different parameters"):
+        EmbeddingIngestGate(root, dim=32, num_partitions=4)

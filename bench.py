@@ -146,6 +146,11 @@ def bench_queries() -> dict:
         "customers_orders_full",
         "events_rank_per_user",
         "dedup_spans_docs",
+        "incremental_matview_docs",
+        "doc_history_read",
+        "bpe_tokenize_docs",
+        "quality_model_docs",
+        "ingest_gate_embedding",
     ]
     qs = m.queries()
     for name in picks:

@@ -107,8 +107,11 @@ def train_quality_model(ds, *, label_col: str, text_col: str = "text",
     feat_ds = ds.map_batches(feat, batch_format="pyarrow").materialize()
 
     def _reduce_rows(fn):
-        """Run fn per batch (returns one fixed-width row + sort key),
-        sum driver-side in key order (deterministic float assoc)."""
+        """Run fn per batch (returns one fixed-width row + a
+        content-digest sort key), sum driver-side in key order —
+        deterministic float association regardless of block arrival;
+        equal keys imply byte-identical batches, whose partials are
+        interchangeable."""
         rows = []
         for b in feat_ds.map_batches(fn, batch_format="pyarrow") \
                 .iter_batches(batch_format="pyarrow"):
@@ -124,8 +127,11 @@ def train_quality_model(ds, *, label_col: str, text_col: str = "text",
                              "s2": pa.array([], pa.list_(pa.float64()))})
         X = np.column_stack([batch[f].to_numpy()
                              for f in QUALITY_FEATURES])
+        import hashlib
+
+        key = hashlib.sha1(X.tobytes()).hexdigest()
         return pa.table({
-            "key": pa.array([X[0].tobytes().hex() + str(len(X))]),
+            "key": pa.array([key]),
             "n": pa.array([len(X)], pa.int64()),
             "s1": pa.array([X.sum(axis=0).tolist()]),
             "s2": pa.array([(X * X).sum(axis=0).tolist()]),
@@ -154,9 +160,12 @@ def train_quality_model(ds, *, label_col: str, text_col: str = "text",
             Z = (X - mean) / std
             p = 1.0 / (1.0 + np.exp(-(Z @ w_now[1:] + w_now[0])))
             err = p - y
+            import hashlib
+
             g = np.concatenate(([err.sum()], Z.T @ err))
+            key = hashlib.sha1(X.tobytes() + y.tobytes()).hexdigest()
             return pa.table({
-                "key": pa.array([X[0].tobytes().hex() + str(len(X))]),
+                "key": pa.array([key]),
                 "g": pa.array([g.tolist()]),
             })
 

@@ -262,9 +262,11 @@ def _quality_model_docs(sf_dir: str):
     model = train_quality_model(side(True), label_col="label")
     path = "/tmp/deltaray_q_quality_model.parquet"
     pq.write_table(model, path)
+    from deltaray.util import auto_concurrency
+
     held = side(False).map_batches(
         QualityScorer, fn_constructor_kwargs={"model_path": path},
-        concurrency=4, batch_format="pyarrow")
+        concurrency=auto_concurrency(), batch_format="pyarrow")
     out = pa.concat_tables(list(held.iter_batches(batch_format="pyarrow")),
                            promote_options="default")
     keep = np.array(out["quality_keep"].to_pylist())
@@ -294,11 +296,13 @@ def _bpe_tokenize_docs(sf_dir: str):
     model = train_bpe_model(ds, vocab_size=512)
     path = "/tmp/deltaray_q_bpe_model.parquet"
     pq.write_table(model, path)
+    from deltaray.util import auto_concurrency
+
     return ds.map_batches(
         BpeTokenizer,
         fn_constructor_kwargs={"model_path": path,
                                "verify_roundtrip": True},
-        concurrency=4, batch_format="pyarrow") \
+        concurrency=auto_concurrency(), batch_format="pyarrow") \
         .drop_columns(["text", "bpe_tokens"])
 
 
@@ -628,6 +632,42 @@ def _cluster_embeddings(sf_dir: str):
         .groupby("cluster").aggregate(Sum("n_part", alias_name="n_vecs"))
     tbl = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
     return tbl.sort_by("cluster")
+
+
+def _semdedup_docs(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means the embedding corpus, then
+    within each cluster collapse eps-cosine duplicate groups to the
+    member farthest from the centroid.  The driver's synthetic
+    embeddings hold no true semantic dups (max pairwise cosine ~0.51),
+    so the query PLANTS exact twins of vec_id < 8 (vec_id + 1_000_000)
+    and SELF-CHECKS the operator absorbed >= 8 members (raises
+    otherwise).  Rows-only (pytest holds the exact single-process
+    oracle: test_semdedup_vs_bruteforce)."""
+    from deltaray.functions.dedup import semdedup
+
+    def plant_twins(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.less(batch["vec_id"], 8))
+        if sel.num_rows == 0:
+            return batch.select(["vec_id", "embedding"])
+        extra = pa.table({
+            "vec_id": pc.add(sel["vec_id"], 1_000_000).cast(pa.int64()),
+            "embedding": sel["embedding"],
+        })
+        return pa.concat_tables(
+            [batch.select(["vec_id", "embedding"]), extra],
+            promote_options="default")
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(plant_twins, batch_format="pyarrow")
+    kept = pa.concat_tables(list(
+        semdedup(ds, n_clusters=8, eps=0.03, iters=4, seed=3)
+        .iter_batches(batch_format="pyarrow")))
+    absorbed = int(pc.sum(pc.subtract(
+        kept["group_size"], pa.scalar(1, pa.int64()))).as_py() or 0)
+    if absorbed < 8:
+        raise AssertionError(
+            f"semdedup absorbed {absorbed} members; planted 8 exact twins")
+    return kept.sort_by([("cluster", "ascending"), ("vec_id", "ascending")])
 
 
 def _training_data_refresh(sf_dir: str):
@@ -1954,7 +1994,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_orders_full": _customers_orders_full,
         "stratified_sample_counts": _stratified_sample_counts,
         # ---- past the ~50-entry driver window: low-signal entries, all
-        # ---- green in CORRECTNESS_r03 (driver artifact) ----
+        # ---- green in CORRECTNESS_r03 (driver artifact), plus new
+        # ---- rows-only self-checking operators ----
+        "semdedup_docs": _semdedup_docs,
         "cluster_embeddings": _cluster_embeddings,
         "whiten_embeddings": _whiten_embeddings,
         "events_rank_per_user": _events_rank_per_user,

@@ -887,6 +887,120 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
         lambda b: take_first_per_key(b, ["id_a", "id_b"]))
 
 
+def semdedup(ds, *, n_clusters: int = 32, eps: float = 0.05,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             iters: int = 8, seed: int = 42,
+             num_partitions: int | None = None):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication in embedding space.  k-means the corpus (streaming
+    Lloyd — :func:`deltaray.functions.knn.train_centroids_ds`, constant
+    bytes per batch, no shuffle), then within each cluster connect items
+    whose pairwise cosine >= 1 - eps and keep ONE representative per
+    duplicate group: the member with the LOWEST cosine to its centroid
+    (the paper's choice — keeps the edge of the semantic region, drops
+    the redundant interior), compared at 6-dp rounding with min-id
+    tie-break so the keeper is deterministic and batching-independent.
+
+    Scale shape: training broadcasts centroids and reduces fixed-size
+    partials; assignment is map-only; the single wide exchange
+    hash-partitions (cluster, id, centroid-cosine, unit-vector) rows so
+    each cluster's gram matrix lands on one worker.  Per-cluster work is
+    O(w^2) in cluster width w — size ``n_clusters`` ~ corpus/1e4 (the
+    paper runs 50k clusters on web scale) to bound w; duplicate groups
+    are connected components of the within-cluster eps-graph, found by
+    union-find over the gram-matrix edges (edge count, not corpus,
+    bounds the loop).
+
+    Returns kept rows (id, cluster, cent_cos rounded to 6 dp,
+    group_size) — one per duplicate group; group_size counts the
+    members it absorbed (1 = no semantic duplicate).
+    """
+    from deltaray.functions.knn import _unit, train_centroids_ds, vecs_np
+
+    C = train_centroids_ds(ds, n_clusters, iters=iters, vec_col=vec_col,
+                           seed=seed)
+    dim = C.shape[1]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        V = _unit(vecs_np(batch[vec_col], np.float32))
+        sim = V @ C.T
+        a = sim.argmax(axis=1)
+        n = len(a)
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(a.astype(np.int64)),
+            "cent_cos": pa.array(sim[np.arange(n), a].astype(np.float64)),
+            "unit": pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * np.int32(dim)),
+                pa.array(V.ravel())),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    thr = 1.0 - eps
+
+    def cluster_block(block: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], block[id_col].type),
+            "cluster": pa.array([], pa.int64()),
+            "cent_cos": pa.array([], pa.float64()),
+            "group_size": pa.array([], pa.int64()),
+        })
+        if block.num_rows == 0:
+            return empty
+        g = block.sort_by([("cluster", "ascending"), (id_col, "ascending")])
+        codes = group_codes(g, ["cluster"])
+        cents = g["cent_cos"].to_numpy(zero_copy_only=False)
+        # keeper choice compares ROUNDED cosines (id tie-break): identical
+        # vectors hashed into different upstream batches can differ in the
+        # last ulp (BLAS blocking varies with batch shape), and the keeper
+        # must not depend on batching
+        cround = np.round(cents, 6)
+        U = vecs_np(g["unit"], np.float32)
+        first = np.unique(codes, return_index=True)[1]
+        ends = np.append(first[1:], len(codes))
+        keep_idx, sizes = [], []
+        for s, e in zip(first, ends):
+            w = e - s
+            if w == 1:
+                keep_idx.append(s)
+                sizes.append(1)
+                continue
+            sim = U[s:e] @ U[s:e].T
+            ia, ib = np.nonzero(np.triu(sim >= thr, k=1))
+            # union-find over eps-edges; root = member index (local)
+            parent = np.arange(w)
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in zip(ia, ib):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            roots = np.array([find(i) for i in range(w)])
+            for r in np.unique(roots):
+                mem = np.nonzero(roots == r)[0]
+                # keeper: lowest rounded centroid-cosine, ties -> first
+                # (min id, since the block is id-sorted within the cluster)
+                keep_idx.append(s + mem[np.argmin(cround[s + mem])])
+                sizes.append(len(mem))
+        keep_idx = np.asarray(keep_idx)
+        order = np.argsort(keep_idx)
+        keep_idx, sizes = keep_idx[order], np.asarray(sizes)[order]
+        return pa.table({
+            id_col: g[id_col].take(pa.array(keep_idx)),
+            "cluster": g["cluster"].take(pa.array(keep_idx)),
+            "cent_cos": pa.array(np.round(cents[keep_idx], 6)),
+            "group_size": pa.array(sizes.astype(np.int64)),
+        })
+
+    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
+    return hash_partitioned(tagged, ["cluster"], cluster_block, **kwargs)
+
+
 def connected_components(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
                          num_partitions: int = 64, max_rounds: int = 50):
     """Distributed connected components over an edge Dataset via

@@ -336,13 +336,48 @@ def train_centroids_ds(ds, n_centroids: int, *, iters: int = 8,
     would not fit or represent the corpus."""
     import ray
 
-    # init: first batch's vectors (deterministic) seed the centroids
-    first = next(iter(ds.iter_batches(batch_size=max(1024, 4 * n_centroids),
-                                      batch_format="pyarrow")))
-    X0 = _unit(vecs_np(first[vec_col], np.float32))
-    rng = np.random.default_rng(seed)
-    C = X0[rng.choice(len(X0), size=min(n_centroids, len(X0)),
-                      replace=False)]
+    # init: hash-min sample — per block keep the n_centroids rows with
+    # the smallest seed-salted row hash, reduce to the global smallest on
+    # the driver.  Order-INDEPENDENT: "first batch" seeding varied run to
+    # run because streaming execution does not preserve block arrival
+    # order, and a different seed set sends Lloyd to a different optimum.
+    # The hash is uniform over rows, so this is a uniform random sample
+    # keyed only by (vector bytes, seed); duplicate vectors collapse to
+    # one seed candidate (equal hashes) so k-means never starts with two
+    # identical centroids.
+    salt = np.uint64((seed * 0x9E3779B97F4A7C15 + 0xBF58476D1CE4E5B9)
+                     & 0xFFFFFFFFFFFFFFFF)
+
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        V = _unit(vecs_np(batch[vec_col], np.float32))
+        with np.errstate(over="ignore"):
+            W = V.view(np.uint32).astype(np.uint64)
+            mult = np.empty(W.shape[1], dtype=np.uint64)
+            mult[0] = np.uint64(1)
+            for j in range(1, W.shape[1]):
+                mult[j] = mult[j - 1] * np.uint64(31)
+            h = (W * mult).sum(axis=1, dtype=np.uint64)
+            h = (h ^ salt) * np.uint64(0xFF51AFD7ED558CCD)
+        take = np.argsort(h, kind="stable")[:n_centroids]
+        return pa.table({
+            "h": pa.array(h[take]),
+            "v": pa.array([V[i].tobytes() for i in take], pa.binary()),
+        })
+
+    cands = sorted(
+        {(int(h), v)
+         for b in ds.map_batches(seed_partial, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")
+         for h, v in zip(b["h"].to_pylist(), b["v"].to_pylist())})
+    seen, rows = set(), []
+    for h, v in cands:
+        if h in seen:
+            continue
+        seen.add(h)
+        rows.append(np.frombuffer(v, np.float32))
+        if len(rows) >= n_centroids:
+            break
+    C = np.stack(rows)
 
     for _ in range(iters):
         cref = ray.put(C)
@@ -360,13 +395,21 @@ def train_centroids_ds(ds, n_centroids: int, *, iters: int = 8,
                                    pa.binary()),
             })
 
+        # accumulate partials in SORTED byte order: block arrival order is
+        # not deterministic under streaming execution, and float addition
+        # order would otherwise leak ulp noise that Lloyd reassignment
+        # amplifies run-to-run (same fix as the quality trainer's
+        # digest-keyed gradient partials)
+        parts = sorted(
+            (sb, cb)
+            for b in ds.map_batches(partial, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+            for sb, cb in zip(b["sums"].to_pylist(), b["counts"].to_pylist()))
         S = np.zeros_like(C, dtype=np.float64)
         N = np.zeros(len(C), dtype=np.int64)
-        for b in ds.map_batches(partial, batch_format="pyarrow") \
-                .iter_batches(batch_format="pyarrow"):
-            for sb, cb in zip(b["sums"].to_pylist(), b["counts"].to_pylist()):
-                S += np.frombuffer(sb, np.float64).reshape(C.shape)
-                N += np.frombuffer(cb, np.int64)
+        for sb, cb in parts:
+            S += np.frombuffer(sb, np.float64).reshape(C.shape)
+            N += np.frombuffer(cb, np.int64)
         live = N > 0
         C = C.copy()
         C[live] = (S[live] / N[live, None]).astype(np.float32)
@@ -398,16 +441,23 @@ def whiten_embeddings(ds, *, vec_col: str = "embedding",
             "n": pa.array([len(V)], pa.int64()),
         })
 
+    # sorted-byte accumulation: block arrival order varies run-to-run
+    # under streaming execution; fix the float summation order so the
+    # whitening matrix is bit-deterministic (same pattern as the k-means
+    # and quality-trainer partial reduces)
+    parts = sorted(
+        (s, ss, int(n))
+        for b in ds.map_batches(moments, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        for s, ss, n in zip(b["s"].to_pylist(), b["ss"].to_pylist(),
+                            b["n"].to_pylist()))
     S = np.zeros(dim, dtype=np.float64)
     SS = np.zeros((dim, dim), dtype=np.float64)
     N = 0
-    for b in ds.map_batches(moments, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
-        for s, ss, n in zip(b["s"].to_pylist(), b["ss"].to_pylist(),
-                            b["n"].to_pylist()):
-            S += np.frombuffer(s, np.float64)
-            SS += np.frombuffer(ss, np.float64).reshape(dim, dim)
-            N += int(n)
+    for s, ss, n in parts:
+        S += np.frombuffer(s, np.float64)
+        SS += np.frombuffer(ss, np.float64).reshape(dim, dim)
+        N += n
     if N == 0:
         raise ValueError("empty embedding dataset")
     mu = S / N

@@ -437,10 +437,20 @@ def test_assign_clusters_matches_local_lloyd(ray_session):
     ds = ray.data.from_arrow(tbl)
     C = train_centroids_ds(ds, 4, iters=5, seed=7)
 
-    # local replication: same init draw (whole table is the first batch)
+    # local replication: same hash-min seed sample (order-independent
+    # init — the 4 rows with the smallest seed-salted row hashes)
     X = _unit(vecs_np(tbl["embedding"], np.float32))
-    rng2 = np.random.default_rng(7)
-    C2 = X[rng2.choice(len(X), size=4, replace=False)]
+    salt = np.uint64((7 * 0x9E3779B97F4A7C15 + 0xBF58476D1CE4E5B9)
+                     & 0xFFFFFFFFFFFFFFFF)
+    with np.errstate(over="ignore"):
+        W = X.view(np.uint32).astype(np.uint64)
+        mult = np.empty(W.shape[1], dtype=np.uint64)
+        mult[0] = np.uint64(1)
+        for j in range(1, W.shape[1]):
+            mult[j] = mult[j - 1] * np.uint64(31)
+        h = (W * mult).sum(axis=1, dtype=np.uint64)
+        h = (h ^ salt) * np.uint64(0xFF51AFD7ED558CCD)
+    C2 = X[np.argsort(h, kind="stable")[:4]]
     for _ in range(5):
         assign = (X @ C2.T).argmax(axis=1)
         S = np.zeros_like(C2, dtype=np.float64)
@@ -1355,3 +1365,74 @@ def test_stratified_sample_weighted(ray_session):
     for s in out3["source"].to_pylist():
         c3[s] = c3.get(s, 0) + 1
     assert c3 == {"web": 5, "books": 30, "code": 1}
+
+
+def test_semdedup_vs_bruteforce(ray_session):
+    """SemDeDup (k-means + within-cluster eps-graph components, keep the
+    member farthest from its centroid) equals a single-process oracle
+    that runs the same algorithm on the same (deterministic) centroids;
+    planted exact twins collapse to one keeper with group_size 2."""
+    import ray.data
+
+    from deltaray.functions.dedup import semdedup
+    from deltaray.functions.knn import _unit, train_centroids_ds
+    from deltaray.util import to_table
+
+    rng = np.random.default_rng(17)
+    dim, n = 16, 160
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    # plant 12 exact duplicates of vectors 0..11 (cosine 1.0 > any eps)
+    vecs = np.vstack([base, base[:12]])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array([v.tolist() for v in vecs],
+                                          pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    eps, k = 0.05, 6
+
+    out = to_table(semdedup(ds, n_clusters=k, eps=eps, iters=4, seed=3))
+    got = sorted(zip(out["vec_id"].to_pylist(),
+                     out["group_size"].to_pylist()))
+
+    # oracle: same centroids (trainer is deterministic), same rule
+    C = train_centroids_ds(ds, k, iters=4, seed=3)
+    U = _unit(vecs.copy())
+    sim = U @ C.T
+    assign = sim.argmax(axis=1)
+    cent = np.round(sim[np.arange(len(U)), assign], 6)
+    want = []
+    for c in range(k):
+        mem = np.nonzero(assign == c)[0]
+        if len(mem) == 0:
+            continue
+        mem = mem[np.argsort(ids[mem])]
+        G = U[mem] @ U[mem].T
+        parent = list(range(len(mem)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ia, ib = np.nonzero(np.triu(G >= 1 - eps, k=1))
+        for a, b in zip(ia, ib):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(len(mem))])
+        for r in np.unique(roots):
+            grp = np.nonzero(roots == r)[0]
+            keeper = grp[np.argmin(cent[mem[grp]])]
+            want.append((int(ids[mem[keeper]]), len(grp)))
+    assert got == sorted(want)
+
+    # every planted twin pair collapsed: keeper count = corpus minus
+    # absorbed members; the 12 planted twin pairs all merged
+    assert len(out) == len(vecs) - sum(g - 1 for _, g in got)
+    assert sum(g - 1 for _, g in got) >= 12  # at least the planted pairs
+
+    # deterministic across runs
+    out2 = to_table(semdedup(ds, n_clusters=k, eps=eps, iters=4, seed=3))
+    assert got == sorted(zip(out2["vec_id"].to_pylist(),
+                             out2["group_size"].to_pylist()))

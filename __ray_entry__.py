@@ -732,6 +732,47 @@ def _flagship_read(scratch: str):
     return read_table_ds(os.path.join(scratch, "lake"), "docs")
 
 
+def _optimize_pruned_read(sf_dir: str):
+    """OPTIMIZE + zone-map data skipping (Delta Lake ``OPTIMIZE ...
+    ZORDER BY`` + data-skipping-stats analog; the reference's state
+    stores have no file pruning — this is the lake-native extension):
+    bootstrap the documents table into a lake, cluster every partition
+    on ``n_chars`` (one sorted base per partition, small row groups),
+    then serve a predicate read that skips non-matching base files /
+    row groups from the commit-log zone maps + parquet statistics and
+    exact-filters the remainder.  Self-checking: a provably-disjoint
+    predicate must prune EVERY partition from driver-side metadata
+    alone — zero data files opened.  Full SQL oracle (WHERE n_chars
+    >= 300 — ~half the corpus at every sf)."""
+    import ray.data
+
+    from deltaray import ReplayConfig, optimize_table
+    from deltaray.pipeline import bootstrap_table, read_table_ds
+    from deltaray.schemas import TableSchema
+
+    scratch = "/tmp/deltaray_q_optimize"
+    shutil.rmtree(scratch, ignore_errors=True)
+    lake = os.path.join(scratch, "lake")
+    cfg = ReplayConfig(event_log=os.path.join(scratch, "events"),
+                       lake=lake, num_partitions=8)
+    schema = TableSchema("docs", "doc_id",
+                         [("doc_id", "int64"), ("lang", "string"),
+                          ("source", "string"), ("n_chars", "int64")])
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "n_chars"])
+    bootstrap_table(cfg, schema, ds)
+    optimize_table(lake, "docs", "n_chars", row_group_rows=4096)
+    probe: dict = {}
+    empty = read_table_ds(lake, "docs",
+                          predicate=("n_chars", ">", 1 << 40),
+                          io_stats_out=probe)
+    if probe.get("files_read", 0) != 0 or empty.count() != 0:
+        raise AssertionError(f"zone maps failed to prune the disjoint "
+                             f"predicate: {probe}")
+    return read_table_ds(lake, "docs", predicate=("n_chars", ">=", 300))
+
+
 def _cdc_read_changes(sf_dir: str):
     """Incremental CDC-out (`pipeline.read_changes`): replay a PREFIX of
     the change log, snapshot the committed high-water mark, replay the
@@ -1940,6 +1981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_docs": _cdc_replay_docs,
         "time_travel_read": _time_travel_read,
         "cdc_read_changes": _cdc_read_changes,
+        "optimize_pruned_read": _optimize_pruned_read,
         "reshard_migration": _reshard_migration,
         "incremental_refresh_docs": _incremental_refresh_docs,
         "incremental_matview_docs": _incremental_matview_docs,
@@ -1992,10 +2034,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _sessionize_events,
         "orders_customer_join": _orders_customer_join,
         "customers_orders_full": _customers_orders_full,
-        "stratified_sample_counts": _stratified_sample_counts,
         # ---- past the ~50-entry driver window: low-signal entries, all
         # ---- green in CORRECTNESS_r03 (driver artifact), plus new
         # ---- rows-only self-checking operators ----
+        "stratified_sample_counts": _stratified_sample_counts,
         "semdedup_docs": _semdedup_docs,
         "cluster_embeddings": _cluster_embeddings,
         "whiten_embeddings": _whiten_embeddings,
@@ -2025,6 +2067,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     bl = ", ".join(f"'{t}'" for t in BLACKLIST_TYPES)
     return {
+        "optimize_pruned_read": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE n_chars >= 300
+        """,
         "latest_event_per_user": """
             SELECT user_id, ts, event_id, event_type, value FROM events
             QUALIFY row_number() OVER (

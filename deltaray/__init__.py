@@ -29,6 +29,7 @@ from deltaray.pipeline import (
     build_aggregate,
     lineage_report,
     committed_watermark,
+    optimize_table,
     read_changes,
     refresh_aggregate,
     read_history,
@@ -59,6 +60,7 @@ __all__ = [
     "expand_macros",
     "lineage_report",
     "committed_watermark",
+    "optimize_table",
     "build_aggregate",
     "read_changes",
     "read_history",

@@ -73,6 +73,93 @@ def atomic_write_parquet(path: str, tbl: pa.Table,
     os.replace(tmp, path)
 
 
+def column_stats(tbl: pa.Table) -> dict:
+    """Zone map for one data file: {column: [min, max]} over the
+    JSON-representable scalar columns (ints, floats, strings).  Computed
+    once at commit time — one vectorized min_max pass per column, noise
+    next to the parquet write itself — and stored in the commit record,
+    where predicate-pruned reads (``read_table_ds(predicate=...)``)
+    consult it without opening the file.  Columns that are all-null,
+    non-scalar (lists, binary, structs) or non-finite at the extremes
+    are omitted: a missing entry means "cannot prune", never "no rows
+    match".  (Delta Lake / Iceberg data-skipping stats analog.)"""
+    import math
+
+    import pyarrow.compute as pc
+
+    stats: dict = {}
+    for name, col in zip(tbl.column_names, tbl.columns):
+        t = col.type
+        if not (pa.types.is_integer(t) or pa.types.is_floating(t)
+                or pa.types.is_string(t) or pa.types.is_large_string(t)):
+            continue
+        if col.null_count == len(col):
+            continue
+        mm = pc.min_max(col)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None or hi is None:
+            continue
+        if isinstance(lo, float) and not (math.isfinite(lo)
+                                          and math.isfinite(hi)):
+            continue
+        stats[name] = [lo, hi]
+    return stats
+
+
+def stats_disjoint(stats: dict, col: str, lo, hi) -> bool:
+    """True when a file's zone map PROVES no row's ``col`` falls inside
+    the closed interval [lo, hi] (None = unbounded).  A missing column
+    entry returns False — conservatively read the file."""
+    if col not in stats:
+        return False
+    fmin, fmax = stats[col]
+    try:
+        if lo is not None and fmax < lo:
+            return True
+        if hi is not None and fmin > hi:
+            return True
+    except TypeError:  # literal/column type mismatch: never prune
+        return False
+    return False
+
+
+def _base_row_groups(path: str, prune: tuple) -> list[int] | None:
+    """Row groups of a BASE parquet file whose parquet min/max statistics
+    could intersect the closed interval ``[lo, hi]`` on ``col``
+    (``prune = (col, lo, hi)``).  Returns None when nothing can be
+    skipped (no stats, type mismatch, or every group intersects) so the
+    caller takes the plain whole-file read; returns ``[]`` when EVERY
+    group is provably disjoint (the file itself can be dropped).  The
+    same ORDERED-lake-only correctness argument as the file-level skip
+    in :meth:`LakeState.read_partition` applies — a skipped row group of
+    the base holds only rows whose current version either lives in an
+    always-read delta or provably fails the caller's exact filter."""
+    col, lo, hi = prune
+    md = pq.ParquetFile(path).metadata
+    keep, any_skip = [], False
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        skip = False
+        for ci in range(rg.num_columns):
+            cc = rg.column(ci)
+            if cc.path_in_schema != col:
+                continue
+            st = cc.statistics
+            if st is not None and st.has_min_max:
+                try:
+                    if (lo is not None and st.max < lo) \
+                            or (hi is not None and st.min > hi):
+                        skip = True
+                except TypeError:  # literal/physical type mismatch
+                    pass
+            break
+        if skip:
+            any_skip = True
+        else:
+            keep.append(g)
+    return keep if any_skip else None
+
+
 class LakeState:
     """Paths + small-state helpers for one lake generation.
 
@@ -209,6 +296,7 @@ class LakeState:
         counts: dict,
         kind: str = "base",
         state_rows: int | None = None,
+        filename: str | None = None,
     ) -> dict:
         """Write the data file then the write-once commit record.
         ``kind``: "base" = the file holds the partition's full state;
@@ -229,6 +317,8 @@ class LakeState:
             rec["replayed"] = True
             return rec
         dpath = self.data_path(table, part, hi)
+        if filename is not None:
+            dpath = os.path.join(self.part_dir(table, part), filename)
         atomic_write_parquet(dpath, data_tbl)
         rec = {
             "table": table,
@@ -241,6 +331,50 @@ class LakeState:
             "state_rows": int(state_rows if state_rows is not None
                               else data_tbl.num_rows),
             "counts": counts,
+            "stats": column_stats(data_tbl),
+            "replayed": False,
+        }
+        atomic_write_json(cpath, rec)
+        return rec
+
+    def commit_optimize(self, table: str, part: int, tbl: pa.Table,
+                        hi: int, cluster_by: str,
+                        row_group_rows: int = 32768) -> dict:
+        """Write a CLUSTERED full-state base commit at the partition's
+        current high-water mark ``hi`` (the OPTIMIZE/ZORDER write path —
+        see :func:`deltaray.pipeline.optimize_table`).  ``tbl`` must be
+        the partition's complete merged state (internal columns and
+        embedded schema included), already sorted by ``cluster_by``;
+        ``row_group_rows`` bounds parquet row-group size so the sorted
+        file carries fine-grained min/max statistics for row-group
+        pruning.  The commit filename carries an ``opt`` tag so it is
+        distinct from — and sorts AFTER — a chunk commit with the same
+        (lo, hi) range, making it the partition's last base.  Write-once
+        idempotent like :meth:`try_commit`: re-running OPTIMIZE at an
+        unchanged watermark is a no-op."""
+        cpath = os.path.join(self.commit_dir(table, part),
+                             f"commit-{_seq12(hi)}-{_seq12(hi)}opt.json")
+        if os.path.exists(cpath):
+            with open(cpath) as f:
+                rec = json.load(f)
+            rec["replayed"] = True
+            return rec
+        fname = f"data-{_seq12(hi)}-opt.parquet"
+        atomic_write_parquet(os.path.join(self.part_dir(table, part), fname),
+                             tbl, row_group_size=row_group_rows)
+        rec = {
+            "table": table,
+            "part": int(part),
+            "seq_lo": int(hi),
+            "seq_hi": int(hi),
+            "file": fname,
+            "kind": "base",
+            "rows": int(tbl.num_rows),
+            "state_rows": int(tbl.num_rows),
+            "counts": {"inserts": 0, "updates": 0, "deletes": 0,
+                       "bytes_in": 0, "late_events": 0},
+            "stats": column_stats(tbl),
+            "clustered_by": cluster_by,
             "replayed": False,
         }
         atomic_write_json(cpath, rec)
@@ -249,7 +383,9 @@ class LakeState:
     # -------------------------------------------------------------- reads
     def read_partition(self, table: str, part: int, before_seq: int | None = None,
                        columns: list[str] | None = None,
-                       min_seq_hi: int | None = None) -> tuple[pa.Table | None, int]:
+                       min_seq_hi: int | None = None,
+                       prune: tuple | None = None,
+                       io_stats: dict | None = None) -> tuple[pa.Table | None, int]:
         """Current state of a partition, merged-on-read: the last base
         file plus subsequent delta files, unified to the newest embedded
         schema and LWW-reduced per key.  Returns (table_or_None,
@@ -260,7 +396,20 @@ class LakeState:
         ``read_table_ds`` build that set); pruning only applies when
         every live file shares one embedded schema containing all the
         requested names (post-DDL mixed files fall back to full reads,
-        which the rename-chain evolution requires anyway)."""
+        which the rename-chain evolution requires anyway).
+
+        ``prune``: optional ``(col, lo, hi)`` zone-map skip — drop the
+        BASE file when its commit stats prove no row's ``col`` lies in
+        [lo, hi].  Only the base may be skipped, and only on ORDERED
+        lakes (the caller enforces ordering): delta files are strictly
+        newer, so every key in a skipped base either has its current
+        version in a delta (which is always read and wins LWW) or its
+        current version IS the base row, which the stats prove cannot
+        match — the caller's exact post-merge filter would drop it
+        anyway.  Delta files are NEVER skipped: a skipped delta could
+        lose a key's newest version and resurrect a stale base row.
+        ``io_stats`` (optional dict) accumulates {"files_read",
+        "files_pruned"} for observability/tests."""
         commits = self.list_commits(table, part)
         if before_seq is not None:
             commits = [c for c in commits if c["seq_hi"] < before_seq]
@@ -276,10 +425,33 @@ class LakeState:
             # UN_ORDERED late arrivals could lose the LWW race to a
             # pruned base row, which would surface a stale value.
             live = [c for c in live if c["seq_hi"] > min_seq_hi]
-        if not live:
-            return None, hi
+        if prune is not None and live \
+                and live[0].get("kind", "base") == "base" \
+                and stats_disjoint(live[0].get("stats", {}), *prune):
+            live = live[1:]
+            if io_stats is not None:
+                io_stats["files_pruned"] = io_stats.get("files_pruned", 0) + 1
         paths = [os.path.join(self.part_dir(table, part), c["file"])
                  for c in live]
+        # finer grain than the file-level skip: drop BASE row groups the
+        # parquet stats prove disjoint (effective once optimize_table has
+        # sorted the base on the predicate column)
+        rg_keep = None
+        if prune is not None and live \
+                and live[0].get("kind", "base") == "base":
+            rg_keep = _base_row_groups(paths[0], prune)
+            if rg_keep == []:
+                live, paths, rg_keep = live[1:], paths[1:], None
+                if io_stats is not None:
+                    io_stats["files_pruned"] = \
+                        io_stats.get("files_pruned", 0) + 1
+        if io_stats is not None:
+            io_stats["files_read"] = io_stats.get("files_read", 0) + len(live)
+            if rg_keep is not None:
+                io_stats["row_groups_read"] = \
+                    io_stats.get("row_groups_read", 0) + len(rg_keep)
+        if not live:
+            return None, hi
         use_cols = None
         if columns is not None:
             fschemas = [pq.read_schema(p) for p in paths]
@@ -289,7 +461,13 @@ class LakeState:
                 c in fschemas[0].names for c in columns
             ):
                 use_cols = list(columns)
-        tbls = [pq.read_table(p, columns=use_cols) for p in paths]
+        def _read(i: int, p: str) -> pa.Table:
+            if i == 0 and rg_keep is not None:
+                return pq.ParquetFile(p).read_row_groups(
+                    rg_keep, columns=use_cols)
+            return pq.read_table(p, columns=use_cols)
+
+        tbls = [_read(i, p) for i, p in enumerate(paths)]
         if len(tbls) == 1:
             return tbls[0], hi
         # lazy imports: merge/transforms import this module at load time

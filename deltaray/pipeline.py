@@ -38,7 +38,7 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
-from deltaray.commit import LakeState, atomic_write_json
+from deltaray.commit import LakeState, atomic_write_json, stats_disjoint
 from deltaray.config import ReplayConfig
 from deltaray.merge import evolve_to, make_merge_fn, strip_internal
 from deltaray.schemas import DDL_OPS, TableSchema, apply_ddl
@@ -1521,10 +1521,27 @@ def current_data_files(lake_root: str, table: str, generation: int = 0) -> list[
     return files
 
 
+_PRED_OPS = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal,
+             ">": pc.greater, ">=": pc.greater_equal}
+
+
+def _pred_interval(op: str, lit):
+    """Closed [lo, hi] interval (None = unbounded) a row must intersect
+    to possibly satisfy ``col <op> lit`` — strict ops use the inclusive
+    bound (conservative: never prunes a file that could match)."""
+    if op == "==":
+        return lit, lit
+    if op in ("<", "<="):
+        return None, lit
+    return lit, None  # ">", ">="
+
+
 def read_table_ds(lake_root: str, table: str, generation: int = 0,
                   with_previous: bool = False,
                   columns: list[str] | None = None,
-                  asof_seq: int | None = None):
+                  asof_seq: int | None = None,
+                  predicate: tuple | None = None,
+                  io_stats_out: dict | None = None):
     """Streaming read of a table's current state as a ray.data.Dataset:
     one task per partition performs the merge-on-read (base + delta files
     → LWW reduce) and strips engine columns, so downstream operators see
@@ -1537,7 +1554,18 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
     ``asof_seq``: time travel to a committed snapshot boundary (see
     :func:`read_table`); partition availability is checked against the
     vacuum state up front (driver-side metadata), the data reads stay
-    one streaming task per partition."""
+    one streaming task per partition.
+
+    ``predicate``: ``(col, op, literal)`` with op in ==/</<=/>/>= —
+    rows are exact-filtered after the merge, and on ORDERED lakes the
+    per-file zone maps in the commit log skip BASE files whose
+    [min, max] cannot intersect the predicate (delta files are always
+    read: they may hold a key's newest version — see
+    ``LakeState.read_partition`` for the correctness argument).  After
+    :func:`optimize_table` clusters partitions on the predicate column,
+    this is the Delta-Lake-style data-skipping read: matching files
+    only, no full scan.  ``io_stats_out`` (optional dict) receives
+    {"files_read", "files_pruned"} totals."""
     import ray.data
 
     lake = LakeState(lake_root, generation)
@@ -1593,22 +1621,154 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
                   if gmeta.get("track_previous") and with_previous else []),
             ]))
 
+    pred_col = pred_op = pred_lit = None
+    prune = None
+    if predicate is not None:
+        pred_col, pred_op, pred_lit = predicate
+        if pred_op not in _PRED_OPS:
+            raise ValueError(f"unsupported predicate op {pred_op!r}; "
+                             f"one of {sorted(_PRED_OPS)}")
+        if pred_col not in schema.column_names():
+            raise KeyError(f"predicate column {pred_col!r} not in the read "
+                           "schema (include it in columns=)")
+        p_lo, p_hi = _pred_interval(pred_op, pred_lit)
+        ordered = False
+        meta_path = os.path.join(lake.root, "_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                ordered = json.load(f).get("ordering") == "ORDERED"
+        # zone maps are keyed by column names AT WRITE TIME; a rename
+        # chain could alias an old column's stats onto a new column's
+        # name, so stats-based skipping is disabled entirely on renamed
+        # tables (the exact post-merge filter still applies — results
+        # are unchanged, only the IO savings are forfeited)
+        if not schema.renames:
+            if ordered:
+                # base-file / base-row-group skip needs version == seq
+                prune = (pred_col, p_lo, p_hi)
+            if io_stats_out is not None:
+                for k in ("files_read", "files_pruned", "parts_pruned"):
+                    io_stats_out.setdefault(k, 0)
+            kept = []
+            for p in parts:
+                live = lake.live_commits(table, p, before)
+                if live and all(stats_disjoint(c.get("stats", {}),
+                                               pred_col, p_lo, p_hi)
+                                for c in live):
+                    # ordering-independent whole-partition skip: every
+                    # CURRENT row is a row of SOME live file, and all of
+                    # them provably lie outside [lo, hi] — the exact
+                    # filter would drop everything this partition yields
+                    if io_stats_out is not None:
+                        io_stats_out["parts_pruned"] += 1
+                        io_stats_out["files_pruned"] += len(live)
+                    continue
+                kept.append(p)
+                if io_stats_out is not None:
+                    skip_base = (prune is not None and live
+                                 and live[0].get("kind", "base") == "base"
+                                 and stats_disjoint(live[0].get("stats", {}),
+                                                    pred_col, p_lo, p_hi))
+                    io_stats_out["files_pruned"] += 1 if skip_base else 0
+                    io_stats_out["files_read"] += \
+                        len(live) - (1 if skip_base else 0)
+            parts = kept
+            if not parts:
+                return ray.data.from_arrow(out_schema.empty_table())
+
     def load(batch: pa.Table) -> pa.Table:
         target = TableSchema.from_json(sj)
         out = []
         for p in batch["part"].to_pylist():
             tbl, _ = LakeState(lake_root, generation).read_partition(
-                table, p, before_seq=before, columns=phys)
-            if tbl is not None and tbl.num_rows:
-                out.append(strip_internal(evolve_to(tbl, target),
-                                          with_previous=with_previous)
-                           .select(out_schema.names))
+                table, p, before_seq=before, columns=phys, prune=prune)
+            if tbl is None or not tbl.num_rows:
+                continue
+            t = strip_internal(evolve_to(tbl, target),
+                               with_previous=with_previous) \
+                .select(out_schema.names)
+            if pred_col is not None:
+                # exact filter — the zone maps only ever SKIP IO, never
+                # decide membership (SQL WHERE semantics: nulls drop)
+                t = t.filter(_PRED_OPS[pred_op](t[pred_col], pred_lit))
+            if t.num_rows:
+                out.append(t)
         if not out:
             return out_schema.empty_table()
         return pa.concat_tables(out, promote_options="default")
 
     ds = ray.data.from_arrow(pa.table({"part": pa.array(parts, pa.int64())}))
     return ds.repartition(len(parts))         .map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+def optimize_table(lake_root: str, table: str, cluster_by: str,
+                   generation: int = 0, row_group_rows: int = 32768) -> dict:
+    """Cluster + compact a table's partitions on ``cluster_by`` — the
+    Delta Lake ``OPTIMIZE ... ZORDER BY (col)`` analog (single column).
+    One Ray task per partition: merge-on-read the current state, sort it
+    by ``cluster_by``, write ONE clustered base commit at the partition's
+    watermark (small row groups so parquet min/max statistics are
+    fine-grained), vacuum the superseded files.  Afterwards a
+    ``read_table_ds(..., predicate=(cluster_by, op, lit))`` skips
+    non-matching base files from the commit-log zone maps and
+    non-matching row groups inside the base — matching data only, no
+    full scan.
+
+    Routing-safe: partitions keep their key-hash identity (the merge
+    path is untouched); clustering only reorders rows WITHIN each
+    partition's base file.  Idempotent per watermark: re-running while
+    the lake is quiet is a no-op (write-once ``opt`` commit).  Run it
+    between replay chunks, not concurrently with a merge into the same
+    partition.  Time-travel note: like any compaction, the vacuum step
+    retires pre-OPTIMIZE snapshots (SnapshotExpiredError applies).
+    """
+    import ray.data
+
+    lake = LakeState(lake_root, generation)
+    schema = lake.current_schema(table)
+    if schema is None:
+        raise KeyError(f"unknown table {table!r}")
+    if cluster_by not in schema.column_names():
+        raise KeyError(f"unknown cluster column {cluster_by!r}")
+    parts = _live_parts_asof(lake, table, None)
+    if not parts:
+        return {"table": table, "partitions": 0, "rows": 0,
+                "files_removed": 0, "already_clustered": 0}
+
+    def opt(batch: pa.Table) -> pa.Table:
+        rows = {"part": [], "rows": [], "removed": [], "already": []}
+        for p in batch["part"].to_pylist():
+            lk = LakeState(lake_root, generation)
+            tbl, hi = lk.read_partition(table, p)
+            if tbl is None or not tbl.num_rows:
+                continue
+            if cluster_by in tbl.column_names:
+                tbl = tbl.sort_by([(cluster_by, "ascending")])
+            rec = lk.commit_optimize(table, p, tbl, hi, cluster_by,
+                                     row_group_rows=row_group_rows)
+            removed = lk.vacuum(table, p)
+            rows["part"].append(p)
+            rows["rows"].append(int(tbl.num_rows))
+            rows["removed"].append(len(removed))
+            rows["already"].append(bool(rec.get("replayed")))
+        return pa.table({
+            "part": pa.array(rows["part"], pa.int64()),
+            "rows": pa.array(rows["rows"], pa.int64()),
+            "removed": pa.array(rows["removed"], pa.int64()),
+            "already": pa.array(rows["already"], pa.bool_()),
+        })
+
+    ds = ray.data.from_arrow(pa.table({"part": pa.array(parts, pa.int64())}))
+    res = ds.repartition(len(parts)) \
+        .map_batches(opt, batch_format="pyarrow", batch_size=1) \
+        .take_all()  # O(P) summary rows only
+    return {
+        "table": table,
+        "partitions": len(res),
+        "rows": int(sum(r["rows"] for r in res)),
+        "files_removed": int(sum(r["removed"] for r in res)),
+        "already_clustered": int(sum(1 for r in res if r["already"])),
+    }
 
 
 def committed_watermark(lake_root: str, table: str,

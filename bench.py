@@ -151,6 +151,7 @@ def bench_queries() -> dict:
         "bpe_tokenize_docs",
         "quality_model_docs",
         "ingest_gate_embedding",
+        "optimize_pruned_read",
     ]
     qs = m.queries()
     for name in picks:

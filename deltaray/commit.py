@@ -123,36 +123,48 @@ def stats_disjoint(stats: dict, col: str, lo, hi) -> bool:
     return False
 
 
-def _base_row_groups(path: str, prune: tuple) -> list[int] | None:
+def stats_disjoint_any(stats: dict, conjuncts: list[tuple]) -> bool:
+    """True when a file's zone map proves AT LEAST ONE conjunct of an
+    AND-predicate can never hold — the whole file fails the AND."""
+    return any(stats_disjoint(stats, col, lo, hi)
+               for col, lo, hi in conjuncts)
+
+
+def _base_row_groups(path: str, prune: list[tuple]) -> list[int] | None:
     """Row groups of a BASE parquet file whose parquet min/max statistics
-    could intersect the closed interval ``[lo, hi]`` on ``col``
-    (``prune = (col, lo, hi)``).  Returns None when nothing can be
-    skipped (no stats, type mismatch, or every group intersects) so the
-    caller takes the plain whole-file read; returns ``[]`` when EVERY
-    group is provably disjoint (the file itself can be dropped).  The
-    same ORDERED-lake-only correctness argument as the file-level skip
-    in :meth:`LakeState.read_partition` applies — a skipped row group of
-    the base holds only rows whose current version either lives in an
-    always-read delta or provably fails the caller's exact filter."""
-    col, lo, hi = prune
+    could satisfy EVERY conjunct in ``prune`` (a list of ``(col, lo,
+    hi)`` closed intervals, None = unbounded — AND semantics: a group
+    provably disjoint on ANY conjunct is skipped).  Returns None when
+    nothing can be skipped (no stats, type mismatch, or every group
+    intersects) so the caller takes the plain whole-file read; returns
+    ``[]`` when EVERY group is provably disjoint (the file itself can
+    be dropped).  The same ORDERED-lake-only correctness argument as
+    the file-level skip in :meth:`LakeState.read_partition` applies — a
+    skipped row group of the base holds only rows whose current version
+    either lives in an always-read delta or provably fails the caller's
+    exact filter."""
     md = pq.ParquetFile(path).metadata
     keep, any_skip = [], False
     for g in range(md.num_row_groups):
         rg = md.row_group(g)
-        skip = False
+        by_col = {}
         for ci in range(rg.num_columns):
             cc = rg.column(ci)
-            if cc.path_in_schema != col:
-                continue
             st = cc.statistics
             if st is not None and st.has_min_max:
-                try:
-                    if (lo is not None and st.max < lo) \
-                            or (hi is not None and st.min > hi):
-                        skip = True
-                except TypeError:  # literal/physical type mismatch
-                    pass
-            break
+                by_col[cc.path_in_schema] = st
+        skip = False
+        for col, lo, hi in prune:
+            st = by_col.get(col)
+            if st is None:
+                continue
+            try:
+                if (lo is not None and st.max < lo) \
+                        or (hi is not None and st.min > hi):
+                    skip = True
+                    break
+            except TypeError:  # literal/physical type mismatch
+                pass
         if skip:
             any_skip = True
         else:
@@ -296,7 +308,6 @@ class LakeState:
         counts: dict,
         kind: str = "base",
         state_rows: int | None = None,
-        filename: str | None = None,
     ) -> dict:
         """Write the data file then the write-once commit record.
         ``kind``: "base" = the file holds the partition's full state;
@@ -317,8 +328,6 @@ class LakeState:
             rec["replayed"] = True
             return rec
         dpath = self.data_path(table, part, hi)
-        if filename is not None:
-            dpath = os.path.join(self.part_dir(table, part), filename)
         atomic_write_parquet(dpath, data_tbl)
         rec = {
             "table": table,
@@ -398,9 +407,10 @@ class LakeState:
         requested names (post-DDL mixed files fall back to full reads,
         which the rename-chain evolution requires anyway).
 
-        ``prune``: optional ``(col, lo, hi)`` zone-map skip — drop the
-        BASE file when its commit stats prove no row's ``col`` lies in
-        [lo, hi].  Only the base may be skipped, and only on ORDERED
+        ``prune``: optional list of ``(col, lo, hi)`` AND-conjuncts —
+        zone-map skip: drop the BASE file when its commit stats prove
+        some conjunct can never hold (no row's ``col`` lies in
+        [lo, hi]).  Only the base may be skipped, and only on ORDERED
         lakes (the caller enforces ordering): delta files are strictly
         newer, so every key in a skipped base either has its current
         version in a delta (which is always read and wins LWW) or its
@@ -427,7 +437,7 @@ class LakeState:
             live = [c for c in live if c["seq_hi"] > min_seq_hi]
         if prune is not None and live \
                 and live[0].get("kind", "base") == "base" \
-                and stats_disjoint(live[0].get("stats", {}), *prune):
+                and stats_disjoint_any(live[0].get("stats", {}), prune):
             live = live[1:]
             if io_stats is not None:
                 io_stats["files_pruned"] = io_stats.get("files_pruned", 0) + 1

@@ -38,7 +38,8 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
-from deltaray.commit import LakeState, atomic_write_json, stats_disjoint
+from deltaray.commit import (LakeState, atomic_write_json, stats_disjoint,
+                             stats_disjoint_any)
 from deltaray.config import ReplayConfig
 from deltaray.merge import evolve_to, make_merge_fn, strip_internal
 from deltaray.schemas import DDL_OPS, TableSchema, apply_ddl
@@ -1556,16 +1557,17 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
     vacuum state up front (driver-side metadata), the data reads stay
     one streaming task per partition.
 
-    ``predicate``: ``(col, op, literal)`` with op in ==/</<=/>/>= —
-    rows are exact-filtered after the merge, and on ORDERED lakes the
-    per-file zone maps in the commit log skip BASE files whose
-    [min, max] cannot intersect the predicate (delta files are always
-    read: they may hold a key's newest version — see
+    ``predicate``: one ``(col, op, literal)`` conjunct or a LIST of
+    them (AND semantics), op in ==/</<=/>/>= — rows are exact-filtered
+    after the merge, and on ORDERED lakes the per-file zone maps in the
+    commit log skip BASE files provably failing any conjunct (delta
+    files are always read: they may hold a key's newest version — see
     ``LakeState.read_partition`` for the correctness argument).  After
-    :func:`optimize_table` clusters partitions on the predicate column,
-    this is the Delta-Lake-style data-skipping read: matching files
-    only, no full scan.  ``io_stats_out`` (optional dict) receives
-    {"files_read", "files_pruned"} totals."""
+    :func:`optimize_table` clusters partitions on the predicate
+    column(s), this is the Delta-Lake-style data-skipping read:
+    matching files/row groups only, no full scan.  ``io_stats_out``
+    (optional dict) receives {"files_read", "files_pruned",
+    "parts_pruned"} totals."""
     import ray.data
 
     lake = LakeState(lake_root, generation)
@@ -1621,17 +1623,21 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
                   if gmeta.get("track_previous") and with_previous else []),
             ]))
 
-    pred_col = pred_op = pred_lit = None
+    conjuncts = None   # [(col, op, lit), ...] — AND semantics
+    intervals = None   # [(col, lo, hi), ...] matching conjuncts
     prune = None
     if predicate is not None:
-        pred_col, pred_op, pred_lit = predicate
-        if pred_op not in _PRED_OPS:
-            raise ValueError(f"unsupported predicate op {pred_op!r}; "
-                             f"one of {sorted(_PRED_OPS)}")
-        if pred_col not in schema.column_names():
-            raise KeyError(f"predicate column {pred_col!r} not in the read "
-                           "schema (include it in columns=)")
-        p_lo, p_hi = _pred_interval(pred_op, pred_lit)
+        conjuncts = ([predicate] if isinstance(predicate, tuple)
+                     else list(predicate))
+        for c, op, _lit in conjuncts:
+            if op not in _PRED_OPS:
+                raise ValueError(f"unsupported predicate op {op!r}; "
+                                 f"one of {sorted(_PRED_OPS)}")
+            if c not in schema.column_names():
+                raise KeyError(f"predicate column {c!r} not in the read "
+                               "schema (include it in columns=)")
+        intervals = [(c, *_pred_interval(op, lit))
+                     for c, op, lit in conjuncts]
         ordered = False
         meta_path = os.path.join(lake.root, "_meta.json")
         if os.path.exists(meta_path):
@@ -1645,20 +1651,21 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
         if not schema.renames:
             if ordered:
                 # base-file / base-row-group skip needs version == seq
-                prune = (pred_col, p_lo, p_hi)
+                prune = intervals
             if io_stats_out is not None:
                 for k in ("files_read", "files_pruned", "parts_pruned"):
                     io_stats_out.setdefault(k, 0)
             kept = []
             for p in parts:
                 live = lake.live_commits(table, p, before)
-                if live and all(stats_disjoint(c.get("stats", {}),
-                                               pred_col, p_lo, p_hi)
+                if live and all(stats_disjoint_any(c.get("stats", {}),
+                                                   intervals)
                                 for c in live):
                     # ordering-independent whole-partition skip: every
-                    # CURRENT row is a row of SOME live file, and all of
-                    # them provably lie outside [lo, hi] — the exact
-                    # filter would drop everything this partition yields
+                    # CURRENT row is a row of SOME live file, and each
+                    # live file provably fails SOME conjunct — so every
+                    # current row fails the AND; the exact filter would
+                    # drop everything this partition yields
                     if io_stats_out is not None:
                         io_stats_out["parts_pruned"] += 1
                         io_stats_out["files_pruned"] += len(live)
@@ -1667,8 +1674,8 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
                 if io_stats_out is not None:
                     skip_base = (prune is not None and live
                                  and live[0].get("kind", "base") == "base"
-                                 and stats_disjoint(live[0].get("stats", {}),
-                                                    pred_col, p_lo, p_hi))
+                                 and stats_disjoint_any(
+                                     live[0].get("stats", {}), intervals))
                     io_stats_out["files_pruned"] += 1 if skip_base else 0
                     io_stats_out["files_read"] += \
                         len(live) - (1 if skip_base else 0)
@@ -1687,10 +1694,11 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
             t = strip_internal(evolve_to(tbl, target),
                                with_previous=with_previous) \
                 .select(out_schema.names)
-            if pred_col is not None:
+            if conjuncts is not None:
                 # exact filter — the zone maps only ever SKIP IO, never
                 # decide membership (SQL WHERE semantics: nulls drop)
-                t = t.filter(_PRED_OPS[pred_op](t[pred_col], pred_lit))
+                for c, op, lit in conjuncts:
+                    t = t.filter(_PRED_OPS[op](t[c], lit))
             if t.num_rows:
                 out.append(t)
         if not out:
@@ -1701,15 +1709,46 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
     return ds.repartition(len(parts))         .map_batches(load, batch_format="pyarrow", batch_size=1)
 
 
-def optimize_table(lake_root: str, table: str, cluster_by: str,
+def _zorder_sort(tbl: pa.Table, cols: list[str]) -> pa.Table:
+    """Sort ``tbl`` by the Morton (Z-order) interleave of the columns'
+    empirical ranks — multi-column locality so parquet row-group
+    [min, max] stats stay tight on EVERY cluster column at once (the
+    classic Z-order curve used by Delta Lake's OPTIMIZE ZORDER).
+    Ranks come from ``pc.rank`` (any orderable type, nulls last),
+    quantized to 16 bits, bit-interleaved round-robin; 16 × k vectorized
+    numpy passes, no per-row Python."""
+    import numpy as np
+
+    n = tbl.num_rows
+    if n <= 1:
+        return tbl
+    ranks = []
+    for c in cols:
+        r = pc.rank(tbl[c].combine_chunks(), sort_keys="ascending",
+                    null_placement="at_end", tiebreaker="first") \
+            .to_numpy(zero_copy_only=False).astype(np.uint64) - 1
+        ranks.append(r * 65535 // max(n - 1, 1))
+    k = len(ranks)
+    key = np.zeros(n, np.uint64)
+    for b in range(16):
+        for j, r in enumerate(ranks):
+            key |= ((r >> np.uint64(b)) & np.uint64(1)) \
+                << np.uint64(b * k + j)
+    return tbl.take(pa.array(np.argsort(key, kind="stable")))
+
+
+def optimize_table(lake_root: str, table: str, cluster_by: str | list[str],
                    generation: int = 0, row_group_rows: int = 32768) -> dict:
     """Cluster + compact a table's partitions on ``cluster_by`` — the
-    Delta Lake ``OPTIMIZE ... ZORDER BY (col)`` analog (single column).
+    Delta Lake ``OPTIMIZE ... ZORDER BY (cols)`` analog.  A single
+    column linearly sorts each partition; a LIST of columns sorts by
+    the Morton/Z-order interleave of their ranks, so predicates on ANY
+    of them (and conjunctions across them) prune row groups.
     One Ray task per partition: merge-on-read the current state, sort it
     by ``cluster_by``, write ONE clustered base commit at the partition's
     watermark (small row groups so parquet min/max statistics are
     fine-grained), vacuum the superseded files.  Afterwards a
-    ``read_table_ds(..., predicate=(cluster_by, op, lit))`` skips
+    ``read_table_ds(..., predicate=(cluster_col, op, lit))`` skips
     non-matching base files from the commit-log zone maps and
     non-matching row groups inside the base — matching data only, no
     full scan.
@@ -1728,8 +1767,11 @@ def optimize_table(lake_root: str, table: str, cluster_by: str,
     schema = lake.current_schema(table)
     if schema is None:
         raise KeyError(f"unknown table {table!r}")
-    if cluster_by not in schema.column_names():
-        raise KeyError(f"unknown cluster column {cluster_by!r}")
+    cluster_cols = ([cluster_by] if isinstance(cluster_by, str)
+                    else list(cluster_by))
+    unknown = [c for c in cluster_cols if c not in schema.column_names()]
+    if unknown:
+        raise KeyError(f"unknown cluster column(s) {unknown!r}")
     parts = _live_parts_asof(lake, table, None)
     if not parts:
         return {"table": table, "partitions": 0, "rows": 0,
@@ -1742,8 +1784,11 @@ def optimize_table(lake_root: str, table: str, cluster_by: str,
             tbl, hi = lk.read_partition(table, p)
             if tbl is None or not tbl.num_rows:
                 continue
-            if cluster_by in tbl.column_names:
-                tbl = tbl.sort_by([(cluster_by, "ascending")])
+            present = [c for c in cluster_cols if c in tbl.column_names]
+            if len(present) == 1:
+                tbl = tbl.sort_by([(present[0], "ascending")])
+            elif present:
+                tbl = _zorder_sort(tbl, present)
             rec = lk.commit_optimize(table, p, tbl, hi, cluster_by,
                                      row_group_rows=row_group_rows)
             removed = lk.vacuum(table, p)

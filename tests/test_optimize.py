@@ -103,7 +103,7 @@ def test_row_group_pruning_on_clustered_base(tmp_log, tmp_lake):
         n_rg = pq.ParquetFile(path).metadata.num_row_groups
         assert n_rg > 2, "row_group_rows did not split the base"
         st: dict = {}
-        tbl, _ = lk.read_partition("docs", p, prune=("n_tok", 8, 12),
+        tbl, _ = lk.read_partition("docs", p, prune=[("n_tok", 8, 12)],
                                    io_stats=st)
         if "row_groups_read" in st:
             assert st["row_groups_read"] < n_rg
@@ -168,6 +168,70 @@ def test_unordered_predicate_exact_without_pruning(tmp_log, tmp_lake):
         _pred_equals_filter(tmp_lake, pred)
 
 
+def test_multi_conjunct_predicate(tmp_log, tmp_lake):
+    """AND-conjunct lists: exact equality with the composed filter, and
+    a partition-skipping disjoint conjunct prunes everything even when
+    the other conjunct matches."""
+    import pyarrow as pa
+
+    write_event_log(tmp_log, n_docs=250, n_events=2000, seed=43)
+    replay(ReplayConfig(event_log=tmp_log, lake=tmp_lake,
+                        num_partitions=4, chunk_max_events=600))
+    optimize_table(tmp_lake, "docs", "n_tok", row_group_rows=16)
+    pred = [("n_tok", ">=", 10), ("n_tok", "<", 30), ("source", "==", "web")]
+    got = _collect(read_table_ds(tmp_lake, "docs", predicate=pred))
+    full = _collect(read_table_ds(tmp_lake, "docs"))
+    want = full.filter(pc.and_(
+        pc.and_(pc.greater_equal(full["n_tok"], 10),
+                pc.less(full["n_tok"], 30)),
+        pc.equal(full["source"], "web")))
+    if got is None:
+        assert want.num_rows == 0
+    else:
+        assert got.equals(want)
+    st: dict = {}
+    empty = _collect(read_table_ds(
+        tmp_lake, "docs",
+        predicate=[("source", "==", "web"), ("n_tok", ">", 10_000_000)],
+        io_stats_out=st))
+    assert empty is None and st["files_read"] == 0
+    assert st["parts_pruned"] == 4
+
+
+def test_zorder_multi_column(tmp_log, tmp_lake):
+    """Z-order clustering: state is unchanged, predicates on EITHER
+    cluster column (and their conjunction) stay exact, and row-group
+    pruning fires for both columns."""
+    write_event_log(tmp_log, n_docs=600, n_events=3000, seed=45)
+    replay(ReplayConfig(event_log=tmp_log, lake=tmp_lake,
+                        num_partitions=2, chunk_max_events=1200))
+    before = _collect(read_table_ds(tmp_lake, "docs"))
+    res = optimize_table(tmp_lake, "docs", ["n_tok", "source"],
+                         row_group_rows=16)
+    assert res["partitions"] == 2
+    after = _collect(read_table_ds(tmp_lake, "docs"))
+    assert before.equals(after), "z-order rewrite changed the state"
+    lk = LakeState(tmp_lake)
+    assert lk.live_commits("docs", 0)[0]["clustered_by"] == \
+        ["n_tok", "source"]
+    for pred in [("n_tok", "<=", 10), ("source", "==", "web"),
+                 [("n_tok", ">=", 20), ("source", "==", "code")]]:
+        if isinstance(pred, tuple):
+            _pred_equals_filter(tmp_lake, pred)
+    # row-group pruning fires on each column independently
+    for prune in [[("n_tok", None, 8)], [("source", "web", "web")]]:
+        pruned_any = False
+        for p in range(2):
+            st: dict = {}
+            lk.read_partition("docs", p, prune=prune, io_stats=st)
+            live = lk.live_commits("docs", p)
+            path = os.path.join(lk.part_dir("docs", p), live[0]["file"])
+            n_rg = pq.ParquetFile(path).metadata.num_row_groups
+            if st.get("row_groups_read", n_rg) < n_rg:
+                pruned_any = True
+        assert pruned_any, f"z-order gave no row-group skip for {prune}"
+
+
 def test_zone_map_units(tmp_path):
     """column_stats / stats_disjoint / _base_row_groups unit behavior:
     non-scalar + all-null columns omitted, type mismatches never prune,
@@ -192,7 +256,7 @@ def test_zone_map_units(tmp_path):
     path = str(tmp_path / "rg.parquet")
     pq.write_table(tbl.select(["i", "s"]).sort_by("i"), path,
                    row_group_size=1)
-    assert _base_row_groups(path, ("i", 3, 3)) == [1]
-    assert _base_row_groups(path, ("i", 100, None)) == []
-    assert _base_row_groups(path, ("i", None, None)) is None  # all hit
-    assert _base_row_groups(path, ("missing", 0, 1)) is None
+    assert _base_row_groups(path, [("i", 3, 3)]) == [1]
+    assert _base_row_groups(path, [("i", 100, None)]) == []
+    assert _base_row_groups(path, [("i", None, None)]) is None  # all hit
+    assert _base_row_groups(path, [("missing", 0, 1)]) is None

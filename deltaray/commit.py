@@ -308,12 +308,17 @@ class LakeState:
         counts: dict,
         kind: str = "base",
         state_rows: int | None = None,
+        row_group_rows: int | None = None,
+        clustered_by=None,
     ) -> dict:
         """Write the data file then the write-once commit record.
         ``kind``: "base" = the file holds the partition's full state;
         "delta" = only this chunk's reduced changes (merge-on-read).
         ``state_rows`` records the partition's live state row count
-        (incl. tombstones) after this commit.
+        (incl. tombstones) after this commit.  ``row_group_rows`` /
+        ``clustered_by``: set by cluster-on-write base compactions (the
+        caller sorted ``data_tbl``) — small row groups make the parquet
+        stats prunable and the commit record advertises the layout.
 
         Idempotent: if the commit record already exists the merge was
         already applied (a Ray task retry or a resumed run) — return the
@@ -328,7 +333,7 @@ class LakeState:
             rec["replayed"] = True
             return rec
         dpath = self.data_path(table, part, hi)
-        atomic_write_parquet(dpath, data_tbl)
+        atomic_write_parquet(dpath, data_tbl, row_group_size=row_group_rows)
         rec = {
             "table": table,
             "part": int(part),
@@ -343,6 +348,8 @@ class LakeState:
             "stats": column_stats(data_tbl),
             "replayed": False,
         }
+        if clustered_by is not None:
+            rec["clustered_by"] = clustered_by
         atomic_write_json(cpath, rec)
         return rec
 

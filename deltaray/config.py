@@ -93,6 +93,14 @@ class ReplayConfig:
     # preserved by the chain; DDL chunks drain the window (barrier).
     # 1 = the serial loop; "sort" shuffle mode is always serial.
     pipeline_chunks: int = 2
+    # keep compacting BASE commits clustered on these column(s): every
+    # full-state rewrite sorts on the column (a list Z-orders) and
+    # writes ``cluster_row_group_rows``-row parquet row groups, so
+    # read_table_ds(predicate=...) keeps pruning row groups continuously
+    # — no separate optimize_table passes.  Physical layout only (delta
+    # files and hash routing untouched); safe to change between runs.
+    cluster_by: str | list[str] | None = None
+    cluster_row_group_rows: int = 32768
     vacuum: bool = True            # delete superseded COW files after commit
     generation: int = 0            # run generation; isolates recreated pipelines
                                    # (DeltaWorker.java:140-150)
@@ -134,6 +142,8 @@ class ReplayConfig:
             raise ValueError("sort_key_components must be >= 1")
         if self.compact_every < 1:
             raise ValueError("compact_every must be >= 1")
+        if self.cluster_row_group_rows < 1:
+            raise ValueError("cluster_row_group_rows must be >= 1")
         for bl in [self.ddl_blacklist] + [t.ddl_blacklist for t in self.tables]:
             # CREATE_TABLE can never be blacklisted
             # (QueueingEventEmitter.java:101-104 does remove(CREATE_TABLE))
@@ -213,6 +223,8 @@ def config_to_dict(cfg: ReplayConfig) -> dict:
         "batch_size": cfg.batch_size,
         "merge_fanin": cfg.merge_fanin,
         "pipeline_chunks": cfg.pipeline_chunks,
+        "cluster_by": cfg.cluster_by,
+        "cluster_row_group_rows": cfg.cluster_row_group_rows,
         "vacuum": cfg.vacuum,
         "generation": cfg.generation,
     }
@@ -237,6 +249,7 @@ def config_from_dict(d: dict, runtime_args: dict[str, str] | None = None) -> Rep
         "event_log", "lake", "ordering", "sort_key_components",
         "track_previous", "shuffle", "num_partitions", "chunk_max_events",
         "compact_every", "batch_size", "merge_fanin", "pipeline_chunks",
+        "cluster_by", "cluster_row_group_rows",
         "vacuum", "generation") if k in d}
     return ReplayConfig(
         tables=tables, retry=retry,

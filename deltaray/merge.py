@@ -224,7 +224,8 @@ def _slim_partition_state(lake: LakeState, table: str, part: int,
 
 def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
                   effective_json: dict[str, str], num_partitions: int,
-                  vacuum: bool = True, compact_every: int = 8):
+                  vacuum: bool = True, compact_every: int = 8,
+                  cluster_by=None, cluster_row_group_rows: int = 32768):
     """Build the ``map_groups`` function for one replay chunk.
 
     The returned closure runs once per (table, partition) group on a Ray
@@ -318,9 +319,21 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
                                           schema.keys, stats=ustats)
                 state_rows = mslim.num_rows
             kind = "delta"
-        # partition files are NOT key-sorted: sorting fat token rows per
-        # chunk is pure overhead (read_table orders at presentation time)
+        # partition files are NOT key-sorted (read_table orders at
+        # presentation time) — but with cluster_by set, base rewrites
+        # keep the partition clustered (linear sort or Z-order) with
+        # small row groups, so predicate reads prune continuously
+        # between optimize_table passes; deltas stay unsorted (cheap,
+        # always fully read anyway)
         merged = stamp_schema(merged, schema)
+        rg_rows = None
+        clustered = None
+        if kind == "base" and cluster_by:
+            from deltaray.util import cluster_sort
+
+            merged, present = cluster_sort(merged, cluster_by)
+            if present:
+                rg_rows, clustered = cluster_row_group_rows, cluster_by
         counts = {
             "inserts": int(n_ins),
             "updates": int(n_upd),
@@ -331,7 +344,8 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
             "late_events": int(ustats.get("stale_changes", 0)),
         }
         rec = lake.try_commit(tname, part, chunk_lo, chunk_hi, merged,
-                              counts, kind=kind, state_rows=state_rows)
+                              counts, kind=kind, state_rows=state_rows,
+                              row_group_rows=rg_rows, clustered_by=clustered)
         if vacuum:
             # superseded COW files are unreachable once this commit exists
             lake.vacuum(tname, part)

@@ -451,6 +451,8 @@ class ReplaySession:
             cfg.num_partitions,
             vacuum=cfg.vacuum,
             compact_every=cfg.compact_every,
+            cluster_by=cfg.cluster_by,
+            cluster_row_group_rows=cfg.cluster_row_group_rows,
         )
         n_shards = cfg.num_partitions * max(1, len(self.schemas))
         return files, columns, stage, merge, n_shards
@@ -814,6 +816,8 @@ def bootstrap_table(cfg: ReplayConfig, schema, snapshot_ds,
     n_sk = max(1, cfg.sort_key_components)
     track_prev = bool(cfg.track_previous)
     num_partitions = cfg.num_partitions
+    cluster_by = cfg.cluster_by
+    cluster_rg_rows = cfg.cluster_row_group_rows
     sj = schema.to_json()
     session.lake.write_schema(schema)
 
@@ -858,11 +862,19 @@ def bootstrap_table(cfg: ReplayConfig, schema, snapshot_ds,
 
         data = lww_reduce(block.drop_columns(["__bpart"]), target.keys)
         data = stamp_schema(data, target)
+        rg_rows = clustered = None
+        if cluster_by:
+            from deltaray.util import cluster_sort
+
+            data, present = cluster_sort(data, cluster_by)
+            if present:
+                rg_rows, clustered = cluster_rg_rows, cluster_by
         lake = LakeState(lake_root, generation)
         counts = {"inserts": int(data.num_rows), "updates": 0, "deletes": 0,
                   "bytes_in": int(data.nbytes), "late_events": 0}
         rec = lake.try_commit(table, part, 0, snapshot_seq, data, counts,
-                              kind="base")
+                              kind="base", row_group_rows=rg_rows,
+                              clustered_by=clustered)
         lake.write_lineage(table, part, {
             "partition": part, "state": "SNAPSHOTTING",
             "last_seq": snapshot_seq, "watermark_src_ts": 0,
@@ -1709,34 +1721,6 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
     return ds.repartition(len(parts))         .map_batches(load, batch_format="pyarrow", batch_size=1)
 
 
-def _zorder_sort(tbl: pa.Table, cols: list[str]) -> pa.Table:
-    """Sort ``tbl`` by the Morton (Z-order) interleave of the columns'
-    empirical ranks — multi-column locality so parquet row-group
-    [min, max] stats stay tight on EVERY cluster column at once (the
-    classic Z-order curve used by Delta Lake's OPTIMIZE ZORDER).
-    Ranks come from ``pc.rank`` (any orderable type, nulls last),
-    quantized to 16 bits, bit-interleaved round-robin; 16 × k vectorized
-    numpy passes, no per-row Python."""
-    import numpy as np
-
-    n = tbl.num_rows
-    if n <= 1:
-        return tbl
-    ranks = []
-    for c in cols:
-        r = pc.rank(tbl[c].combine_chunks(), sort_keys="ascending",
-                    null_placement="at_end", tiebreaker="first") \
-            .to_numpy(zero_copy_only=False).astype(np.uint64) - 1
-        ranks.append(r * 65535 // max(n - 1, 1))
-    k = len(ranks)
-    key = np.zeros(n, np.uint64)
-    for b in range(16):
-        for j, r in enumerate(ranks):
-            key |= ((r >> np.uint64(b)) & np.uint64(1)) \
-                << np.uint64(b * k + j)
-    return tbl.take(pa.array(np.argsort(key, kind="stable")))
-
-
 def optimize_table(lake_root: str, table: str, cluster_by: str | list[str],
                    generation: int = 0, row_group_rows: int = 32768) -> dict:
     """Cluster + compact a table's partitions on ``cluster_by`` — the
@@ -1784,11 +1768,8 @@ def optimize_table(lake_root: str, table: str, cluster_by: str | list[str],
             tbl, hi = lk.read_partition(table, p)
             if tbl is None or not tbl.num_rows:
                 continue
-            present = [c for c in cluster_cols if c in tbl.column_names]
-            if len(present) == 1:
-                tbl = tbl.sort_by([(present[0], "ascending")])
-            elif present:
-                tbl = _zorder_sort(tbl, present)
+            from deltaray.util import cluster_sort
+            tbl, _present = cluster_sort(tbl, cluster_cols)
             rec = lk.commit_optimize(table, p, tbl, hi, cluster_by,
                                      row_group_rows=row_group_rows)
             removed = lk.vacuum(table, p)

@@ -3,6 +3,49 @@
 from __future__ import annotations
 
 
+def zorder_sort(tbl, cols: list[str]):
+    """Sort an Arrow table by the Morton (Z-order) interleave of the
+    columns' empirical ranks — multi-column locality so parquet
+    row-group [min, max] stats stay tight on EVERY cluster column at
+    once (the classic Z-order curve used by Delta Lake's OPTIMIZE
+    ZORDER).  Ranks come from ``pc.rank`` (any orderable type, nulls
+    last), quantized to 16 bits, bit-interleaved round-robin; 16 × k
+    vectorized numpy passes, no per-row Python."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    if n <= 1:
+        return tbl
+    ranks = []
+    for c in cols:
+        r = pc.rank(tbl[c].combine_chunks(), sort_keys="ascending",
+                    null_placement="at_end", tiebreaker="first") \
+            .to_numpy(zero_copy_only=False).astype(np.uint64) - 1
+        ranks.append(r * 65535 // max(n - 1, 1))
+    k = len(ranks)
+    key = np.zeros(n, np.uint64)
+    for b in range(16):
+        for j, r in enumerate(ranks):
+            key |= ((r >> np.uint64(b)) & np.uint64(1)) \
+                << np.uint64(b * k + j)
+    return tbl.take(pa.array(np.argsort(key, kind="stable")))
+
+
+def cluster_sort(tbl, cluster_by):
+    """Apply a clustering spec to an Arrow table: a single column sorts
+    linearly, a list Z-orders.  Missing columns are skipped (post-DDL
+    mixed schemas); returns (table, columns_actually_used)."""
+    cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    present = [c for c in cols if c in tbl.column_names]
+    if len(present) == 1:
+        return tbl.sort_by([(present[0], "ascending")]), present
+    if present:
+        return zorder_sort(tbl, present), present
+    return tbl, present
+
+
 def auto_concurrency(lo: int = 1, cap: int | None = None) -> tuple[int, int]:
     """Actor-pool sizing for ``map_batches`` stages: autoscale between
     ``lo`` and the cluster CPU count (queried at call time), so stateful

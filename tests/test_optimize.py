@@ -232,6 +232,49 @@ def test_zorder_multi_column(tmp_log, tmp_lake):
         assert pruned_any, f"z-order gave no row-group skip for {prune}"
 
 
+def test_cluster_on_write(tmp_log, tmp_lake):
+    """ReplayConfig.cluster_by keeps compacting bases sorted during
+    replay: state == oracle, base commits advertise the layout,
+    row-group pruning fires with no optimize_table pass, and predicate
+    reads stay exact over the mixed clustered-base + delta layout."""
+    from deltaray import replay_oracle
+    from deltaray.config import config_from_dict, config_to_dict
+    from deltaray.oracle import tables_equal
+    from deltaray.pipeline import read_table
+
+    write_event_log(tmp_log, n_docs=400, n_events=3000, seed=47,
+                    segment_max_events=600)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2,
+                       chunk_max_events=600, compact_every=3,
+                       cluster_by="n_tok", cluster_row_group_rows=16)
+    # the layout knobs round-trip through draft serialization
+    cfg2 = config_from_dict(config_to_dict(cfg))
+    assert (cfg2.cluster_by, cfg2.cluster_row_group_rows) == ("n_tok", 16)
+    replay(cfg)
+    ok, msg = tables_equal(read_table(tmp_lake, "docs"),
+                           replay_oracle(cfg)["docs"])
+    assert ok, msg
+    lk = LakeState(tmp_lake)
+    pruned_any = False
+    saw_clustered_base = False
+    for p in range(2):
+        live = lk.live_commits("docs", p)
+        if live[0].get("kind", "base") == "base":
+            assert live[0].get("clustered_by") == "n_tok"
+            saw_clustered_base = True
+            path = os.path.join(lk.part_dir("docs", p), live[0]["file"])
+            n_rg = pq.ParquetFile(path).metadata.num_row_groups
+            st: dict = {}
+            lk.read_partition("docs", p, prune=[("n_tok", None, 8)],
+                              io_stats=st)
+            if st.get("row_groups_read", n_rg) < n_rg:
+                pruned_any = True
+    assert saw_clustered_base, "no compacted base produced by the replay"
+    assert pruned_any, "cluster-on-write gave no row-group skip"
+    for pred in [("n_tok", ">=", 25), ("n_tok", "<", 8)]:
+        _pred_equals_filter(tmp_lake, pred)
+
+
 def test_zone_map_units(tmp_path):
     """column_stats / stats_disjoint / _base_row_groups unit behavior:
     non-scalar + all-null columns omitted, type mismatches never prune,

@@ -441,6 +441,100 @@ def _decontaminate_docs(sf_dir: str):
     return out.drop_columns(["text"])
 
 
+def _plant_pii(batch: pa.Table) -> pa.Table:
+    """Deterministically append PII-shaped suffixes to a slice of docs
+    (the synthetic corpus carries none) so the redaction pass has real
+    matches to erase; the SQL oracle replants identically via CASE/||
+    CTEs, making the redacted text hash-checkable end to end."""
+    d = batch["doc_id"]
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    dn = d.to_numpy(zero_copy_only=False)
+    d_str = pc.cast(d, pa.string())
+    text = pc.fill_null(batch["text"].combine_chunks()
+                        if isinstance(batch["text"], pa.ChunkedArray)
+                        else batch["text"], "")
+    text = pc.if_else(
+        pa.array(dn % 7 == 0),
+        pc.binary_join_element_wise(
+            text, " contact user", d_str, "@example.com", ""),
+        text)
+    text = pc.if_else(
+        pa.array(dn % 5 == 1),
+        pc.binary_join_element_wise(text, " call 555-867-5309", ""),
+        text)
+    text = pc.if_else(
+        pa.array(dn % 11 == 3),
+        pc.binary_join_element_wise(
+            text, " ip 10.",
+            pc.cast(pa.array((dn % 200).astype("int64")), pa.string()), ".",
+            pc.cast(pa.array((dn % 50).astype("int64")), pa.string()), ".9",
+            ""),
+        text)
+    text = pc.if_else(
+        pa.array(dn % 13 == 5),
+        pc.binary_join_element_wise(text, " ssn 987-65-4320", ""),
+        text)
+    return batch.set_column(batch.column_names.index("text"), "text", text)
+
+
+def _redact_docs(sf_dir: str):
+    """PII redaction (`text.redact_batch`): plant deterministic
+    email/phone/IPv4/SSN suffixes on doc_id slices, then erase every
+    PII-shaped span and count matches per kind.  Map-only, fully
+    vectorized (pyarrow RE2 kernels), zero shuffle — the hygiene pass a
+    pretraining pipeline runs before tokenization.  Hash-exact SQL
+    oracle (DuckDB runs the same RE2 patterns via regexp_replace /
+    regexp_extract_all)."""
+    from deltaray.functions.text import redact_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_plant_pii, batch_format="pyarrow") \
+        .map_batches(redact_batch, batch_format="pyarrow")
+
+
+def _normalize_dedup_docs(sf_dir: str):
+    """Normalized exact dedup (`text.normalize_batch` + `exact_dedup`):
+    plant case/punctuation noise on doc_id slices (upper-case every 3rd
+    doc, comma-ize every 4th), canonicalize (lowercase, collapse
+    non-alphanumerics, trim), then keep the min-id row per normalized
+    form — the cheap dedup tier that catches case/whitespace/punct
+    variants before MinHash runs.  Only (fingerprint, id) shuffles.
+    Hash-exact SQL oracle over doc_id + normalized length."""
+    from deltaray.functions.dedup import exact_dedup
+    from deltaray.functions.text import normalize_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def noise(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"]
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        dn = d.to_numpy(zero_copy_only=False)
+        text = pc.fill_null(batch["text"].combine_chunks()
+                            if isinstance(batch["text"], pa.ChunkedArray)
+                            else batch["text"], "")
+        text = pc.if_else(pa.array(dn % 3 == 0), pc.utf8_upper(text), text)
+        text = pc.if_else(pa.array(dn % 4 == 1),
+                          pc.replace_substring(text, " ", " , "), text)
+        return batch.set_column(batch.column_names.index("text"),
+                                "text", text)
+
+    ds = ds.map_batches(noise, batch_format="pyarrow") \
+        .map_batches(normalize_batch, batch_format="pyarrow")
+    out = exact_dedup(ds, text_col="text_norm", id_col="doc_id")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "n_norm_chars": pc.utf8_length(batch["text_norm"])
+            .cast(pa.int64()),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def _ingest_gate_embedding(sf_dir: str):
     """Embedding near-dup ingest gate (`EmbeddingIngestGate`, new in
     round 4 — cosine-LSH buckets + exact-cosine verify over a persisted
@@ -2000,6 +2094,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_ship_window": _lineitem_ship_window,
         "split_docs_invariants": _split_docs_invariants,
         "approx_distinct_check": _approx_distinct_check,
+        "redact_docs": _redact_docs,
+        "normalize_dedup_docs": _normalize_dedup_docs,
         # -- remaining components with no prior driver row --
         "simhash_pairs_docs": _simhash_pairs_docs,
         "bpe_tokenize_docs": _bpe_tokenize_docs,
@@ -2022,9 +2118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_gate_minhash": _ingest_gate_minhash,
         "ingest_gate_embedding": _ingest_gate_embedding,
         "decontaminate_docs": _decontaminate_docs,
-        "minhash_pairs_docs": _minhash_pairs_docs,
         "ngram_jaccard_pairs_docs": _ngram_pairs_docs,
-        "embedding_neardup": _embedding_neardup,
         # -- similarity search / embeddings --
         "knn_bruteforce": _knn_bruteforce,
         "knn_ivf_fullprobe": _knn_ivf_fullprobe,
@@ -2038,6 +2132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- green in CORRECTNESS_r03 (driver artifact), plus new
         # ---- rows-only self-checking operators ----
         "stratified_sample_counts": _stratified_sample_counts,
+        "minhash_pairs_docs": _minhash_pairs_docs,
+        "embedding_neardup": _embedding_neardup,
         "semdedup_docs": _semdedup_docs,
         "cluster_embeddings": _cluster_embeddings,
         "whiten_embeddings": _whiten_embeddings,
@@ -2400,6 +2496,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
                    TRUE AS within_3sigma
             FROM events
+        """,
+        # redact_docs: same deterministic PII planting (CASE/|| chain in
+        # _plant_pii order), then the same RE2 patterns — DuckDB and
+        # pyarrow.compute both run RE2, so replacement and match counts
+        # agree byte-for-byte.  Counts are on the planted (pre-redaction)
+        # text; replacements nest in PII_PATTERNS order.
+        "redact_docs": """
+            WITH t0 AS (
+                SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            t1 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+                       THEN t || ' contact user' || doc_id || '@example.com'
+                       ELSE t END AS t FROM t0),
+            t2 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 1
+                       THEN t || ' call 555-867-5309'
+                       ELSE t END AS t FROM t1),
+            t3 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 3
+                       THEN t || ' ip 10.' || (doc_id % 200) || '.'
+                              || (doc_id % 50) || '.9'
+                       ELSE t END AS t FROM t2),
+            t4 AS (SELECT doc_id, CASE WHEN doc_id % 13 = 5
+                       THEN t || ' ssn 987-65-4320'
+                       ELSE t END AS t FROM t3)
+            SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                    t,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                    '[EMAIL]', 'g'),
+                    '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g'),
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                    '[IP]', 'g'),
+                    '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g') AS text,
+                CAST(len(regexp_extract_all(t,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    AS BIGINT) AS n_email,
+                CAST(len(regexp_extract_all(t,
+                    '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone,
+                CAST(len(regexp_extract_all(t,
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                    AS BIGINT) AS n_ip,
+                CAST(len(regexp_extract_all(t,
+                    '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+                CAST(len(regexp_extract_all(t,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(t,
+                    '\\b\\d{3}-\\d{3}-\\d{4}\\b'))
+                   + len(regexp_extract_all(t,
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                   + len(regexp_extract_all(t,
+                    '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_redacted
+            FROM t4
+        """,
+        # normalize_dedup_docs: same noise planting, same normalization
+        # (lower → collapse non-alnum runs → trim), min doc_id survives
+        # per normalized form.
+        "normalize_dedup_docs": """
+            WITH t0 AS (
+                SELECT doc_id, source, coalesce(text, '') AS t
+                FROM documents),
+            t1 AS (SELECT doc_id, source, CASE WHEN doc_id % 3 = 0
+                       THEN upper(t) ELSE t END AS t FROM t0),
+            t2 AS (SELECT doc_id, source, CASE WHEN doc_id % 4 = 1
+                       THEN replace(t, ' ', ' , ') ELSE t END AS t FROM t1),
+            n AS (SELECT doc_id, source,
+                      trim(regexp_replace(lower(t), '[^a-z0-9]+', ' ', 'g'))
+                      AS k FROM t2)
+            SELECT doc_id, source,
+                   CAST(length(k) AS BIGINT) AS n_norm_chars
+            FROM n
+            WHERE doc_id IN (SELECT min(doc_id) FROM n GROUP BY k)
         """,
         # chunk_docs_sequences: byte tokens (unicode of each char — the
         # corpus is ASCII so chars == utf-8 bytes) chunked every 128

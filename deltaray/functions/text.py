@@ -919,3 +919,74 @@ class BpeTokenizer:
             "bpe_tokens", pa.array(toks, pa.list_(pa.int32()))) \
             .append_column("n_bpe", pa.array([len(t) for t in toks],
                                              pa.int32()))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + text normalization (training-data hygiene stages)
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns (pyarrow.compute and DuckDB both run RE2, so a
+# SQL oracle can mirror these byte-for-byte).  Order matters: patterns
+# are applied sequentially and an earlier replacement may mask a later
+# pattern's match — counts are therefore taken on the ORIGINAL text.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+]
+
+
+def redact_batch(batch: pa.Table, text_col: str = "text",
+                 patterns: list[tuple[str, str, str]] = PII_PATTERNS,
+                 counts: bool = True) -> pa.Table:
+    """Redact PII-shaped spans in ``text_col`` in place (vectorized
+    ``pc.replace_substring_regex`` per pattern — no Python row loop) and
+    append int64 per-kind match counts plus ``n_redacted``.
+
+    Counts are measured on the pre-redaction text for every pattern
+    (order-independent), while replacements apply sequentially in
+    ``patterns`` order; a SQL oracle mirrors both choices exactly
+    (``regexp_replace(..., 'g')`` nesting + ``len(regexp_extract_all)``
+    on the original column).  The pattern set is the standard
+    email/phone/IPv4/SSN hygiene pass a pretraining pipeline runs before
+    tokenization; swap ``patterns`` for a domain-specific set.
+    """
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    orig = pc.fill_null(col, "")
+    text = orig
+    out_counts: list[tuple[str, pa.Array]] = []
+    total = None
+    for kind, pat, repl in patterns:
+        if counts:
+            c = pc.count_substring_regex(orig, pat).cast(pa.int64())
+            out_counts.append((f"n_{kind}", c))
+            total = c if total is None else pc.add(total, c)
+        text = pc.replace_substring_regex(text, pat, repl)
+    out = batch.set_column(batch.column_names.index(text_col),
+                           text_col, text)
+    for name, c in out_counts:
+        out = out.append_column(name, c)
+    if counts:
+        out = out.append_column("n_redacted", total)
+    return out
+
+
+def normalize_batch(batch: pa.Table, text_col: str = "text",
+                    out_col: str = "text_norm") -> pa.Table:
+    """Canonical text normalization for near-exact dedup: lowercase,
+    collapse every non-alphanumeric run to a single space, trim.  The
+    normalized form is the dedup key for case/punct/whitespace variants
+    of the same content (the cheap tier below MinHash).  SQL mirror:
+    ``trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ',
+    'g'))``.
+    """
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = pc.utf8_lower(pc.fill_null(col, ""))
+    t = pc.replace_substring_regex(t, r"[^a-z0-9]+", " ")
+    t = pc.utf8_trim_whitespace(t)
+    return batch.append_column(out_col, t)

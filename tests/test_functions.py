@@ -1436,3 +1436,66 @@ def test_semdedup_vs_bruteforce(ray_session):
     out2 = to_table(semdedup(ds, n_clusters=k, eps=eps, iters=4, seed=3))
     assert got == sorted(zip(out2["vec_id"].to_pylist(),
                              out2["group_size"].to_pylist()))
+
+
+def test_redact_batch_patterns_and_counts():
+    from deltaray.functions.text import redact_batch
+
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "mail alice.b-c@corp.example.org today",
+            "call 555-867-5309 or ssh 10.0.0.1 now",
+            "ssn 987-65-4320 twice 111-22-3333",
+            None,
+        ],
+    })
+    out = redact_batch(t)
+    texts = out["text"].to_pylist()
+    assert texts[0] == "mail [EMAIL] today"
+    assert texts[1] == "call [PHONE] or ssh [IP] now"
+    assert texts[2] == "ssn [SSN] twice [SSN]"
+    assert texts[3] == ""  # null text redacts to empty, never crashes
+    assert out["n_email"].to_pylist() == [1, 0, 0, 0]
+    assert out["n_phone"].to_pylist() == [0, 1, 0, 0]
+    assert out["n_ip"].to_pylist() == [0, 1, 0, 0]
+    assert out["n_ssn"].to_pylist() == [0, 0, 2, 0]
+    assert out["n_redacted"].to_pylist() == [1, 2, 2, 0]
+    assert out["n_redacted"].type == pa.int64()
+
+
+def test_redact_batch_counts_on_original_text():
+    # counts are measured BEFORE any replacement: a phone-shaped span
+    # inside an email stays counted even though the email replacement
+    # erases it first (the SQL oracle counts on the original too)
+    from deltaray.functions.text import redact_batch
+
+    t = pa.table({"text": ["x 555-867-5309@host.com y"]})
+    out = redact_batch(t)
+    assert out["text"].to_pylist() == ["x [EMAIL] y"]
+    assert out["n_email"].to_pylist() == [1]
+    assert out["n_phone"].to_pylist() == [1]  # pre-redaction count
+    assert out["n_redacted"].to_pylist() == [2]
+
+
+def test_normalize_batch_and_normalized_dedup(ray_session):
+    import ray.data
+
+    from deltaray.functions.dedup import exact_dedup
+    from deltaray.functions.text import normalize_batch
+
+    t = pa.table({
+        "doc_id": [10, 11, 12, 13, 14],
+        "text": ["Hello,   WORLD!", "hello world", "hello  world.",
+                 "other doc", None],
+    })
+    n = normalize_batch(t)
+    assert n["text_norm"].to_pylist() == [
+        "hello world", "hello world", "hello world", "other doc", ""]
+    ds = ray.data.from_arrow(t).map_batches(
+        normalize_batch, batch_format="pyarrow")
+    out = exact_dedup(ds, text_col="text_norm", id_col="doc_id")
+    survivors = sorted(r["doc_id"] for r in out.take_all())
+    # min-id per normalized form: 10 keeps the hello-world trio,
+    # 13 and 14 are unique forms
+    assert survivors == [10, 13, 14]

@@ -152,6 +152,8 @@ def bench_queries() -> dict:
         "quality_model_docs",
         "ingest_gate_embedding",
         "optimize_pruned_read",
+        "redact_docs",
+        "normalize_dedup_docs",
     ]
     qs = m.queries()
     for name in picks:

@@ -408,3 +408,32 @@ def test_dedup_spans_property(seed, k, n_docs, vocab):
     for d, kept in want.items():
         assert got2.loc[d]["text"] == " ".join(f"t{x}" for x in kept), \
             (seed, k, d)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(
+    st.none(),
+    st.text(alphabet=st.characters(codec="utf-8",
+                                   exclude_categories=("Cs",)),
+            max_size=80),
+    st.sampled_from([
+        "a@b.co", "x 555-867-5309", "10.0.0.1 ssn 987-65-4320",
+        "a.b@c.d.ee 1.2.3.4", "111-22-3333@9.9.9.9",
+    ])), min_size=1, max_size=20))
+def test_redact_and_normalize_idempotent(texts):
+    """Redaction and normalization are fixed points on their own output
+    (replacement tokens contain no digits, normalized text is already
+    lowercase/collapsed/trimmed), and counts on redacted text are zero."""
+    import pyarrow as pa
+
+    from deltaray.functions.text import normalize_batch, redact_batch
+
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    once = redact_batch(t)
+    twice = redact_batch(pa.table({"text": once["text"]}))
+    assert once["text"].to_pylist() == twice["text"].to_pylist()
+    assert twice["n_redacted"].to_pylist() == [0] * len(texts)
+
+    n1 = normalize_batch(t)["text_norm"]
+    n2 = normalize_batch(pa.table({"text": n1}))["text_norm"]
+    assert n1.to_pylist() == n2.to_pylist()

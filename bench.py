@@ -167,7 +167,8 @@ def bench_queries() -> dict:
     return out
 
 
-def run_once() -> dict:
+def run_once(events_per_doc: int | None = None,
+             repeats: int | None = None) -> dict:
     import ray
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -178,7 +179,7 @@ def run_once() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    log, manifest = ensure_event_log()
+    log, manifest = ensure_event_log(events_per_doc or EVENTS_PER_DOC)
     # warm the page cache (untimed)
     import pyarrow.parquet as pq
 
@@ -186,7 +187,8 @@ def run_once() -> dict:
         pq.read_table(s["path"])
     os.sync()  # flush prior runs' dirty pages out of the timed window
 
-    replay_stats = bench_replay(log, manifest)
+    replay_stats = (bench_replay(log, manifest, repeats=repeats)
+                    if repeats else bench_replay(log, manifest))
     lookup = bench_point_lookup(os.path.join(os.path.dirname(log),
                                              f"lake-cpus{NUM_CPUS}"))
     queries = {} if os.environ.get("GRAFT_SKIP_QUERIES") else bench_queries()
@@ -383,10 +385,34 @@ def run_exchange_soak() -> dict:
     }
 
 
+def run_scale_smoke() -> dict:
+    """100M-event replay smoke: the same headline pipeline at 25x the
+    bench log (the 10^10 target's shape at 1/100 scale), single replay,
+    queries skipped, with /proc/stat steal accounting so the number
+    carries its own contamination evidence.  Memory stays bounded by the
+    chunked replay (GRAFT_CHUNK_EVENTS, default 25M here -> 4 chunks
+    pipelined two deep); the log is written once and reused."""
+
+    def steal() -> int:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[9 - 1])
+
+    os.environ.setdefault("GRAFT_SKIP_QUERIES", "1")
+    os.environ.setdefault("GRAFT_CHUNK_EVENTS", "25000000")
+    s0, t0 = steal(), time.perf_counter()
+    out = run_once(events_per_doc=1000, repeats=1)
+    out["metric"] = "cdc_replay_scale_smoke"
+    out["steal_cpu_sec_during"] = round((steal() - s0) / 100.0, 1)
+    out["wall_sec_total"] = round(time.perf_counter() - t0, 1)
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--exchange-soak" in sys.argv:
         print(json.dumps(run_exchange_soak()))
+    elif "--scale-smoke" in sys.argv:
+        print(json.dumps(run_scale_smoke()))
     else:
         print(json.dumps(run_once()))

@@ -101,6 +101,7 @@ def write_event_log(
 
     ``ddl``: list of (stream_index, table, op, kwargs); kwargs per op:
       ALTER_TABLE  {"add": (name, code), "choices": [...]} (string cols)
+                   or {"alter": (name, new_code)} (column type change)
       RENAME_COLUMN {"rename": (old, new)}
       TRUNCATE_TABLE {}
       DROP_TABLE {}
@@ -242,6 +243,8 @@ def write_event_log(
             payload_kw: dict = {}
             if dop == "ALTER_TABLE" and "add" in kw:
                 payload_kw["add"] = kw["add"]
+            if dop == "ALTER_TABLE" and "alter" in kw:
+                payload_kw["alter"] = kw["alter"]
             if dop == "RENAME_COLUMN":
                 payload_kw["rename"] = kw["rename"]
             if dop == "CREATE_TABLE" and st is None:

@@ -86,10 +86,16 @@ def evolve_to(tbl: pa.Table, target: TableSchema) -> pa.Table:
     want = target.column_names()
     cols = {}
     for name, codec in target.fields:
+        want_t = code_to_type(codec)
         if name in tbl.column_names:
-            cols[name] = tbl[name]
+            col = tbl[name]
+            # ALTER COLUMN TYPE: files written pre-alter keep their old
+            # type on disk; unify here (the north-star's "Arrow schema
+            # unification per partition").  Safe cast — a lossy narrowing
+            # raises instead of silently corrupting values.
+            cols[name] = col if col.type == want_t else col.cast(want_t)
         else:
-            cols[name] = pa.nulls(tbl.num_rows, code_to_type(codec))
+            cols[name] = pa.nulls(tbl.num_rows, want_t)
     for v in tbl.column_names:
         if v.startswith("__"):
             cols[v] = tbl[v]

@@ -152,6 +152,26 @@ class TableSchema:
         return TableSchema(self.name, self.key, self.fields + [(name, code)],
                            dict(self.renames), seq)
 
+    def with_altered_type(self, name: str, code: str, seq: int) -> "TableSchema":
+        """ALTER COLUMN TYPE (the "ALTER" of the north-star's
+        "ADD/ALTER/RENAME column"): change a payload column's type code.
+        Stored partition files keep their written type and are cast to
+        the new one at the per-partition Arrow unification point
+        (merge.evolve_to); post-alter events conform at transform time.
+        Key columns are immutable — their bytes feed the hash router, so
+        re-typing one would silently re-route existing keys."""
+        if code not in _TYPE_CODES:
+            raise ValueError(f"ALTER_TABLE: unknown type code {code!r}")
+        if name in self.keys:
+            raise ValueError("cannot alter a key column's type")
+        names = self.column_names()
+        if name not in names:
+            raise ValueError(f"ALTER_TABLE: no column {name!r}")
+        return TableSchema(self.name, self.key,
+                           [(n, code if n == name else c)
+                            for n, c in self.fields],
+                           dict(self.renames), seq)
+
     def with_dropped_column(self, name: str, seq: int) -> "TableSchema":
         if name in self.keys:
             raise ValueError("cannot drop a key column")
@@ -227,6 +247,7 @@ def ddl_payload(
     *,
     schema: TableSchema | None = None,
     add: tuple[str, str] | None = None,
+    alter: tuple[str, str] | None = None,
     drop: str | None = None,
     rename: tuple[str, str] | None = None,
     prev_table_name: str | None = None,
@@ -237,6 +258,8 @@ def ddl_payload(
         d["schema"] = {"key": schema.key, "fields": schema.fields}
     if add is not None:
         d["add"] = list(add)
+    if alter is not None:
+        d["alter"] = list(alter)
     if drop is not None:
         d["drop"] = drop
     if rename is not None:
@@ -272,6 +295,9 @@ def apply_ddl(
             out[table] = out[table].with_added_column(name, code, seq)
         elif "drop" in d:
             out[table] = out[table].with_dropped_column(d["drop"], seq)
+        elif "alter" in d:
+            name, code = d["alter"]
+            out[table] = out[table].with_altered_type(name, code, seq)
     elif op == "RENAME_COLUMN":
         old, new = d["rename"]
         out[table] = out[table].with_renamed_column(old, new, seq)

@@ -29,6 +29,7 @@ from deltaray.pipeline import (
     build_aggregate,
     lineage_report,
     committed_watermark,
+    expire_snapshots,
     optimize_table,
     read_changes,
     refresh_aggregate,
@@ -60,6 +61,7 @@ __all__ = [
     "expand_macros",
     "lineage_report",
     "committed_watermark",
+    "expire_snapshots",
     "optimize_table",
     "build_aggregate",
     "read_changes",

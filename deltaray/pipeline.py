@@ -1173,8 +1173,10 @@ def _live_parts_asof(lake: LakeState, table: str,
 
 def _snapshot_floor(lake: LakeState, table: str) -> int:
     """Oldest seq whose state is physically reconstructible in this
-    generation — nonzero for resharded generations, whose base commits
-    start at the migration watermark (anchor 0 = empty stays valid)."""
+    generation — nonzero for resharded generations (base commits start
+    at the migration watermark) and for tables with an
+    :func:`expire_snapshots` retention floor (older files deleted).
+    Anchor 0 = the empty table stays valid either way."""
     meta_path = os.path.join(lake.root, "_meta.json")
     if not os.path.exists(meta_path):
         return 0
@@ -1198,7 +1200,7 @@ def earliest_snapshot(lake_root: str, table: str,
     floor = _snapshot_floor(lake, table)
     for s in snapshots(lake_root, generation):
         if 0 < s < floor:
-            continue  # pre-reshard anchor: state never copied over
+            continue  # below the reshard/retention floor: expired
         ok = True
         for p, on_disk in pstate:
             live = lake.live_commits(table, p, s + 1)
@@ -1234,9 +1236,9 @@ def read_table(lake_root: str, table: str, generation: int = 0,
         floor = _snapshot_floor(lake, table)
         if 0 < asof_seq < floor:
             raise SnapshotExpiredError(
-                f"anchor {asof_seq} predates this generation's reshard "
-                f"floor {floor}: the state was never copied over — read "
-                f"the source generation instead")
+                f"anchor {asof_seq} predates this table's snapshot floor "
+                f"{floor} (reshard migration or expire_snapshots "
+                f"retention): earlier state is not readable here")
     schema = _schema_asof(lake, table, asof_seq)
     if schema is None:
         if asof_seq is not None and lake.current_schema(table) is not None:
@@ -1290,9 +1292,9 @@ def read_rows(lake_root: str, table: str, keys: list, generation: int = 0,
         floor = _snapshot_floor(lake, table)
         if 0 < asof_seq < floor:
             raise SnapshotExpiredError(
-                f"anchor {asof_seq} predates this generation's reshard "
-                f"floor {floor}: the state was never copied over — read "
-                f"the source generation instead")
+                f"anchor {asof_seq} predates this table's snapshot floor "
+                f"{floor} (reshard migration or expire_snapshots "
+                f"retention): earlier state is not readable here")
     schema = _schema_asof(lake, table, asof_seq)
     if schema is None:
         if asof_seq is not None and lake.current_schema(table) is not None:
@@ -1589,9 +1591,9 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
         floor = _snapshot_floor(lake, table)
         if 0 < asof_seq < floor:
             raise SnapshotExpiredError(
-                f"anchor {asof_seq} predates this generation's reshard "
-                f"floor {floor}: the state was never copied over — read "
-                f"the source generation instead")
+                f"anchor {asof_seq} predates this table's snapshot floor "
+                f"{floor} (reshard migration or expire_snapshots "
+                f"retention): earlier state is not readable here")
     schema = _schema_asof(lake, table, asof_seq)
     if schema is None:
         if asof_seq is not None and lake.current_schema(table) is not None:
@@ -1797,6 +1799,112 @@ def optimize_table(lake_root: str, table: str, cluster_by: str | list[str],
     }
 
 
+def expire_snapshots(lake_root: str, table: str, retain_since_seq: int,
+                     generation: int = 0) -> dict:
+    """Bounded time-travel retention — the Iceberg ``expire_snapshots``
+    / Delta Lake ``VACUUM ... RETAIN`` analog, and the missing middle
+    between ``vacuum=True`` (current state only, no history) and
+    ``vacuum=False`` (every copy-on-write file kept forever, unbounded
+    storage at 10^10 events).
+
+    After the call, the current state and every snapshot anchor
+    ``>= retain_since_seq`` remain exactly readable; data files needed
+    ONLY by older anchors are deleted and the table's snapshot floor is
+    advanced so ``asof_seq < retain_since_seq`` raises a clean
+    :class:`SnapshotExpiredError` (instead of a missing-file error) and
+    :func:`earliest_snapshot` skips the expired range without probing.
+
+    Per-partition file rule (safe because the base chosen for any
+    anchor ``s >= R`` is at or after the base chosen for ``R``, and a
+    TRUNCATE marker at ``t <= R`` hides the same commits at every
+    ``s >= R``): keep the files of ``live_commits(part, R+1)`` plus
+    every commit after ``R``; a commit with ``seq_hi <= R`` whose file
+    is not live at ``R`` is unreachable from any retained anchor.
+    Commit RECORDS are kept — they are the lineage/audit trail and the
+    storage cost is the data files.  Note the reclaim comes from
+    COMPACTION rewrites (``compact_every`` base commits, OPTIMIZE): on a
+    pure merge-on-read lake that never compacted, every delta file is
+    still part of the CURRENT state and nothing is expirable — the
+    history-retaining configuration this API pairs with is
+    ``vacuum=False`` + a finite ``compact_every``.
+
+    One Ray task per partition (same shape as :func:`optimize_table`);
+    the driver writes only the O(1) ``_meta.json`` floor update.
+    Idempotent; run it between replay chunks (single writer per
+    partition), e.g. from replay's ``on_chunk`` callback for a sliding
+    retention window during continuous ingest.  ``read_changes`` pulls
+    with ``since_seq`` below the new floor remain subject to the
+    physical missing-file gate, exactly like vacuum.
+
+    Reference: the Delta plugin never retains history at all (its sink
+    overwrites state in place, DBReplicationOffsetStore.java:42-109);
+    retention windows are this engine's extension of that lifecycle.
+    """
+    import ray.data
+
+    lake = LakeState(lake_root, generation)
+    if lake.current_schema(table) is None:
+        raise KeyError(f"unknown table {table!r}")
+    retain = int(retain_since_seq)
+    if retain != 0:
+        retain = _anchor_or_raise(lake_root, retain, generation)
+    parts = sorted(
+        int(os.path.basename(d).split("=")[1])
+        for d in glob.glob(os.path.join(lake.table_dir(table), "part=*")))
+    removed_files = 0
+    removed_bytes = 0
+    if parts and retain > 0:
+
+        def expire(batch: pa.Table) -> pa.Table:
+            out = {"part": [], "removed": [], "bytes": []}
+            for p in batch["part"].to_pylist():
+                lk = LakeState(lake_root, generation)
+                keep = {c["file"] for c in lk.live_commits(table, p,
+                                                           retain + 1)}
+                keep |= {c["file"] for c in lk.list_commits(table, p)
+                         if int(c["seq_hi"]) > retain}
+                pdir = lk.part_dir(table, p)
+                n, b = 0, 0
+                for f in sorted(os.listdir(pdir)):
+                    if (f.startswith("data-") and f.endswith(".parquet")
+                            and f not in keep):
+                        fp = os.path.join(pdir, f)
+                        b += os.path.getsize(fp)
+                        os.remove(fp)
+                        n += 1
+                out["part"].append(p)
+                out["removed"].append(n)
+                out["bytes"].append(b)
+            return pa.table({
+                "part": pa.array(out["part"], pa.int64()),
+                "removed": pa.array(out["removed"], pa.int64()),
+                "bytes": pa.array(out["bytes"], pa.int64()),
+            })
+
+        ds = ray.data.from_arrow(
+            pa.table({"part": pa.array(parts, pa.int64())}))
+        res = ds.repartition(len(parts)) \
+            .map_batches(expire, batch_format="pyarrow", batch_size=1) \
+            .take_all()  # O(P) summary rows only
+        removed_files = int(sum(r["removed"] for r in res))
+        removed_bytes = int(sum(r["bytes"] for r in res))
+    # advance the floor (never backwards; reshard floors stay authoritative)
+    meta_path = os.path.join(lake.root, "_meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    floors = dict(meta.get("snapshot_floor") or {})
+    new_floor = max(int(floors.get(table, 0)), retain)
+    if new_floor != int(floors.get(table, 0)):
+        floors[table] = new_floor
+        from deltaray.commit import atomic_write_json
+        atomic_write_json(meta_path, {**meta, "snapshot_floor": floors})
+    return {"table": table, "retain_since_seq": retain,
+            "partitions": len(parts), "files_removed": removed_files,
+            "bytes_removed": removed_bytes, "snapshot_floor": new_floor}
+
+
 def committed_watermark(lake_root: str, table: str,
                         generation: int = 0) -> int:
     """The safe ``read_changes`` anchor: min over partitions of the last
@@ -1882,8 +1990,8 @@ def read_changes(lake_root: str, table: str, since_seq: int,
         floor = _snapshot_floor(lake, table)
         if 0 < as_of_seq < floor:
             raise SnapshotExpiredError(
-                f"as_of anchor {as_of_seq} predates this generation's "
-                f"reshard floor {floor}")
+                f"as_of anchor {as_of_seq} predates this table's snapshot "
+                f"floor {floor} (reshard or expire_snapshots)")
         before = as_of_seq + 1
     schema = _schema_asof(lake, table, as_of_seq)
     if schema is None:

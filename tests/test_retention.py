@@ -1,0 +1,172 @@
+"""Bounded time-travel retention (`expire_snapshots`) — the middle
+ground between vacuum=True (no history) and vacuum=False (all history).
+
+Oracle strategy: capture every anchor's exact state BEFORE expiry (the
+truncated-replay law is pinned by test_time_travel); after expiring at a
+mid anchor R, every anchor >= R must read byte-identically to its
+pre-expiry capture, every anchor < R must raise SnapshotExpiredError via
+the clean floor gate (not a missing-file scan), and storage must shrink.
+"""
+
+import glob
+import os
+
+import pyarrow as pa
+import pytest
+
+from deltaray import (ReplayConfig, SnapshotExpiredError, earliest_snapshot,
+                      expire_snapshots, read_changes, read_table, replay,
+                      replay_oracle, snapshots, tables_equal)
+from deltaray.gen import write_event_log
+from deltaray.util import to_table
+
+
+def _data_files(lake: str, table: str = "docs") -> list[str]:
+    return sorted(glob.glob(os.path.join(
+        lake, "gen=0000", table, "part=*", "data-*.parquet")))
+
+
+def test_expire_snapshots_retention_window(ray_session, tmp_log, tmp_lake):
+    write_event_log(tmp_log, n_docs=220, n_events=2800, seed=41,
+                    segment_max_events=600)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=500, vacuum=False, compact_every=2)
+    replay(cfg)
+    snaps = snapshots(tmp_lake)
+    assert len(snaps) >= 5
+    before = {s: read_table(tmp_lake, "docs", asof_seq=s) for s in snaps}
+    current = read_table(tmp_lake, "docs")
+    files_before = _data_files(tmp_lake)
+    bytes_before = sum(os.path.getsize(f) for f in files_before)
+
+    R = snaps[len(snaps) // 2]
+    res = expire_snapshots(tmp_lake, "docs", retain_since_seq=R)
+    assert res["table"] == "docs" and res["retain_since_seq"] == R
+    assert res["files_removed"] > 0 and res["bytes_removed"] > 0
+    assert res["snapshot_floor"] == R
+
+    files_after = _data_files(tmp_lake)
+    assert len(files_after) == len(files_before) - res["files_removed"]
+    assert (bytes_before - sum(os.path.getsize(f) for f in files_after)
+            == res["bytes_removed"])
+
+    # every retained anchor reads byte-identically to its pre-expiry state
+    for s in snaps:
+        if s >= R:
+            ok, msg = tables_equal(
+                read_table(tmp_lake, "docs", asof_seq=s), before[s])
+            assert ok, f"retained anchor {s}: {msg}"
+        else:
+            with pytest.raises(SnapshotExpiredError, match="snapshot floor"):
+                read_table(tmp_lake, "docs", asof_seq=s)
+    # current state untouched; anchor 0 (empty) stays valid
+    ok, msg = tables_equal(read_table(tmp_lake, "docs"), current)
+    assert ok, msg
+    assert read_table(tmp_lake, "docs", asof_seq=0).num_rows == 0
+    assert earliest_snapshot(tmp_lake, "docs") == R
+
+    # idempotent: a second expiry at the same anchor removes nothing
+    res2 = expire_snapshots(tmp_lake, "docs", retain_since_seq=R)
+    assert res2["files_removed"] == 0 and res2["bytes_removed"] == 0
+
+    # CDC-out: bounded pulls anchored below the floor raise cleanly;
+    # pulls inside the retained window still obey the patch law
+    if snaps.index(R) + 1 < len(snaps):
+        s2 = snaps[snaps.index(R) + 1]
+        with pytest.raises(SnapshotExpiredError, match="snapshot floor"):
+            to_table(read_changes(tmp_lake, "docs", since_seq=0,
+                                  as_of_seq=snaps[0]))
+        ch = to_table(read_changes(tmp_lake, "docs", since_seq=R,
+                                   as_of_seq=s2))
+        state = {r["doc_id"]: r for r in before[R].to_pylist()}
+        for r in sorted(ch.to_pylist(), key=lambda r: r["seq"]):
+            if r["change"] == "DELETE":
+                state.pop(r["doc_id"], None)
+            else:
+                state[r["doc_id"]] = {k: v for k, v in r.items()
+                                      if k not in ("change", "seq")}
+        want = {r["doc_id"]: r for r in before[s2].to_pylist()}
+        assert state == want
+
+    # the floor only advances — expiring at an older anchor is a no-op
+    res3 = expire_snapshots(tmp_lake, "docs", retain_since_seq=snaps[0])
+    assert res3["files_removed"] == 0
+    assert res3["snapshot_floor"] == R
+
+
+def test_expire_retain_latest_keeps_only_live_state(ray_session, tmp_log,
+                                                    tmp_lake):
+    """Retain = newest anchor degenerates to vacuum semantics: only the
+    files composing the current state survive, and the current read is
+    unchanged."""
+    write_event_log(tmp_log, n_docs=150, n_events=1800, seed=47,
+                    segment_max_events=600)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=450, vacuum=False, compact_every=2)
+    replay(cfg)
+    snaps = snapshots(tmp_lake)
+    current = read_table(tmp_lake, "docs")
+    expire_snapshots(tmp_lake, "docs", retain_since_seq=snaps[-1])
+    from deltaray.commit import LakeState
+
+    lake = LakeState(tmp_lake, 0)
+    for d in glob.glob(os.path.join(lake.table_dir("docs"), "part=*")):
+        p = int(os.path.basename(d).split("=")[1])
+        live = {c["file"] for c in lake.live_commits("docs", p)}
+        on_disk = {f for f in os.listdir(d) if f.endswith(".parquet")}
+        assert on_disk == live, f"part {p}: {on_disk ^ live}"
+    ok, msg = tables_equal(read_table(tmp_lake, "docs"), current)
+    assert ok, msg
+    assert earliest_snapshot(tmp_lake, "docs") == snaps[-1]
+
+
+def test_expire_validates_inputs(ray_session, tmp_log, tmp_lake):
+    write_event_log(tmp_log, n_docs=60, n_events=600, seed=53,
+                    segment_max_events=600)
+    replay(ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2,
+                        chunk_max_events=300, vacuum=False, compact_every=2))
+    snaps = snapshots(tmp_lake)
+    with pytest.raises(ValueError, match="snapshot boundary"):
+        expire_snapshots(tmp_lake, "docs", retain_since_seq=snaps[0] + 1)
+    with pytest.raises(KeyError, match="unknown table"):
+        expire_snapshots(tmp_lake, "nope", retain_since_seq=snaps[0])
+    # retain 0 = keep everything (explicit no-op)
+    res = expire_snapshots(tmp_lake, "docs", retain_since_seq=0)
+    assert res["files_removed"] == 0 and res["snapshot_floor"] == 0
+
+
+def test_sliding_retention_during_replay(ray_session, tmp_path):
+    """Continuous-ingest shape: expire from the on_chunk callback with a
+    sliding keep-last-2-anchors window.  Storage stays bounded (fewer
+    files than keep-everything), the final state still equals the
+    single-process oracle, and the last two anchors stay readable."""
+    log = str(tmp_path / "events")
+    write_event_log(log, n_docs=200, n_events=2600, seed=59,
+                    segment_max_events=600)
+    lake_all = str(tmp_path / "lake-all")
+    replay(ReplayConfig(event_log=log, lake=lake_all, num_partitions=4,
+                        chunk_max_events=400, vacuum=False, compact_every=2))
+    n_files_all = len(_data_files(lake_all))
+
+    lake = str(tmp_path / "lake-slide")
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                       chunk_max_events=400, vacuum=False,
+                       compact_every=2, pipeline_chunks=1)  # single writer per partition
+
+    def slide(idx, chunk, rows):
+        snaps = snapshots(lake)
+        if len(snaps) > 2:
+            expire_snapshots(lake, "docs", retain_since_seq=snaps[-2])
+
+    replay(cfg, on_chunk=slide)
+    snaps = snapshots(lake)
+    assert len(_data_files(lake)) < n_files_all
+    want = replay_oracle(cfg)["docs"]
+    ok, msg = tables_equal(read_table(lake, "docs"), want)
+    assert ok, msg
+    for s in snaps[-2:]:
+        read_table(lake, "docs", asof_seq=s)  # must not raise
+    assert earliest_snapshot(lake, "docs") == snaps[-2]
+    if len(snaps) > 2:
+        with pytest.raises(SnapshotExpiredError):
+            read_table(lake, "docs", asof_seq=snaps[0])

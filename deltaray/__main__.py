@@ -18,6 +18,7 @@ the library itself never calls ray.init.
     python -m deltaray snapshots --lake D [--table T]
     python -m deltaray reshard --lake D --partitions N [--src-generation G]
     python -m deltaray changes --lake D --table T --since N [--as-of M] [--out D]
+    python -m deltaray expire --lake D [--table T] [--retain S | --keep-last K]
     python -m deltaray fsck --lake D [--deep]
 """
 
@@ -206,6 +207,24 @@ def cmd_reshard(a) -> int:
     return 0
 
 
+def cmd_expire(a) -> int:
+    from deltaray.commit import LakeState
+    from deltaray.pipeline import expire_snapshots, snapshots
+
+    _init_ray()
+    tables = ([a.table] if a.table
+              else LakeState(a.lake, a.generation).list_tables())
+    retain = a.retain
+    if retain is None:
+        anchors = snapshots(a.lake, a.generation)
+        keep = max(1, a.keep_last)
+        retain = anchors[-keep] if len(anchors) >= keep else 0
+    out = {t: expire_snapshots(a.lake, t, retain, generation=a.generation)
+           for t in tables}
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="deltaray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -309,6 +328,19 @@ def main(argv=None) -> int:
     ch.add_argument("--out", help="write the feed as parquet here")
     ch.add_argument("--generation", type=int, default=0)
     ch.set_defaults(fn=cmd_changes)
+
+    ex = sub.add_parser("expire",
+                        help="bounded time-travel retention: reclaim files "
+                             "only anchors below --retain need")
+    ex.add_argument("--lake", required=True)
+    ex.add_argument("--table", help="default: every table in the generation")
+    ex.add_argument("--retain", type=int, default=None,
+                    help="snapshot anchor to retain since (see snapshots); "
+                         "default: keep the last --keep-last anchors")
+    ex.add_argument("--keep-last", type=int, default=3,
+                    help="with no --retain, keep this many newest anchors")
+    ex.add_argument("--generation", type=int, default=0)
+    ex.set_defaults(fn=cmd_expire)
 
     fs = sub.add_parser("fsck", help="lake integrity check")
     fs.add_argument("--lake", required=True)

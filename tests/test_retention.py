@@ -135,6 +135,30 @@ def test_expire_validates_inputs(ray_session, tmp_log, tmp_lake):
     assert res["files_removed"] == 0 and res["snapshot_floor"] == 0
 
 
+def test_expire_cli(ray_session, tmp_log, tmp_lake, capsys):
+    """`python -m deltaray expire` — default keep-last-K window over every
+    table, explicit --retain/--table variants."""
+    import json
+
+    from deltaray.__main__ import main
+
+    write_event_log(tmp_log, n_docs=120, n_events=1600, seed=61,
+                    segment_max_events=400)
+    replay(ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2,
+                        chunk_max_events=400, vacuum=False, compact_every=2))
+    snaps = snapshots(tmp_lake)
+    assert len(snaps) >= 3
+    assert main(["expire", "--lake", tmp_lake, "--keep-last", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs"]["snapshot_floor"] == snaps[-2]
+    assert earliest_snapshot(tmp_lake, "docs") == snaps[-2]
+    # explicit anchor + single table; floor never regresses
+    assert main(["expire", "--lake", tmp_lake, "--table", "docs",
+                 "--retain", str(snaps[-1])]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs"]["snapshot_floor"] == snaps[-1]
+
+
 def test_sliding_retention_during_replay(ray_session, tmp_path):
     """Continuous-ingest shape: expire from the on_chunk callback with a
     sliding keep-last-2-anchors window.  Storage stays bounded (fewer

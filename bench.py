@@ -407,6 +407,83 @@ def run_scale_smoke() -> dict:
     return out
 
 
+def run_retention_smoke() -> dict:
+    """Sliding-window retention under continuous ingest: replay the
+    bench log twice in many small chunks with the history-retaining
+    configuration (vacuum=False + compact_every=2) — once keeping every
+    snapshot, once expiring to the newest GRAFT_RETAIN_LAST (default 2)
+    anchors from replay's on_chunk callback — and report final/peak
+    lake bytes, file counts, replay overhead and final-state equality.
+    This is the 10^10-event storage-boundedness evidence: without
+    retention, copy-on-write history grows linearly in chunks; with the
+    sliding window it stays flat at ~(retained anchors) x state size."""
+    import glob as _glob
+
+    import ray
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from deltaray import (ReplayConfig, expire_snapshots, read_table,
+                          replay, snapshots, tables_equal)
+
+    log, manifest = ensure_event_log()
+    events = int(manifest["max_seq"])
+    chunk = max(100_000,
+                events // int(os.environ.get("GRAFT_RETENTION_CHUNKS", "12")))
+    keep = int(os.environ.get("GRAFT_RETAIN_LAST", "2"))
+
+    def lake_bytes(lake: str) -> tuple[int, int]:
+        fs = _glob.glob(os.path.join(lake, "gen=0000", "*", "part=*",
+                                     "data-*.parquet"))
+        return sum(os.path.getsize(f) for f in fs), len(fs)
+
+    out: dict = {"metric": "cdc_retention_smoke", "events": events,
+                 "chunk_events": chunk, "retain_last": keep,
+                 "num_cpus": NUM_CPUS}
+    lakes = {}
+    for mode in ("keepall", "retain"):
+        lake = f"/tmp/deltaray_bench/retention-{mode}"
+        lakes[mode] = lake
+        shutil.rmtree(lake, ignore_errors=True)
+        cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=64,
+                           chunk_max_events=chunk, pipeline_chunks=2,
+                           vacuum=False, compact_every=2)
+        peaks: list[int] = []
+        expire_sec = 0.0
+
+        def on_chunk(i, c, rows, _lake=lake, _mode=mode):
+            nonlocal expire_sec
+            if _mode == "retain":
+                snaps = snapshots(_lake)
+                if len(snaps) > keep:
+                    t = time.perf_counter()
+                    expire_snapshots(_lake, "docs",
+                                     retain_since_seq=snaps[-keep])
+                    expire_sec += time.perf_counter() - t
+            peaks.append(lake_bytes(_lake)[0])
+
+        t0 = time.perf_counter()
+        replay(cfg, on_chunk=on_chunk)
+        sec = time.perf_counter() - t0
+        fin_bytes, fin_files = lake_bytes(lake)
+        out[mode] = {"replay_sec": round(sec, 3),
+                     "bytes_final": fin_bytes, "files_final": fin_files,
+                     "bytes_peak": max(peaks),
+                     "expire_sec": round(expire_sec, 3)}
+    eq, msg = tables_equal(read_table(lakes["keepall"], "docs"),
+                           read_table(lakes["retain"], "docs"))
+    out["final_state_equal"] = bool(eq)
+    out["bytes_ratio_final"] = round(
+        out["keepall"]["bytes_final"] / max(1, out["retain"]["bytes_final"]),
+        2)
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -414,5 +491,7 @@ if __name__ == "__main__":
         print(json.dumps(run_exchange_soak()))
     elif "--scale-smoke" in sys.argv:
         print(json.dumps(run_scale_smoke()))
+    elif "--retention-smoke" in sys.argv:
+        print(json.dumps(run_retention_smoke()))
     else:
         print(json.dumps(run_once()))

@@ -1800,7 +1800,8 @@ def optimize_table(lake_root: str, table: str, cluster_by: str | list[str],
 
 
 def expire_snapshots(lake_root: str, table: str, retain_since_seq: int,
-                     generation: int = 0) -> dict:
+                     generation: int = 0,
+                     distributed: bool | None = None) -> dict:
     """Bounded time-travel retention — the Iceberg ``expire_snapshots``
     / Delta Lake ``VACUUM ... RETAIN`` analog, and the missing middle
     between ``vacuum=True`` (current state only, no history) and
@@ -1828,8 +1829,13 @@ def expire_snapshots(lake_root: str, table: str, retain_since_seq: int,
     history-retaining configuration this API pairs with is
     ``vacuum=False`` + a finite ``compact_every``.
 
-    One Ray task per partition (same shape as :func:`optimize_table`);
-    the driver writes only the O(1) ``_meta.json`` floor update.
+    ``distributed`` (default: auto — Ray tasks past 256 partitions,
+    driver-side below): the deletes are metadata-only, so a small lake's
+    expiry shouldn't pay a Ray job launch per call (it runs per chunk in
+    sliding-window mode), while a 10^5-partition lake on real storage
+    fans out one task per partition batch (same shape as
+    :func:`optimize_table`).  Either way the driver writes only the
+    O(1) ``_meta.json`` floor update.
     Idempotent; run it between replay chunks (single writer per
     partition), e.g. from replay's ``on_chunk`` callback for a sliding
     retention window during continuous ingest.  ``read_changes`` pulls
@@ -1853,41 +1859,50 @@ def expire_snapshots(lake_root: str, table: str, retain_since_seq: int,
         for d in glob.glob(os.path.join(lake.table_dir(table), "part=*")))
     removed_files = 0
     removed_bytes = 0
+
+    def _expire_part(p: int) -> tuple[int, int]:
+        lk = LakeState(lake_root, generation)
+        keep = {c["file"] for c in lk.live_commits(table, p, retain + 1)}
+        keep |= {c["file"] for c in lk.list_commits(table, p)
+                 if int(c["seq_hi"]) > retain}
+        pdir = lk.part_dir(table, p)
+        n, b = 0, 0
+        for f in sorted(os.listdir(pdir)):
+            if (f.startswith("data-") and f.endswith(".parquet")
+                    and f not in keep):
+                fp = os.path.join(pdir, f)
+                b += os.path.getsize(fp)
+                os.remove(fp)
+                n += 1
+        return n, b
+
     if parts and retain > 0:
+        if distributed is None:
+            distributed = len(parts) > 256
+        if not distributed:
+            for p in parts:
+                n, b = _expire_part(p)
+                removed_files += n
+                removed_bytes += b
+        else:
+            def expire(batch: pa.Table) -> pa.Table:
+                out = {"removed": [], "bytes": []}
+                for p in batch["part"].to_pylist():
+                    n, b = _expire_part(p)
+                    out["removed"].append(n)
+                    out["bytes"].append(b)
+                return pa.table({
+                    "removed": pa.array(out["removed"], pa.int64()),
+                    "bytes": pa.array(out["bytes"], pa.int64()),
+                })
 
-        def expire(batch: pa.Table) -> pa.Table:
-            out = {"part": [], "removed": [], "bytes": []}
-            for p in batch["part"].to_pylist():
-                lk = LakeState(lake_root, generation)
-                keep = {c["file"] for c in lk.live_commits(table, p,
-                                                           retain + 1)}
-                keep |= {c["file"] for c in lk.list_commits(table, p)
-                         if int(c["seq_hi"]) > retain}
-                pdir = lk.part_dir(table, p)
-                n, b = 0, 0
-                for f in sorted(os.listdir(pdir)):
-                    if (f.startswith("data-") and f.endswith(".parquet")
-                            and f not in keep):
-                        fp = os.path.join(pdir, f)
-                        b += os.path.getsize(fp)
-                        os.remove(fp)
-                        n += 1
-                out["part"].append(p)
-                out["removed"].append(n)
-                out["bytes"].append(b)
-            return pa.table({
-                "part": pa.array(out["part"], pa.int64()),
-                "removed": pa.array(out["removed"], pa.int64()),
-                "bytes": pa.array(out["bytes"], pa.int64()),
-            })
-
-        ds = ray.data.from_arrow(
-            pa.table({"part": pa.array(parts, pa.int64())}))
-        res = ds.repartition(len(parts)) \
-            .map_batches(expire, batch_format="pyarrow", batch_size=1) \
-            .take_all()  # O(P) summary rows only
-        removed_files = int(sum(r["removed"] for r in res))
-        removed_bytes = int(sum(r["bytes"] for r in res))
+            ds = ray.data.from_arrow(
+                pa.table({"part": pa.array(parts, pa.int64())}))
+            res = ds.repartition(max(1, len(parts) // 16)) \
+                .map_batches(expire, batch_format="pyarrow") \
+                .take_all()  # O(P) summary rows only
+            removed_files = int(sum(r["removed"] for r in res))
+            removed_bytes = int(sum(r["bytes"] for r in res))
     # advance the floor (never backwards; reshard floors stay authoritative)
     meta_path = os.path.join(lake.root, "_meta.json")
     meta = {}

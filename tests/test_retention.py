@@ -133,6 +133,15 @@ def test_expire_validates_inputs(ray_session, tmp_log, tmp_lake):
     # retain 0 = keep everything (explicit no-op)
     res = expire_snapshots(tmp_lake, "docs", retain_since_seq=0)
     assert res["files_removed"] == 0 and res["snapshot_floor"] == 0
+    # the distributed (Ray-task) path is identical to the driver path
+    r_dist = expire_snapshots(tmp_lake, "docs", retain_since_seq=snaps[-1],
+                              distributed=True)
+    assert r_dist["files_removed"] > 0
+    assert earliest_snapshot(tmp_lake, "docs") == snaps[-1]
+    want = replay_oracle(
+        ReplayConfig(event_log=tmp_log, lake=tmp_lake))["docs"]
+    ok, msg = tables_equal(read_table(tmp_lake, "docs"), want)
+    assert ok, msg
 
 
 def test_expire_concurrent_with_pipelined_replay(ray_session, tmp_path):

@@ -1818,9 +1818,13 @@ def expire_snapshots(lake_root: str, table: str, retain_since_seq: int,
     Per-partition file rule (safe because the base chosen for any
     anchor ``s >= R`` is at or after the base chosen for ``R``, and a
     TRUNCATE marker at ``t <= R`` hides the same commits at every
-    ``s >= R``): keep the files of ``live_commits(part, R+1)`` plus
-    every commit after ``R``; a commit with ``seq_hi <= R`` whose file
-    is not live at ``R`` is unreachable from any retained anchor.
+    ``s >= R``): delete exactly the data files whose filename-embedded
+    ``seq_hi <= R`` and that are not part of the state at ``R``
+    (``live_commits(part, R+1)``) — such a file is unreachable from any
+    retained anchor.  Filtering on the FILENAME seq (not the commit
+    listing) makes expiry safe concurrently with pipelined merges:
+    merges write data before their commit record, but always at a seq
+    above the committed barrier ``R``, so in-flight files survive.
     Commit RECORDS are kept — they are the lineage/audit trail and the
     storage cost is the data files.  Note the reclaim comes from
     COMPACTION rewrites (``compact_every`` base commits, OPTIMIZE): on a
@@ -1860,16 +1864,31 @@ def expire_snapshots(lake_root: str, table: str, retain_since_seq: int,
     removed_files = 0
     removed_bytes = 0
 
+    def _fname_seq(f: str) -> int:
+        # data-<seq12>[-opt].parquet — the embedded commit high-water
+        # mark.  Unparseable names return -1 and are never deleted.
+        try:
+            return int(f[5:17])
+        except ValueError:
+            return -1
+
     def _expire_part(p: int) -> tuple[int, int]:
         lk = LakeState(lake_root, generation)
         keep = {c["file"] for c in lk.live_commits(table, p, retain + 1)}
-        keep |= {c["file"] for c in lk.list_commits(table, p)
-                 if int(c["seq_hi"]) > retain}
         pdir = lk.part_dir(table, p)
         n, b = 0, 0
         for f in sorted(os.listdir(pdir)):
+            # Delete only files whose FILENAME seq is at or below the
+            # retained barrier and that the barrier state doesn't use.
+            # The filename gate (not the commit listing) is what makes
+            # this safe concurrently with pipelined merges: a merge
+            # writes its data file BEFORE its commit record, and that
+            # file's embedded seq is always above the committed barrier
+            # R, so an in-flight file is never deleted even though no
+            # commit record references it yet.
             if (f.startswith("data-") and f.endswith(".parquet")
-                    and f not in keep):
+                    and f not in keep
+                    and 0 <= _fname_seq(f) <= retain):
                 fp = os.path.join(pdir, f)
                 b += os.path.getsize(fp)
                 os.remove(fp)

@@ -144,6 +144,36 @@ def test_expire_validates_inputs(ray_session, tmp_log, tmp_lake):
     assert ok, msg
 
 
+def test_expire_never_deletes_in_flight_files(ray_session, tmp_log,
+                                              tmp_lake):
+    """The concurrent-merge race guard: merges write their data file
+    BEFORE the commit record, so a file can exist with no commit row.
+    Expiry must key off the filename-embedded seq — an uncommitted file
+    above the retained barrier survives; unreachable garbage at or
+    below it is reclaimed; unparseable names are never touched."""
+    from deltaray.commit import _seq12
+
+    write_event_log(tmp_log, n_docs=80, n_events=1000, seed=73,
+                    segment_max_events=300)
+    replay(ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=2,
+                        chunk_max_events=300, vacuum=False, compact_every=2))
+    snaps = snapshots(tmp_lake)
+    R = snaps[-1]
+    pdir = os.path.join(tmp_lake, "gen=0000", "docs", "part=00000")
+    in_flight = os.path.join(pdir, f"data-{_seq12(R + 500)}.parquet")
+    garbage = os.path.join(pdir, f"data-{_seq12(1)}-zzz.parquet")
+    weird = os.path.join(pdir, "data-notaseq.parquet")
+    for p in (in_flight, garbage, weird):
+        with open(p, "wb") as f:
+            f.write(b"x")
+    expire_snapshots(tmp_lake, "docs", retain_since_seq=R)
+    assert os.path.exists(in_flight)      # uncommitted but above R: kept
+    assert not os.path.exists(garbage)    # unreachable below R: reclaimed
+    assert os.path.exists(weird)          # unparseable: never touched
+    os.remove(in_flight)
+    os.remove(weird)
+
+
 def test_expire_concurrent_with_pipelined_replay(ray_session, tmp_path):
     """Safety under chunk pipelining (pipeline_chunks=2): expiry from
     on_chunk deletes only files superseded at a COMMITTED barrier, and

@@ -437,3 +437,52 @@ def test_redact_and_normalize_idempotent(texts):
     n1 = normalize_batch(t)["text_norm"]
     n2 = normalize_batch(pa.table({"text": n1}))["text_norm"]
     assert n1.to_pylist() == n2.to_pylist()
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1),
+       n_docs=st.integers(30, 120),
+       n_events=st.integers(400, 1400),
+       chunk=st.integers(150, 450),
+       compact=st.integers(1, 3))
+def test_retention_property(seed, n_docs, n_events, chunk, compact,
+                            tmp_path_factory):
+    """For random stream shapes/chunkings/compaction cadences and a
+    random retain anchor R: every anchor >= R reads identically to its
+    pre-expiry state, every anchor < R raises SnapshotExpiredError, the
+    current state still equals the oracle, and a second expiry is a
+    no-op."""
+    import numpy as np
+
+    from deltaray.pipeline import (SnapshotExpiredError, expire_snapshots,
+                                   snapshots)
+
+    base = tmp_path_factory.mktemp("ret_prop")
+    log, lake = str(base / "events"), str(base / "lake")
+    write_event_log(log, n_docs=n_docs, n_events=n_events, seed=seed,
+                    segment_max_events=max(100, n_events // 4))
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=3,
+                       chunk_max_events=chunk, vacuum=False,
+                       compact_every=compact)
+    replay(cfg)
+    snaps = snapshots(lake)
+    assert snaps
+    rng = np.random.default_rng(seed)
+    R = int(snaps[int(rng.integers(0, len(snaps)))])
+    before = {s: read_table(lake, "docs", asof_seq=s)
+              for s in snaps if s >= R}
+    expire_snapshots(lake, "docs", retain_since_seq=R)
+    for s in snaps:
+        if s >= R:
+            ok, msg = tables_equal(
+                read_table(lake, "docs", asof_seq=s), before[s])
+            assert ok, (seed, s, msg)
+        else:
+            with pytest.raises(SnapshotExpiredError):
+                read_table(lake, "docs", asof_seq=s)
+    want = replay_oracle(cfg)["docs"]
+    ok, msg = tables_equal(read_table(lake, "docs"), want)
+    assert ok, (seed, msg)
+    res2 = expire_snapshots(lake, "docs", retain_since_seq=R)
+    assert res2["files_removed"] == 0

@@ -225,6 +225,48 @@ def test_read_history_unaffected_by_expire(ray_session, tmp_log, tmp_lake):
     assert ok, msg
 
 
+def test_kill_resume_with_retention(ray_session, tmp_log, tmp_lake):
+    """Crash mid-replay WHILE sliding retention is active, then resume:
+    completed chunks are skipped, the rest applies exactly once, and the
+    final state equals the oracle — expiry never deletes anything a
+    resumed run needs (the resume path reads only live commits, which
+    expiry keeps)."""
+    write_event_log(tmp_log, n_docs=180, n_events=2400, seed=79,
+                    segment_max_events=300)
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=300, vacuum=False,
+                       compact_every=2, pipeline_chunks=2)
+
+    class Kill(Exception):
+        pass
+
+    calls = []
+
+    def slide_then_kill(idx, chunk, rows):
+        calls.append(idx)
+        snaps = snapshots(tmp_lake)
+        if len(snaps) > 2:
+            expire_snapshots(tmp_lake, "docs", retain_since_seq=snaps[-2])
+        if len(calls) == 4:
+            raise Kill()
+
+    with pytest.raises(Kill):
+        replay(cfg, on_chunk=slide_then_kill)
+    # resume, still expiring as we go
+    def slide(idx, chunk, rows):
+        snaps = snapshots(tmp_lake)
+        if len(snaps) > 2:
+            expire_snapshots(tmp_lake, "docs", retain_since_seq=snaps[-2])
+
+    res = replay(cfg, on_chunk=slide)
+    assert res["chunks"] > len(calls)
+    want = replay_oracle(cfg)["docs"]
+    ok, msg = tables_equal(read_table(tmp_lake, "docs"), want)
+    assert ok, msg
+    # metrics exact despite the crash + retention (no double counting)
+    assert res["metrics"]["total"]["dml_events"] == 2400 + 180
+
+
 def test_expire_cli(ray_session, tmp_log, tmp_lake, capsys):
     """`python -m deltaray expire` — default keep-last-K window over every
     table, explicit --retain/--table variants."""

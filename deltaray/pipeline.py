@@ -1724,7 +1724,8 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
 
 
 def optimize_table(lake_root: str, table: str, cluster_by: str | list[str],
-                   generation: int = 0, row_group_rows: int = 32768) -> dict:
+                   generation: int = 0, row_group_rows: int = 32768,
+                   vacuum: bool = True) -> dict:
     """Cluster + compact a table's partitions on ``cluster_by`` — the
     Delta Lake ``OPTIMIZE ... ZORDER BY (cols)`` analog.  A single
     column linearly sorts each partition; a LIST of columns sorts by
@@ -1745,7 +1746,10 @@ def optimize_table(lake_root: str, table: str, cluster_by: str | list[str],
     the lake is quiet is a no-op (write-once ``opt`` commit).  Run it
     between replay chunks, not concurrently with a merge into the same
     partition.  Time-travel note: like any compaction, the vacuum step
-    retires pre-OPTIMIZE snapshots (SnapshotExpiredError applies).
+    retires pre-OPTIMIZE snapshots (SnapshotExpiredError applies) — on
+    a lake with a retention window, pass ``vacuum=False`` and run
+    :func:`expire_snapshots` afterwards, which keeps exactly the files
+    the retained anchors need instead of keeping only the new base.
     """
     import ray.data
 
@@ -1774,7 +1778,7 @@ def optimize_table(lake_root: str, table: str, cluster_by: str | list[str],
             tbl, _present = cluster_sort(tbl, cluster_cols)
             rec = lk.commit_optimize(table, p, tbl, hi, cluster_by,
                                      row_group_rows=row_group_rows)
-            removed = lk.vacuum(table, p)
+            removed = lk.vacuum(table, p) if vacuum else []
             rows["part"].append(p)
             rows["rows"].append(int(tbl.num_rows))
             rows["removed"].append(len(removed))

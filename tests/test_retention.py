@@ -225,6 +225,47 @@ def test_read_history_unaffected_by_expire(ray_session, tmp_log, tmp_lake):
     assert ok, msg
 
 
+def test_optimize_composes_with_retention(ray_session, tmp_log, tmp_lake):
+    """OPTIMIZE on a retention-window lake: with vacuum=False the
+    clustering rewrite keeps retained history readable, and a subsequent
+    expire_snapshots reclaims exactly what the window allows — versus
+    the default vacuum=True which retires all pre-OPTIMIZE snapshots."""
+    from deltaray import optimize_table, read_table_ds
+    from deltaray.util import to_table
+
+    write_event_log(tmp_log, n_docs=150, n_events=1800, seed=83,
+                    segment_max_events=400)
+    replay(ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                        chunk_max_events=450, vacuum=False, compact_every=2))
+    snaps = snapshots(tmp_lake)
+    R = snaps[-2]
+    before_R = read_table(tmp_lake, "docs", asof_seq=R)
+    current = read_table(tmp_lake, "docs")
+
+    res = optimize_table(tmp_lake, "docs", "n_tok", vacuum=False)
+    assert res["files_removed"] == 0  # nothing retired by the rewrite
+    # retained history still readable post-OPTIMIZE
+    ok, msg = tables_equal(read_table(tmp_lake, "docs", asof_seq=R),
+                           before_R)
+    assert ok, msg
+    # clustered read still exact
+    got = to_table(read_table_ds(tmp_lake, "docs",
+                                 predicate=("n_tok", ">=", 10))) \
+        .sort_by([("doc_id", "ascending")])
+    want = current.filter(
+        pa.compute.greater_equal(current["n_tok"], 10))
+    ok, msg = tables_equal(got, want)
+    assert ok, msg
+    # now expire to R: anchors >= R keep reading, older files reclaimed
+    res2 = expire_snapshots(tmp_lake, "docs", retain_since_seq=R)
+    assert res2["files_removed"] > 0
+    ok, msg = tables_equal(read_table(tmp_lake, "docs", asof_seq=R),
+                           before_R)
+    assert ok, msg
+    ok, msg = tables_equal(read_table(tmp_lake, "docs"), current)
+    assert ok, msg
+
+
 def test_kill_resume_with_retention(ray_session, tmp_log, tmp_lake):
     """Crash mid-replay WHILE sliding retention is active, then resume:
     completed chunks are skipped, the rest applies exactly once, and the

@@ -457,6 +457,9 @@ def run_retention_smoke() -> dict:
 
         def on_chunk(i, c, rows, _lake=lake, _mode=mode):
             nonlocal expire_sec
+            # sample BEFORE expiring so bytes_peak reports the true
+            # pre-expiry high-water mark, not just post-expiry states
+            peaks.append(lake_bytes(_lake)[0])
             if _mode == "retain":
                 snaps = snapshots(_lake)
                 if len(snaps) > keep:
@@ -464,7 +467,7 @@ def run_retention_smoke() -> dict:
                     expire_snapshots(_lake, "docs",
                                      retain_since_seq=snaps[-keep])
                     expire_sec += time.perf_counter() - t
-            peaks.append(lake_bytes(_lake)[0])
+                    peaks.append(lake_bytes(_lake)[0])
 
         t0 = time.perf_counter()
         replay(cfg, on_chunk=on_chunk)

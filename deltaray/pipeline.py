@@ -1185,6 +1185,19 @@ def _snapshot_floor(lake: LakeState, table: str) -> int:
     return int(fl.get(table, 0))
 
 
+def _raise_if_below_floor(lake: LakeState, table: str,
+                          seq: int | None) -> None:
+    """The one snapshot-floor gate every as-of read path shares."""
+    if seq is None:
+        return
+    floor = _snapshot_floor(lake, table)
+    if 0 < seq < floor:
+        raise SnapshotExpiredError(
+            f"anchor {seq} predates this table's snapshot floor "
+            f"{floor} (reshard migration or expire_snapshots "
+            f"retention): earlier state is not readable here")
+
+
 def earliest_snapshot(lake_root: str, table: str,
                       generation: int = 0) -> int | None:
     """Oldest ``asof_seq`` anchor whose files all still exist for
@@ -1233,12 +1246,7 @@ def read_table(lake_root: str, table: str, generation: int = 0,
     before = None
     if asof_seq is not None:
         before = _anchor_or_raise(lake_root, asof_seq, generation) + 1
-        floor = _snapshot_floor(lake, table)
-        if 0 < asof_seq < floor:
-            raise SnapshotExpiredError(
-                f"anchor {asof_seq} predates this table's snapshot floor "
-                f"{floor} (reshard migration or expire_snapshots "
-                f"retention): earlier state is not readable here")
+        _raise_if_below_floor(lake, table, asof_seq)
     schema = _schema_asof(lake, table, asof_seq)
     if schema is None:
         if asof_seq is not None and lake.current_schema(table) is not None:
@@ -1289,12 +1297,7 @@ def read_rows(lake_root: str, table: str, keys: list, generation: int = 0,
     before = None
     if asof_seq is not None:
         before = _anchor_or_raise(lake_root, asof_seq, generation) + 1
-        floor = _snapshot_floor(lake, table)
-        if 0 < asof_seq < floor:
-            raise SnapshotExpiredError(
-                f"anchor {asof_seq} predates this table's snapshot floor "
-                f"{floor} (reshard migration or expire_snapshots "
-                f"retention): earlier state is not readable here")
+        _raise_if_below_floor(lake, table, asof_seq)
     schema = _schema_asof(lake, table, asof_seq)
     if schema is None:
         if asof_seq is not None and lake.current_schema(table) is not None:
@@ -1588,12 +1591,7 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
     before = None
     if asof_seq is not None:
         before = _anchor_or_raise(lake_root, asof_seq, generation) + 1
-        floor = _snapshot_floor(lake, table)
-        if 0 < asof_seq < floor:
-            raise SnapshotExpiredError(
-                f"anchor {asof_seq} predates this table's snapshot floor "
-                f"{floor} (reshard migration or expire_snapshots "
-                f"retention): earlier state is not readable here")
+        _raise_if_below_floor(lake, table, asof_seq)
     schema = _schema_asof(lake, table, asof_seq)
     if schema is None:
         if asof_seq is not None and lake.current_schema(table) is not None:
@@ -1854,8 +1852,6 @@ def expire_snapshots(lake_root: str, table: str, retain_since_seq: int,
     overwrites state in place, DBReplicationOffsetStore.java:42-109);
     retention windows are this engine's extension of that lifecycle.
     """
-    import ray.data
-
     lake = LakeState(lake_root, generation)
     if lake.current_schema(table) is None:
         raise KeyError(f"unknown table {table!r}")
@@ -1869,12 +1865,19 @@ def expire_snapshots(lake_root: str, table: str, retain_since_seq: int,
     removed_bytes = 0
 
     def _fname_seq(f: str) -> int:
-        # data-<seq12>[-opt].parquet — the embedded commit high-water
-        # mark.  Unparseable names return -1 and are never deleted.
-        try:
-            return int(f[5:17])
-        except ValueError:
+        # data-<seq>[-opt].parquet — the embedded commit high-water
+        # mark.  ``_seq12`` zero-pads to 12 digits but never truncates,
+        # so parse the FULL digit run (a fixed 12-char slice would
+        # silently halve a 13-digit seq and could misclassify an
+        # in-flight file as expirable).  Unparseable names return -1
+        # and are never deleted.
+        body = f[len("data-"):]
+        i = 0
+        while i < len(body) and body[i].isdigit():
+            i += 1
+        if i < 12 or (i < len(body) and body[i] not in "-."):
             return -1
+        return int(body[:i])
 
     def _expire_part(p: int) -> tuple[int, int]:
         lk = LakeState(lake_root, generation)
@@ -1908,6 +1911,8 @@ def expire_snapshots(lake_root: str, table: str, retain_since_seq: int,
                 removed_files += n
                 removed_bytes += b
         else:
+            import ray.data
+
             def expire(batch: pa.Table) -> pa.Table:
                 out = {"removed": [], "bytes": []}
                 for p in batch["part"].to_pylist():
@@ -1936,7 +1941,6 @@ def expire_snapshots(lake_root: str, table: str, retain_since_seq: int,
     new_floor = max(int(floors.get(table, 0)), retain)
     if new_floor != int(floors.get(table, 0)):
         floors[table] = new_floor
-        from deltaray.commit import atomic_write_json
         atomic_write_json(meta_path, {**meta, "snapshot_floor": floors})
     return {"table": table, "retain_since_seq": retain,
             "partitions": len(parts), "files_removed": removed_files,
@@ -2025,11 +2029,7 @@ def read_changes(lake_root: str, table: str, since_seq: int,
         if as_of_seq < since_seq:
             raise ValueError(
                 f"as_of_seq={as_of_seq} precedes since_seq={since_seq}")
-        floor = _snapshot_floor(lake, table)
-        if 0 < as_of_seq < floor:
-            raise SnapshotExpiredError(
-                f"as_of anchor {as_of_seq} predates this table's snapshot "
-                f"floor {floor} (reshard or expire_snapshots)")
+        _raise_if_below_floor(lake, table, as_of_seq)
         before = as_of_seq + 1
     schema = _schema_asof(lake, table, as_of_seq)
     if schema is None:

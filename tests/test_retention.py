@@ -161,17 +161,23 @@ def test_expire_never_deletes_in_flight_files(ray_session, tmp_log,
     R = snaps[-1]
     pdir = os.path.join(tmp_lake, "gen=0000", "docs", "part=00000")
     in_flight = os.path.join(pdir, f"data-{_seq12(R + 500)}.parquet")
+    # a 13-digit seq (past the 12-digit zero-pad) must parse in FULL —
+    # a fixed 12-char slice would halve it below R and delete it
+    wide = os.path.join(pdir, f"data-{10**12 + 7}.parquet")
     garbage = os.path.join(pdir, f"data-{_seq12(1)}-zzz.parquet")
     weird = os.path.join(pdir, "data-notaseq.parquet")
-    for p in (in_flight, garbage, weird):
+    malformed = os.path.join(pdir, f"data-{_seq12(1)}x.parquet")
+    for p in (in_flight, wide, garbage, weird, malformed):
         with open(p, "wb") as f:
             f.write(b"x")
     expire_snapshots(tmp_lake, "docs", retain_since_seq=R)
     assert os.path.exists(in_flight)      # uncommitted but above R: kept
+    assert os.path.exists(wide)           # 13-digit seq above R: kept
     assert not os.path.exists(garbage)    # unreachable below R: reclaimed
     assert os.path.exists(weird)          # unparseable: never touched
-    os.remove(in_flight)
-    os.remove(weird)
+    assert os.path.exists(malformed)      # digits+junk: never touched
+    for p in (in_flight, wide, weird, malformed):
+        os.remove(p)
 
 
 def test_expire_concurrent_with_pipelined_replay(ray_session, tmp_path):

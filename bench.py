@@ -50,7 +50,7 @@ def ensure_event_log(events_per_doc: int = EVENTS_PER_DOC) -> tuple[str, dict]:
 
 
 def bench_replay(log: str, manifest: dict,
-                 repeats: int = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))) -> dict:
+                 repeats: int = int(os.environ.get("GRAFT_BENCH_REPEATS", "4"))) -> dict:
     """N replays into a fresh lake each time, reporting BOTH best-of-N and
     the median + full spread — this host is a shared box with +/-30%
     run-to-run noise; best-of damps it, median+spread shows how much

@@ -53,11 +53,31 @@ def cmd_replay(a) -> int:
         chunk_max_events=a.chunk_events, shuffle=a.shuffle,
         ordering="UN_ORDERED" if a.unordered else "ORDERED",
         generation=a.generation, pipeline_chunks=a.pipeline_chunks,
+        vacuum=not (a.keep_history or a.expire_keep),
+        compact_every=a.compact_every,
     )
+    hook = None
+    if a.expire_keep:
+        from deltaray.commit import LakeState
+        from deltaray.pipeline import expire_snapshots, snapshots
+
+        def hook():
+            # sliding retention window over every table, driven from the
+            # chunk/cycle barrier (single writer per partition there)
+            snaps = snapshots(a.lake, a.generation)
+            if len(snaps) > a.expire_keep:
+                retain = snaps[-a.expire_keep]
+                for t in LakeState(a.lake, a.generation).list_tables():
+                    expire_snapshots(a.lake, t, retain,
+                                     generation=a.generation)
+
     if a.follow:
-        res = replay_follow(cfg, poll_seconds=a.poll_seconds, idle_polls=3)
+        res = replay_follow(
+            cfg, poll_seconds=a.poll_seconds, idle_polls=3,
+            on_cycle=(lambda c, applied, last: hook()) if hook else None)
     else:
-        res = replay(cfg)
+        res = replay(cfg, on_chunk=(lambda i, c, rows: hook())
+                     if hook else None)
     print(json.dumps({"chunks": res["chunks"], "tables": res["tables"],
                       "metrics": res["metrics"]}, default=str))
     return 0
@@ -88,7 +108,9 @@ def cmd_gen(a) -> int:
     from deltaray.gen import write_event_log, write_event_log_fast
 
     fn = write_event_log_fast if a.fast else write_event_log
-    m = fn(a.out, n_docs=a.docs, n_events=a.events, seed=a.seed)
+    kw = ({"segment_max_events": a.segment_events}
+          if a.segment_events else {})
+    m = fn(a.out, n_docs=a.docs, n_events=a.events, seed=a.seed, **kw)
     print(json.dumps({"segments": len(m["segments"]), "max_seq": m["max_seq"]}))
     return 0
 
@@ -242,6 +264,15 @@ def main(argv=None) -> int:
     r.add_argument("--follow", action="store_true",
                    help="keep tailing the log (stop after 3 idle polls)")
     r.add_argument("--poll-seconds", type=float, default=5.0)
+    r.add_argument("--keep-history", action="store_true",
+                   help="retain superseded COW files (vacuum=False) so "
+                        "snapshots stay readable for time travel")
+    r.add_argument("--compact-every", type=int, default=8,
+                   help="fold base+deltas into a new base every N commits")
+    r.add_argument("--expire-keep", type=int, default=0, metavar="K",
+                   help="sliding retention: after each chunk/cycle, expire "
+                        "every table to the newest K snapshot anchors "
+                        "(implies --keep-history)")
     r.set_defaults(fn=cmd_replay)
 
     s = sub.add_parser("assess")
@@ -261,6 +292,9 @@ def main(argv=None) -> int:
     g.add_argument("--events", type=int, default=5000)
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--fast", action="store_true")
+    g.add_argument("--segment-events", type=int, default=0,
+                   help="max events per log segment file (chunk planning "
+                        "splits on segment boundaries)")
     g.set_defaults(fn=cmd_gen)
 
     no = sub.add_parser("normalize")

@@ -338,6 +338,28 @@ def test_expire_cli(ray_session, tmp_log, tmp_lake, capsys):
     assert out["docs"]["snapshot_floor"] == snaps[-1]
 
 
+def test_replay_cli_with_sliding_retention(ray_session, tmp_log, tmp_lake,
+                                           capsys):
+    """`python -m deltaray replay --expire-keep K`: the daemon-facing
+    entry point for bounded-storage ingest — final state equals the
+    oracle, only the newest K anchors stay readable."""
+    from deltaray.__main__ import main
+
+    write_event_log(tmp_log, n_docs=150, n_events=2000, seed=89,
+                    segment_max_events=300)
+    assert main(["replay", "--event-log", tmp_log, "--lake", tmp_lake,
+                 "--partitions", "4", "--chunk-events", "300",
+                 "--compact-every", "2", "--expire-keep", "2"]) == 0
+    capsys.readouterr()
+    snaps = snapshots(tmp_lake)
+    assert earliest_snapshot(tmp_lake, "docs") == snaps[-2]
+    want = replay_oracle(ReplayConfig(event_log=tmp_log, lake=tmp_lake))
+    ok, msg = tables_equal(read_table(tmp_lake, "docs"), want["docs"])
+    assert ok, msg
+    with pytest.raises(SnapshotExpiredError):
+        read_table(tmp_lake, "docs", asof_seq=snaps[0])
+
+
 def test_sliding_retention_during_replay(ray_session, tmp_path):
     """Continuous-ingest shape: expire from the on_chunk callback with a
     sliding keep-last-2-anchors window.  Storage stays bounded (fewer

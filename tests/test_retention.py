@@ -358,6 +358,17 @@ def test_replay_cli_with_sliding_retention(ray_session, tmp_log, tmp_lake,
     assert ok, msg
     with pytest.raises(SnapshotExpiredError):
         read_table(tmp_lake, "docs", asof_seq=snaps[0])
+    # follow-mode daemon path: same retention hook fires per cycle
+    lake2 = tmp_lake + "-follow"
+    assert main(["replay", "--event-log", tmp_log, "--lake", lake2,
+                 "--partitions", "4", "--chunk-events", "300",
+                 "--compact-every", "2", "--expire-keep", "2",
+                 "--follow", "--poll-seconds", "0.05"]) == 0
+    capsys.readouterr()
+    snaps2 = snapshots(lake2)
+    assert earliest_snapshot(lake2, "docs") == snaps2[-2]
+    ok, msg = tables_equal(read_table(lake2, "docs"), want["docs"])
+    assert ok, msg
 
 
 def test_sliding_retention_during_replay(ray_session, tmp_path):

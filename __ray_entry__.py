@@ -2100,6 +2100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_docs": _simhash_pairs_docs,
         "bpe_tokenize_docs": _bpe_tokenize_docs,
         "quality_model_docs": _quality_model_docs,
+        "semdedup_docs": _semdedup_docs,
         "decode_media": _decode_media,
         "audio_features": _audio_features,
         "video_frames": _video_frames,
@@ -2118,7 +2119,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_gate_minhash": _ingest_gate_minhash,
         "ingest_gate_embedding": _ingest_gate_embedding,
         "decontaminate_docs": _decontaminate_docs,
-        "ngram_jaccard_pairs_docs": _ngram_pairs_docs,
         # -- similarity search / embeddings --
         "knn_bruteforce": _knn_bruteforce,
         "knn_ivf_fullprobe": _knn_ivf_fullprobe,
@@ -2128,13 +2128,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _sessionize_events,
         "orders_customer_join": _orders_customer_join,
         "customers_orders_full": _customers_orders_full,
-        # ---- past the ~50-entry driver window: low-signal entries, all
-        # ---- green in CORRECTNESS_r03 (driver artifact), plus new
-        # ---- rows-only self-checking operators ----
+        # ---- past the ~50-entry driver window: low-signal entries that
+        # ---- all carried rows in CORRECTNESS_r03 (driver artifact) ----
         "stratified_sample_counts": _stratified_sample_counts,
         "minhash_pairs_docs": _minhash_pairs_docs,
         "embedding_neardup": _embedding_neardup,
-        "semdedup_docs": _semdedup_docs,
+        "ngram_jaccard_pairs_docs": _ngram_pairs_docs,
         "cluster_embeddings": _cluster_embeddings,
         "whiten_embeddings": _whiten_embeddings,
         "events_rank_per_user": _events_rank_per_user,

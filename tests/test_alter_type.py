@@ -129,3 +129,69 @@ def test_alter_tokens_list_widening(tmp_log, tmp_lake):
     _check(cfg)
     got = read_table(tmp_lake, "docs")
     assert got.schema.field("tokens").type == pa.list_(pa.int64())
+
+
+def test_alter_type_composes_with_optimize_and_retention(tmp_log, tmp_lake):
+    """The full maintenance lifecycle across a type alter: replay with
+    history (vacuum=False), OPTIMIZE-cluster on the ALTERED column with
+    vacuum=False (mixed int32/int64 files sort + compact under the
+    unified schema), then expire_snapshots at a post-alter anchor.
+    Every retained anchor must read byte-identically to its pre-OPTIMIZE
+    capture (pre-alter anchors under the OLD int32 schema), predicate
+    reads on the altered column must equal the exact filter throughout,
+    and expired anchors raise the clean floor error."""
+    import pyarrow.compute as pc
+
+    from deltaray import SnapshotExpiredError, earliest_snapshot, \
+        expire_snapshots, optimize_table
+    from deltaray.pipeline import read_table_ds, snapshots
+    from deltaray.util import to_table
+
+    write_event_log(
+        tmp_log, n_docs=150, n_events=2400, seed=41, segment_max_events=300,
+        ddl=[(1100, "docs", "ALTER_TABLE", {"alter": ("n_tok", "int64")})],
+    )
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=300, compact_every=4, vacuum=False)
+    replay(cfg)
+    oracle = replay_oracle(cfg)["docs"]
+    # the generator's DDL position is a change-stream index; its seq is
+    # offset by the n_docs snapshot inserts (+1 for the DDL itself)
+    alter_seq = 150 + 1100 + 1
+    snaps = snapshots(tmp_lake)
+    pre = [s for s in snaps if s <= alter_seq]
+    post = [s for s in snaps if s > alter_seq]
+    assert pre and len(post) >= 2, snaps
+
+    def check_pred(pred):
+        col, op, lit = pred
+        ops = {"==": pc.equal, "<": pc.less, ">=": pc.greater_equal}
+        got = to_table(read_table_ds(tmp_lake, "docs", predicate=pred))
+        full = to_table(read_table_ds(tmp_lake, "docs"))
+        want = full.filter(ops[op](full[col], lit)).sort_by("doc_id")
+        assert got.sort_by("doc_id").equals(want), pred
+
+    want_pre = read_table(tmp_lake, "docs", asof_seq=pre[-1])
+    want_post = read_table(tmp_lake, "docs", asof_seq=post[0])
+    assert want_pre.schema.field("n_tok").type == pa.int32()
+
+    optimize_table(tmp_lake, "docs", "n_tok", vacuum=False)
+    ok, msg = tables_equal(read_table(tmp_lake, "docs"), oracle, key="doc_id")
+    assert ok, msg
+    for anchor, want in [(pre[-1], want_pre), (post[0], want_post)]:
+        ok, msg = tables_equal(read_table(tmp_lake, "docs", asof_seq=anchor),
+                               want, key="doc_id")
+        assert ok, f"anchor {anchor} changed after OPTIMIZE: {msg}"
+    for pred in [("n_tok", ">=", 20), ("n_tok", "<", 10), ("n_tok", "==", 16)]:
+        check_pred(pred)
+
+    keep = post[1]
+    expire_snapshots(tmp_lake, "docs", keep)
+    assert earliest_snapshot(tmp_lake, "docs") == keep
+    got = read_table(tmp_lake, "docs", asof_seq=keep)
+    assert got.num_rows > 0
+    ok, msg = tables_equal(read_table(tmp_lake, "docs"), oracle, key="doc_id")
+    assert ok, msg
+    check_pred(("n_tok", ">=", 20))
+    with pytest.raises(SnapshotExpiredError):
+        read_table(tmp_lake, "docs", asof_seq=pre[-1])

@@ -195,3 +195,56 @@ def test_alter_type_composes_with_optimize_and_retention(tmp_log, tmp_lake):
     check_pred(("n_tok", ">=", 20))
     with pytest.raises(SnapshotExpiredError):
         read_table(tmp_lake, "docs", asof_seq=pre[-1])
+
+
+def test_read_changes_and_history_across_alter(tmp_log, tmp_lake):
+    """CDC-out across a type alter: a feed anchored BEFORE the alter
+    satisfies the patch law under the CURRENT (widened) schema, and
+    read_history returns every version evolved to the current schema
+    with intact validity chaining."""
+    import pyarrow.compute as pc
+
+    from deltaray import read_changes
+    from deltaray.pipeline import read_history, snapshots
+    from deltaray.util import to_table
+
+    write_event_log(
+        tmp_log, n_docs=120, n_events=2000, seed=47, segment_max_events=250,
+        ddl=[(900, "docs", "ALTER_TABLE", {"alter": ("n_tok", "int64")})],
+    )
+    cfg = ReplayConfig(event_log=tmp_log, lake=tmp_lake, num_partitions=4,
+                       chunk_max_events=250, compact_every=4, vacuum=False)
+    replay(cfg)
+    anchor = snapshots(tmp_lake)[0]  # pre-alter
+
+    feed = to_table(read_changes(tmp_lake, "docs", since_seq=anchor))
+    assert feed.schema.field("n_tok").type == pa.int64()
+
+    base = read_table(tmp_lake, "docs", asof_seq=anchor)
+    cur = read_table(tmp_lake, "docs")
+    ups = feed.filter(pc.equal(feed["change"], "UPSERT")) \
+        .select(cur.column_names)
+    changed = set(feed["doc_id"].to_pylist())
+    keep = base.filter(
+        pa.array([d not in changed for d in base["doc_id"].to_pylist()]))
+    patched = pa.concat_tables([keep.cast(cur.schema), ups],
+                               promote_options="default")
+    ok, msg = tables_equal(patched, cur, key="doc_id")
+    assert ok, f"patch law across ALTER: {msg}"
+
+    ks = cur["doc_id"].to_pylist()[:6]
+    h = read_history(tmp_lake, "docs", ks)
+    assert h.schema.field("n_tok").type == pa.int64()
+    hc = h.filter(pc.field("is_current")).select(cur.column_names) \
+        .sort_by("doc_id")
+    want = cur.filter(
+        pa.array([d in set(ks) for d in cur["doc_id"].to_pylist()])) \
+        .sort_by("doc_id")
+    ok, msg = tables_equal(hc, want, key="doc_id")
+    assert ok, msg
+    for k in ks:
+        rows = h.filter(pc.equal(h["doc_id"], k)).sort_by("seq")
+        seqs = rows["seq"].to_pylist()
+        vto = rows["valid_to_seq"].to_pylist()
+        assert all(vto[i] == seqs[i + 1] for i in range(len(seqs) - 1))
+        assert not vto or vto[-1] is None

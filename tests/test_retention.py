@@ -406,3 +406,73 @@ def test_sliding_retention_during_replay(ray_session, tmp_path):
     if len(snaps) > 2:
         with pytest.raises(SnapshotExpiredError):
             read_table(lake, "docs", asof_seq=snaps[0])
+
+
+def test_retention_and_changes_on_resharded_generation(ray_session, tmp_path):
+    """Generation migration composes with the retention + CDC surfaces:
+    after reshard + tail replay, the NEW generation's snapshots honor
+    the pre-reshard floor (old anchors listed but unreadable — files
+    were never copied), read_changes satisfies the patch law at a
+    mid-tail anchor, and expire_snapshots on the new generation keeps
+    retained anchors byte-exact while expired ones raise cleanly."""
+    import pyarrow.compute as pc
+
+    from deltaray import (SnapshotExpiredError, read_changes,
+                          reshard_generation)
+    from deltaray.pipeline import snapshots
+    from deltaray.util import to_table
+
+    log = str(tmp_path / "events")
+    prefix = str(tmp_path / "prefix")
+    lake = str(tmp_path / "lake")
+    write_event_log(log, n_docs=200, n_events=3200, seed=53,
+                    segment_max_events=400)
+    os.makedirs(prefix)
+    segs = sorted(glob.glob(os.path.join(log, "*.parquet")))
+    for f in segs[:4]:
+        import shutil as _sh
+        _sh.copy(f, os.path.join(prefix, os.path.basename(f)))
+    replay(ReplayConfig(event_log=prefix, lake=lake, num_partitions=4,
+                        chunk_max_events=400, compact_every=3,
+                        vacuum=False))
+    reshard_generation(lake, 8)
+    cfg1 = ReplayConfig(event_log=log, lake=lake, num_partitions=8,
+                        generation=1, chunk_max_events=400,
+                        compact_every=3, vacuum=False)
+    replay(cfg1)
+    oracle = replay_oracle(cfg1)["docs"]
+    ok, msg = tables_equal(read_table(lake, "docs", generation=1), oracle,
+                           key="doc_id")
+    assert ok, msg
+
+    snaps1 = snapshots(lake, generation=1)
+    # pre-reshard anchors are listed but their files were never copied:
+    # the floor starts at the reshard watermark
+    assert earliest_snapshot(lake, "docs", generation=1) == 1600
+
+    wm = snaps1[len(snaps1) // 2]
+    before = read_table(lake, "docs", generation=1, asof_seq=wm)
+    feed = to_table(read_changes(lake, "docs", since_seq=wm, generation=1))
+    cur = read_table(lake, "docs", generation=1)
+    ups = feed.filter(pc.equal(feed["change"], "UPSERT")) \
+        .select(cur.column_names)
+    changed = set(feed["doc_id"].to_pylist())
+    keep = before.filter(
+        pa.array([d not in changed for d in before["doc_id"].to_pylist()]))
+    patched = pa.concat_tables([keep, ups], promote_options="default")
+    ok, msg = tables_equal(patched, cur, key="doc_id")
+    assert ok, f"gen1 patch law at {wm}: {msg}"
+
+    keep_seq = snaps1[-2]
+    want_keep = read_table(lake, "docs", generation=1, asof_seq=keep_seq)
+    expire_snapshots(lake, "docs", keep_seq, generation=1)
+    assert earliest_snapshot(lake, "docs", generation=1) == keep_seq
+    ok, msg = tables_equal(
+        read_table(lake, "docs", generation=1, asof_seq=keep_seq),
+        want_keep, key="doc_id")
+    assert ok, msg
+    ok, msg = tables_equal(read_table(lake, "docs", generation=1), oracle,
+                           key="doc_id")
+    assert ok, msg
+    with pytest.raises(SnapshotExpiredError):
+        read_table(lake, "docs", generation=1, asof_seq=wm)

@@ -445,14 +445,16 @@ def test_redact_and_normalize_idempotent(texts):
        n_docs=st.integers(30, 120),
        n_events=st.integers(400, 1400),
        chunk=st.integers(150, 450),
-       compact=st.integers(1, 3))
+       compact=st.integers(1, 3),
+       unordered=st.booleans(),
+       truncate=st.booleans())
 def test_retention_property(seed, n_docs, n_events, chunk, compact,
-                            tmp_path_factory):
-    """For random stream shapes/chunkings/compaction cadences and a
-    random retain anchor R: every anchor >= R reads identically to its
-    pre-expiry state, every anchor < R raises SnapshotExpiredError, the
-    current state still equals the oracle, and a second expiry is a
-    no-op."""
+                            unordered, truncate, tmp_path_factory):
+    """For random stream shapes/chunkings/compaction cadences/orderings
+    (optionally with a mid-stream TRUNCATE) and a random retain anchor
+    R: every anchor >= R reads identically to its pre-expiry state,
+    every anchor < R raises SnapshotExpiredError, the current state
+    still equals the oracle, and a second expiry is a no-op."""
     import numpy as np
 
     from deltaray.pipeline import (SnapshotExpiredError, expire_snapshots,
@@ -460,10 +462,13 @@ def test_retention_property(seed, n_docs, n_events, chunk, compact,
 
     base = tmp_path_factory.mktemp("ret_prop")
     log, lake = str(base / "events"), str(base / "lake")
+    ddl = [(n_events // 2, "docs", "TRUNCATE_TABLE", {})] if truncate else []
     write_event_log(log, n_docs=n_docs, n_events=n_events, seed=seed,
-                    segment_max_events=max(100, n_events // 4))
+                    segment_max_events=max(100, n_events // 4),
+                    unordered=unordered, ddl=ddl)
     cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=3,
                        chunk_max_events=chunk, vacuum=False,
+                       ordering="UN_ORDERED" if unordered else "ORDERED",
                        compact_every=compact)
     replay(cfg)
     snaps = snapshots(lake)

@@ -2019,7 +2019,19 @@ def read_changes(lake_root: str, table: str, since_seq: int,
 
     ``columns`` prunes the payload at the parquet read (keys + version
     columns always fetched for the LWW merge) — a feed consumer that
-    only re-indexes ids never ships the token payload."""
+    only re-indexes ids never ships the token payload.
+
+    TRUNCATE in the window: a truncate marker wipes keys WITHOUT
+    per-key tombstones, so the merged current state cannot name them.
+    When a marker with seq in ``(since_seq, as_of]`` exists, the feed
+    reconstructs each partition's state AS OF ``since_seq`` (one extra
+    partition-local merge-on-read, no exchange) and emits a synthetic
+    DELETE row (null payload, ``seq`` = the marker's) for every key
+    live at the anchor that neither re-appears nor is re-deleted in
+    the feed — preserving the patch law and at-most-one-row-per-key.
+    On a vacuumed/retention lake the anchor state may be gone; that
+    raises :class:`SnapshotExpiredError` (re-anchor at
+    :func:`earliest_snapshot` or full-refresh downstream)."""
     import ray.data
 
     lake = LakeState(lake_root, generation)
@@ -2070,6 +2082,13 @@ def read_changes(lake_root: str, table: str, since_seq: int,
         with open(meta_path) as f:
             if json.load(f).get("ordering") == "ORDERED":
                 min_hi = since_seq
+    # TRUNCATE markers inside the pull window wipe keys without per-key
+    # tombstones — those keys need synthetic DELETEs (see docstring)
+    trunc_hidden = None
+    truncs = [t for t in lake.truncate_seqs(table)
+              if t > since_seq and (before is None or t < before)]
+    if truncs:
+        trunc_hidden = max(truncs)
     parts = []
     if not _dropped_asof(lake, table, as_of_seq):
         for d in sorted(glob.glob(os.path.join(lake.table_dir(table),
@@ -2088,7 +2107,24 @@ def read_changes(lake_root: str, table: str, since_seq: int,
                     raise SnapshotExpiredError(
                         f"bounded feed as_of<{before} of {table!r} part "
                         f"{p} needs vacuumed file(s) {missing}")
-            if any(since_seq < c["seq_hi"] for c in live):
+            touched = any(since_seq < c["seq_hi"] for c in live)
+            if trunc_hidden is not None:
+                pre_live = lake.live_commits(table, p, since_seq + 1)
+                if pre_live:
+                    # the since-anchor state will actually be read:
+                    # gate on its files' physical retention
+                    missing = [c["file"] for c in pre_live
+                               if not os.path.exists(
+                                   os.path.join(d, c["file"]))]
+                    if missing:
+                        raise SnapshotExpiredError(
+                            f"feed across TRUNCATE(seq={trunc_hidden}) "
+                            f"of {table!r} part {p} needs the anchor "
+                            f"state seq<={since_seq} but file(s) "
+                            f"{missing} were vacuumed; re-anchor at "
+                            f"earliest_snapshot(...) or full-refresh")
+                    touched = True
+            if touched:
                 parts.append(p)
     if not parts:
         return ray.data.from_arrow(out_schema.empty_table())
@@ -2098,23 +2134,56 @@ def read_changes(lake_root: str, table: str, since_seq: int,
         target = TableSchema.from_json(sj)
         out = []
         for p in batch["part"].to_pylist():
-            tbl, _ = LakeState(lake_root, generation).read_partition(
+            lk = LakeState(lake_root, generation)
+            tbl, _ = lk.read_partition(
                 table, p, before_seq=before, columns=phys,
                 min_seq_hi=min_hi)
-            if tbl is None or not tbl.num_rows:
-                continue
-            t = evolve_to(tbl, target)
-            t = t.filter(pc.greater(pc.fill_null(t["__seq"], 0), since_seq))
-            if not t.num_rows:
-                continue
-            deleted = pc.fill_null(t["__deleted"], False)
-            change = pc.if_else(deleted, pa.scalar("DELETE"),
-                                pa.scalar("UPSERT"))
-            seq = t["__seq"].cast(pa.int64())
-            t = t.drop_columns([c for c in t.column_names
-                                if c.startswith("__")])
-            t = t.append_column("change", change).append_column("seq", seq)
-            out.append(t.select(out_schema.names))
+            t = None
+            if tbl is not None and tbl.num_rows:
+                t = evolve_to(tbl, target)
+                t = t.filter(pc.greater(pc.fill_null(t["__seq"], 0),
+                                        since_seq))
+                deleted = pc.fill_null(t["__deleted"], False)
+                change = pc.if_else(deleted, pa.scalar("DELETE"),
+                                    pa.scalar("UPSERT"))
+                seq = t["__seq"].cast(pa.int64())
+                t = t.drop_columns([c for c in t.column_names
+                                    if c.startswith("__")])
+                t = t.append_column("change", change) \
+                    .append_column("seq", seq).select(out_schema.names)
+            if trunc_hidden is not None:
+                # keys live at the anchor that the marker wiped and the
+                # feed does not otherwise name → synthetic DELETE rows
+                old, _ = lk.read_partition(table, p,
+                                           before_seq=since_seq + 1)
+                if old is not None and old.num_rows:
+                    old = evolve_to(old, target)
+                    alive = old.filter(pc.equal(
+                        pc.fill_null(old["__deleted"], False), False))
+                    keycols = list(target.keys)
+                    oldk = alive.select(keycols)
+                    if t is not None and t.num_rows:
+                        oldk = oldk.join(t.select(keycols), keys=keycols,
+                                         join_type="left anti")
+                    n = oldk.num_rows
+                    if n:
+                        arrs = []
+                        for f in out_schema:
+                            if f.name in keycols:
+                                arrs.append(oldk[f.name])
+                            elif f.name == "change":
+                                arrs.append(pa.array(["DELETE"] * n))
+                            elif f.name == "seq":
+                                arrs.append(pa.array([trunc_hidden] * n,
+                                                     pa.int64()))
+                            else:
+                                arrs.append(pa.nulls(n, f.type))
+                        dels = pa.table(
+                            {f.name: a for f, a in zip(out_schema, arrs)})
+                        t = dels if t is None else pa.concat_tables(
+                            [t, dels], promote_options="default")
+            if t is not None and t.num_rows:
+                out.append(t)
         if not out:
             return out_schema.empty_table()
         return pa.concat_tables(out, promote_options="default")

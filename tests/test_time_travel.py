@@ -464,3 +464,89 @@ def test_watermark_is_marker_based(ray_session, tmp_log, tmp_lake):
                                      "part=*.json")):
         os.remove(f)
     assert committed_watermark(tmp_lake, "docs") == snaps[-1]
+
+
+def test_read_changes_across_truncate(ray_session, tmp_path):
+    """A TRUNCATE marker wipes keys without per-key tombstones; the feed
+    must synthesize DELETE rows for keys live at the anchor that the
+    marker hid and nothing re-inserted — in both orderings, for
+    unbounded and bounded windows, preserving at-most-one-row-per-key
+    and the patch law.  A window that ends BEFORE the marker gets no
+    synthetic deletes; after expiry removes the anchor state the feed
+    raises instead of silently dropping them."""
+    from deltaray import expire_snapshots
+
+    def patch_ok(lake, anchor, as_of=None):
+        before = read_table(lake, "docs", asof_seq=anchor)
+        cur = read_table(lake, "docs", asof_seq=as_of) if as_of \
+            else read_table(lake, "docs")
+        feed = to_table(read_changes(lake, "docs", since_seq=anchor,
+                                     as_of_seq=as_of))
+        changed = set(feed["doc_id"].to_pylist())
+        assert len(changed) == feed.num_rows, "duplicate keys in feed"
+        ups = feed.filter(pc.equal(feed["change"], "UPSERT")) \
+            .select(cur.column_names)
+        keep = before.filter(pa.array(
+            [d not in changed for d in before["doc_id"].to_pylist()]))
+        patched = pa.concat_tables([keep, ups], promote_options="default")
+        return tables_equal(patched, cur, key="doc_id"), feed
+
+    for unordered in (False, True):
+        tag = "u" if unordered else "o"
+        log = str(tmp_path / f"events-{tag}")
+        lake = str(tmp_path / f"lake-{tag}")
+        write_event_log(log, n_docs=120, n_events=2000, seed=67,
+                        segment_max_events=250, unordered=unordered,
+                        ddl=[(900, "docs", "TRUNCATE_TABLE", {})])
+        replay(ReplayConfig(
+            event_log=log, lake=lake, num_partitions=4,
+            chunk_max_events=250, compact_every=3, vacuum=False,
+            ordering="UN_ORDERED" if unordered else "ORDERED"))
+        snaps = snapshots(lake)
+        trunc_seq = 120 + 900 + 1
+        pre = [s for s in snaps if s <= trunc_seq]
+
+        (ok, msg), feed = patch_ok(lake, pre[0])
+        assert ok, f"[{tag}] unbounded: {msg}"
+        assert feed.filter(pc.equal(feed["change"], "DELETE")).num_rows > 0
+        # bounded window ending before the marker: no synthetic deletes
+        (ok, msg), feed_pre = patch_ok(lake, pre[0], as_of=pre[-1])
+        assert ok, f"[{tag}] pre-truncate window: {msg}"
+        # bounded window crossing the marker
+        (ok, msg), _ = patch_ok(lake, pre[0], as_of=snaps[-2])
+        assert ok, f"[{tag}] crossing window: {msg}"
+
+        # retention: expiring the anchor state makes the feed raise
+        expire_snapshots(lake, "docs", snaps[-2])
+        with pytest.raises(SnapshotExpiredError):
+            to_table(read_changes(lake, "docs", since_seq=pre[0]))
+        # post-floor anchor (marker outside the window) still works
+        assert to_table(read_changes(lake, "docs",
+                                     since_seq=snaps[-2])) is not None
+
+
+def test_refresh_aggregate_across_truncate(ray_session, tmp_path):
+    """Incremental aggregate maintenance across a TRUNCATE equals the
+    full recompute (the synthetic DELETEs retire the wiped keys'
+    contributions)."""
+    import ray.data as rd
+
+    from deltaray.pipeline import build_aggregate, refresh_aggregate
+
+    log, lake = str(tmp_path / "events"), str(tmp_path / "lake")
+    write_event_log(log, n_docs=120, n_events=2000, seed=67,
+                    segment_max_events=250,
+                    ddl=[(900, "docs", "TRUNCATE_TABLE", {})])
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                        chunk_max_events=250, compact_every=3,
+                        vacuum=False))
+    anchor = snapshots(lake)[0]
+    agg0 = build_aggregate(
+        rd.from_arrow(read_table(lake, "docs", asof_seq=anchor)),
+        group_col="source", sum_cols=["n_tok"])
+    agg1 = refresh_aggregate(lake, "docs", agg0, since_seq=anchor,
+                             group_col="source", sum_cols=["n_tok"])
+    full = build_aggregate(rd.from_arrow(read_table(lake, "docs")),
+                           group_col="source", sum_cols=["n_tok"])
+    ok, msg = tables_equal(agg1, full, key="source")
+    assert ok, msg

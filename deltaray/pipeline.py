@@ -2031,7 +2031,11 @@ def read_changes(lake_root: str, table: str, since_seq: int,
     the feed — preserving the patch law and at-most-one-row-per-key.
     On a vacuumed/retention lake the anchor state may be gone; that
     raises :class:`SnapshotExpiredError` (re-anchor at
-    :func:`earliest_snapshot` or full-refresh downstream)."""
+    :func:`earliest_snapshot` or full-refresh downstream).  DROP_TABLE
+    writes the same marker at its seq, so a drop inside the window
+    (with or without a later re-CREATE) also feeds its DELETEs — the
+    dropped table reads as EMPTY, and the feed retires every anchor
+    key the re-created incarnation didn't re-insert."""
     import ray.data
 
     lake = LakeState(lake_root, generation)
@@ -2090,7 +2094,14 @@ def read_changes(lake_root: str, table: str, since_seq: int,
     if truncs:
         trunc_hidden = max(truncs)
     parts = []
-    if not _dropped_asof(lake, table, as_of_seq):
+    # a table dropped inside the window still owes its consumers the
+    # DELETEs for every key live at the anchor: DROP writes a
+    # truncate-style marker at its seq, so the synthetic-DELETE path
+    # below emits them (read_table on a dropped table is EMPTY — the
+    # patch law then requires the feed to retire all anchor keys).
+    # A table already dropped AT the anchor has trunc_hidden None and
+    # correctly yields an empty feed.
+    if not _dropped_asof(lake, table, as_of_seq) or trunc_hidden is not None:
         for d in sorted(glob.glob(os.path.join(lake.table_dir(table),
                                                "part=*"))):
             p = int(os.path.basename(d).split("=")[1])

@@ -550,3 +550,48 @@ def test_refresh_aggregate_across_truncate(ray_session, tmp_path):
                            group_col="source", sum_cols=["n_tok"])
     ok, msg = tables_equal(agg1, full, key="source")
     assert ok, msg
+
+
+def test_read_changes_across_drop(ray_session, tmp_path):
+    """DROP_TABLE inside the feed window: the dropped table reads as
+    empty, so the feed must retire every key live at the anchor —
+    whether or not the table is later re-created (the drop's
+    truncate-style marker drives the synthetic DELETEs)."""
+
+    # drop as the final event: all anchor keys become DELETEs
+    log, lake = str(tmp_path / "ev-a"), str(tmp_path / "lk-a")
+    write_event_log(log, n_docs=100, n_events=1200, seed=71,
+                    segment_max_events=200,
+                    ddl=[(800, "docs", "DROP_TABLE", {})])
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                        chunk_max_events=200, vacuum=False))
+    anchor = snapshots(lake)[0]
+    before = read_table(lake, "docs", asof_seq=anchor)
+    assert read_table(lake, "docs").num_rows == 0
+    feed = to_table(read_changes(lake, "docs", since_seq=anchor))
+    assert feed.num_rows == before.num_rows
+    assert set(feed["change"].to_pylist()) == {"DELETE"}
+    assert set(feed["doc_id"].to_pylist()) == set(
+        before["doc_id"].to_pylist())
+
+    # drop + re-create: patch law against the new incarnation
+    log, lake = str(tmp_path / "ev-b"), str(tmp_path / "lk-b")
+    write_event_log(log, n_docs=100, n_events=1600, seed=73,
+                    segment_max_events=200,
+                    ddl=[(700, "docs", "DROP_TABLE", {}),
+                         (701, "docs", "CREATE_TABLE", {})])
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                        chunk_max_events=200, vacuum=False))
+    anchor = snapshots(lake)[0]
+    before = read_table(lake, "docs", asof_seq=anchor)
+    cur = read_table(lake, "docs")
+    feed = to_table(read_changes(lake, "docs", since_seq=anchor))
+    changed = set(feed["doc_id"].to_pylist())
+    assert len(changed) == feed.num_rows
+    ups = feed.filter(pc.equal(feed["change"], "UPSERT")) \
+        .select(cur.column_names)
+    keep = before.filter(pa.array(
+        [d not in changed for d in before["doc_id"].to_pylist()]))
+    patched = pa.concat_tables([keep, ups], promote_options="default")
+    ok, msg = tables_equal(patched, cur, key="doc_id")
+    assert ok, msg

@@ -276,12 +276,15 @@ def test_chunk_sequences_matches_python_slicing(seed, max_len, stride,
        n_docs=st.integers(30, 120),
        n_events=st.integers(200, 1200),
        chunk=st.integers(100, 500),
-       unordered=st.booleans())
+       unordered=st.booleans(),
+       truncate=st.booleans())
 def test_time_travel_property(seed, n_docs, n_events, chunk, unordered,
-                              tmp_path_factory):
-    """For random stream shapes/chunkings/orderings: a random snapshot
-    anchor reproduces the truncated-log oracle, and the bounded change
-    feed obeys asof(s1) + changes(s1→s2) == asof(s2)."""
+                              truncate, tmp_path_factory):
+    """For random stream shapes/chunkings/orderings (optionally with a
+    mid-stream TRUNCATE): a random snapshot anchor reproduces the
+    truncated-log oracle, and the bounded change feed obeys
+    asof(s1) + changes(s1→s2) == asof(s2) — including the synthetic
+    DELETEs a window-crossing marker owes."""
     import glob
     import os
     import shutil
@@ -296,9 +299,11 @@ def test_time_travel_property(seed, n_docs, n_events, chunk, unordered,
 
     base = tmp_path_factory.mktemp("tt_prop")
     log, lake = str(base / "events"), str(base / "lake")
+    ddl = [(n_events // 2, "docs", "TRUNCATE_TABLE", {})] if truncate \
+        else []
     write_event_log(log, n_docs=n_docs, n_events=n_events, seed=seed,
                     segment_max_events=max(100, n_events // 4),
-                    unordered=unordered)
+                    unordered=unordered, ddl=ddl)
     cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=3,
                        chunk_max_events=chunk, vacuum=False,
                        ordering="UN_ORDERED" if unordered else "ORDERED")

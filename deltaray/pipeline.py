@@ -887,6 +887,14 @@ def bootstrap_table(cfg: ReplayConfig, schema, snapshot_ds,
     out = hash_partitioned(stamped, keys, commit_block,
                            num_partitions=num_partitions)
     rows = out.take_all()  # tiny: one row per partition
+    # every partition committed: the bootstrap boundary is a consistent
+    # lake state, so record it as a chunk anchor — snapshots() lists it,
+    # time travel / bounded feeds / expire_snapshots can anchor at it,
+    # and reshard carries it over like any committed chunk
+    atomic_write_json(
+        os.path.join(session.lake.root, "_chunks",
+                     f"chunk-{0:012d}-{snapshot_seq:012d}.done"),
+        {"chunk": [0, snapshot_seq], "bootstrap": True})
     return {"table": table, "partitions": len(rows),
             "rows": int(sum(r["rows"] for r in rows)),
             "snapshot_seq": snapshot_seq}

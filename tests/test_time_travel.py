@@ -595,3 +595,72 @@ def test_read_changes_across_drop(ray_session, tmp_path):
     patched = pa.concat_tables([keep, ups], promote_options="default")
     ok, msg = tables_equal(patched, cur, key="doc_id")
     assert ok, msg
+
+
+def test_bootstrap_boundary_is_snapshot_anchor(ray_session, tmp_path):
+    """bootstrap_table records its (0, snapshot_seq] commit as a chunk
+    anchor: snapshots() lists it, time travel reproduces the exact
+    bootstrap state, bounded and unbounded feeds anchor at it (patch
+    law), expire_snapshots can retire it, and a tail replay stays
+    idempotent."""
+    import numpy as np
+    import ray.data as rd
+
+    from deltaray import expire_snapshots, read_changes
+    from deltaray.gen import gen_base
+    from deltaray.pipeline import bootstrap_table
+    from deltaray.schemas import default_table_schema, event_log_schema
+
+    log, lake = str(tmp_path / "events"), str(tmp_path / "lake")
+    schema = default_table_schema()
+    snap = gen_base(150, seed=31)
+    rng = np.random.default_rng(37)
+    log_schema = event_log_schema(schema)
+    rows, seq = [], 2
+    for i in range(600):
+        op = ("INSERT", "UPDATE", "DELETE")[int(rng.integers(0, 3))]
+        doc = f"docs-doc{1000 + i:08d}" if op == "INSERT" \
+            else f"docs-doc{int(rng.integers(0, 150)):08d}"
+        r = {"seq": seq, "op": op, "table": "docs", "doc_id": doc,
+             "is_snapshot": False}
+        if op != "DELETE":
+            r.update(tokens=[int(x) for x in rng.integers(0, 100, 5)],
+                     n_tok=5, source=str(rng.choice(["web", "code"])))
+        rows.append(r)
+        seq += 1
+    os.makedirs(log)
+    half = len(rows) // 2
+    for si, chunk_rows in enumerate([rows[:half], rows[half:]]):
+        cols = {f.name: [r.get(f.name) for r in chunk_rows]
+                for f in log_schema}
+        pq.write_table(
+            pa.table(cols, schema=log_schema),
+            f"{log}/events-{si:05d}-{chunk_rows[0]['seq']:012d}-"
+            f"{chunk_rows[-1]['seq']:012d}.parquet")
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                       chunk_max_events=150, compact_every=3,
+                       vacuum=False)
+    bootstrap_table(cfg, schema, rd.from_arrow(snap), snapshot_seq=1)
+    t0 = read_table(lake, "docs")
+    replay(cfg)
+    snaps = snapshots(lake)
+    assert snaps[0] == 1 and earliest_snapshot(lake, "docs") == 1
+    tb = read_table(lake, "docs", asof_seq=1)
+    ok, msg = tables_equal(tb, t0, key="doc_id")
+    assert ok, msg
+    cur = read_table(lake, "docs")
+    feed = to_table(read_changes(lake, "docs", since_seq=1))
+    changed = set(feed["doc_id"].to_pylist())
+    ups = feed.filter(pc.equal(feed["change"], "UPSERT")) \
+        .select(cur.column_names)
+    keep = tb.filter(pa.array(
+        [d not in changed for d in tb["doc_id"].to_pylist()]))
+    patched = pa.concat_tables([keep, ups], promote_options="default")
+    ok, msg = tables_equal(patched, cur, key="doc_id")
+    assert ok, msg
+    assert to_table(read_changes(lake, "docs", since_seq=1,
+                                 as_of_seq=snaps[1])).num_rows > 0
+    expire_snapshots(lake, "docs", snaps[-1])
+    with pytest.raises(SnapshotExpiredError):
+        read_table(lake, "docs", asof_seq=1)
+    assert replay(cfg)["lineage_total"] == 0

@@ -2130,6 +2130,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_orders_full": _customers_orders_full,
         # ---- past the ~50-entry driver window: low-signal entries that
         # ---- all carried rows in CORRECTNESS_r03 (driver artifact) ----
+        # ---- (ngram_jaccard_pairs_docs — hash-GREEN vs its SQL oracle
+        # ---- in r03 and still pytest-oracle-checked every run — was
+        # ---- the entry displaced to make room for semdedup_docs, the
+        # ---- only query with no driver row in r03 or the r04 window)
         "stratified_sample_counts": _stratified_sample_counts,
         "minhash_pairs_docs": _minhash_pairs_docs,
         "embedding_neardup": _embedding_neardup,

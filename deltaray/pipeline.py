@@ -799,6 +799,17 @@ def bootstrap_table(cfg: ReplayConfig, schema, snapshot_ds,
     the persisted lake schema.  Note: the snapshot is written under the
     lake (post-directive) schema; combining bootstrap with per-table
     directive chains assumes the snapshot is already transformed.
+
+    The bootstrap boundary is recorded as a chunk anchor (snapshots()
+    lists ``snapshot_seq``; time travel / bounded feeds / expiry can
+    anchor there).  Anchors are LAKE-wide: on a multi-table lake a
+    table bootstrapped later at a higher seq reads as EMPTY at this
+    earlier anchor — that is the true lake state at that seq (the
+    patch law still holds: its feed from the earlier anchor carries
+    every row as an UPSERT), but source-side history from before a
+    table's own bootstrap is never reconstructible.  Bootstrap tables
+    sequentially before tailing; don't bootstrap concurrently with a
+    replay that is writing chunk anchors.
     """
     import numpy as np
 
@@ -2101,6 +2112,18 @@ def read_changes(lake_root: str, table: str, since_seq: int,
               if t > since_seq and (before is None or t < before)]
     if truncs:
         trunc_hidden = max(truncs)
+    # the anchor-state read only feeds the key anti-join: prune it to
+    # keys + version columns (falls back to full reads on mixed-schema
+    # files, like every pruned read)
+    anchor_phys = None
+    if trunc_hidden is not None and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            _gm = json.load(f)
+        _n_sk = int(_gm.get("sort_key_components", 2))
+        anchor_phys = list(dict.fromkeys([
+            *schema.keys, "__seq", "__src_ts",
+            *[f"__sk{i}" for i in range(_n_sk)], "__deleted",
+        ]))
     parts = []
     # a table dropped inside the window still owes its consumers the
     # DELETEs for every key live at the anchor: DROP writes a
@@ -2174,7 +2197,8 @@ def read_changes(lake_root: str, table: str, since_seq: int,
                 # keys live at the anchor that the marker wiped and the
                 # feed does not otherwise name → synthetic DELETE rows
                 old, _ = lk.read_partition(table, p,
-                                           before_seq=since_seq + 1)
+                                           before_seq=since_seq + 1,
+                                           columns=anchor_phys)
                 if old is not None and old.num_rows:
                     old = evolve_to(old, target)
                     alive = old.filter(pc.equal(

@@ -517,12 +517,22 @@ def test_read_changes_across_truncate(ray_session, tmp_path):
         assert ok, f"[{tag}] crossing window: {msg}"
 
         # retention: expiring the anchor state makes the feed raise
+        want_floor = read_table(lake, "docs", asof_seq=snaps[-2])
         expire_snapshots(lake, "docs", snaps[-2])
         with pytest.raises(SnapshotExpiredError):
             to_table(read_changes(lake, "docs", since_seq=pre[0]))
-        # post-floor anchor (marker outside the window) still works
-        assert to_table(read_changes(lake, "docs",
-                                     since_seq=snaps[-2])) is not None
+        # post-floor anchor (marker outside the window): full patch law
+        cur = read_table(lake, "docs")
+        feed_f = to_table(read_changes(lake, "docs", since_seq=snaps[-2]))
+        ch_f = set(feed_f["doc_id"].to_pylist())
+        ups_f = feed_f.filter(pc.equal(feed_f["change"], "UPSERT")) \
+            .select(cur.column_names)
+        keep_f = want_floor.filter(pa.array(
+            [d not in ch_f for d in want_floor["doc_id"].to_pylist()]))
+        patched_f = pa.concat_tables([keep_f, ups_f],
+                                     promote_options="default")
+        ok, msg = tables_equal(patched_f, cur, key="doc_id")
+        assert ok, f"[{tag}] post-floor patch law: {msg}"
 
 
 def test_refresh_aggregate_across_truncate(ray_session, tmp_path):

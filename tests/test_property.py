@@ -277,14 +277,17 @@ def test_chunk_sequences_matches_python_slicing(seed, max_len, stride,
        n_events=st.integers(200, 1200),
        chunk=st.integers(100, 500),
        unordered=st.booleans(),
-       truncate=st.booleans())
+       truncate=st.booleans(),
+       alter=st.booleans(),
+       optimize=st.booleans())
 def test_time_travel_property(seed, n_docs, n_events, chunk, unordered,
-                              truncate, tmp_path_factory):
+                              truncate, alter, optimize, tmp_path_factory):
     """For random stream shapes/chunkings/orderings (optionally with a
-    mid-stream TRUNCATE): a random snapshot anchor reproduces the
-    truncated-log oracle, and the bounded change feed obeys
-    asof(s1) + changes(s1→s2) == asof(s2) — including the synthetic
-    DELETEs a window-crossing marker owes."""
+    mid-stream TRUNCATE and/or an ALTER COLUMN TYPE, optionally with
+    the whole lake re-clustered by OPTIMIZE afterwards): a random
+    snapshot anchor reproduces the truncated-log oracle, and the
+    bounded change feed obeys asof(s1) + changes(s1→s2) == asof(s2) —
+    including the synthetic DELETEs a window-crossing marker owes."""
     import glob
     import os
     import shutil
@@ -301,6 +304,9 @@ def test_time_travel_property(seed, n_docs, n_events, chunk, unordered,
     log, lake = str(base / "events"), str(base / "lake")
     ddl = [(n_events // 2, "docs", "TRUNCATE_TABLE", {})] if truncate \
         else []
+    if alter:
+        ddl.append((n_events // 3, "docs", "ALTER_TABLE",
+                    {"alter": ("n_tok", "int64")}))
     write_event_log(log, n_docs=n_docs, n_events=n_events, seed=seed,
                     segment_max_events=max(100, n_events // 4),
                     unordered=unordered, ddl=ddl)
@@ -308,6 +314,10 @@ def test_time_travel_property(seed, n_docs, n_events, chunk, unordered,
                        chunk_max_events=chunk, vacuum=False,
                        ordering="UN_ORDERED" if unordered else "ORDERED")
     replay(cfg)
+    if optimize:
+        from deltaray.pipeline import optimize_table
+        optimize_table(lake, "docs", "n_tok", vacuum=False,
+                       row_group_rows=64)
     snaps = snapshots(lake)
     assert snaps
     rng = np.random.default_rng(seed)
@@ -316,14 +326,17 @@ def test_time_travel_property(seed, n_docs, n_events, chunk, unordered,
     # truncated-log oracle
     d = str(base / f"trunc{S}")
     os.makedirs(d, exist_ok=True)
-    kept = []
-    for f in sorted(glob.glob(os.path.join(log, "*.parquet"))):
+    # one output file per kept segment: a DDL barrier legitimately
+    # changes the segment schema (e.g. ALTER TYPE), so they can't concat
+    for si, f in enumerate(sorted(glob.glob(os.path.join(log,
+                                                         "*.parquet")))):
         t = pq.read_table(f).filter(
             pc.less_equal(pq.read_table(f, columns=["seq"])["seq"], S))
         if t.num_rows:
-            kept.append(t)
-    pq.write_table(pa.concat_tables(kept, promote_options="default"),
-                   os.path.join(d, "events-00000.parquet"))
+            lo, hi = (pc.min_max(t["seq"])[k].as_py()
+                      for k in ("min", "max"))
+            pq.write_table(t, os.path.join(
+                d, f"events-{si:05d}-{lo:012d}-{hi:012d}.parquet"))
     want = replay_oracle(ReplayConfig(
         event_log=d, lake=str(base / "unused"),
         ordering=cfg.ordering))["docs"]

@@ -2058,6 +2058,13 @@ def read_changes(lake_root: str, table: str, since_seq: int,
     import ray.data
 
     lake = LakeState(lake_root, generation)
+    # the feed's anchor obeys the same retention contract as any as-of
+    # read: a since_seq below the snapshot floor raises uniformly, even
+    # when this particular expiry happened to delete no file the feed
+    # would touch — otherwise the same call works or raises depending
+    # on compaction accidents, and consumers can't rely on either.
+    # Anchor 0 (the empty pre-history state) stays valid forever.
+    _raise_if_below_floor(lake, table, since_seq)
     before = None
     if as_of_seq is not None:
         as_of_seq = _anchor_or_raise(lake_root, as_of_seq, generation)

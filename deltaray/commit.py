@@ -14,6 +14,10 @@ Layout (resumable output, one directory per hash partition):
           _schema/schema-<seq12>.json      # TableSchema after each DDL
           _truncate/trunc-<seq12>.json     # TRUNCATE_TABLE markers
           _commits/part=<K5>/commit-<lo12>-<hi12>.json
+          _commits/part=<K5>/manifest-<hi12>-<count>-<digest>.json
+                                           # rolled-up commit records —
+                                           # bounds per-read file opens
+                                           # under continuous ingest
           _chunks/chunk-<lo12>-<hi12>.done # driver chunk-complete marker
           part=<K5>/data-<hi12>.parquet    # COW snapshot of the partition
       _lineage/...                          # per-partition lineage records
@@ -46,6 +50,60 @@ SCHEMA_META_KEY = b"deltaray.schema"
 
 def _seq12(s: int) -> str:
     return f"{int(s):012d}"
+
+
+# ------------------------------------------------------ commit manifests
+#
+# Commit records are the audit trail and are never deleted, so under
+# continuous ingest a partition accumulates one small JSON file per
+# committed chunk forever — and every read (list_commits underlies all
+# merge-on-read, feed, lookup and watermark paths) would pay one
+# open+parse per record.  Manifest compaction bounds that: once a
+# partition holds >= manifest_every loose records they are rolled into
+# one ``manifest-*.json`` (all records, keyed by their original commit
+# filename so ordering semantics are unchanged), and once
+# MANIFEST_MERGE_AT manifests accumulate they merge into one.  Reads
+# then cost O(manifests + recent loose) file opens instead of
+# O(total history).  Iceberg's manifest-list analog, adapted to the
+# write-once single-writer-per-partition commit protocol:
+#
+# - the manifest is written atomically BEFORE its sources are deleted,
+#   and its name is deterministic in its contents (max seq_hi + count +
+#   content digest), so a crashed/retried rollup is idempotent and a
+#   reader never observes a state where a record is in neither place;
+# - a reader that listed the directory just before a rollup may open a
+#   loose file the rollup deleted — it retries the listing (the record
+#   is in the manifest by then);
+# - records may transiently exist in BOTH places (crash between write
+#   and cleanup): readers dedupe by commit filename.
+#
+# Write-amplification bound: level-0 rollups copy each record once per
+# manifest_every commits; full merges run every manifest_every *
+# MANIFEST_MERGE_AT commits over the whole history — O(N^2 / (every *
+# merge_at)) record-writes over N commits, a factor ~2000 below naive
+# per-commit rewriting at the defaults (64 * 32).
+
+MANIFEST_MERGE_AT = 32
+
+# manifests are immutable once written (their name pins their content),
+# so a small process-wide cache makes repeated list_commits calls cheap
+_MANIFEST_CACHE: dict = {}
+_MANIFEST_CACHE_MAX = 256
+
+
+def _load_manifest(path: str) -> dict:
+    """records dict (commit filename -> record) of one manifest file."""
+    st = os.stat(path)
+    key = (st.st_mtime_ns, st.st_size)
+    hit = _MANIFEST_CACHE.get(path)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    with open(path) as f:
+        recs = json.load(f)["records"]
+    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+    _MANIFEST_CACHE[path] = (key, recs)
+    return recs
 
 
 def atomic_write_json(path: str, obj: dict) -> None:
@@ -253,16 +311,106 @@ class LakeState:
 
     # ------------------------------------------------------------ commits
     def list_commits(self, table: str, part: int) -> list[dict]:
-        """Commits for one partition, ascending by seq_hi."""
+        """Commits for one partition, ascending by seq_hi — the union of
+        manifest-held records and loose ``commit-*.json`` files, deduped
+        by commit filename (rollup crash windows can leave a record in
+        both places).  A loose file deleted between the listing and the
+        read means a rollup just covered it; re-list and the manifest
+        has it."""
         d = self.commit_dir(table, part)
         if not os.path.isdir(d):
             return []
-        out = []
+        for _attempt in range(8):
+            try:
+                names = sorted(os.listdir(d))
+                recs: dict[str, dict] = {}
+                for f in names:
+                    if f.startswith("manifest-") and f.endswith(".json"):
+                        recs.update(_load_manifest(os.path.join(d, f)))
+                for f in names:
+                    if (f.startswith("commit-") and f.endswith(".json")
+                            and f not in recs):
+                        with open(os.path.join(d, f)) as fh:
+                            recs[f] = json.load(fh)
+                return [recs[k] for k in sorted(recs)]
+            except FileNotFoundError:
+                continue
+        raise RuntimeError(
+            f"commit listing for {table!r} part {part} kept racing "
+            f"manifest rollups — is an external process deleting files?")
+
+    def commit_record(self, table: str, part: int, fname: str) -> dict | None:
+        """One commit record by its filename, whether loose or already
+        rolled into a manifest — the write-once existence check."""
+        d = self.commit_dir(table, part)
+        p = os.path.join(d, fname)
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            pass
+        if not os.path.isdir(d):
+            return None
         for f in sorted(os.listdir(d)):
-            if f.startswith("commit-") and f.endswith(".json"):
+            if f.startswith("manifest-") and f.endswith(".json"):
+                try:
+                    recs = _load_manifest(os.path.join(d, f))
+                except FileNotFoundError:
+                    continue  # merged away under us; newer manifest has it
+                if fname in recs:
+                    return dict(recs[fname])
+        return None
+
+    def compact_manifests(self, table: str, part: int,
+                          every: int) -> int:
+        """Roll loose commit records into a manifest once ``every`` have
+        accumulated, and merge manifests once MANIFEST_MERGE_AT exist.
+        Returns the number of source files retired.  Idempotent and
+        crash-safe: the manifest is atomically written before any source
+        is deleted, and its name is deterministic in its contents."""
+        if every <= 0:
+            return 0
+        d = self.commit_dir(table, part)
+        if not os.path.isdir(d):
+            return 0
+        names = sorted(os.listdir(d))
+        loose = [f for f in names
+                 if f.startswith("commit-") and f.endswith(".json")]
+        mans = [f for f in names
+                if f.startswith("manifest-") and f.endswith(".json")]
+        if len(loose) < every and len(mans) < MANIFEST_MERGE_AT:
+            return 0
+        recs: dict[str, dict] = {}
+        for f in mans:
+            try:
+                recs.update(_load_manifest(os.path.join(d, f)))
+            except FileNotFoundError:
+                return 0  # concurrent rollup racing us; it owns this one
+        for f in loose:
+            if f in recs:
+                continue
+            try:
                 with open(os.path.join(d, f)) as fh:
-                    out.append(json.load(fh))
-        return out
+                    recs[f] = json.load(fh)
+            except FileNotFoundError:
+                return 0
+        if not recs:
+            return 0
+        import hashlib
+        hi = max(int(r["seq_hi"]) for r in recs.values())
+        digest = hashlib.sha1(
+            "\n".join(sorted(recs)).encode()).hexdigest()[:10]
+        mname = f"manifest-{_seq12(hi)}-{len(recs):08d}-{digest}.json"
+        if mname not in mans:
+            atomic_write_json(os.path.join(d, mname), {"records": recs})
+        retired = 0
+        for f in loose + [m for m in mans if m != mname]:
+            try:
+                os.remove(os.path.join(d, f))
+                retired += 1
+            except FileNotFoundError:
+                pass
+        return retired
 
     def latest_commit(self, table: str, part: int) -> dict | None:
         cs = self.list_commits(table, part)
@@ -310,6 +458,7 @@ class LakeState:
         state_rows: int | None = None,
         row_group_rows: int | None = None,
         clustered_by=None,
+        manifest_every: int = 0,
     ) -> dict:
         """Write the data file then the write-once commit record.
         ``kind``: "base" = the file holds the partition's full state;
@@ -327,9 +476,10 @@ class LakeState:
         DeltaPipelineStateStoreBaseTest.java:388-392).
         """
         cpath = self.commit_path(table, part, lo, hi)
-        if os.path.exists(cpath):
-            with open(cpath) as f:
-                rec = json.load(f)
+        # write-once check spans loose files AND manifests: after a
+        # rollup the record file is gone but the commit still happened
+        rec = self.commit_record(table, part, os.path.basename(cpath))
+        if rec is not None:
             rec["replayed"] = True
             return rec
         dpath = self.data_path(table, part, hi)
@@ -351,6 +501,8 @@ class LakeState:
         if clustered_by is not None:
             rec["clustered_by"] = clustered_by
         atomic_write_json(cpath, rec)
+        if manifest_every:
+            self.compact_manifests(table, part, manifest_every)
         return rec
 
     def commit_optimize(self, table: str, part: int, tbl: pa.Table,
@@ -370,9 +522,8 @@ class LakeState:
         unchanged watermark is a no-op."""
         cpath = os.path.join(self.commit_dir(table, part),
                              f"commit-{_seq12(hi)}-{_seq12(hi)}opt.json")
-        if os.path.exists(cpath):
-            with open(cpath) as f:
-                rec = json.load(f)
+        rec = self.commit_record(table, part, os.path.basename(cpath))
+        if rec is not None:
             rec["replayed"] = True
             return rec
         fname = f"data-{_seq12(hi)}-opt.parquet"

@@ -78,6 +78,12 @@ class ReplayConfig:
     # at N files and cuts per-chunk write amplification from O(state) to
     # O(changes).
     compact_every: int = 8
+    # roll loose per-chunk commit records into a manifest file once this
+    # many accumulate in a partition (0 = never).  Records are the audit
+    # trail and are never deleted, so without rollup every lake read
+    # pays one file open per commit EVER MADE; with it, reads cost
+    # O(manifests + recent loose) opens at any history length.
+    manifest_every: int = 64
     batch_size: int = 16384        # map_batches batch size for transforms
     # cap on object-ref args per merge/combine task in the exchange: when
     # a chunk plans more map units than this, splits combine in a tree of
@@ -142,6 +148,8 @@ class ReplayConfig:
             raise ValueError("sort_key_components must be >= 1")
         if self.compact_every < 1:
             raise ValueError("compact_every must be >= 1")
+        if self.manifest_every < 0:
+            raise ValueError("manifest_every must be >= 0 (0 disables)")
         if self.cluster_row_group_rows < 1:
             raise ValueError("cluster_row_group_rows must be >= 1")
         for bl in [self.ddl_blacklist] + [t.ddl_blacklist for t in self.tables]:
@@ -220,6 +228,7 @@ def config_to_dict(cfg: ReplayConfig) -> dict:
         "num_partitions": cfg.num_partitions,
         "chunk_max_events": cfg.chunk_max_events,
         "compact_every": cfg.compact_every,
+        "manifest_every": cfg.manifest_every,
         "batch_size": cfg.batch_size,
         "merge_fanin": cfg.merge_fanin,
         "pipeline_chunks": cfg.pipeline_chunks,
@@ -248,7 +257,8 @@ def config_from_dict(d: dict, runtime_args: dict[str, str] | None = None) -> Rep
     kw = {k: d[k] for k in (
         "event_log", "lake", "ordering", "sort_key_components",
         "track_previous", "shuffle", "num_partitions", "chunk_max_events",
-        "compact_every", "batch_size", "merge_fanin", "pipeline_chunks",
+        "compact_every", "manifest_every", "batch_size", "merge_fanin",
+        "pipeline_chunks",
         "cluster_by", "cluster_row_group_rows",
         "vacuum", "generation") if k in d}
     return ReplayConfig(

@@ -231,7 +231,8 @@ def _slim_partition_state(lake: LakeState, table: str, part: int,
 def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
                   effective_json: dict[str, str], num_partitions: int,
                   vacuum: bool = True, compact_every: int = 8,
-                  cluster_by=None, cluster_row_group_rows: int = 32768):
+                  cluster_by=None, cluster_row_group_rows: int = 32768,
+                  manifest_every: int = 0):
     """Build the ``map_groups`` function for one replay chunk.
 
     The returned closure runs once per (table, partition) group on a Ray
@@ -254,9 +255,10 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
         import os
 
         cpath = lake.commit_path(tname, part, chunk_lo, chunk_hi)
-        if os.path.exists(cpath):
-            with open(cpath) as f:
-                rec = json.load(f)
+        # already-applied check spans manifests too: a retried chunk
+        # whose commit record was rolled up must still be a no-op
+        rec = lake.commit_record(tname, part, os.path.basename(cpath))
+        if rec is not None:
             return _lineage_row(rec, skipped=True)
 
         n_ins = pc.sum(group["__n_ins"]).as_py() or 0
@@ -351,7 +353,8 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
         }
         rec = lake.try_commit(tname, part, chunk_lo, chunk_hi, merged,
                               counts, kind=kind, state_rows=state_rows,
-                              row_group_rows=rg_rows, clustered_by=clustered)
+                              row_group_rows=rg_rows, clustered_by=clustered,
+                              manifest_every=manifest_every)
         if vacuum:
             # superseded COW files are unreachable once this commit exists
             lake.vacuum(tname, part)

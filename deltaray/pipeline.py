@@ -453,6 +453,7 @@ class ReplaySession:
             compact_every=cfg.compact_every,
             cluster_by=cfg.cluster_by,
             cluster_row_group_rows=cfg.cluster_row_group_rows,
+            manifest_every=cfg.manifest_every,
         )
         n_shards = cfg.num_partitions * max(1, len(self.schemas))
         return files, columns, stage, merge, n_shards

@@ -1,0 +1,188 @@
+"""Commit-log manifest compaction.
+
+Commit records are the audit trail and never deleted, so a partition
+under continuous ingest accumulates one JSON file per committed chunk
+forever — and list_commits (under every merge-on-read, feed, lookup and
+watermark path) would pay one open per record.  Manifest rollup bounds
+that at O(manifests + recent loose) opens.  These tests pin:
+
+- rollup at the threshold, with list_commits identical before/after
+- write-once idempotence ACROSS rollup (a retried commit whose record
+  was rolled into a manifest is still a no-op)
+- manifest merging at MANIFEST_MERGE_AT
+- crash-window dedupe (a record present both loose and in a manifest)
+- an end-to-end replay with aggressive rollup: state == oracle, resume
+  skips every chunk, snapshots/feeds/history/optimize/expire all work
+  from manifest-held records
+"""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import deltaray.commit as commit_mod
+from deltaray import (ReplayConfig, read_changes, read_history, read_rows,
+                      read_table, read_table_ds, replay, replay_oracle,
+                      snapshots, tables_equal)
+from deltaray.commit import LakeState
+from deltaray.gen import write_event_log
+from deltaray.util import to_table
+
+
+def _tbl(seq: int) -> pa.Table:
+    return pa.table({"doc_id": [f"d{seq}"], "n_tok": [seq],
+                     "__seq": [seq], "__deleted": [False]})
+
+
+COUNTS = {"inserts": 1, "updates": 0, "deletes": 0, "bytes_in": 10,
+          "late_events": 0}
+
+
+def _commit_files(lake, table="docs", part=0):
+    d = LakeState(lake).commit_dir(table, part)
+    names = sorted(os.listdir(d)) if os.path.isdir(d) else []
+    return ([f for f in names if f.startswith("commit-")],
+            [f for f in names if f.startswith("manifest-")])
+
+
+def test_manifest_rollup_units(tmp_path):
+    lake = str(tmp_path / "lk")
+    lk = LakeState(lake)
+    recs = []
+    for i in range(10):
+        lo, hi = i * 10 + 1, (i + 1) * 10
+        recs.append(lk.try_commit("docs", 0, lo, hi, _tbl(hi), COUNTS,
+                                  kind="delta", manifest_every=4))
+    loose, mans = _commit_files(lake)
+    assert len(loose) < 4, f"rollup never ran: {loose}"
+    assert mans, "no manifest written"
+    listed = lk.list_commits("docs", 0)
+    assert [c["seq_hi"] for c in listed] == [c["seq_hi"] for c in recs]
+    assert [c["seq_lo"] for c in listed] == [c["seq_lo"] for c in recs]
+    # stats (zone maps) survive the rollup byte-for-byte
+    assert all("stats" in c and c["stats"] for c in listed)
+
+    # write-once across rollup: a retried commit whose record lives in
+    # a manifest returns it with replayed=True and writes nothing new
+    rec = lk.try_commit("docs", 0, 1, 10, _tbl(999), COUNTS,
+                        kind="delta", manifest_every=4)
+    assert rec["replayed"] is True
+    assert rec["rows"] == 1 and rec["seq_hi"] == 10
+    assert lk.commit_record("docs", 0, "commit-%012d-%012d.json"
+                            % (1, 10))["seq_hi"] == 10
+    assert lk.commit_record("docs", 0, "commit-%012d-%012d.json"
+                            % (1, 11)) is None
+
+
+def test_manifest_merge_threshold(tmp_path, monkeypatch):
+    monkeypatch.setattr(commit_mod, "MANIFEST_MERGE_AT", 3)
+    lake = str(tmp_path / "lk")
+    lk = LakeState(lake)
+    for i in range(12):
+        lo, hi = i * 10 + 1, (i + 1) * 10
+        lk.try_commit("docs", 0, lo, hi, _tbl(hi), COUNTS,
+                      kind="delta", manifest_every=1)
+    loose, mans = _commit_files(lake)
+    assert len(mans) < 3, f"manifests never merged: {mans}"
+    listed = lk.list_commits("docs", 0)
+    assert [c["seq_hi"] for c in listed] == [(i + 1) * 10 for i in range(12)]
+
+
+def test_manifest_crash_window_dedupe(tmp_path):
+    """A crash between manifest write and loose-file cleanup leaves a
+    record in both places; readers must not double-count it."""
+    lake = str(tmp_path / "lk")
+    lk = LakeState(lake)
+    for i in range(4):
+        lo, hi = i * 10 + 1, (i + 1) * 10
+        lk.try_commit("docs", 0, lo, hi, _tbl(hi), COUNTS,
+                      kind="delta", manifest_every=4)
+    loose, mans = _commit_files(lake)
+    assert mans and not loose
+    # resurrect one covered loose file, as a crashed cleanup would
+    with open(os.path.join(lk.commit_dir("docs", 0), mans[0])) as f:
+        records = json.load(f)["records"]
+    fname, rec = sorted(records.items())[0]
+    commit_mod.atomic_write_json(
+        os.path.join(lk.commit_dir("docs", 0), fname), rec)
+    listed = lk.list_commits("docs", 0)
+    assert len(listed) == 4
+    assert [c["seq_hi"] for c in listed] == [10, 20, 30, 40]
+
+
+def test_manifest_config_roundtrip():
+    from deltaray.config import config_from_dict, config_to_dict
+    cfg = ReplayConfig(event_log="/tmp/e", lake="/tmp/l",
+                       manifest_every=7)
+    d = config_to_dict(cfg)
+    assert d["manifest_every"] == 7
+    assert config_from_dict(d).manifest_every == 7
+    with pytest.raises(ValueError, match="manifest_every"):
+        ReplayConfig(event_log="/tmp/e", lake="/tmp/l", manifest_every=-1)
+
+
+def test_replay_with_manifest_rollup(ray_session, tmp_path):
+    """Aggressive rollup (manifest_every=2) under a multi-chunk replay:
+    final state equals the oracle, a second replay skips every chunk
+    (the already-applied check reads manifests), loose commit files
+    stay bounded, and snapshots / feeds / history / optimize / expire
+    all serve from manifest-held records."""
+    from deltaray import SnapshotExpiredError, expire_snapshots
+    from deltaray.pipeline import optimize_table
+
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=120, n_events=2000, seed=137,
+                    segment_max_events=200)
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                       chunk_max_events=200, compact_every=3,
+                       vacuum=False, manifest_every=2)
+    replay(cfg)
+    ok, msg = tables_equal(read_table(lake, "docs"),
+                           replay_oracle(cfg)["docs"])
+    assert ok, msg
+    for p in range(4):
+        loose, mans = _commit_files(lake, part=p)
+        assert len(loose) < 2 + 1, f"part {p} rollup lagged: {loose}"
+        assert mans, f"part {p} has no manifest"
+
+    res = replay(cfg)
+    assert res["lineage_total"] == 0, "resume re-applied a chunk"
+
+    snaps = snapshots(lake)
+    anchor = snaps[1]
+    before = read_table(lake, "docs", asof_seq=anchor)
+    cur = read_table(lake, "docs")
+    feed = to_table(read_changes(lake, "docs", since_seq=anchor))
+    changed = set(feed["doc_id"].to_pylist())
+    ups = feed.filter(pc.equal(feed["change"], "UPSERT")) \
+        .select(cur.column_names)
+    keep = before.filter(pa.array(
+        [d not in changed for d in before["doc_id"].to_pylist()]))
+    ok, msg = tables_equal(
+        pa.concat_tables([keep, ups], promote_options="default"), cur,
+        key="doc_id")
+    assert ok, f"patch law over manifest-held commits: {msg}"
+
+    keys = sorted(cur["doc_id"].to_pylist())[:6]
+    assert read_rows(lake, "docs", keys).num_rows == len(keys)
+    h = read_history(lake, "docs", keys)
+    assert set(h.filter(h["is_current"])["doc_id"].to_pylist()) == set(keys)
+
+    optimize_table(lake, "docs", "n_tok", vacuum=False, row_group_rows=64)
+    got = to_table(read_table_ds(lake, "docs",
+                                 predicate=("n_tok", ">", 300)))
+    want = cur.filter(pc.greater(cur["n_tok"], 300))
+    ok, msg = tables_equal(got.sort_by([("doc_id", "ascending")]),
+                           want.sort_by([("doc_id", "ascending")]),
+                           key="doc_id")
+    assert ok, f"predicate read over manifest-held zone maps: {msg}"
+
+    expire_snapshots(lake, "docs", snaps[-2])
+    with pytest.raises(SnapshotExpiredError):
+        read_table(lake, "docs", asof_seq=anchor)
+    ok, msg = tables_equal(read_table(lake, "docs"), cur, key="doc_id")
+    assert ok, f"state changed across expire with manifests: {msg}"

@@ -247,6 +247,29 @@ def cmd_expire(a) -> int:
     return 0
 
 
+def cmd_compact_manifests(a) -> int:
+    """Roll loose commit records into manifests across a generation —
+    maintenance for lakes written with manifest_every=0 (or a smaller
+    threshold than wanted); replay does this inline otherwise."""
+    import glob as _glob
+    import os as _os
+
+    from deltaray.commit import LakeState
+
+    lake = LakeState(a.lake, a.generation)
+    out: dict[str, dict] = {}
+    for t in ([a.table] if a.table else lake.list_tables()):
+        parts = sorted(
+            int(_os.path.basename(d).split("=")[1])
+            for d in _glob.glob(_os.path.join(lake.table_dir(t),
+                                              "_commits", "part=*")))
+        retired = {p: lake.compact_manifests(t, p, a.every) for p in parts}
+        out[t] = {"partitions": len(parts),
+                  "files_retired": int(sum(retired.values()))}
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="deltaray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -375,6 +398,17 @@ def main(argv=None) -> int:
                     help="with no --retain, keep this many newest anchors")
     ex.add_argument("--generation", type=int, default=0)
     ex.set_defaults(fn=cmd_expire)
+
+    cm = sub.add_parser("compact-manifests",
+                        help="roll loose commit records into manifest "
+                             "files (bounds commit-log read cost)")
+    cm.add_argument("--lake", required=True)
+    cm.add_argument("--table", help="default: every table in the generation")
+    cm.add_argument("--every", type=int, default=1,
+                    help="roll up when at least this many loose records "
+                         "exist (default 1: always)")
+    cm.add_argument("--generation", type=int, default=0)
+    cm.set_defaults(fn=cmd_compact_manifests)
 
     fs = sub.add_parser("fsck", help="lake integrity check")
     fs.add_argument("--lake", required=True)

@@ -339,6 +339,56 @@ def test_alter_type_then_reshard(ray_session, tmp_path):
     assert lk.schema.field("n_tok").type == pa.int64()
 
 
+def test_unordered_feed_across_optimize(ray_session, tmp_path):
+    """UN_ORDERED lakes resolve LWW by (source_ts, sort keys), not seq;
+    OPTIMIZE rewrites each partition into one clustered base.  The feed
+    from a pre-OPTIMIZE anchor must be unchanged by the rewrite (the
+    clustered base preserves per-row versions, src_ts and tombstones)
+    and the patch law must hold on the unordered lake."""
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=120, n_events=1600, seed=149,
+                    segment_max_events=200, unordered=True)
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                        chunk_max_events=200, compact_every=100,
+                        vacuum=False, ordering="UN_ORDERED"))
+    snaps = snapshots(lake)
+    anchor = snaps[1]
+    feed_before = to_table(read_changes(lake, "docs", since_seq=anchor)) \
+        .sort_by([("doc_id", "ascending")])
+
+    optimize_table(lake, "docs", "n_tok", vacuum=False, row_group_rows=64)
+
+    (ok, msg), feed_after = _patch_ok_local(lake, anchor)
+    assert ok, f"unordered patch law across OPTIMIZE: {msg}"
+    ok, msg = tables_equal(
+        feed_after.sort_by([("doc_id", "ascending")]), feed_before,
+        key="doc_id")
+    assert ok, f"unordered feed changed across OPTIMIZE: {msg}"
+    # predicate read on the unordered clustered base == exact filter
+    full = read_table(lake, "docs")
+    got = to_table(read_table_ds(lake, "docs",
+                                 predicate=("n_tok", ">", 300)))
+    want = full.filter(pc.greater(full["n_tok"], 300))
+    ok, msg = tables_equal(got.sort_by([("doc_id", "ascending")]),
+                           want.sort_by([("doc_id", "ascending")]),
+                           key="doc_id")
+    assert ok, msg
+
+
+def _patch_ok_local(lake, anchor, table="docs"):
+    before = read_table(lake, table, asof_seq=anchor)
+    cur = read_table(lake, table)
+    feed = to_table(read_changes(lake, table, since_seq=anchor))
+    changed = set(feed["doc_id"].to_pylist())
+    assert len(changed) == feed.num_rows, "duplicate keys in feed"
+    ups = feed.filter(pc.equal(feed["change"], "UPSERT")) \
+        .select(cur.column_names)
+    keep = before.filter(pa.array(
+        [d not in changed for d in before["doc_id"].to_pylist()]))
+    patched = pa.concat_tables([keep, ups], promote_options="default")
+    return tables_equal(patched, cur, key="doc_id"), feed
+
+
 def test_read_history_across_optimize(ray_session, tmp_path):
     """OPTIMIZE folds superseded versions into the clustered base, so
     history depth collapses to the live window (the documented

@@ -125,6 +125,34 @@ def test_manifest_config_roundtrip():
         ReplayConfig(event_log="/tmp/e", lake="/tmp/l", manifest_every=-1)
 
 
+def test_compact_manifests_cli(ray_session, tmp_path, capsys):
+    """`python -m deltaray compact-manifests` — maintenance rollup for a
+    lake written without inline rollup; listings and state unchanged."""
+    from deltaray.__main__ import main
+
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=80, n_events=1200, seed=139,
+                    segment_max_events=200)
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=2,
+                       chunk_max_events=200, compact_every=3,
+                       vacuum=False, manifest_every=0)
+    replay(cfg)
+    before = [LakeState(lake).list_commits("docs", p) for p in range(2)]
+    loose0, mans0 = _commit_files(lake, part=0)
+    assert loose0 and not mans0, "manifest_every=0 must not roll up"
+    want = read_table(lake, "docs")
+
+    assert main(["compact-manifests", "--lake", lake]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs"]["files_retired"] == sum(len(b) for b in before)
+    for p in range(2):
+        loose, mans = _commit_files(lake, part=p)
+        assert not loose and len(mans) == 1
+        assert LakeState(lake).list_commits("docs", p) == before[p]
+    ok, msg = tables_equal(read_table(lake, "docs"), want, key="doc_id")
+    assert ok, msg
+
+
 def test_replay_with_manifest_rollup(ray_session, tmp_path):
     """Aggressive rollup (manifest_every=2) under a multi-chunk replay:
     final state equals the oracle, a second replay skips every chunk

@@ -19,6 +19,8 @@ Layout (resumable output, one directory per hash partition):
                                            # bounds per-read file opens
                                            # under continuous ingest
           _chunks/chunk-<lo12>-<hi12>.done # driver chunk-complete marker
+          _chunks/chunks-manifest-*.json   # rolled-up markers (same
+                                           # bound as commit manifests)
           part=<K5>/data-<hi12>.parquet    # COW snapshot of the partition
       _lineage/...                          # per-partition lineage records
 
@@ -258,9 +260,9 @@ class LakeState:
             self.commit_dir(table, part), f"commit-{_seq12(lo)}-{_seq12(hi)}.json"
         )
 
-    def chunk_marker(self, table: str, lo: int, hi: int) -> str:
+    def chunk_marker(self, lo: int, hi: int) -> str:
         return os.path.join(
-            self.table_dir(table), "_chunks", f"chunk-{_seq12(lo)}-{_seq12(hi)}.done"
+            self.root, "_chunks", f"chunk-{_seq12(lo)}-{_seq12(hi)}.done"
         )
 
     # ------------------------------------------------------------- schema
@@ -401,6 +403,98 @@ class LakeState:
         digest = hashlib.sha1(
             "\n".join(sorted(recs)).encode()).hexdigest()[:10]
         mname = f"manifest-{_seq12(hi)}-{len(recs):08d}-{digest}.json"
+        if mname not in mans:
+            atomic_write_json(os.path.join(d, mname), {"records": recs})
+        retired = 0
+        for f in loose + [m for m in mans if m != mname]:
+            try:
+                os.remove(os.path.join(d, f))
+                retired += 1
+            except FileNotFoundError:
+                pass
+        return retired
+
+    # ------------------------------------------------- chunk-done markers
+    # Same unbounded-growth story as commit records: one ``chunk-*.done``
+    # marker per committed chunk forever, and snapshots() (under every
+    # time-travel / feed / watermark anchor check) lists them all.  The
+    # same rollup bounds it: loose markers fold into a
+    # ``chunks-manifest-*.json`` (name prefix chosen so the
+    # ``chunk-`` marker filter never matches it).
+
+    def chunk_done_records(self) -> dict[str, dict]:
+        """marker filename -> record, from manifests + loose markers."""
+        d = os.path.join(self.root, "_chunks")
+        if not os.path.isdir(d):
+            return {}
+        for _attempt in range(8):
+            try:
+                names = sorted(os.listdir(d))
+                recs: dict[str, dict] = {}
+                for f in names:
+                    if (f.startswith("chunks-manifest-")
+                            and f.endswith(".json")):
+                        recs.update(_load_manifest(os.path.join(d, f)))
+                for f in names:
+                    if (f.startswith("chunk-") and f.endswith(".done")
+                            and f not in recs):
+                        with open(os.path.join(d, f)) as fh:
+                            recs[f] = json.load(fh)
+                return recs
+            except FileNotFoundError:
+                continue
+        raise RuntimeError(
+            f"chunk-marker listing under {d} kept racing rollups")
+
+    def chunk_done_exists(self, lo: int, hi: int) -> bool:
+        p = self.chunk_marker(lo, hi)
+        if os.path.exists(p):
+            return True
+        return os.path.basename(p) in self.chunk_done_records()
+
+    def write_chunk_done(self, lo: int, hi: int, record: dict,
+                         manifest_every: int = 0) -> None:
+        atomic_write_json(self.chunk_marker(lo, hi), record)
+        if manifest_every:
+            self.compact_chunk_markers(manifest_every)
+
+    def compact_chunk_markers(self, every: int) -> int:
+        """Roll loose chunk markers into a manifest; same crash-safety
+        story as :meth:`compact_manifests` (atomic write before cleanup,
+        content-deterministic name, readers dedupe + re-list)."""
+        if every <= 0:
+            return 0
+        d = os.path.join(self.root, "_chunks")
+        if not os.path.isdir(d):
+            return 0
+        names = sorted(os.listdir(d))
+        loose = [f for f in names
+                 if f.startswith("chunk-") and f.endswith(".done")]
+        mans = [f for f in names
+                if f.startswith("chunks-manifest-") and f.endswith(".json")]
+        if len(loose) < every and len(mans) < MANIFEST_MERGE_AT:
+            return 0
+        recs: dict[str, dict] = {}
+        for f in mans:
+            try:
+                recs.update(_load_manifest(os.path.join(d, f)))
+            except FileNotFoundError:
+                return 0
+        for f in loose:
+            if f in recs:
+                continue
+            try:
+                with open(os.path.join(d, f)) as fh:
+                    recs[f] = json.load(fh)
+            except FileNotFoundError:
+                return 0
+        if not recs:
+            return 0
+        import hashlib
+        hi = max(int(f.split("-")[2].split(".")[0]) for f in recs)
+        digest = hashlib.sha1(
+            "\n".join(sorted(recs)).encode()).hexdigest()[:10]
+        mname = f"chunks-manifest-{_seq12(hi)}-{len(recs):08d}-{digest}.json"
         if mname not in mans:
             atomic_write_json(os.path.join(d, mname), {"records": recs})
         retired = 0

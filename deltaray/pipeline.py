@@ -689,7 +689,10 @@ class ReplaySession:
                     int(r["applied_inserts"]) + int(r["applied_updates"])
                     + int(r["applied_deletes"]))
             keep_lineage(rows)
-            atomic_write_json(marker, {"chunk": [chunk.seq_lo, chunk.seq_hi]})
+            self.lake.write_chunk_done(
+                chunk.seq_lo, chunk.seq_hi,
+                {"chunk": [chunk.seq_lo, chunk.seq_hi]},
+                manifest_every=getattr(self.cfg, "manifest_every", 0))
             if on_chunk is not None:
                 on_chunk(idx, chunk, rows)
 
@@ -728,6 +731,9 @@ class ReplaySession:
                 finish(idx, chunk, marker, rows)
 
         try:
+            # completed-chunk set loaded ONCE per run (manifest-aware:
+            # markers may have been rolled up) — this run only appends
+            done_markers = set(self.lake.chunk_done_records())
             for idx, chunk in enumerate(self.chunks):
                 if chunk.kind == "ddl":
                     # DDL mutates schemas + lake layout — barrier: every
@@ -738,11 +744,8 @@ class ReplaySession:
                     # idempotent)
                     self._apply_ddl_chunk(chunk)
                     continue
-                marker = os.path.join(
-                    self.lake.root, "_chunks",
-                    f"chunk-{chunk.seq_lo:012d}-{chunk.seq_hi:012d}.done"
-                )
-                if os.path.exists(marker):
+                marker = self.lake.chunk_marker(chunk.seq_lo, chunk.seq_hi)
+                if os.path.basename(marker) in done_markers:
                     # already-committed prefix: its state is final on disk,
                     # so no ordering ref is needed for successors
                     continue
@@ -903,10 +906,8 @@ def bootstrap_table(cfg: ReplayConfig, schema, snapshot_ds,
     # lake state, so record it as a chunk anchor — snapshots() lists it,
     # time travel / bounded feeds / expire_snapshots can anchor at it,
     # and reshard carries it over like any committed chunk
-    atomic_write_json(
-        os.path.join(session.lake.root, "_chunks",
-                     f"chunk-{0:012d}-{snapshot_seq:012d}.done"),
-        {"chunk": [0, snapshot_seq], "bootstrap": True})
+    session.lake.write_chunk_done(
+        0, snapshot_seq, {"chunk": [0, snapshot_seq], "bootstrap": True})
     return {"table": table, "partitions": len(rows),
             "rows": int(sum(r["rows"] for r in rows)),
             "snapshot_seq": snapshot_seq}
@@ -1114,16 +1115,11 @@ def snapshots(lake_root: str, generation: int = 0) -> list[int]:
     strictly inside a chunk's seq range is not reconstructible; a chunk
     marker, written only after EVERY partition committed the chunk,
     marks a seq at which the whole lake is consistent.  ``0`` (the empty
-    lake) is always a valid anchor in addition to these.  O(#chunks)
-    directory listing, no data reads."""
-    d = os.path.join(LakeState(lake_root, generation).root, "_chunks")
-    if not os.path.isdir(d):
-        return []
-    out = []
-    for f in sorted(os.listdir(d)):
-        if f.startswith("chunk-") and f.endswith(".done"):
-            out.append(int(f[:-len(".done")].split("-")[2]))
-    return sorted(out)
+    lake) is always a valid anchor in addition to these.
+    O(manifests + recent loose markers) metadata reads (markers roll
+    into chunk manifests like commit records), no data reads."""
+    recs = LakeState(lake_root, generation).chunk_done_records()
+    return sorted(int(f[:-len(".done")].split("-")[2]) for f in recs)
 
 
 def _anchor_or_raise(lake_root: str, seq: int, generation: int) -> int:

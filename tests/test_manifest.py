@@ -125,6 +125,49 @@ def test_manifest_config_roundtrip():
         ReplayConfig(event_log="/tmp/e", lake="/tmp/l", manifest_every=-1)
 
 
+def test_chunk_marker_rollup(ray_session, tmp_path):
+    """Chunk-done markers roll into a chunks-manifest under the same
+    threshold: snapshots() lists every anchor either way, resume still
+    skips the whole prefix after its markers were rolled up, and a
+    tail replay appends new anchors on top of the manifest."""
+    import glob as _glob
+    import shutil
+
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    prefix = str(tmp_path / "prefix")
+    write_event_log(log, n_docs=100, n_events=2000, seed=151,
+                    segment_max_events=200)
+    os.makedirs(prefix)
+    segs = sorted(_glob.glob(os.path.join(log, "*.parquet")))
+    for f in segs[:6]:
+        shutil.copy(f, os.path.join(prefix, os.path.basename(f)))
+    cfg_pre = ReplayConfig(event_log=prefix, lake=lake, num_partitions=2,
+                           chunk_max_events=200, compact_every=3,
+                           vacuum=False, manifest_every=2)
+    replay(cfg_pre)
+    snaps_pre = snapshots(lake)
+    assert len(snaps_pre) >= 6
+    cdir = os.path.join(lake, "gen=0000", "_chunks")
+    loose = [f for f in os.listdir(cdir) if f.endswith(".done")]
+    mans = [f for f in os.listdir(cdir)
+            if f.startswith("chunks-manifest-")]
+    assert mans and len(loose) < 2 + 1, (loose, mans)
+
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=2,
+                       chunk_max_events=200, compact_every=3,
+                       vacuum=False, manifest_every=2)
+    ran: list = []
+    replay(cfg, on_chunk=lambda i, c, rows: ran.append((c.seq_lo,
+                                                        c.seq_hi)))
+    assert all(lo >= snaps_pre[-1] for lo, hi in ran), \
+        f"manifest-held prefix re-ran: {ran[:3]}"
+    assert ran, "no tail chunk ran"
+    ok, msg = tables_equal(read_table(lake, "docs"),
+                           replay_oracle(cfg)["docs"])
+    assert ok, msg
+    assert snapshots(lake)[:len(snaps_pre)] == snaps_pre
+
+
 def test_compact_manifests_cli(ray_session, tmp_path, capsys):
     """`python -m deltaray compact-manifests` — maintenance rollup for a
     lake written without inline rollup; listings and state unchanged."""

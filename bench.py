@@ -487,9 +487,97 @@ def run_retention_smoke() -> dict:
     return out
 
 
+def run_manifest_soak() -> dict:
+    """Commit-log metadata boundedness under a MANY-CHUNK replay (the
+    10^5-chunk continuous-ingest shape at 1/250 scale): the same
+    ~400-chunk log replayed with manifest rollup off vs on, comparing
+    final state row-for-row and reporting what the rollup bounds —
+    per-partition commit-record file counts, chunk-marker counts, and
+    the wall cost of the metadata-only reads every query path leans on
+    (snapshots(), committed_watermark, one merge-on-read table scan).
+    With rollup off those listings open one JSON per chunk ever
+    committed; with it, O(manifests + recent loose)."""
+    import glob as _glob
+
+    import ray
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from deltaray import (ReplayConfig, committed_watermark, read_table,
+                          replay, snapshots, tables_equal)
+    from deltaray.gen import write_event_log_fast
+
+    def steal() -> int:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+
+    root = "/tmp/deltaray_bench/manifest_soak"
+    log = os.path.join(root, "events")
+    n_docs = int(os.environ.get("GRAFT_MANIFEST_DOCS", "20000"))
+    n_events = int(os.environ.get("GRAFT_MANIFEST_EVENTS", "200000"))
+    seg = int(os.environ.get("GRAFT_MANIFEST_SEG", "500"))
+    parts = int(os.environ.get("GRAFT_MANIFEST_PARTS", "16"))
+    if not os.path.exists(os.path.join(log, "manifest.json")):
+        write_event_log_fast(log, n_docs=n_docs, n_events=n_events,
+                             seed=43, segment_max_events=seg)
+    out: dict = {"metric": "cdc_manifest_soak", "events": n_events,
+                 "chunk_events": seg, "num_partitions": parts,
+                 "num_cpus": NUM_CPUS}
+    s0 = steal()
+    lakes = {}
+    for mode, every in (("loose", 0), ("rollup", 32)):
+        lake = os.path.join(root, f"lake-{mode}")
+        lakes[mode] = lake
+        shutil.rmtree(lake, ignore_errors=True)
+        cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=parts,
+                           chunk_max_events=seg, pipeline_chunks=2,
+                           compact_every=8, manifest_every=every)
+        t0 = time.perf_counter()
+        replay(cfg)
+        sec = time.perf_counter() - t0
+        cdirs = _glob.glob(os.path.join(lake, "gen=0000", "docs",
+                                        "_commits", "part=*"))
+        counts = [len(os.listdir(d)) for d in cdirs]
+        markers = len(os.listdir(os.path.join(lake, "gen=0000", "_chunks")))
+        t = time.perf_counter()
+        for _ in range(5):
+            snaps = snapshots(lake)
+        snap_ms = (time.perf_counter() - t) / 5 * 1000
+        t = time.perf_counter()
+        committed_watermark(lake, "docs")
+        wm_ms = (time.perf_counter() - t) * 1000
+        t = time.perf_counter()
+        tbl = read_table(lake, "docs")
+        read_sec = time.perf_counter() - t
+        out[mode] = {"replay_sec": round(sec, 3),
+                     "chunks": len(snaps),
+                     "commit_dir_files_max": max(counts),
+                     "commit_dir_files_total": sum(counts),
+                     "chunks_dir_files": markers,
+                     "snapshots_ms": round(snap_ms, 2),
+                     "watermark_ms": round(wm_ms, 2),
+                     "read_table_sec": round(read_sec, 3),
+                     "state_rows": tbl.num_rows}
+    eq, msg = tables_equal(read_table(lakes["loose"], "docs"),
+                           read_table(lakes["rollup"], "docs"))
+    out["final_state_equal"] = bool(eq)
+    out["metadata_file_ratio"] = round(
+        out["loose"]["commit_dir_files_total"]
+        / max(1, out["rollup"]["commit_dir_files_total"]), 1)
+    out["steal_cpu_sec_during"] = round((steal() - s0) / 100.0, 1)
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--manifest-soak" in sys.argv:
+        print(json.dumps(run_manifest_soak()))
     elif "--exchange-soak" in sys.argv:
         print(json.dumps(run_exchange_soak()))
     elif "--scale-smoke" in sys.argv:

@@ -45,6 +45,7 @@ def replay_cases(draw):
     n_tables = draw(st.sampled_from([1, 1, 2]))
     merge_fanin = draw(st.sampled_from([2, 256]))
     pipeline_chunks = draw(st.sampled_from([1, 2, 3]))
+    manifest_every = draw(st.sampled_from([0, 2, 64]))
     directives = draw(st.sampled_from([
         [], ["mask tokens 0 3"], ["rename n_tok tok_count"],
         ["retokenize-stub tokens 7"],
@@ -54,7 +55,8 @@ def replay_cases(draw):
                 parts=parts, hot=hot, directives=directives,
                 compact_every=compact_every, track_prev=track_prev,
                 n_sk=n_sk, n_tables=n_tables, merge_fanin=merge_fanin,
-                pipeline_chunks=pipeline_chunks)
+                pipeline_chunks=pipeline_chunks,
+                manifest_every=manifest_every)
 
 
 @settings(max_examples=10, deadline=None,
@@ -86,6 +88,7 @@ def test_random_replay_equals_oracle(case, tmp_path_factory):
         sort_key_components=case["n_sk"],
         merge_fanin=case.get("merge_fanin", 256),
         pipeline_chunks=case.get("pipeline_chunks", 2),
+        manifest_every=case.get("manifest_every", 64),
         tables=[TableConfig("docs", transformations=case["directives"])]
         if case["directives"] else [],
     )
@@ -279,9 +282,11 @@ def test_chunk_sequences_matches_python_slicing(seed, max_len, stride,
        unordered=st.booleans(),
        truncate=st.booleans(),
        alter=st.booleans(),
-       optimize=st.booleans())
+       optimize=st.booleans(),
+       manifest=st.sampled_from([0, 2]))
 def test_time_travel_property(seed, n_docs, n_events, chunk, unordered,
-                              truncate, alter, optimize, tmp_path_factory):
+                              truncate, alter, optimize, manifest,
+                              tmp_path_factory):
     """For random stream shapes/chunkings/orderings (optionally with a
     mid-stream TRUNCATE and/or an ALTER COLUMN TYPE, optionally with
     the whole lake re-clustered by OPTIMIZE afterwards): a random
@@ -312,7 +317,8 @@ def test_time_travel_property(seed, n_docs, n_events, chunk, unordered,
                     unordered=unordered, ddl=ddl)
     cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=3,
                        chunk_max_events=chunk, vacuum=False,
-                       ordering="UN_ORDERED" if unordered else "ORDERED")
+                       ordering="UN_ORDERED" if unordered else "ORDERED",
+                       manifest_every=manifest)
     replay(cfg)
     if optimize:
         from deltaray.pipeline import optimize_table
@@ -465,9 +471,11 @@ def test_redact_and_normalize_idempotent(texts):
        chunk=st.integers(150, 450),
        compact=st.integers(1, 3),
        unordered=st.booleans(),
-       truncate=st.booleans())
+       truncate=st.booleans(),
+       manifest=st.sampled_from([0, 2]))
 def test_retention_property(seed, n_docs, n_events, chunk, compact,
-                            unordered, truncate, tmp_path_factory):
+                            unordered, truncate, manifest,
+                            tmp_path_factory):
     """For random stream shapes/chunkings/compaction cadences/orderings
     (optionally with a mid-stream TRUNCATE) and a random retain anchor
     R: every anchor >= R reads identically to its pre-expiry state,
@@ -487,7 +495,7 @@ def test_retention_property(seed, n_docs, n_events, chunk, compact,
     cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=3,
                        chunk_max_events=chunk, vacuum=False,
                        ordering="UN_ORDERED" if unordered else "ORDERED",
-                       compact_every=compact)
+                       compact_every=compact, manifest_every=manifest)
     replay(cfg)
     snaps = snapshots(lake)
     assert snaps

@@ -266,6 +266,9 @@ def cmd_compact_manifests(a) -> int:
         retired = {p: lake.compact_manifests(t, p, a.every) for p in parts}
         out[t] = {"partitions": len(parts),
                   "files_retired": int(sum(retired.values()))}
+    # chunk-done markers are generation-level and bound snapshots() /
+    # resume the same way commit records bound partition reads
+    out["_chunks"] = {"files_retired": lake.compact_chunk_markers(a.every)}
     print(json.dumps(out))
     return 0
 

@@ -79,11 +79,12 @@ def _seq12(s: int) -> str:
 # - records may transiently exist in BOTH places (crash between write
 #   and cleanup): readers dedupe by commit filename.
 #
-# Write-amplification bound: level-0 rollups copy each record once per
-# manifest_every commits; full merges run every manifest_every *
-# MANIFEST_MERGE_AT commits over the whole history — O(N^2 / (every *
-# merge_at)) record-writes over N commits, a factor ~2000 below naive
-# per-commit rewriting at the defaults (64 * 32).
+# Write-amplification bound: a level-0 rollup copies ONLY the loose
+# records (existing manifests are not rewritten); the full merge
+# rewrites the whole history but runs only every manifest_every *
+# MANIFEST_MERGE_AT commits — O(N^2 / (every * merge_at)) record-writes
+# over N commits, a factor ~2000 below naive per-commit rewriting at
+# the defaults (64 * 32).
 
 MANIFEST_MERGE_AT = 32
 
@@ -334,7 +335,11 @@ class LakeState:
                             and f not in recs):
                         with open(os.path.join(d, f)) as fh:
                             recs[f] = json.load(fh)
-                return [recs[k] for k in sorted(recs)]
+                # shallow copies: manifest records alias the process-wide
+                # cache, and a caller stamping e.g. rec["replayed"] must
+                # not poison every later read (nested counts/stats are
+                # treated read-only engine-wide)
+                return [dict(recs[k]) for k in sorted(recs)]
             except FileNotFoundError:
                 continue
         raise RuntimeError(
@@ -343,7 +348,10 @@ class LakeState:
 
     def commit_record(self, table: str, part: int, fname: str) -> dict | None:
         """One commit record by its filename, whether loose or already
-        rolled into a manifest — the write-once existence check."""
+        rolled into a manifest — the write-once existence check.  A
+        manifest deleted between the listing and the read means a
+        rollup just merged it; RE-LIST rather than skip, or a committed
+        chunk could spuriously read as absent mid-rollup and re-apply."""
         d = self.commit_dir(table, part)
         p = os.path.join(d, fname)
         try:
@@ -353,15 +361,30 @@ class LakeState:
             pass
         if not os.path.isdir(d):
             return None
-        for f in sorted(os.listdir(d)):
-            if f.startswith("manifest-") and f.endswith(".json"):
-                try:
+        # the commit filename embeds its seq_hi; a manifest's name pins
+        # the max seq_hi it covers, so manifests provably too old to
+        # hold this record are skipped without parsing (the common miss
+        # path: a brand-new chunk probing before its first commit)
+        digits = "".join(c for c in fname.split("-")[2] if c.isdigit())
+        fname_hi = int(digits) if digits else -1
+        for _attempt in range(8):
+            try:
+                for f in sorted(os.listdir(d)):
+                    if not (f.startswith("manifest-")
+                            and f.endswith(".json")):
+                        continue
+                    man_hi = int(f.split("-")[1])
+                    if 0 <= fname_hi and man_hi < fname_hi:
+                        continue
                     recs = _load_manifest(os.path.join(d, f))
-                except FileNotFoundError:
-                    continue  # merged away under us; newer manifest has it
-                if fname in recs:
-                    return dict(recs[fname])
-        return None
+                    if fname in recs:
+                        return dict(recs[fname])
+                return None
+            except FileNotFoundError:
+                continue
+        raise RuntimeError(
+            f"commit lookup for {table!r} part {part} kept racing "
+            f"manifest rollups — is an external process deleting files?")
 
     def compact_manifests(self, table: str, part: int,
                           every: int) -> int:
@@ -380,14 +403,24 @@ class LakeState:
                  if f.startswith("commit-") and f.endswith(".json")]
         mans = [f for f in names
                 if f.startswith("manifest-") and f.endswith(".json")]
-        if len(loose) < every and len(mans) < MANIFEST_MERGE_AT:
+        # two-tier rollup keeps write amplification near O(N log N):
+        # level 0 folds ONLY the loose records into a new manifest
+        # (existing manifests untouched — no history rewrite per
+        # rollup); a full merge rewrites everything only once
+        # MANIFEST_MERGE_AT manifests accumulate, i.e. every
+        # every*MANIFEST_MERGE_AT commits.
+        merge_all = len(mans) >= MANIFEST_MERGE_AT
+        if len(loose) < every and not merge_all:
             return 0
         recs: dict[str, dict] = {}
-        for f in mans:
-            try:
-                recs.update(_load_manifest(os.path.join(d, f)))
-            except FileNotFoundError:
-                return 0  # concurrent rollup racing us; it owns this one
+        srcs: list[str] = []
+        if merge_all:
+            for f in mans:
+                try:
+                    recs.update(_load_manifest(os.path.join(d, f)))
+                except FileNotFoundError:
+                    return 0  # concurrent rollup racing us; it owns this
+            srcs += mans
         for f in loose:
             if f in recs:
                 continue
@@ -396,6 +429,7 @@ class LakeState:
                     recs[f] = json.load(fh)
             except FileNotFoundError:
                 return 0
+        srcs += loose
         if not recs:
             return 0
         import hashlib
@@ -406,7 +440,9 @@ class LakeState:
         if mname not in mans:
             atomic_write_json(os.path.join(d, mname), {"records": recs})
         retired = 0
-        for f in loose + [m for m in mans if m != mname]:
+        for f in srcs:
+            if f == mname:
+                continue
             try:
                 os.remove(os.path.join(d, f))
                 retired += 1
@@ -446,12 +482,6 @@ class LakeState:
         raise RuntimeError(
             f"chunk-marker listing under {d} kept racing rollups")
 
-    def chunk_done_exists(self, lo: int, hi: int) -> bool:
-        p = self.chunk_marker(lo, hi)
-        if os.path.exists(p):
-            return True
-        return os.path.basename(p) in self.chunk_done_records()
-
     def write_chunk_done(self, lo: int, hi: int, record: dict,
                          manifest_every: int = 0) -> None:
         atomic_write_json(self.chunk_marker(lo, hi), record)
@@ -472,14 +502,18 @@ class LakeState:
                  if f.startswith("chunk-") and f.endswith(".done")]
         mans = [f for f in names
                 if f.startswith("chunks-manifest-") and f.endswith(".json")]
-        if len(loose) < every and len(mans) < MANIFEST_MERGE_AT:
+        merge_all = len(mans) >= MANIFEST_MERGE_AT
+        if len(loose) < every and not merge_all:
             return 0
         recs: dict[str, dict] = {}
-        for f in mans:
-            try:
-                recs.update(_load_manifest(os.path.join(d, f)))
-            except FileNotFoundError:
-                return 0
+        srcs: list[str] = []
+        if merge_all:
+            for f in mans:
+                try:
+                    recs.update(_load_manifest(os.path.join(d, f)))
+                except FileNotFoundError:
+                    return 0
+            srcs += mans
         for f in loose:
             if f in recs:
                 continue
@@ -488,6 +522,7 @@ class LakeState:
                     recs[f] = json.load(fh)
             except FileNotFoundError:
                 return 0
+        srcs += loose
         if not recs:
             return 0
         import hashlib
@@ -498,7 +533,9 @@ class LakeState:
         if mname not in mans:
             atomic_write_json(os.path.join(d, mname), {"records": recs})
         retired = 0
-        for f in loose + [m for m in mans if m != mname]:
+        for f in srcs:
+            if f == mname:
+                continue
             try:
                 os.remove(os.path.join(d, f))
                 retired += 1

@@ -1861,8 +1861,10 @@ def expire_snapshots(lake_root: str, table: str, retain_since_seq: int,
     Idempotent; run it between replay chunks (single writer per
     partition), e.g. from replay's ``on_chunk`` callback for a sliding
     retention window during continuous ingest.  ``read_changes`` pulls
-    with ``since_seq`` below the new floor remain subject to the
-    physical missing-file gate, exactly like vacuum.
+    with ``since_seq`` below the new floor raise
+    :class:`SnapshotExpiredError` uniformly (the same gate as every
+    as-of read — not merely when a needed file happens to be gone);
+    anchor 0, the empty pre-history state, stays valid forever.
 
     Reference: the Delta plugin never retains history at all (its sink
     overwrites state in place, DBReplicationOffsetStore.java:42-109);

@@ -78,16 +78,50 @@ def test_manifest_rollup_units(tmp_path):
                             % (1, 11)) is None
 
 
-def test_manifest_merge_threshold(tmp_path, monkeypatch):
-    monkeypatch.setattr(commit_mod, "MANIFEST_MERGE_AT", 3)
-    lake = str(tmp_path / "lk")
+def test_manifest_two_tier_rollup(tmp_path, monkeypatch):
+    """Level 0 folds ONLY loose records (no history rewrite per rollup:
+    manifests accumulate), and the full merge engages exactly at
+    MANIFEST_MERGE_AT — the write-amplification contract."""
+    # tier 0 alone: with the merge threshold out of reach, every rollup
+    # must create a NEW manifest and leave the earlier ones untouched
+    monkeypatch.setattr(commit_mod, "MANIFEST_MERGE_AT", 10**9)
+    lake = str(tmp_path / "lk0")
     lk = LakeState(lake)
+    seen_mans: dict[str, float] = {}
+    for i in range(12):
+        lo, hi = i * 10 + 1, (i + 1) * 10
+        lk.try_commit("docs", 0, lo, hi, _tbl(hi), COUNTS,
+                      kind="delta", manifest_every=2)
+        for m in _commit_files(lake)[1]:
+            p = os.path.join(lk.commit_dir("docs", 0), m)
+            mt = os.stat(p).st_mtime_ns
+            assert seen_mans.setdefault(m, mt) == mt, \
+                f"level-0 rollup rewrote existing manifest {m}"
+    loose, mans = _commit_files(lake)
+    assert len(mans) == 6 and len(loose) == 0
+    listed = lk.list_commits("docs", 0)
+    assert [c["seq_hi"] for c in listed] == [(i + 1) * 10 for i in range(12)]
+
+    # tier 1: with the threshold at 3, manifests never accumulate past
+    # it, and everything still lists identically
+    monkeypatch.setattr(commit_mod, "MANIFEST_MERGE_AT", 3)
+    lake = str(tmp_path / "lk1")
+    lk = LakeState(lake)
+    peak = 0
     for i in range(12):
         lo, hi = i * 10 + 1, (i + 1) * 10
         lk.try_commit("docs", 0, lo, hi, _tbl(hi), COUNTS,
                       kind="delta", manifest_every=1)
+        peak = max(peak, len(_commit_files(lake)[1]))
     loose, mans = _commit_files(lake)
-    assert len(mans) < 3, f"manifests never merged: {mans}"
+    assert peak >= 3, "merge threshold was never reached"
+    # the merge fires on the rollup AFTER the threshold is hit, so the
+    # steady-state manifest count is bounded by MANIFEST_MERGE_AT (new
+    # level-0 manifests accumulate on top of the last merged one)
+    assert len(mans) <= 3, f"manifest count unbounded: {mans}"
+    counts = [int(m.split("-")[2]) for m in mans]
+    assert max(counts) >= 4, \
+        f"no merged manifest exists (per-manifest counts {counts})"
     listed = lk.list_commits("docs", 0)
     assert [c["seq_hi"] for c in listed] == [(i + 1) * 10 for i in range(12)]
 
@@ -184,14 +218,18 @@ def test_compact_manifests_cli(ray_session, tmp_path, capsys):
     loose0, mans0 = _commit_files(lake, part=0)
     assert loose0 and not mans0, "manifest_every=0 must not roll up"
     want = read_table(lake, "docs")
+    snaps0 = snapshots(lake)
+    n_markers = len(os.listdir(os.path.join(lake, "gen=0000", "_chunks")))
 
     assert main(["compact-manifests", "--lake", lake]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["docs"]["files_retired"] == sum(len(b) for b in before)
+    assert out["_chunks"]["files_retired"] == n_markers
     for p in range(2):
         loose, mans = _commit_files(lake, part=p)
         assert not loose and len(mans) == 1
         assert LakeState(lake).list_commits("docs", p) == before[p]
+    assert snapshots(lake) == snaps0, "marker rollup changed the anchors"
     ok, msg = tables_equal(read_table(lake, "docs"), want, key="doc_id")
     assert ok, msg
 

@@ -389,6 +389,110 @@ def _patch_ok_local(lake, anchor, table="docs"):
     return tables_equal(patched, cur, key="doc_id"), feed
 
 
+def test_composite_key_lifecycle_across_truncate(ray_session, tmp_path):
+    """The full CDC lifecycle on a COMPOSITE-key table crossing a
+    TRUNCATE (every earlier marker probe used a single-column key):
+    state == oracle, the feed's synthetic DELETEs name (k1, k2) tuples
+    exactly (patch law, at-most-one-row-per-key-tuple), tuple point
+    lookups agree with the scan for wiped and live keys, history chains
+    stay lawful, and an incremental aggregate refresh across the marker
+    equals the full recompute — with manifest rollup enabled so the
+    composite path also runs over manifest-held commits."""
+    import ray.data as rd
+
+    from deltaray import replay_oracle
+    from deltaray.schemas import TableSchema, ddl_payload, event_log_schema
+
+    PAIRS = TableSchema(
+        "pairs", ["k1", "k2"],
+        [("k1", "string"), ("k2", "int64"), ("v", "int64")],
+    )
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    log_schema = event_log_schema(PAIRS)
+    rng = np.random.default_rng(157)
+    segments, seq = [], 1
+    seg = [{"seq": 1, "op": "CREATE_TABLE", "table": "pairs",
+            "ddl_payload": ddl_payload("CREATE_TABLE", schema=PAIRS),
+            "is_snapshot": True}]
+    for si in range(6):
+        for _ in range(150):
+            seq += 1
+            op = ("INSERT", "UPDATE", "DELETE")[int(rng.integers(0, 3))]
+            r = {"seq": seq, "op": op, "table": "pairs",
+                 "k1": f"g{int(rng.integers(0, 6))}",
+                 "k2": int(rng.integers(0, 25)), "is_snapshot": False}
+            if op != "DELETE":
+                r["v"] = int(rng.integers(0, 1000))
+            seg.append(r)
+        if si == 3:
+            seq += 1
+            seg.append({"seq": seq, "op": "TRUNCATE_TABLE",
+                        "table": "pairs", "is_snapshot": False,
+                        "ddl_payload": ddl_payload("TRUNCATE_TABLE")})
+            trunc_seq = seq
+        segments.append(seg)
+        seg = []
+    _write_segments(log, log_schema, segments)
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                       chunk_max_events=160, compact_every=3,
+                       vacuum=False, manifest_every=2)
+    replay(cfg)
+    key = [("k1", "ascending"), ("k2", "ascending")]
+    cur = read_table(lake, "pairs")
+    ok, msg = tables_equal(cur, replay_oracle(cfg)["pairs"], key=key)
+    assert ok, f"composite state vs oracle: {msg}"
+
+    snaps = snapshots(lake)
+    pre = [s for s in snaps if s <= trunc_seq]
+    anchor = pre[0]
+    before = read_table(lake, "pairs", asof_seq=anchor)
+    feed = to_table(read_changes(lake, "pairs", since_seq=anchor))
+    fk = list(zip(feed["k1"].to_pylist(), feed["k2"].to_pylist()))
+    assert len(set(fk)) == feed.num_rows, "duplicate key tuples in feed"
+    dels = feed.filter(pc.equal(feed["change"], "DELETE"))
+    assert dels.num_rows > 0
+    ups = feed.filter(pc.equal(feed["change"], "UPSERT")) \
+        .select(cur.column_names)
+    changed = set(fk)
+    bk = list(zip(before["k1"].to_pylist(), before["k2"].to_pylist()))
+    keep = before.filter(pa.array([t not in changed for t in bk]))
+    patched = pa.concat_tables([keep, ups], promote_options="default")
+    ok, msg = tables_equal(patched, cur, key=key)
+    assert ok, f"composite patch law across truncate: {msg}"
+
+    # tuple point lookups: wiped keys absent now, present as-of anchor
+    cur_k = set(zip(cur["k1"].to_pylist(), cur["k2"].to_pylist()))
+    wiped = sorted(set(bk) - cur_k)[:4]
+    live = sorted(cur_k)[:4]
+    probe = sorted(set(wiped + live))
+    got = read_rows(lake, "pairs", probe)
+    gk = set(zip(got["k1"].to_pylist(), got["k2"].to_pylist()))
+    assert gk == set(live) & set(probe) | (cur_k & set(probe))
+    assert not (gk & set(wiped)), "lookup resurrected truncated tuples"
+    got_asof = read_rows(lake, "pairs", probe, asof_seq=pre[-1])
+    ak = set(zip(got_asof["k1"].to_pylist(), got_asof["k2"].to_pylist()))
+    assert set(wiped) <= ak
+
+    # history: nothing predates the marker; is_current agrees per tuple
+    h = read_history(lake, "pairs", probe)
+    assert h.num_rows > 0
+    assert pc.min(h["seq"]).as_py() > trunc_seq
+    hk = set(zip(h.filter(h["is_current"])["k1"].to_pylist(),
+                 h.filter(h["is_current"])["k2"].to_pylist()))
+    assert hk == cur_k & set(probe)
+
+    # incremental aggregate refresh across the marker == full recompute
+    agg0 = build_aggregate(
+        rd.from_arrow(read_table(lake, "pairs", asof_seq=anchor)),
+        group_col="k1", sum_cols=["v"])
+    agg1 = refresh_aggregate(lake, "pairs", agg0, since_seq=anchor,
+                             group_col="k1", sum_cols=["v"])
+    full = build_aggregate(rd.from_arrow(cur), group_col="k1",
+                           sum_cols=["v"])
+    ok, msg = tables_equal(agg1, full, key="k1")
+    assert ok, f"composite refresh across truncate: {msg}"
+
+
 def test_read_history_across_optimize(ray_session, tmp_path):
     """OPTIMIZE folds superseded versions into the clustered base, so
     history depth collapses to the live window (the documented

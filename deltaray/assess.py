@@ -244,7 +244,12 @@ def validate_lake(lake_root: str, generation: int = 0,
             if num_partitions is not None and not 0 <= p < num_partitions:
                 errors.append(f"{t}/part={p}: outside num_partitions="
                               f"{num_partitions}")
-            commits = lake.list_commits(t, p)
+            try:
+                commits = lake.list_commits(t, p)
+            except Exception as exc:  # e.g. a corrupt/truncated manifest
+                errors.append(f"{t}/part={p}: commit log unreadable: "
+                              f"{exc}")
+                continue
             prev_hi = -1
             for c in commits:
                 if not c["seq_lo"] <= c["seq_hi"]:

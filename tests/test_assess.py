@@ -133,3 +133,14 @@ def test_validate_lake_fsck(ray_session, tmp_log, tmp_lake):
     # CLI surface
     from deltaray.__main__ import main
     assert main(["fsck", "--lake", tmp_lake, "--deep"]) == 0
+    # corrupt commit manifest → reported as an error, not a crash
+    # (destructive: last check in the test)
+    lake.compact_manifests("docs", 0, every=1)
+    cdir = lake.commit_dir("docs", 0)
+    man = [f for f in os.listdir(cdir) if f.startswith("manifest-")][0]
+    with open(os.path.join(cdir, man), "r+") as f:
+        f.truncate(10)
+    rep = validate_lake(tmp_lake)
+    assert not rep["ok"] and any("commit log unreadable" in e
+                                 for e in rep["errors"])
+    assert main(["fsck", "--lake", tmp_lake]) == 1

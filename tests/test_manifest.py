@@ -159,6 +159,49 @@ def test_manifest_config_roundtrip():
         ReplayConfig(event_log="/tmp/e", lake="/tmp/l", manifest_every=-1)
 
 
+def test_kill_resume_with_manifests_and_retention(ray_session, tmp_path):
+    """Crash mid-replay with per-commit manifest rollup AND sliding
+    retention both active, then resume: the completed prefix is skipped
+    from manifest-held markers, the rest applies exactly once against
+    manifest-held commit records, metadata stays bounded, and the final
+    state equals the oracle."""
+    from deltaray import expire_snapshots
+
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=150, n_events=2400, seed=163,
+                    segment_max_events=300)
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                       chunk_max_events=300, vacuum=False,
+                       compact_every=2, pipeline_chunks=2,
+                       manifest_every=1)
+
+    class Kill(Exception):
+        pass
+
+    calls = []
+
+    def slide_then_kill(idx, chunk, rows):
+        calls.append(idx)
+        snaps = snapshots(lake)
+        if len(snaps) > 2:
+            expire_snapshots(lake, "docs", retain_since_seq=snaps[-2])
+        if len(calls) == 4:
+            raise Kill()
+
+    with pytest.raises(Kill):
+        replay(cfg, on_chunk=slide_then_kill)
+    res = replay(cfg)
+    assert res["chunks"] > len(calls)
+    ok, msg = tables_equal(read_table(lake, "docs"),
+                           replay_oracle(cfg)["docs"])
+    assert ok, msg
+    assert res["metrics"]["total"]["dml_events"] == 2400 + 150
+    for p in range(4):
+        loose, mans = _commit_files(lake, part=p)
+        assert len(loose) <= 1 and mans, (p, loose, mans)
+        assert len(mans) <= commit_mod.MANIFEST_MERGE_AT
+
+
 def test_chunk_marker_rollup(ray_session, tmp_path):
     """Chunk-done markers roll into a chunks-manifest under the same
     threshold: snapshots() lists every anchor either way, resume still

@@ -319,7 +319,17 @@ class LakeState:
         by commit filename (rollup crash windows can leave a record in
         both places).  A loose file deleted between the listing and the
         read means a rollup just covered it; re-list and the manifest
-        has it."""
+        has it.  Returns shallow copies: manifest records alias the
+        process-wide cache, and a caller stamping e.g.
+        ``rec["replayed"]`` must not poison every later read (nested
+        counts/stats are treated read-only engine-wide)."""
+        return [dict(r) for r in self._list_commits_raw(table, part)]
+
+    def _list_commits_raw(self, table: str, part: int) -> list[dict]:
+        """Uncopied listing for the internal READ-ONLY paths
+        (live_commits / committed_hi run once per partition per
+        merge-on-read task; copying the full history there would cost
+        O(chunks-ever-committed) per read)."""
         d = self.commit_dir(table, part)
         if not os.path.isdir(d):
             return []
@@ -335,11 +345,7 @@ class LakeState:
                             and f not in recs):
                         with open(os.path.join(d, f)) as fh:
                             recs[f] = json.load(fh)
-                # shallow copies: manifest records alias the process-wide
-                # cache, and a caller stamping e.g. rec["replayed"] must
-                # not poison every later read (nested counts/stats are
-                # treated read-only engine-wide)
-                return [dict(recs[k]) for k in sorted(recs)]
+                return [recs[k] for k in sorted(recs)]
             except FileNotFoundError:
                 continue
         raise RuntimeError(
@@ -544,8 +550,8 @@ class LakeState:
         return retired
 
     def latest_commit(self, table: str, part: int) -> dict | None:
-        cs = self.list_commits(table, part)
-        return cs[-1] if cs else None
+        cs = self._list_commits_raw(table, part)
+        return dict(cs[-1]) if cs else None
 
     def committed_hi(self, table: str, part: int) -> int:
         """Max committed seq for the partition — the resume watermark
@@ -562,7 +568,7 @@ class LakeState:
         these files and LWW-reducing per key reproduces the exact state —
         LWW over unique versions is associative, so base+deltas ≡ the
         fully compacted file."""
-        commits = self.list_commits(table, part)
+        commits = self._list_commits_raw(table, part)
         if before_seq is not None:
             commits = [c for c in commits if c["seq_hi"] < before_seq]
         bi = None
@@ -575,7 +581,9 @@ class LakeState:
         if truncs:
             tmax = max(truncs)
             sel = [c for c in sel if c["seq_hi"] >= tmax]
-        return sel
+        # copy the (small) live window — raw records alias the manifest
+        # cache and e.g. reshard/feed callers annotate them in place
+        return [dict(c) for c in sel]
 
     def try_commit(
         self,
@@ -709,7 +717,7 @@ class LakeState:
         lose a key's newest version and resurrect a stale base row.
         ``io_stats`` (optional dict) accumulates {"files_read",
         "files_pruned"} for observability/tests."""
-        commits = self.list_commits(table, part)
+        commits = self._list_commits_raw(table, part)  # read-only here
         if before_seq is not None:
             commits = [c for c in commits if c["seq_hi"] < before_seq]
         if not commits:

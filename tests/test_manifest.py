@@ -126,6 +126,63 @@ def test_manifest_two_tier_rollup(tmp_path, monkeypatch):
     assert [c["seq_hi"] for c in listed] == [(i + 1) * 10 for i in range(12)]
 
 
+def test_manifest_rollup_property(tmp_path_factory):
+    """For random commit counts, rollup thresholds, merge thresholds and
+    crash-window artifacts (a covered loose file resurrected after its
+    manifest was written): the listing always equals the exact commit
+    sequence, a random retried commit is always a no-op, and the
+    loose-file count stays below the threshold."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(n=st.integers(1, 40), every=st.sampled_from([1, 2, 5]),
+           merge_at=st.sampled_from([2, 3, 10**9]),
+           seed=st.integers(0, 2**31 - 1))
+    def run(n, every, merge_at, seed):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        old = commit_mod.MANIFEST_MERGE_AT
+        commit_mod.MANIFEST_MERGE_AT = merge_at
+        try:
+            lake = str(tmp_path_factory.mktemp("mprop") / "lk")
+            lk = LakeState(lake)
+            expected = []
+            for i in range(n):
+                lo, hi = i * 10 + 1, (i + 1) * 10
+                lk.try_commit("docs", 0, lo, hi, _tbl(hi), COUNTS,
+                              kind="delta", manifest_every=every)
+                expected.append((lo, hi))
+                if rng.random() < 0.2:
+                    # crash artifact: a covered record resurrected loose
+                    cdir = lk.commit_dir("docs", 0)
+                    mans = [f for f in os.listdir(cdir)
+                            if f.startswith("manifest-")]
+                    if mans:
+                        with open(os.path.join(
+                                cdir, mans[int(rng.integers(len(mans)))]
+                        )) as f:
+                            records = json.load(f)["records"]
+                        fname = sorted(records)[
+                            int(rng.integers(len(records)))]
+                        commit_mod.atomic_write_json(
+                            os.path.join(cdir, fname), records[fname])
+            listed = lk.list_commits("docs", 0)
+            assert [(c["seq_lo"], c["seq_hi"]) for c in listed] == expected
+            loose, mans = _commit_files(lake)
+            assert len([f for f in loose]) <= max(every, 1) + 1
+            j = int(rng.integers(n))
+            rec = lk.try_commit("docs", 0, j * 10 + 1, (j + 1) * 10,
+                                _tbl(999), COUNTS, kind="delta",
+                                manifest_every=every)
+            assert rec["replayed"] is True and rec["rows"] == 1
+        finally:
+            commit_mod.MANIFEST_MERGE_AT = old
+
+    run()
+
+
 def test_manifest_crash_window_dedupe(tmp_path):
     """A crash between manifest write and loose-file cleanup leaves a
     record in both places; readers must not double-count it."""

@@ -1668,9 +1668,34 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
                      for c, op, lit in conjuncts]
         ordered = False
         meta_path = os.path.join(lake.root, "_meta.json")
+        gmeta_pred = None
         if os.path.exists(meta_path):
             with open(meta_path) as f:
-                ordered = json.load(f).get("ordering") == "ORDERED"
+                gmeta_pred = json.load(f)
+            ordered = gmeta_pred.get("ordering") == "ORDERED"
+        # key routing: when equality conjuncts pin EVERY key column, the
+        # row can only live in one hash partition — route like
+        # read_rows instead of scanning all partitions (exactness is
+        # the partitioner's own invariant, independent of zone maps,
+        # renames or ordering; the exact filter still applies after)
+        eq = {c: lit for c, op, lit in conjuncts if op == "=="}
+        from deltaray.transforms import HASH_VERSION, stable_hash_cols
+        if (gmeta_pred is not None and set(schema.keys) <= set(eq)
+                and gmeta_pred.get("hash_version") == HASH_VERSION):
+            import numpy as np
+            ktbl = pa.table({
+                k: pa.array([eq[k]], schema.arrow_schema().field(k).type)
+                for k in schema.keys})
+            target_p = int(stable_hash_cols(ktbl, list(schema.keys))[0]
+                           % np.uint64(int(gmeta_pred["num_partitions"])))
+            routed = [p for p in parts if p == target_p]
+            if io_stats_out is not None:
+                io_stats_out["parts_pruned"] = (
+                    io_stats_out.get("parts_pruned", 0)
+                    + len(parts) - len(routed))
+            parts = routed
+            if not parts:
+                return ray.data.from_arrow(out_schema.empty_table())
         # zone maps are keyed by column names AT WRITE TIME; a rename
         # chain could alias an old column's stats onto a new column's
         # name, so stats-based skipping is disabled entirely on renamed

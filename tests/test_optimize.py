@@ -275,6 +275,55 @@ def test_cluster_on_write(tmp_log, tmp_lake):
         _pred_equals_filter(tmp_lake, pred)
 
 
+def test_key_equality_predicate_routes_to_one_partition(tmp_log, tmp_lake):
+    """A predicate whose equality conjuncts pin every key column can
+    only match rows in ONE hash partition — the scan API routes there
+    like read_rows (independent of ordering/zone maps), the exact
+    filter still applies, and a missing key reads empty."""
+    from deltaray import read_table, tables_equal
+    from deltaray.util import to_table
+
+    write_event_log(tmp_log, n_docs=120, n_events=1500, seed=17,
+                    segment_max_events=500)
+    replay(ReplayConfig(event_log=tmp_log, lake=tmp_lake,
+                        num_partitions=8, chunk_max_events=500))
+    full = read_table(tmp_lake, "docs")
+    key = full["doc_id"][0].as_py()
+
+    io = {}
+    got = to_table(read_table_ds(tmp_lake, "docs",
+                                 predicate=("doc_id", "==", key),
+                                 io_stats_out=io))
+    want = full.filter(pc.equal(full["doc_id"], key))
+    ok, msg = tables_equal(got, want, key="doc_id")
+    assert ok, msg
+    assert io["parts_pruned"] >= 7, f"did not route: {io}"
+
+    # composite with a second conjunct: still routed, still exact
+    io2 = {}
+    got2 = to_table(read_table_ds(
+        tmp_lake, "docs",
+        predicate=[("doc_id", "==", key), ("n_tok", ">", -1)],
+        io_stats_out=io2))
+    ok, msg = tables_equal(got2, want, key="doc_id")
+    assert ok, msg
+    assert io2["parts_pruned"] >= 7
+
+    # a key that never existed: empty, zero partitions read
+    got3 = to_table(read_table_ds(tmp_lake, "docs",
+                                  predicate=("doc_id", "==", "nope")))
+    assert got3.num_rows == 0
+    # non-key equality does NOT mis-route (n_tok is not a key column)
+    got4 = to_table(read_table_ds(tmp_lake, "docs",
+                                  predicate=("n_tok", "==",
+                                             full["n_tok"][0].as_py())))
+    want4 = full.filter(pc.equal(full["n_tok"], full["n_tok"][0]))
+    ok, msg = tables_equal(got4.sort_by([("doc_id", "ascending")]),
+                           want4.sort_by([("doc_id", "ascending")]),
+                           key="doc_id")
+    assert ok, msg
+
+
 def test_zone_map_units(tmp_path):
     """column_stats / stats_disjoint / _base_row_groups unit behavior:
     non-scalar + all-null columns omitted, type mismatches never prune,

@@ -45,11 +45,14 @@ from deltaray.pipeline import (
     SnapshotExpiredError,
 )
 from deltaray.oracle import replay_oracle, tables_equal
+from deltaray.sources import export_table, feed_to_events
 from deltaray.transforms import register_directive
 
 __all__ = [
     "DeltaFailureError",
     "bootstrap_table",
+    "export_table",
+    "feed_to_events",
     "DraftStore",
     "config_from_dict",
     "config_to_dict",

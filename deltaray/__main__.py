@@ -206,7 +206,30 @@ def cmd_changes(a) -> int:
              if a.since is None else a.since)
     ds = read_changes(a.lake, a.table, since, generation=a.generation,
                       as_of_seq=a.as_of)
-    if a.out:
+    if a.out and a.emit_events:
+        # replication chaining: write the pull as ONE event-log segment
+        # a downstream deltaray replay consumes directly
+        import pyarrow.parquet as _pq
+
+        from deltaray.commit import LakeState
+        from deltaray.sources import feed_to_events
+        from deltaray.util import to_table
+
+        feed = to_table(ds)
+        if feed.num_rows == 0:
+            print(json.dumps({"since": since, "as_of": a.as_of,
+                              "rows": 0, "segment": None}))
+            return 0
+        schema = LakeState(a.lake, a.generation).current_schema(a.table)
+        ev = feed_to_events(feed, schema, table=a.table)
+        lo, hi = ev["seq"][0].as_py(), ev["seq"][-1].as_py()
+        os.makedirs(a.out, exist_ok=True)
+        path = os.path.join(a.out, f"events-{since:05d}-{lo:012d}-"
+                                   f"{hi:012d}.parquet")
+        _pq.write_table(ev, path)
+        print(json.dumps({"since": since, "as_of": a.as_of,
+                          "rows": ev.num_rows, "segment": path}))
+    elif a.out:
         ds.write_parquet(a.out)
         import glob as _glob
 
@@ -386,6 +409,10 @@ def main(argv=None) -> int:
     ch.add_argument("--as-of", type=int, default=None,
                     help="bound the pull at a snapshot anchor")
     ch.add_argument("--out", help="write the feed as parquet here")
+    ch.add_argument("--emit-events", action="store_true",
+                    help="with --out: write the pull as ONE event-log "
+                         "segment a downstream deltaray replay consumes "
+                         "directly (replication chaining)")
     ch.add_argument("--generation", type=int, default=0)
     ch.set_defaults(fn=cmd_changes)
 

@@ -199,6 +199,51 @@ def _write_segments(ds, out_dir: str, table_schema: TableSchema,
     return manifest
 
 
+def feed_to_events(feed: pa.Table, table_schema: TableSchema,
+                   table: str | None = None) -> pa.Table:
+    """Convert a :func:`deltaray.read_changes` feed into event-log rows
+    — the adapter that CHAINS lakes: a downstream deltaray lake can
+    replay an upstream lake's change feed as its own source, the Ray
+    translation of the reference's replication chain (a DeltaTarget's
+    output consumed by another DeltaSource).
+
+    Mapping: feed ``seq`` (the upstream winning version) becomes the
+    event seq UNCHANGED — downstream LWW then resolves identically to
+    upstream and re-applying an overlapping pull is an idempotent
+    no-op; UPSERT→UPDATE (insert-vs-update only affects metric counts
+    under upsert semantics), DELETE→DELETE with null payload (synthetic
+    TRUNCATE deletes chain through as ordinary deletes); ``source_ts``
+    is synthesized deterministically from seq so ordering metrics and
+    watermarks stay monotone.  Write the result as a segment file named
+    ``events-<n>-<lo12>-<hi12>.parquet`` in the downstream log dir and
+    replay — consecutive pulls anchored at committed watermarks form a
+    legal ORDERED log (each pull's seqs lie in (since, as_of])."""
+    schema = event_log_schema(table_schema)
+    name = table or table_schema.name
+    n = feed.num_rows
+    seq = feed["seq"].combine_chunks().cast(pa.int64())
+    cols = {}
+    for f in schema:
+        if f.name == "seq":
+            cols[f.name] = seq
+        elif f.name == "op":
+            cols[f.name] = pc.if_else(
+                pc.equal(feed["change"], "DELETE"),
+                pa.scalar("DELETE"), pa.scalar("UPDATE"))
+        elif f.name == "table":
+            cols[f.name] = pa.array([name] * n, pa.string())
+        elif f.name == "is_snapshot":
+            cols[f.name] = pa.array([False] * n, pa.bool_())
+        elif f.name == "source_ts":
+            cols[f.name] = pc.multiply(seq, pa.scalar(1000, pa.int64())) \
+                .cast(pa.timestamp("us"))
+        elif f.name in feed.column_names:
+            cols[f.name] = feed[f.name].combine_chunks().cast(f.type)
+        else:
+            cols[f.name] = pa.nulls(n, f.type)
+    return pa.table(cols, schema=schema).sort_by([("seq", "ascending")])
+
+
 def export_table(lake_root: str, table: str, dest: str, fmt: str = "parquet",
                  generation: int = 0, with_previous: bool = False) -> str:
     """Sink adapter: export a lake table's current state (DeltaTarget

@@ -280,6 +280,19 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
                 if c.startswith("__") or c in own]
         if len(keep) != changes.num_columns:
             changes = changes.select(keep)
+        # multi-table transport may have PROMOTED a shared column name to
+        # a wider type (see TransformStage's union schema); the lake file
+        # must carry THIS table's exact types — cast back (safe: values
+        # originated under this table's schema, so narrowing is lossless
+        # and an overflow would mean corruption and rightly raises)
+        own_arrow = schema.arrow_schema()
+        for i, cname in enumerate(changes.column_names):
+            if cname.startswith("__"):
+                continue
+            want_t = own_arrow.field(cname).type
+            if changes[cname].type != want_t:
+                changes = changes.set_column(
+                    i, cname, changes[cname].cast(want_t))
         # phase-2 LWW over the full shard (phase 1 ran per batch upstream)
         changes = lww_reduce(changes, schema.keys)
 

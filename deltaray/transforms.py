@@ -430,7 +430,39 @@ class TransformStage:
             for n, c in eff.fields:
                 t = code_to_type(c)
                 if n in fields and fields[n] != t:
-                    raise ValueError(f"column {n!r} type conflict across tables")
+                    # same column name, different types across co-replayed
+                    # tables (declared so, or one table ALTERed mid-stream):
+                    # transport under the PROMOTED type — _conform casts
+                    # every table's rows up losslessly, and the merge casts
+                    # each table's rows back to ITS effective schema before
+                    # the lake write, so files stay exactly typed per table.
+                    # Truly incompatible pairs (e.g. string vs int) still
+                    # fail fast here.
+                    is_key = any(n in e.keys
+                                 for e in effective_schemas.values())
+                    if is_key and not (pa.types.is_integer(fields[n])
+                                       and pa.types.is_integer(t)):
+                        # key columns route by hashed VALUE: integer
+                        # widening is value-preserving (int32 5 and
+                        # int64 5 hash identically) but e.g. float
+                        # width changes alter the hashed value and
+                        # would mis-route — keep the fail-fast there
+                        raise ValueError(
+                            f"key column {n!r} type conflict across "
+                            f"tables ({fields[n]} vs {t}); only integer "
+                            f"widening is routable")
+                    try:
+                        uni = pa.unify_schemas(
+                            [pa.schema([pa.field(n, fields[n])]),
+                             pa.schema([pa.field(n, t)])],
+                            promote_options="permissive")
+                        t = uni.field(n).type
+                    except (pa.lib.ArrowInvalid,
+                            pa.lib.ArrowTypeError) as exc:
+                        raise ValueError(
+                            f"column {n!r} type conflict across tables "
+                            f"({fields[n]} vs {t}) is not promotable"
+                        ) from exc
                 fields[n] = t
         for n, t in [
             ("__seq", pa.int64()),

@@ -389,6 +389,108 @@ def _patch_ok_local(lake, anchor, table="docs"):
     return tables_equal(patched, cur, key="doc_id"), feed
 
 
+def test_multi_table_interleaved_ddl(ray_session, tmp_path):
+    """Two tables with INTERLEAVED DDL in one stream (docs renames a
+    column, then logs truncates, then docs widens a type): each table's
+    state equals the oracle, each table's feed obeys the patch law over
+    its own marker/schema history — logs' synthetic DELETEs don't leak
+    into docs' feed and vice versa — and docs' feed/history arrive
+    under the final (renamed, widened) schema."""
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=100, n_events=2000, seed=179,
+                    segment_max_events=250, tables=("docs", "logs"),
+                    ddl=[(600, "docs", "RENAME_COLUMN",
+                          {"rename": ("source", "origin")}),
+                         (1000, "logs", "TRUNCATE_TABLE", {}),
+                         (1400, "docs", "ALTER_TABLE",
+                          {"alter": ("n_tok", "int64")})])
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                       chunk_max_events=250, compact_every=3,
+                       vacuum=False, manifest_every=2)
+    replay(cfg)
+    from deltaray import replay_oracle
+    oracle = replay_oracle(cfg)
+    for t in ("docs", "logs"):
+        ok, msg = tables_equal(read_table(lake, t), oracle[t],
+                               key="doc_id")
+        assert ok, f"{t} vs oracle: {msg}"
+    docs = read_table(lake, "docs")
+    assert "origin" in docs.column_names and "source" not in docs.column_names
+    assert docs.schema.field("n_tok").type == pa.int64()
+
+    snaps = snapshots(lake)
+    anchor = snaps[0]
+    for t in ("docs", "logs"):
+        # the as-of read serves the ANCHOR's schema (pre-rename,
+        # pre-widening) by design; evolve it forward for the patch check
+        before = read_table(lake, t, asof_seq=anchor)
+        before = before.rename_columns(
+            [{"source": "origin"}.get(c, c) if t == "docs" else c
+             for c in before.column_names])
+        cur = read_table(lake, t)
+        before = before.select(cur.column_names).cast(cur.schema)
+        feed = to_table(read_changes(lake, t, since_seq=anchor))
+        keys = feed["doc_id"].to_pylist()
+        assert len(set(keys)) == feed.num_rows
+        assert all(k.startswith(t) for k in keys), \
+            f"{t} feed leaked foreign keys"
+        changed = set(keys)
+        ups = feed.filter(pc.equal(feed["change"], "UPSERT")) \
+            .select(cur.column_names)
+        keep = before.filter(pa.array(
+            [d not in changed for d in before["doc_id"].to_pylist()],
+            pa.bool_()))
+        ok, msg = tables_equal(
+            pa.concat_tables([keep, ups], promote_options="default"),
+            cur, key="doc_id")
+        assert ok, f"{t} patch law: {msg}"
+    # logs crossed its truncate: synthetic DELETEs present there ONLY
+    logs_feed = to_table(read_changes(lake, "logs", since_seq=anchor))
+    assert logs_feed.filter(
+        pc.equal(logs_feed["change"], "DELETE")).num_rows > 0
+    # docs history arrives under the final schema for evolved keys
+    ids = sorted(docs["doc_id"].to_pylist())[:5]
+    h = read_history(lake, "docs", ids)
+    assert "origin" in h.column_names and h.num_rows >= len(ids)
+
+
+def test_union_schema_type_promotion_units():
+    """Co-replayed tables sharing a column NAME with different types:
+    payload columns transport under the promoted type (each table's
+    lake files still get its exact type back at the merge — pinned e2e
+    by test_multi_table_interleaved_ddl); incompatible payload pairs
+    and non-integer KEY conflicts keep the fail-fast (key routing
+    hashes values, and only integer widening is value-preserving)."""
+    from deltaray.config import ReplayConfig
+    from deltaray.schemas import TableSchema
+    from deltaray.transforms import TransformStage
+
+    def stage(fields_b, key_b=("doc_id",)):
+        a = TableSchema("a", ["doc_id"],
+                        [("doc_id", "string"), ("n_tok", "int32")])
+        b = TableSchema("b", list(key_b), fields_b)
+        cfg = ReplayConfig(event_log="/tmp/x", lake="/tmp/y")
+        return TransformStage(cfg, {"a": a, "b": b},
+                              {"a": a, "b": b})
+
+    st = stage([("doc_id", "string"), ("n_tok", "int64")])
+    assert st.out_schema.field("n_tok").type == pa.int64()
+
+    st = stage([("doc_id", "string"), ("n_tok", "float64")])
+    assert st.out_schema.field("n_tok").type == pa.float64()
+
+    with pytest.raises(ValueError, match="not promotable|type conflict"):
+        stage([("doc_id", "string"), ("n_tok", "string")])
+
+    # integer KEY widening is allowed; float key conflict is not
+    st = stage([("doc_id", "string"), ("n_tok", "int64")],
+               key_b=("doc_id", "n_tok"))
+    assert st.out_schema.field("n_tok").type == pa.int64()
+    with pytest.raises(ValueError, match="only integer widening"):
+        stage([("doc_id", "string"), ("n_tok", "float32")],
+              key_b=("doc_id", "n_tok"))
+
+
 def test_composite_key_lifecycle_across_truncate(ray_session, tmp_path):
     """The full CDC lifecycle on a COMPOSITE-key table crossing a
     TRUNCATE (every earlier marker probe used a single-column key):

@@ -217,7 +217,14 @@ def feed_to_events(feed: pa.Table, table_schema: TableSchema,
     watermarks stay monotone.  Write the result as a segment file named
     ``events-<n>-<lo12>-<hi12>.parquet`` in the downstream log dir and
     replay — consecutive pulls anchored at committed watermarks form a
-    legal ORDERED log (each pull's seqs lie in (since, as_of])."""
+    legal ORDERED log (each pull's seqs lie in (since, as_of]).
+
+    DDL does not chain: the feed carries data changes only, under the
+    upstream schema effective at the pull's as-of anchor.  When the
+    upstream evolves (ADD/RENAME/ALTER), emit the same DDL event into
+    the downstream log (``ddl_payload``) at a seq inside the gap
+    before the next pull — ``table_schema`` here must always be the
+    schema the FEED is under."""
     schema = event_log_schema(table_schema)
     name = table or table_schema.name
     n = feed.num_rows

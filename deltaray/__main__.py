@@ -204,30 +204,45 @@ def cmd_changes(a) -> int:
     _init_ray()
     since = (committed_watermark(a.lake, a.table, a.generation)
              if a.since is None else a.since)
+    as_of = a.as_of
+    if a.out and a.emit_events and as_of is None:
+        # pin the pull at a committed anchor so the FEED and the schema
+        # it is emitted under cannot diverge (a DDL could commit between
+        # the feed materialization and a current-schema read)
+        as_of = committed_watermark(a.lake, a.table, a.generation)
     ds = read_changes(a.lake, a.table, since, generation=a.generation,
-                      as_of_seq=a.as_of)
+                      as_of_seq=as_of)
     if a.out and a.emit_events:
         # replication chaining: write the pull as ONE event-log segment
         # a downstream deltaray replay consumes directly
-        import pyarrow.parquet as _pq
-
-        from deltaray.commit import LakeState
+        from deltaray.commit import LakeState, atomic_write_parquet
+        from deltaray.pipeline import _schema_asof
         from deltaray.sources import feed_to_events
         from deltaray.util import to_table
 
+        if os.path.exists(os.path.join(a.out, "manifest.json")):
+            print(json.dumps({"error":
+                              f"{a.out} has a manifest.json: replay "
+                              f"reads only manifest-listed segments "
+                              f"there and would silently ignore the "
+                              f"emitted one — point --out at a plain "
+                              f"segment directory"}))
+            return 1
         feed = to_table(ds)
         if feed.num_rows == 0:
-            print(json.dumps({"since": since, "as_of": a.as_of,
+            print(json.dumps({"since": since, "as_of": as_of,
                               "rows": 0, "segment": None}))
             return 0
-        schema = LakeState(a.lake, a.generation).current_schema(a.table)
+        # the schema the feed is under = the as-of anchor's schema
+        # (feed_to_events' documented contract), NOT current_schema
+        schema = _schema_asof(LakeState(a.lake, a.generation),
+                              a.table, as_of)
         ev = feed_to_events(feed, schema, table=a.table)
         lo, hi = ev["seq"][0].as_py(), ev["seq"][-1].as_py()
-        os.makedirs(a.out, exist_ok=True)
         path = os.path.join(a.out, f"events-{since:05d}-{lo:012d}-"
                                    f"{hi:012d}.parquet")
-        _pq.write_table(ev, path)
-        print(json.dumps({"since": since, "as_of": a.as_of,
+        atomic_write_parquet(path, ev)
+        print(json.dumps({"since": since, "as_of": as_of,
                           "rows": ev.num_rows, "segment": path}))
     elif a.out:
         ds.write_parquet(a.out)

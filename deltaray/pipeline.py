@@ -1633,14 +1633,19 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
     if not parts:
         return ray.data.from_arrow(out_schema.empty_table())
     sj = schema.to_json()
+    # generation meta, read once per call (ordering / partitioner /
+    # sort-key width all come from it)
+    gmeta0 = None
+    meta_path = os.path.join(lake.root, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            gmeta0 = json.load(f)
     # physical columns for the pruned read: payload + key + version cols
     # (width from generation meta; None disables pruning)
     phys = None
     if columns is not None:
-        meta_path = os.path.join(lake.root, "_meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                gmeta = json.load(f)
+        if gmeta0 is not None:
+            gmeta = gmeta0
             n_sk = int(gmeta.get("sort_key_components", 2))
             phys = list(dict.fromkeys([
                 *schema.column_names(),
@@ -1666,13 +1671,8 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
                                "schema (include it in columns=)")
         intervals = [(c, *_pred_interval(op, lit))
                      for c, op, lit in conjuncts]
-        ordered = False
-        meta_path = os.path.join(lake.root, "_meta.json")
-        gmeta_pred = None
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                gmeta_pred = json.load(f)
-            ordered = gmeta_pred.get("ordering") == "ORDERED"
+        gmeta_pred = gmeta0
+        ordered = (gmeta_pred or {}).get("ordering") == "ORDERED"
         # key routing: when equality conjuncts pin EVERY key column, the
         # row can only live in one hash partition — route like
         # read_rows instead of scanning all partitions (exactness is
@@ -1683,6 +1683,9 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
         if (gmeta_pred is not None and set(schema.keys) <= set(eq)
                 and gmeta_pred.get("hash_version") == HASH_VERSION):
             import numpy as np
+            if io_stats_out is not None:
+                for k in ("files_read", "files_pruned", "parts_pruned"):
+                    io_stats_out.setdefault(k, 0)
             ktbl = pa.table({
                 k: pa.array([eq[k]], schema.arrow_schema().field(k).type)
                 for k in schema.keys})

@@ -372,6 +372,28 @@ def _as_key_list(key) -> list[str]:
 
 
 # ------------------------------------------------------- engine transform
+def _lossless_promotion(src: pa.DataType, dst: pa.DataType) -> bool:
+    """True when every ``src`` value survives a cast to ``dst`` exactly —
+    the gate for cross-table transport promotion (int32→int64 yes;
+    int64→float64 no: floats carry 53 mantissa bits; integer→float64
+    yes up to 32-bit, →float32 up to 16-bit)."""
+    if src == dst:
+        return True
+    if pa.types.is_integer(src):
+        if pa.types.is_integer(dst):
+            return dst.bit_width > src.bit_width or (
+                dst.bit_width == src.bit_width
+                and pa.types.is_signed_integer(src)
+                == pa.types.is_signed_integer(dst))
+        if pa.types.is_floating(dst):
+            mant = {16: 11, 32: 24, 64: 53}[dst.bit_width]
+            return src.bit_width <= mant
+        return False
+    if pa.types.is_floating(src):
+        return pa.types.is_floating(dst) and dst.bit_width >= src.bit_width
+    return False
+
+
 class TransformStage:
     """The stateless-per-batch event transform: filter → project →
     directives → version-stamp → per-batch LWW pre-reduce → shard label.
@@ -456,13 +478,25 @@ class TransformStage:
                             [pa.schema([pa.field(n, fields[n])]),
                              pa.schema([pa.field(n, t)])],
                             promote_options="permissive")
-                        t = uni.field(n).type
+                        promoted = uni.field(n).type
                     except (pa.lib.ArrowInvalid,
                             pa.lib.ArrowTypeError) as exc:
                         raise ValueError(
                             f"column {n!r} type conflict across tables "
                             f"({fields[n]} vs {t}) is not promotable"
                         ) from exc
+                    # transport must be LOSSLESS for every source type,
+                    # or a legal value crashes the in-flight cast mid-
+                    # replay (e.g. int64 beyond 2^53 -> float64): reject
+                    # such pairs at construction, not at runtime
+                    for src in (fields[n], t):
+                        if not _lossless_promotion(src, promoted):
+                            raise ValueError(
+                                f"column {n!r} type conflict across "
+                                f"tables ({fields[n]} vs {t}): promoted "
+                                f"transport type {promoted} cannot hold "
+                                f"every {src} value losslessly")
+                    t = promoted
                 fields[n] = t
         for n, t in [
             ("__seq", pa.int64()),

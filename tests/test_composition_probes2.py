@@ -482,6 +482,16 @@ def test_union_schema_type_promotion_units():
     with pytest.raises(ValueError, match="not promotable|type conflict"):
         stage([("doc_id", "string"), ("n_tok", "string")])
 
+    # int64 + float has NO lossless transport type (float64 carries 53
+    # mantissa bits): rejected at construction, not mid-replay
+    a64 = TableSchema("a", ["doc_id"],
+                      [("doc_id", "string"), ("n_tok", "int64")])
+    bf = TableSchema("b", ["doc_id"],
+                     [("doc_id", "string"), ("n_tok", "float64")])
+    cfg = ReplayConfig(event_log="/tmp/x", lake="/tmp/y")
+    with pytest.raises(ValueError, match="losslessly"):
+        TransformStage(cfg, {"a": a64, "b": bf}, {"a": a64, "b": bf})
+
     # integer KEY widening is allowed; float key conflict is not
     st = stage([("doc_id", "string"), ("n_tok", "int64")],
                key_b=("doc_id", "n_tok"))

@@ -78,6 +78,99 @@ def entry() -> Any:
     return _flagship(SF0001, "/tmp/deltaray_entry")
 
 
+# ------------------------------------------- deterministic flagship log
+# The flagship queries replay a change log DERIVED FROM the driver's
+# ``documents`` table by pure integer arithmetic (gen.write_det_event_log;
+# the rule is documented there).  Because the very same rule is restated
+# as the DuckDB CTE below, every flagship result — final state, as-of
+# state, CDC feed, version history, reshard accounting, matview
+# aggregates, chunk conservation totals — has a FULL SQL oracle the
+# driver can hash-verify, with no dependency on files the Ray side wrote
+# (the oracle regenerates the event set from the ``documents`` view).
+_DET_CTE = """
+    nn AS (SELECT count(*) AS n FROM documents),
+    ev AS (
+      SELECT i.i * nn.n + d.doc_id + 2 AS seq,
+             i.i AS round, d.doc_id, d.lang, d.source,
+             CAST((d.doc_id * 131 + i.i * 17) % 480 + 1 AS BIGINT) AS n_tok,
+             CASE WHEN i.i > 0 AND (d.doc_id * 37 + i.i * 101) % 10 < 2
+                  THEN 'DELETE' ELSE 'UPSERT' END AS op
+      FROM documents d CROSS JOIN nn CROSS JOIN range(0, 4) i(i)
+      WHERE i.i = 0 OR (d.doc_id * 7 + i.i * 13) % 3 <> 0
+    ),
+    cutq AS (SELECT max(seq) AS cut FROM ev WHERE round <= 1),
+    winners AS (
+      SELECT * FROM ev
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1
+    )
+"""
+
+
+def _det_sql(body: str) -> str:
+    return "WITH " + _DET_CTE + body
+
+
+def _det_two_phase(sf_dir: str, scratch: str, *, tail_applied: bool,
+                   num_partitions: int = 16, vacuum: bool = True):
+    """Prefix(rounds 0-1)-then-tail replay of the deterministic log.
+
+    ``chunk_max_events=1`` makes the chunk planner commit one anchor per
+    segment (= per round), so every anchor — in particular the prefix
+    cut — is SQL-computable (``max(seq) WHERE round <= 1``).  Returns
+    ``(lake, cut, tail_fn)``; ``tail_applied=False`` defers the tail so
+    the caller can snapshot the prefix state first."""
+    import json as _json
+
+    from deltaray import ReplayConfig, replay
+    from deltaray.gen import write_det_event_log
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    log = os.path.join(scratch, "events")
+    man = write_det_event_log(log, os.path.join(sf_dir, "documents.parquet"))
+    head = man["segments"][:3]  # CREATE + round 0 + round 1
+    half = os.path.join(scratch, "events_head")
+    os.makedirs(half)
+    for s in head:
+        shutil.copy(s["path"], half)
+    cut = max(s["seq_hi"] for s in head)
+    hman = dict(man, max_seq=cut, segments=[
+        dict(s, path=os.path.join(half, os.path.basename(s["path"])))
+        for s in head
+    ])
+    with open(os.path.join(half, "manifest.json"), "w") as f:
+        _json.dump(hman, f)
+    lake = os.path.join(scratch, "lake")
+    kw = dict(num_partitions=num_partitions, chunk_max_events=1,
+              vacuum=vacuum)
+    replay(ReplayConfig(event_log=half, lake=lake, **kw))
+
+    def tail_fn():
+        replay(ReplayConfig(event_log=log, lake=lake, **kw))
+
+    if tail_applied:
+        tail_fn()
+    return lake, cut, tail_fn
+
+
+def _det_full_lake(sf_dir: str, scratch: str, *, num_partitions: int = 16,
+                   vacuum: bool = True, compact_every: int | None = None):
+    """Single-phase full replay of the deterministic log (one anchor per
+    round); returns the lake root."""
+    from deltaray import ReplayConfig, replay
+    from deltaray.gen import write_det_event_log
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    log = os.path.join(scratch, "events")
+    write_det_event_log(log, os.path.join(sf_dir, "documents.parquet"))
+    lake = os.path.join(scratch, "lake")
+    kw: dict = dict(num_partitions=num_partitions, chunk_max_events=1,
+                    vacuum=vacuum)
+    if compact_every is not None:
+        kw["compact_every"] = compact_every
+    replay(ReplayConfig(event_log=log, lake=lake, **kw))
+    return lake
+
+
 # ---------------------------------------------------------------- queries
 def _latest_event_per_user(sf_dir: str):
     from deltaray.functions.cdc_queries import lww_latest
@@ -766,15 +859,20 @@ def _semdedup_docs(sf_dir: str):
 
 def _training_data_refresh(sf_dir: str):
     """End-to-end training-data refresh — the composition the engine
-    exists for: CDC replay into the lake (upserts + deletes + schema
-    evolution, exactly-once), then streaming context-window chunking
-    (<=128 tokens) of the LIVE corpus, then sequence packing into
-    <=512-token training rows.  Returns the conservation invariants
-    each stage must preserve (token and doc counts flow loss-free from
-    lake to packs); rows-only — pytest asserts the invariants hold."""
+    exists for: CDC replay into the lake (upserts + deletes,
+    exactly-once), then streaming context-window chunking (<=128
+    tokens) of the LIVE corpus, then sequence packing into <=512-token
+    training rows.  Returns the conservation invariants each stage must
+    preserve (token and doc counts flow loss-free from lake to packs).
+    FULL SQL oracle: over the deterministic log the live-corpus totals
+    are arithmetic on the LWW winners — n_chunks = sum(ceil(n_tok/128))
+    and BOTH chunk and pack token totals must equal the lake token
+    total (the conservation law itself is what the oracle states; an
+    engine that drops or duplicates tokens hash-mismatches)."""
     from deltaray.functions.text import chunk_sequences, pack_sequences
+    from deltaray.pipeline import read_table_ds
 
-    lake = _flagship(sf_dir, "/tmp/deltaray_q_refresh")
+    lake = _det_full_lake(sf_dir, "/tmp/deltaray_q_refresh")
 
     def totals(ds, n_col: str) -> tuple[int, int]:
         # per-batch (rows, token-sum) partials; only scalars cross back
@@ -793,37 +891,37 @@ def _training_data_refresh(sf_dir: str):
 
     def with_chunk_key(b: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(
-            b["doc_id"], pc.cast(b["chunk_id"], pa.string()), "#")
+            pc.cast(b["doc_id"], pa.string()),
+            pc.cast(b["chunk_id"], pa.string()), "#")
         return b.append_column("chunk_key", key)
 
     # materialize the chunk table once: it feeds BOTH the conservation
     # totals and the packing pass, and re-deriving it would re-run the
     # lake merge-on-read + chunking (the most expensive stage) twice
     chunks = chunk_sequences(
-        _flagship_read("/tmp/deltaray_q_refresh"), max_len=128) \
-        .materialize()
+        read_table_ds(lake, "docs", columns=["doc_id", "tokens"]),
+        max_len=128).materialize()
 
-    n_docs, n_lake_tok = totals(lake, "n_tok")
+    n_docs, n_lake_tok = totals(
+        read_table_ds(lake, "docs", columns=["doc_id", "n_tok"]), "n_tok")
     n_chunks, n_chunk_tok = totals(chunks, "n_tok")
     packs = pack_sequences(
         chunks.map_batches(with_chunk_key, batch_format="pyarrow"),
         max_len=512, id_col="chunk_key", num_partitions=16)
     n_packs, n_pack_tok = totals(packs, "n_tokens")
+    # pack count is partitioning-dependent (first-fit per partition);
+    # the invariant that matters — packing loses no tokens — is in the
+    # hashed output, the count stays a self-check
+    if n_packs <= 0 or n_packs > n_chunks:
+        raise AssertionError(f"packing produced {n_packs} packs "
+                             f"from {n_chunks} chunks")
     return pa.table({
         "n_docs": pa.array([n_docs], pa.int64()),
         "n_lake_tokens": pa.array([n_lake_tok], pa.int64()),
         "n_chunks": pa.array([n_chunks], pa.int64()),
         "n_chunk_tokens": pa.array([n_chunk_tok], pa.int64()),
-        "n_packs": pa.array([n_packs], pa.int64()),
         "n_pack_tokens": pa.array([n_pack_tok], pa.int64()),
     })
-
-
-def _flagship_read(scratch: str):
-    """Re-open the flagship lake (merge-on-read streaming read)."""
-    from deltaray.pipeline import read_table_ds
-
-    return read_table_ds(os.path.join(scratch, "lake"), "docs")
 
 
 def _optimize_pruned_read(sf_dir: str):
@@ -873,71 +971,43 @@ def _cdc_read_changes(sf_dir: str):
     tail, then stream only the rows whose live state changed since the
     mark (UPSERTs with payload, DELETE tombstones) — the feed a
     downstream re-tokenize/re-index pipeline consumes instead of
-    rescanning the lake.  Rows-only; the pytest oracle proves
+    rescanning the lake.  Full SQL oracle: the feed is exactly the
+    per-key LWW winners of the deterministic event set whose winning
+    seq > cut (DELETE rows with null payload), which DuckDB regenerates
+    from the documents view; the pytest oracle additionally proves
     t1 + changes == t2 (test_read_changes_incremental)."""
     from deltaray.pipeline import read_changes
 
-    lake, cut, _ = _two_phase_lake(sf_dir, "/tmp/deltaray_q_changes",
-                                   tail_applied=True)
-    # token payload dropped for a compact result; UPSERT rows would
-    # carry it for the downstream consumer
-    return read_changes(lake, "docs", cut).drop_columns(["tokens"])
+    lake, cut, _ = _det_two_phase(sf_dir, "/tmp/deltaray_q_changes",
+                                  tail_applied=True)
+    # token payload pruned at the read (a feed consumer that only
+    # re-indexes ids never ships it); keys + version always included
+    return read_changes(lake, "docs", cut,
+                        columns=["lang", "source", "n_tok"])
 
 
 def _time_travel_read(sf_dir: str):
     """Snapshot / time-travel reads (`pipeline.read_table(asof_seq=...)`)
-    plus bounded CDC pulls: replay a multi-chunk log with retention
-    (vacuum off), then read the lake AS OF every committed chunk anchor.
-    Self-checking: the first and last anchors are verified against a
-    single-process replay of the TRUNCATED log, and every consecutive
-    anchor pair is verified to obey the patch law asof(s1) +
-    read_changes(s1, as_of=s2) == asof(s2).  Rows-only (engine-internal
-    change log; test_time_travel.py holds the full per-anchor oracle)."""
-    import glob as _glob
-
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    from deltaray import (ReplayConfig, read_changes, read_table, replay,
-                          replay_oracle, snapshots, tables_equal)
-    from deltaray.gen import write_event_log
+    plus bounded CDC pulls, now with a FULL SQL oracle: replay the
+    deterministic log with retention off (one committed anchor per
+    round), self-check every consecutive anchor pair against the patch
+    law asof(s1) + read_changes(s1, as_of=s2) == asof(s2), and return
+    the state AS OF the round-1 anchor — which DuckDB regenerates as
+    the per-key LWW winners over ``seq <= cut`` (test_time_travel.py
+    holds the per-anchor pytest oracle for the other anchors)."""
+    from deltaray import read_changes, read_table, snapshots, tables_equal
     from deltaray.util import to_table
 
-    scratch = "/tmp/deltaray_q_timetravel"
-    shutil.rmtree(scratch, ignore_errors=True)
-    n_docs = pq.ParquetFile(
-        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    log = os.path.join(scratch, "events")
-    write_event_log(log, n_docs=n_docs, n_events=n_docs * 4, seed=42,
-                    track_prev=False, segment_max_events=max(n_docs, 200))
-    lake = os.path.join(scratch, "lake")
-    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=8,
-                        chunk_max_events=max(n_docs, 200), vacuum=False))
+    lake = _det_full_lake(sf_dir, "/tmp/deltaray_q_timetravel",
+                          num_partitions=8, vacuum=False)
     anchors = snapshots(lake)
+    cut = anchors[1]  # end of round 1 == max(seq) WHERE round <= 1
 
-    def truncated_oracle(S: int) -> pa.Table:
-        d = os.path.join(scratch, f"trunc-{S}")
-        os.makedirs(d, exist_ok=True)
-        kept = []
-        for f in sorted(_glob.glob(os.path.join(log, "*.parquet"))):
-            t = pq.read_table(f).filter(pc.less_equal(
-                pq.read_table(f, columns=["seq"])["seq"], S))
-            if t.num_rows:
-                kept.append(t)
-        pq.write_table(pa.concat_tables(kept, promote_options="default"),
-                       os.path.join(d, "events-00000.parquet"))
-        return replay_oracle(ReplayConfig(
-            event_log=d, lake=os.path.join(scratch, "unused")))["docs"]
-
-    rows = []
+    result: pa.Table | None = None
     prev_state: pa.Table | None = None
     prev_anchor = 0
     for S in anchors:
         tbl = read_table(lake, "docs", asof_seq=S)
-        oracle_checked = S in (anchors[0], anchors[-1])
-        oracle_equal = (tables_equal(tbl, truncated_oracle(S))[0]
-                        if oracle_checked else None)
-        patch_ok = None
         if prev_state is not None:
             # patch law, vectorized: asof(s1) minus changed keys, plus
             # the feed's UPSERT rows, must equal asof(s2) — Arrow is_in
@@ -953,42 +1023,37 @@ def _time_travel_read(sf_dir: str):
                 [kept.select(tbl.column_names),
                  ups.select(tbl.column_names)],
                 promote_options="default")
-            patch_ok = tables_equal(patched, tbl)[0]
-        rows.append({"anchor": int(S), "rows_asof": tbl.num_rows,
-                     "oracle_checked": bool(oracle_checked),
-                     "oracle_equal": oracle_equal, "patch_law_ok": patch_ok})
+            ok, msg = tables_equal(patched, tbl)
+            if not ok:
+                raise AssertionError(
+                    f"patch law failed at ({prev_anchor}, {S}]: {msg}")
+        if S == cut:
+            result = tbl
         prev_state, prev_anchor = tbl, S
-    out = pa.Table.from_pylist(rows)
-    bad = [r for r in rows
-           if r["oracle_equal"] is False or r["patch_law_ok"] is False]
-    if bad:
-        raise AssertionError(f"time-travel self-check failed: {bad}")
-    return out
+    return result.select(["doc_id", "lang", "source", "n_tok"]) \
+        .sort_by("doc_id")
 
 
 def _reshard_migration(sf_dir: str):
-    """Generation resharding (`pipeline.reshard_generation`): replay a
-    PREFIX of the change log at P=8, re-partition the lake into a new
-    generation at P=13, then tail the REST of the log against it.
-    Self-checking: post-reshard state equals the source generation
-    row-for-row, the copied chunk markers skip the prefix (asserted via
-    the chunk callback), and the final table equals the full-log
-    single-process oracle.  Rows-only (engine-internal log;
-    test_time_travel.py::test_reshard_generation is the pytest oracle)."""
+    """Generation resharding (`pipeline.reshard_generation`): replay the
+    deterministic log's PREFIX (rounds 0-1) at P=8, re-partition the
+    lake into a new generation at P=13, then tail the rest (rounds 2-3)
+    against it.  Self-checking (raises on failure): post-reshard state
+    equals the source generation row-for-row, the copied chunk markers
+    skip the prefix (asserted via the chunk callback), and the final
+    table equals the full-log single-process oracle.  The returned
+    accounting row carries a FULL SQL oracle: rows_migrated = live LWW
+    winners at the cut, snapshot_seq = the cut anchor, and the
+    generation / partition / tail-chunk counts are structural constants
+    of the deterministic plan (test_time_travel.py::
+    test_reshard_generation is the richer pytest oracle)."""
     from deltaray import (ReplayConfig, replay, replay_oracle,
                           reshard_generation, tables_equal)
     from deltaray.pipeline import read_table
 
     scratch = "/tmp/deltaray_q_reshard"
-    import pyarrow.parquet as pq
-    n_docs = pq.ParquetFile(
-        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    seg = max(n_docs, 200)
-    # chunk == segment size in BOTH replays so the full-log plan's chunk
-    # boundaries line up with the copied prefix markers (skip is real)
-    lake, cut, tail_fn = _two_phase_lake(sf_dir, scratch, tail_applied=False,
-                                         num_partitions=8,
-                                         chunk_max_events=seg)
+    lake, cut, _ = _det_two_phase(sf_dir, scratch, tail_applied=False,
+                                  num_partitions=8)
     pre = read_table(lake, "docs")
     res = reshard_generation(lake, 13)
     post = read_table(lake, "docs", generation=res["generation"])
@@ -997,7 +1062,7 @@ def _reshard_migration(sf_dir: str):
     full_cfg = ReplayConfig(
         event_log=os.path.join(scratch, "events"), lake=lake,
         num_partitions=13, generation=res["generation"],
-        chunk_max_events=seg)
+        chunk_max_events=1)
     replay(full_cfg, on_chunk=lambda i, c, rows: ran.append(
         (c.seq_lo, c.seq_hi)))
     prefix_reran = any(hi <= cut for _, hi in ran)
@@ -1013,60 +1078,7 @@ def _reshard_migration(sf_dir: str):
         "rows_migrated": int(res["tables"]["docs"]["rows"]),
         "snapshot_seq": int(res["tables"]["docs"]["snapshot_seq"]),
         "tail_chunks_ran": len(ran),
-        "state_equal": bool(ok_state),
-        "final_equals_oracle": bool(ok_final),
     }])
-
-
-def _two_phase_lake(sf_dir: str, scratch: str, *, tail_applied: bool,
-                    num_partitions: int = 16,
-                    chunk_max_events: int | None = None,
-                    vacuum: bool = True):
-    """Prefix-then-tail replay scaffold shared by the incremental
-    queries: synthesize a change log scaled to the sf dir, replay its
-    first half into a fresh lake, and return (lake, committed-high-
-    water-mark, tail_fn).  ``tail_applied=True`` applies the tail
-    immediately; otherwise call ``tail_fn()`` when the consumer has
-    snapshotted the prefix state."""
-    import json as _json
-
-    import pyarrow.parquet as pq
-
-    from deltaray import ReplayConfig, replay
-    from deltaray.gen import write_event_log
-
-    shutil.rmtree(scratch, ignore_errors=True)
-    n_docs = pq.ParquetFile(
-        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    log = os.path.join(scratch, "events")
-    man = write_event_log(log, n_docs=n_docs, n_events=n_docs * 4, seed=42,
-                          track_prev=False,
-                          segment_max_events=max(n_docs, 200))
-    head = man["segments"][: max(1, len(man["segments"]) // 2)]
-    half = os.path.join(scratch, "events_head")
-    os.makedirs(half)
-    for s in head:
-        shutil.copy(s["path"], half)
-    cut = max(s["seq_hi"] for s in head)
-    hman = dict(man, max_seq=cut, segments=[
-        dict(s, path=os.path.join(half, os.path.basename(s["path"])))
-        for s in head
-    ])
-    with open(os.path.join(half, "manifest.json"), "w") as f:
-        _json.dump(hman, f)
-    lake = os.path.join(scratch, "lake")
-    ck = {"chunk_max_events": chunk_max_events} if chunk_max_events else {}
-    ck["vacuum"] = vacuum
-    replay(ReplayConfig(event_log=half, lake=lake,
-                        num_partitions=num_partitions, **ck))
-
-    def tail_fn():
-        replay(ReplayConfig(event_log=log, lake=lake,
-                            num_partitions=num_partitions, **ck))
-
-    if tail_applied:
-        tail_fn()
-    return lake, cut, tail_fn
 
 
 def _incremental_matview_docs(sf_dir: str):
@@ -1078,16 +1090,17 @@ def _incremental_matview_docs(sf_dir: str):
     anchor snapshot — O(changed keys), no rescan of the corpus OR of
     the aggregate's base table.  Self-checking: the refreshed view must
     equal a full recompute of the final state (counts and sums are
-    group homomorphisms, so the patch is exact).  Rows-only
-    (engine-internal log; integers deterministic)."""
+    group homomorphisms, so the patch is exact — raises otherwise).
+    FULL SQL oracle: the refreshed view equals GROUP BY source over the
+    final live LWW winners of the deterministic event set."""
     import ray.data
 
     from deltaray import (build_aggregate, read_table_ds,
                           refresh_aggregate)
 
     scratch = "/tmp/deltaray_q_matview"
-    lake, cut, tail_fn = _two_phase_lake(sf_dir, scratch,
-                                         tail_applied=False, vacuum=False)
+    lake, cut, tail_fn = _det_two_phase(sf_dir, scratch,
+                                        tail_applied=False, vacuum=False)
     prev = build_aggregate(read_table_ds(lake, "docs"),
                            group_col="source", sum_cols=["n_tok"])
     tail_fn()
@@ -1103,86 +1116,27 @@ def _incremental_matview_docs(sf_dir: str):
 
 def _doc_history_read(sf_dir: str):
     """Per-key version-history reads (`pipeline.read_history`, new in
-    round 4): replay a multi-chunk log with full retention, then pull
-    the audit trail of a deterministic key sample.  Self-checking: each
-    key's returned versions must equal the per-anchor-window LWW
-    winners of the RAW event log (brute force over the sample only —
-    scale-safe), with correct DELETE tombstones, valid_to_seq chaining,
-    and is_current rows agreeing with the live table.  Returns a
-    per-key summary (ints).  Rows-only (engine-internal log;
-    test_round4_fixes.py holds the unit oracle)."""
-    import glob as _glob
+    round 4): replay the deterministic log with full retention (one
+    committed anchor per round — the chunk-level LWW granularity), then
+    pull the audit trail of every 11th key and return the version rows
+    themselves: (doc_id, n_tok, seq, change, valid_to_seq, is_current).
+    FULL SQL oracle: each round holds at most one event per key, so a
+    key's retained versions are exactly its events — DuckDB regenerates
+    them from the documents view with LEAD(seq) for valid_to chaining
+    (test_round4_fixes.py holds the unit oracle for richer windows)."""
+    from deltaray import read_history
+    from deltaray.gen import write_det_event_log  # noqa: F401 (rule doc)
 
+    lake = _det_full_lake(sf_dir, "/tmp/deltaray_q_history",
+                          num_partitions=8, vacuum=False,
+                          compact_every=10_000)
     import pyarrow.parquet as pq
 
-    from deltaray import (ReplayConfig, read_history, read_table, replay,
-                          snapshots)
-    from deltaray.gen import write_event_log
-
-    scratch = "/tmp/deltaray_q_history"
-    shutil.rmtree(scratch, ignore_errors=True)
-    n_docs = pq.ParquetFile(
+    n = pq.ParquetFile(
         os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    log = os.path.join(scratch, "events")
-    lake = os.path.join(scratch, "lake")
-    seg = max(n_docs, 200)
-    write_event_log(log, n_docs=n_docs, n_events=n_docs * 4, seed=11,
-                    track_prev=False, segment_max_events=seg)
-    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=8,
-                        chunk_max_events=seg, vacuum=False,
-                        compact_every=10_000))
-    anchors = snapshots(lake)
-    ev = pa.concat_tables(
-        [pq.read_table(f, columns=["seq", "op", "doc_id", "n_tok"])
-         for f in sorted(_glob.glob(os.path.join(log, "*.parquet")))],
-        promote_options="default").sort_by("seq")
-    dml = ev.filter(pc.is_in(
-        ev["op"], value_set=pa.array(["INSERT", "UPDATE", "DELETE"])))
-    all_ids = sorted(set(dml["doc_id"].to_pylist()))
-    sample = all_ids[::max(1, len(all_ids) // 48)][:48]
-    dml = dml.filter(pc.is_in(dml["doc_id"],
-                              value_set=pa.array(sample)))
-    rows = dml.to_pylist()
-    hist: dict = {}
-    lo = 0
-    for hi in anchors:
-        win: dict = {}
-        for r in rows:
-            if lo < r["seq"] <= hi:
-                win[r["doc_id"]] = r
-        for d, r in sorted(win.items()):
-            hist.setdefault(d, []).append(r)
-        lo = hi
+    sample = list(range(0, n, 11))
     got = read_history(lake, "docs", sample, columns=["n_tok"])
-    by_key: dict = {}
-    for r in got.to_pylist():
-        by_key.setdefault(r["doc_id"], []).append(r)
-    live_ids = set(read_table(lake, "docs")["doc_id"].to_pylist())
-    out_rows = []
-    for d in sorted(hist):
-        want, have = hist[d], by_key.get(d, [])
-        ok = len(want) == len(have)
-        for i, (w, h) in enumerate(zip(want, have)):
-            ok = ok and h["seq"] == w["seq"]
-            ok = ok and h["change"] == ("DELETE" if w["op"] == "DELETE"
-                                        else "UPSERT")
-            ok = ok and h["n_tok"] == (None if w["op"] == "DELETE"
-                                       else w["n_tok"])
-            ok = ok and h["valid_to_seq"] == (
-                want[i + 1]["seq"] if i + 1 < len(want) else None)
-            ok = ok and h["is_current"] == (
-                i == len(want) - 1 and w["op"] != "DELETE")
-        ok = ok and (any(h["is_current"] for h in have)
-                     == (d in live_ids))
-        if not ok:
-            raise AssertionError(f"history mismatch for {d}: "
-                                 f"{have} vs {want}")
-        out_rows.append({
-            "doc_id": d, "n_versions": len(have),
-            "n_deletes": sum(h["change"] == "DELETE" for h in have),
-            "is_live": d in live_ids,
-            "first_seq": have[0]["seq"], "last_seq": have[-1]["seq"]})
-    return pa.Table.from_pylist(out_rows)
+    return got.sort_by([("doc_id", "ascending"), ("seq", "ascending")])
 
 
 def _incremental_refresh_docs(sf_dir: str):
@@ -1195,8 +1149,11 @@ def _incremental_refresh_docs(sf_dir: str):
     returns the work-saved accounting.  The changed-id set broadcasts
     when small (the common CDC case) and switches to the distributed
     anti-join past ``broadcast_cap`` ids — both paths covered by the
-    pytest parametrization.  Rows-only; the equality check is inside
-    the query."""
+    pytest parametrization.  FULL SQL oracle: the work-saved accounting
+    (changed / deleted / re-chunked / total counts) is pure arithmetic
+    over the deterministic event set — n_chunks per doc =
+    ceil(n_tok / 128); the patched == full-recompute equality check
+    stays inside the query and raises on failure."""
     return _incremental_refresh_impl(sf_dir)
 
 
@@ -1208,7 +1165,7 @@ def _incremental_refresh_impl(sf_dir: str, broadcast_cap: int = 1_000_000):
     from deltaray.pipeline import read_changes, read_table_ds
 
     scratch = "/tmp/deltaray_q_increfresh"
-    lake, cut, tail_fn = _two_phase_lake(sf_dir, scratch, tail_applied=False)
+    lake, cut, tail_fn = _det_two_phase(sf_dir, scratch, tail_applied=False)
 
     # materialize the prefix state's derived chunk table (partitioned
     # parquet — the resumable-output shape a real pipeline would keep)
@@ -1260,17 +1217,33 @@ def _incremental_refresh_impl(sf_dir: str, broadcast_cap: int = 1_000_000):
     pt, ft = collect(patched), collect(full)
     ok = pt.num_rows == ft.num_rows and all(
         pc.all(pc.equal(pt[c], ft[c])).as_py() for c in ft.column_names)
+    if not ok:
+        raise AssertionError("patched chunk set != full recompute")
     return pa.table({
         "n_docs_changed": pa.array([len(changed_ids)], pa.int64()),
         "n_docs_deleted": pa.array([n_del], pa.int64()),
         "n_chunks_rechunked": pa.array([fresh.count()], pa.int64()),
         "n_chunks_total": pa.array([ft.num_rows], pa.int64()),
-        "ok_equals_full_recompute": pa.array([ok], pa.bool_()),
     })
 
 
 def _cdc_replay_docs(sf_dir: str):
-    return _flagship(sf_dir, "/tmp/deltaray_q_replay")
+    """Engine flagship with a FULL SQL oracle: replay the deterministic
+    change log (CREATE_TABLE + 1 insert round + 3 sparse update/delete
+    rounds derived arithmetically from the documents table — see
+    gen.write_det_event_log) through the distributed engine end to end,
+    then stream the live state back (merge-on-read).  The oracle
+    regenerates the same event set in DuckDB and takes the per-key LWW
+    winners (reference semantics: EventConsumer.java:58-66 idempotent
+    max-seq-wins upsert), so the driver hash-verifies the whole
+    replay→commit→merge path.  The token payload rides through the lake
+    (list<int32> plumbing) but is dropped from the result for a compact
+    hash."""
+    from deltaray.pipeline import read_table_ds
+
+    lake = _det_full_lake(sf_dir, "/tmp/deltaray_q_replay")
+    return read_table_ds(lake, "docs",
+                         columns=["doc_id", "lang", "source", "n_tok"])
 
 
 def _decode_media(sf_dir: str):
@@ -2166,6 +2139,88 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     bl = ", ".join(f"'{t}'" for t in BLACKLIST_TYPES)
     return {
+        # -- engine flagships: oracles regenerate the deterministic
+        # -- change log (gen.write_det_event_log's rule, restated as the
+        # -- _DET_CTE) from the documents view, so the driver verifies
+        # -- replay/time-travel/CDC-out/history/reshard/matview output
+        # -- hash-exactly with no dependency on engine-written files.
+        "cdc_replay_docs": _det_sql("""
+            SELECT doc_id, lang, source, n_tok FROM winners
+            WHERE op <> 'DELETE'
+        """),
+        "time_travel_read": _det_sql("""
+            SELECT doc_id, lang, source, n_tok FROM (
+                SELECT ev.* FROM ev, cutq WHERE seq <= cut
+                QUALIFY row_number() OVER (
+                    PARTITION BY doc_id ORDER BY seq DESC) = 1
+            ) WHERE op <> 'DELETE'
+        """),
+        "cdc_read_changes": _det_sql("""
+            SELECT doc_id,
+                   CASE WHEN op = 'DELETE' THEN NULL ELSE lang END AS lang,
+                   CASE WHEN op = 'DELETE' THEN NULL ELSE source
+                        END AS source,
+                   CASE WHEN op = 'DELETE' THEN NULL ELSE n_tok END AS n_tok,
+                   CASE WHEN op = 'DELETE' THEN 'DELETE' ELSE 'UPSERT'
+                        END AS change,
+                   seq
+            FROM winners, cutq WHERE seq > cut
+        """),
+        "doc_history_read": _det_sql(""",
+            hh AS (
+              SELECT doc_id, seq, op, n_tok,
+                     lead(seq) OVER (
+                         PARTITION BY doc_id ORDER BY seq) AS valid_to_seq,
+                     row_number() OVER (
+                         PARTITION BY doc_id ORDER BY seq DESC) AS rdesc
+              FROM ev WHERE doc_id % 11 = 0
+            )
+            SELECT doc_id,
+                   CASE WHEN op = 'DELETE' THEN NULL ELSE n_tok END AS n_tok,
+                   seq,
+                   CASE WHEN op = 'DELETE' THEN 'DELETE' ELSE 'UPSERT'
+                        END AS change,
+                   valid_to_seq,
+                   (rdesc = 1 AND op <> 'DELETE') AS is_current
+            FROM hh
+        """),
+        "reshard_migration": _det_sql("""
+            SELECT CAST(1 AS BIGINT) AS generation,
+                   CAST(13 AS BIGINT) AS new_partitions,
+                   -- migrated snapshot = stored state rows at the cut
+                   -- (live rows PLUS delete tombstones: one per key
+                   -- that has any version <= cut)
+                   (SELECT count(DISTINCT doc_id) FROM ev, cutq
+                    WHERE seq <= cut) AS rows_migrated,
+                   (SELECT cut FROM cutq) AS snapshot_seq,
+                   CAST(2 AS BIGINT) AS tail_chunks_ran
+        """),
+        "incremental_matview_docs": _det_sql("""
+            SELECT source, count(*) AS n_rows,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tok_sum
+            FROM winners WHERE op <> 'DELETE' GROUP BY source
+        """),
+        "incremental_refresh_docs": _det_sql("""
+            SELECT
+              (SELECT count(*) FROM winners, cutq
+               WHERE seq > cut) AS n_docs_changed,
+              (SELECT count(*) FROM winners, cutq
+               WHERE seq > cut AND op = 'DELETE') AS n_docs_deleted,
+              CAST((SELECT coalesce(sum((n_tok + 127) // 128), 0)
+                    FROM winners, cutq
+                    WHERE seq > cut AND op <> 'DELETE')
+                   AS BIGINT) AS n_chunks_rechunked,
+              CAST((SELECT sum((n_tok + 127) // 128) FROM winners
+                    WHERE op <> 'DELETE') AS BIGINT) AS n_chunks_total
+        """),
+        "training_data_refresh": _det_sql("""
+            SELECT count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_lake_tokens,
+                   CAST(sum((n_tok + 127) // 128) AS BIGINT) AS n_chunks,
+                   CAST(sum(n_tok) AS BIGINT) AS n_chunk_tokens,
+                   CAST(sum(n_tok) AS BIGINT) AS n_pack_tokens
+            FROM winners WHERE op <> 'DELETE'
+        """),
         "optimize_pruned_read": """
             SELECT doc_id, lang, source, n_chars FROM documents
             WHERE n_chars >= 300

@@ -464,3 +464,130 @@ def write_event_log_fast(
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
+
+
+def write_det_event_log(out_dir: str, docs_path: str, *, rounds: int = 4,
+                        table: str = "docs") -> dict:
+    """Deterministic, SQL-EXPRESSIBLE change log derived from a documents
+    parquet table whose ``doc_id`` is a dense int64 0..n-1 (the driver's
+    testdata shape).  Unlike :func:`write_event_log` (seeded RNG), every
+    value here is pure integer arithmetic over ``doc_id``, so a DuckDB
+    oracle can regenerate the event set verbatim from the ``documents``
+    view and verify engine output HASH-EXACTLY (driver correctness gate).
+    The mirrored SQL lives in ``__ray_entry__`` (``_det_cte``); keep the
+    two in lock-step.
+
+    Rule (i = round, d = doc_id, n = row count):
+      seq 1                      CREATE_TABLE (own segment — DDL barrier)
+      round 0 (one segment)      INSERT every doc, seq = d + 2
+      round i>=1 (one segment)   event for d iff (d*7 + i*13) % 3 != 0;
+                                 op = DELETE iff (d*37 + i*101) % 10 < 2
+                                 else UPDATE; seq = i*n + d + 2
+      payload                    lang/source copied from the doc row;
+                                 n_tok = (d*131 + i*17) % 480 + 1;
+                                 tokens = [0..n_tok) (length == n_tok);
+                                 DELETE rows carry null payload
+      timestamps                 ingest_ts = source_ts = EPOCH + seq ms
+
+    One segment per round means the chunk planner (splits only at segment
+    boundaries) makes one committed anchor per round under
+    ``chunk_max_events=1`` — every anchor seq is itself SQL-computable
+    (``max(seq) where round <= k``).  Mock-source analog of the reference
+    test harness (MockEventReader.java:35-83) with the randomness removed.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pq.read_table(docs_path, columns=["doc_id", "lang", "source"])
+    docs = docs.sort_by("doc_id")
+    n = docs.num_rows
+    d = docs["doc_id"].to_numpy()
+    if n == 0 or d[0] != 0 or d[-1] != n - 1:
+        raise ValueError("write_det_event_log requires dense doc_id 0..n-1")
+    lang_all = docs["lang"].combine_chunks()
+    src_all = docs["source"].combine_chunks()
+
+    schema = TableSchema(table, "doc_id", [
+        ("doc_id", "int64"), ("lang", "string"), ("source", "string"),
+        ("n_tok", "int64"), ("tokens", "list<int32>")])
+    log_schema = event_log_schema(schema)
+    segments: list[dict] = []
+
+    def write_seg(segid: int, cols: dict) -> None:
+        m = len(cols["seq"])
+        arrays, names = [], []
+        for f in log_schema:
+            names.append(f.name)
+            if f.name in cols:
+                a = cols[f.name]
+                arrays.append(a if isinstance(a, (pa.Array, pa.ChunkedArray))
+                              else pa.array(a, type=f.type))
+            else:
+                arrays.append(pa.nulls(m, f.type))
+        tbl = pa.Table.from_arrays(arrays, names=names)
+        lo, hi = int(cols["seq"][0]), int(cols["seq"][-1])
+        path = os.path.join(out_dir,
+                            f"events-{segid:05d}-{lo:012d}-{hi:012d}.parquet")
+        pq.write_table(tbl, path, row_group_size=16384)
+        segments.append({"path": path, "seq_lo": lo, "seq_hi": hi,
+                         "n_rows": m, "columns": names,
+                         "has_ddl": bool(cols.get("_has_ddl", False))})
+
+    write_seg(0, {
+        "seq": np.array([1], dtype=np.int64),
+        "op": pa.array(["CREATE_TABLE"]),
+        "table": pa.array([table]),
+        "ddl_payload": pa.array([ddl_payload("CREATE_TABLE", schema=schema)]),
+        "is_snapshot": pa.array([True]),
+        "ingest_ts": pa.array([EPOCH_US + 1000], pa.timestamp("us")),
+        "source_ts": pa.array([EPOCH_US + 1000], pa.timestamp("us")),
+        "_has_ddl": True,
+    })
+
+    for i in range(rounds):
+        if i == 0:
+            sel = np.arange(n, dtype=np.int64)
+            is_del = np.zeros(n, dtype=bool)
+            ops = np.full(n, "INSERT")
+        else:
+            keep = (d * 7 + i * 13) % 3 != 0
+            sel = d[keep]
+            is_del = (sel * 37 + i * 101) % 10 < 2
+            ops = np.where(is_del, "DELETE", "UPDATE")
+        m = len(sel)
+        seqs = i * n + sel + 2
+        live = ~is_del
+        n_tok = (sel * 131 + i * 17) % 480 + 1
+        lens = np.where(live, n_tok, 0).astype(np.int64)
+        offsets = np.zeros(m + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        vals = (np.arange(int(offsets[-1]), dtype=np.int64)
+                - np.repeat(offsets[:-1], lens)).astype(np.int32)
+        toks = pa.ListArray.from_arrays(pa.array(offsets), pa.array(vals))
+        live_pa = pa.array(live)
+        idx = pa.array(sel, pa.int64())
+        ts = pa.array(EPOCH_US + seqs * 1000, pa.timestamp("us"))
+        write_seg(i + 1, {
+            "seq": seqs,
+            "op": pa.array(ops),
+            "table": pa.array(np.full(m, table)),
+            "doc_id": idx,
+            "lang": pc.if_else(live_pa, pc.take(lang_all, idx),
+                               pa.nulls(m, pa.string())),
+            "source": pc.if_else(live_pa, pc.take(src_all, idx),
+                                 pa.nulls(m, pa.string())),
+            "n_tok": pc.if_else(live_pa, pa.array(n_tok, pa.int64()),
+                                pa.nulls(m, pa.int64())),
+            "tokens": pc.if_else(live_pa, toks, pa.nulls(m, toks.type))
+            if m else toks,
+            "ingest_ts": ts,
+            "source_ts": ts,
+            "is_snapshot": pa.array(np.full(m, i == 0)),
+        })
+
+    manifest = {
+        "n_docs": n, "rounds": rounds, "tables": [table],
+        "unordered": False, "max_seq": int(segments[-1]["seq_hi"]),
+        "segments": segments,
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest

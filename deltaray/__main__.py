@@ -213,12 +213,11 @@ def cmd_changes(a) -> int:
     ds = read_changes(a.lake, a.table, since, generation=a.generation,
                       as_of_seq=as_of)
     if a.out and a.emit_events:
-        # replication chaining: write the pull as ONE event-log segment
+        # replication chaining: write the pull as event-log segments
         # a downstream deltaray replay consumes directly
         from deltaray.commit import LakeState, atomic_write_parquet
         from deltaray.pipeline import _schema_asof
         from deltaray.sources import feed_to_events
-        from deltaray.util import to_table
 
         if os.path.exists(os.path.join(a.out, "manifest.json")):
             print(json.dumps({"error":
@@ -228,22 +227,36 @@ def cmd_changes(a) -> int:
                               f"emitted one — point --out at a plain "
                               f"segment directory"}))
             return 1
-        feed = to_table(ds)
-        if feed.num_rows == 0:
-            print(json.dumps({"since": since, "as_of": as_of,
-                              "rows": 0, "segment": None}))
-            return 0
         # the schema the feed is under = the as-of anchor's schema
         # (feed_to_events' documented contract), NOT current_schema
         schema = _schema_asof(LakeState(a.lake, a.generation),
                               a.table, as_of)
-        ev = feed_to_events(feed, schema, table=a.table)
-        lo, hi = ev["seq"][0].as_py(), ev["seq"][-1].as_py()
-        path = os.path.join(a.out, f"events-{since:05d}-{lo:012d}-"
-                                   f"{hi:012d}.parquet")
-        atomic_write_parquet(path, ev)
-        print(json.dumps({"since": since, "as_of": as_of,
-                          "rows": ev.num_rows, "segment": path}))
+        # stream the pull into segments batch-wise: a large catch-up
+        # pull (first chain sync of a big table) must be bounded by the
+        # batch size, not driver memory.  Segment seq bounds come from
+        # per-batch min/max; downstream replay discovers segments from
+        # parquet footers, so overlapping per-batch seq ranges are fine
+        # (chunk reads filter by seq range across all candidate files).
+        import pyarrow.compute as _pc
+
+        rows = 0
+        segs: list[str] = []
+        for b in ds.iter_batches(batch_format="pyarrow",
+                                 batch_size=65536):
+            if b.num_rows == 0:
+                continue
+            ev = feed_to_events(b, schema, table=a.table)
+            lo = _pc.min(ev["seq"]).as_py()
+            hi = _pc.max(ev["seq"]).as_py()
+            path = os.path.join(
+                a.out, f"events-{since:05d}-{len(segs):05d}-"
+                       f"{lo:012d}-{hi:012d}.parquet")
+            atomic_write_parquet(path, ev)
+            segs.append(path)
+            rows += ev.num_rows
+        print(json.dumps({"since": since, "as_of": as_of, "rows": rows,
+                          "segment": segs[-1] if segs else None,
+                          "segments": len(segs)}))
     elif a.out:
         ds.write_parquet(a.out)
         import glob as _glob

@@ -54,6 +54,52 @@ def _seq12(s: int) -> str:
     return f"{int(s):012d}"
 
 
+# ------------------------------------------------------ lake format version
+#
+# Version 1: loose commit records / chunk markers only.
+# Version 2: records may be rolled into manifest-*.json /
+#            chunks-manifest-*.json (manifest compaction).  A version-1
+#            reader opening a compacted lake would list only the loose
+#            files and silently reconstruct an INCOMPLETE commit log —
+#            the same silent-misread class the hash_version gate guards
+#            against, so readers must fail fast on versions newer than
+#            they support.
+#
+# New lakes stamp ``format_version`` into ``_meta.json`` at creation
+# (single write, no race).  Lakes created by older writers are upgraded
+# the first time a rollup writes a manifest — via the write-once
+# ``_format.json`` sentinel rather than a read-modify-write of
+# ``_meta.json``, which could race the retention floor update in
+# ``expire_snapshots``.  Readers honor the max of both.
+LAKE_FORMAT_VERSION = 2
+
+
+def gen_format_version(root: str, meta: dict | None) -> int:
+    """Effective format version of a generation: max of the _meta.json
+    stamp and the _format.json upgrade sentinel (absent = version 1)."""
+    v = int((meta or {}).get("format_version", 1) or 1)
+    try:
+        with open(os.path.join(root, "_format.json")) as f:
+            v = max(v, int(json.load(f).get("format_version", 1)))
+    except (FileNotFoundError, ValueError):
+        pass
+    return v
+
+
+def check_lake_format(root: str, meta: dict | None) -> dict | None:
+    """Fail fast when the lake's on-disk format is newer than this
+    reader supports (mirrors the hash_version gate); returns ``meta``
+    for call-site chaining."""
+    v = gen_format_version(root, meta)
+    if v > LAKE_FORMAT_VERSION:
+        raise ValueError(
+            f"lake generation at {root} uses format_version={v}, newer "
+            f"than this engine's supported {LAKE_FORMAT_VERSION}; "
+            f"reading it could silently miss commit records — upgrade "
+            f"the engine")
+    return meta
+
+
 # ------------------------------------------------------ commit manifests
 #
 # Commit records are the audit trail and are never deleted, so under
@@ -347,6 +393,11 @@ class LakeState:
                             recs[f] = json.load(fh)
                 return [recs[k] for k in sorted(recs)]
             except FileNotFoundError:
+                # the directory itself vanishing (concurrent DROP /
+                # external cleanup) means "no commits", not a rollup
+                # race — only FILE-level races earn the retry + error
+                if not os.path.isdir(d):
+                    return []
                 continue
         raise RuntimeError(
             f"commit listing for {table!r} part {part} kept racing "
@@ -387,34 +438,33 @@ class LakeState:
                         return dict(recs[fname])
                 return None
             except FileNotFoundError:
+                if not os.path.isdir(d):  # dir gone = record absent
+                    return None
                 continue
         raise RuntimeError(
             f"commit lookup for {table!r} part {part} kept racing "
             f"manifest rollups — is an external process deleting files?")
 
-    def compact_manifests(self, table: str, part: int,
-                          every: int) -> int:
-        """Roll loose commit records into a manifest once ``every`` have
-        accumulated, and merge manifests once MANIFEST_MERGE_AT exist.
-        Returns the number of source files retired.  Idempotent and
-        crash-safe: the manifest is atomically written before any source
-        is deleted, and its name is deterministic in its contents."""
-        if every <= 0:
-            return 0
-        d = self.commit_dir(table, part)
-        if not os.path.isdir(d):
+    def _rollup(self, d: str, *, every: int, loose_prefix: str,
+                loose_suffix: str, man_prefix: str, hi_of) -> int:
+        """Shared crash-safe rollup protocol for loose records →
+        manifests (commit records AND chunk markers call this — one
+        place where the safety argument must hold): the manifest is
+        atomically written BEFORE any source is deleted, its name is
+        deterministic in its contents (idempotent across crashes and
+        concurrent rollups), and a full merge of existing manifests
+        runs only once MANIFEST_MERGE_AT accumulate (two-tier rollup
+        keeps write amplification near O(N log N): level 0 folds only
+        the loose records, existing manifests untouched).
+        ``hi_of(fname, record)`` extracts the record's seq_hi for the
+        manifest name.  Returns the number of source files retired."""
+        if every <= 0 or not os.path.isdir(d):
             return 0
         names = sorted(os.listdir(d))
         loose = [f for f in names
-                 if f.startswith("commit-") and f.endswith(".json")]
+                 if f.startswith(loose_prefix) and f.endswith(loose_suffix)]
         mans = [f for f in names
-                if f.startswith("manifest-") and f.endswith(".json")]
-        # two-tier rollup keeps write amplification near O(N log N):
-        # level 0 folds ONLY the loose records into a new manifest
-        # (existing manifests untouched — no history rewrite per
-        # rollup); a full merge rewrites everything only once
-        # MANIFEST_MERGE_AT manifests accumulate, i.e. every
-        # every*MANIFEST_MERGE_AT commits.
+                if f.startswith(man_prefix) and f.endswith(".json")]
         merge_all = len(mans) >= MANIFEST_MERGE_AT
         if len(loose) < every and not merge_all:
             return 0
@@ -439,12 +489,16 @@ class LakeState:
         if not recs:
             return 0
         import hashlib
-        hi = max(int(r["seq_hi"]) for r in recs.values())
+        hi = max(hi_of(f, r) for f, r in recs.items())
         digest = hashlib.sha1(
             "\n".join(sorted(recs)).encode()).hexdigest()[:10]
-        mname = f"manifest-{_seq12(hi)}-{len(recs):08d}-{digest}.json"
+        mname = f"{man_prefix}{_seq12(hi)}-{len(recs):08d}-{digest}.json"
         if mname not in mans:
             atomic_write_json(os.path.join(d, mname), {"records": recs})
+            # a manifest now exists: version-1 readers would silently
+            # miss its records — stamp the format upgrade (write-once
+            # sentinel; see LAKE_FORMAT_VERSION)
+            self._stamp_format_version()
         retired = 0
         for f in srcs:
             if f == mname:
@@ -455,6 +509,23 @@ class LakeState:
             except FileNotFoundError:
                 pass
         return retired
+
+    def _stamp_format_version(self) -> None:
+        path = os.path.join(self.root, "_format.json")
+        if not os.path.exists(path):
+            atomic_write_json(path,
+                              {"format_version": LAKE_FORMAT_VERSION})
+
+    def compact_manifests(self, table: str, part: int,
+                          every: int) -> int:
+        """Roll loose commit records into a manifest once ``every`` have
+        accumulated, and merge manifests once MANIFEST_MERGE_AT exist
+        (shared protocol: :meth:`_rollup`)."""
+        return self._rollup(
+            self.commit_dir(table, part), every=every,
+            loose_prefix="commit-", loose_suffix=".json",
+            man_prefix="manifest-",
+            hi_of=lambda f, r: int(r["seq_hi"]))
 
     # ------------------------------------------------- chunk-done markers
     # Same unbounded-growth story as commit records: one ``chunk-*.done``
@@ -484,6 +555,8 @@ class LakeState:
                             recs[f] = json.load(fh)
                 return recs
             except FileNotFoundError:
+                if not os.path.isdir(d):  # dir gone = no markers
+                    return {}
                 continue
         raise RuntimeError(
             f"chunk-marker listing under {d} kept racing rollups")
@@ -496,58 +569,15 @@ class LakeState:
 
     def compact_chunk_markers(self, every: int) -> int:
         """Roll loose chunk markers into a manifest; same crash-safety
-        story as :meth:`compact_manifests` (atomic write before cleanup,
-        content-deterministic name, readers dedupe + re-list)."""
-        if every <= 0:
-            return 0
-        d = os.path.join(self.root, "_chunks")
-        if not os.path.isdir(d):
-            return 0
-        names = sorted(os.listdir(d))
-        loose = [f for f in names
-                 if f.startswith("chunk-") and f.endswith(".done")]
-        mans = [f for f in names
-                if f.startswith("chunks-manifest-") and f.endswith(".json")]
-        merge_all = len(mans) >= MANIFEST_MERGE_AT
-        if len(loose) < every and not merge_all:
-            return 0
-        recs: dict[str, dict] = {}
-        srcs: list[str] = []
-        if merge_all:
-            for f in mans:
-                try:
-                    recs.update(_load_manifest(os.path.join(d, f)))
-                except FileNotFoundError:
-                    return 0
-            srcs += mans
-        for f in loose:
-            if f in recs:
-                continue
-            try:
-                with open(os.path.join(d, f)) as fh:
-                    recs[f] = json.load(fh)
-            except FileNotFoundError:
-                return 0
-        srcs += loose
-        if not recs:
-            return 0
-        import hashlib
-        hi = max(int(f.split("-")[2].split(".")[0]) for f in recs)
-        digest = hashlib.sha1(
-            "\n".join(sorted(recs)).encode()).hexdigest()[:10]
-        mname = f"chunks-manifest-{_seq12(hi)}-{len(recs):08d}-{digest}.json"
-        if mname not in mans:
-            atomic_write_json(os.path.join(d, mname), {"records": recs})
-        retired = 0
-        for f in srcs:
-            if f == mname:
-                continue
-            try:
-                os.remove(os.path.join(d, f))
-                retired += 1
-            except FileNotFoundError:
-                pass
-        return retired
+        protocol as :meth:`compact_manifests` (shared :meth:`_rollup`).
+        The marker filename embeds its seq_hi (``chunk-<lo>-<hi>.done``);
+        the ``chunks-manifest-`` prefix never matches the ``chunk-``
+        loose filter (the 's' breaks the prefix)."""
+        return self._rollup(
+            os.path.join(self.root, "_chunks"), every=every,
+            loose_prefix="chunk-", loose_suffix=".done",
+            man_prefix="chunks-manifest-",
+            hi_of=lambda f, r: int(f.split("-")[2].split(".")[0]))
 
     def latest_commit(self, table: str, part: int) -> dict | None:
         cs = self._list_commits_raw(table, part)

@@ -724,7 +724,9 @@ _BPE_EOW = 256  # end-of-word marker token; byte tokens are 0..255
 
 
 def train_bpe_model(ds, *, text_col: str = "text", vocab_size: int = 512,
-                    min_freq: int = 2, num_partitions: int = 16) -> pa.Table:
+                    min_freq: int = 2, num_partitions: int = 16,
+                    min_word_freq: int = 1,
+                    max_hist_words: int | None = 5_000_000) -> pa.Table:
     """Train a byte-level BPE merge table over a Dataset.
 
     Returns the model as a Parquet-ready table ``(rank:int32,
@@ -738,8 +740,28 @@ def train_bpe_model(ds, *, text_col: str = "text", vocab_size: int = 512,
     per-batch partial counts and one hash exchange on the word; the
     greedy merge loop is driver-side over the histogram with a
     pair→words inverted index, so each merge touches only the words
-    that contain its pair."""
+    that contain its pair.
+
+    Driver-memory bound: the histogram the driver materializes is
+    CAPPED inside the exchange — each merge block (words are
+    hash-disjoint across blocks, so per-block counts are final) drops
+    words with count < ``min_word_freq`` and keeps only its
+    ``max_hist_words // num_partitions`` most frequent words (ties
+    break on the word, so the cap is deterministic); the driver then
+    trims the union to the global ``max_hist_words`` top.  At 100 TB
+    the distinct-word histogram is billions of entries — without the
+    cap the merge loop's input alone would OOM the driver.  Dropping
+    the sub-cap tail only removes those words' pair counts, the
+    standard top-K histogram pruning every large-corpus BPE trainer
+    applies (Sennrich et al. 2016 operate on exactly this word
+    histogram); merges are dominated by the head of the distribution,
+    and a corpus whose distinct words fit the cap trains bit-identically
+    to the uncapped run (pytest-pinned).  ``max_hist_words=None``
+    disables the cap."""
     from deltaray.functions.partition import hash_partitioned
+
+    cap_per_part = (None if max_hist_words is None
+                    else max(1, max_hist_words // num_partitions))
 
     def partial(batch: pa.Table) -> pa.Table:
         words = pc.list_flatten(pc.utf8_split_whitespace(
@@ -753,13 +775,24 @@ def train_bpe_model(ds, *, text_col: str = "text", vocab_size: int = 512,
 
     def sum_block(block: pa.Table) -> pa.Table:
         g = block.group_by("word").aggregate([("n", "sum")])
-        return g.rename_columns(["word", "n"])
+        g = g.rename_columns(["word", "n"])
+        if min_word_freq > 1:
+            g = g.filter(pc.greater_equal(g["n"], min_word_freq))
+        if cap_per_part is not None and g.num_rows > cap_per_part:
+            order = pc.sort_indices(
+                g, sort_keys=[("n", "descending"), ("word", "ascending")])
+            g = g.take(order.slice(0, cap_per_part))
+        return g
 
     hist_ds = hash_partitioned(
         ds.map_batches(partial, batch_format="pyarrow"), ["word"],
         sum_block, num_partitions=num_partitions)
     hist = pa.concat_tables(list(hist_ds.iter_batches(
         batch_format="pyarrow")), promote_options="default")
+    if max_hist_words is not None and hist.num_rows > max_hist_words:
+        order = pc.sort_indices(
+            hist, sort_keys=[("n", "descending"), ("word", "ascending")])
+        hist = hist.take(order.slice(0, max_hist_words))
 
     words = [list(w.encode("utf-8")) + [_BPE_EOW]
              for w in hist["word"].to_pylist()]

@@ -38,7 +38,8 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
-from deltaray.commit import (LakeState, atomic_write_json, stats_disjoint,
+from deltaray.commit import (LakeState, atomic_write_json, check_lake_format,
+                             stats_disjoint,
                              stats_disjoint_any)
 from deltaray.config import ReplayConfig
 from deltaray.merge import evolve_to, make_merge_fn, strip_internal
@@ -590,6 +591,8 @@ class ReplaySession:
         new generation."""
         from deltaray.transforms import HASH_VERSION
 
+        from deltaray.commit import LAKE_FORMAT_VERSION, check_lake_format
+
         path = os.path.join(self.lake.root, "_meta.json")
         meta = {
             "num_partitions": self.cfg.num_partitions,
@@ -603,6 +606,9 @@ class ReplaySession:
         if os.path.exists(path):
             with open(path) as f:
                 have = json.load(f)
+            # refuse to APPEND to a lake whose on-disk format is newer
+            # than this writer understands (same misread class as reads)
+            check_lake_format(self.lake.root, have)
             diffs = {k: (have.get(k), v) for k, v in meta.items()
                      if have.get(k) != v}
             if diffs:
@@ -611,7 +617,9 @@ class ReplaySession:
                     f"{diffs} — re-shard into a new generation instead"
                 )
         else:
-            atomic_write_json(path, meta)
+            # stamped at creation: this writer emits manifests
+            atomic_write_json(path, dict(
+                meta, format_version=LAKE_FORMAT_VERSION))
 
     # ---------------------------------------------------------------- run
     def _run_chunk_with_retry(self, chunk: Chunk, t0: float) -> list[dict]:
@@ -950,7 +958,7 @@ def reshard_generation(lake_root: str, new_num_partitions: int,
     if not os.path.exists(meta_path):
         raise KeyError(f"no generation meta at {meta_path}")
     with open(meta_path) as f:
-        meta = json.load(f)
+        meta = check_lake_format(src.root, json.load(f))
     if dst_generation is None:
         dst_generation = (latest_generation(lake_root) or 0) + 1
     dst = LakeState(lake_root, dst_generation)
@@ -1330,7 +1338,7 @@ def read_rows(lake_root: str, table: str, keys: list, generation: int = 0,
                     list(dict.fromkeys([*key_cols, *columns]))))
     meta_path = os.path.join(lake.root, "_meta.json")
     with open(meta_path) as f:
-        gmeta = json.load(f)
+        gmeta = check_lake_format(lake.root, json.load(f))
     num_partitions = int(gmeta["num_partitions"])
     phys = None
     if columns is not None:
@@ -1459,7 +1467,7 @@ def read_history(lake_root: str, table: str, keys: list,
         return out_schema.empty_table()
     meta_path = os.path.join(lake.root, "_meta.json")
     with open(meta_path) as f:
-        gmeta = json.load(f)
+        gmeta = check_lake_format(lake.root, json.load(f))
     if gmeta.get("hash_version") != HASH_VERSION:
         raise ValueError(
             f"lake written under partitioner hash_version="
@@ -1639,7 +1647,7 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
     meta_path = os.path.join(lake.root, "_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            gmeta0 = json.load(f)
+            gmeta0 = check_lake_format(lake.root, json.load(f))
     # physical columns for the pruned read: payload + key + version cols
     # (width from generation meta; None disables pruning)
     phys = None
@@ -1686,12 +1694,19 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
             if io_stats_out is not None:
                 for k in ("files_read", "files_pruned", "parts_pruned"):
                     io_stats_out.setdefault(k, 0)
-            ktbl = pa.table({
-                k: pa.array([eq[k]], schema.arrow_schema().field(k).type)
-                for k in schema.keys})
-            target_p = int(stable_hash_cols(ktbl, list(schema.keys))[0]
-                           % np.uint64(int(gmeta_pred["num_partitions"])))
-            routed = [p for p in parts if p == target_p]
+            try:
+                # a literal not exactly representable in the key type
+                # (id == 1.5, an out-of-range int) can match NOTHING —
+                # fall through to the unrouted scan, whose exact filter
+                # returns the same empty result the pre-routing path did
+                ktbl = pa.table({
+                    k: pa.array([eq[k]], schema.arrow_schema().field(k).type)
+                    for k in schema.keys})
+                target_p = int(stable_hash_cols(ktbl, list(schema.keys))[0]
+                               % np.uint64(int(gmeta_pred["num_partitions"])))
+                routed = [p for p in parts if p == target_p]
+            except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+                routed = parts
             if io_stats_out is not None:
                 io_stats_out["parts_pruned"] = (
                     io_stats_out.get("parts_pruned", 0)
@@ -2122,7 +2137,7 @@ def read_changes(lake_root: str, table: str, since_seq: int,
         meta_path = os.path.join(lake.root, "_meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
-                gmeta = json.load(f)
+                gmeta = check_lake_format(lake.root, json.load(f))
             n_sk = int(gmeta.get("sort_key_components", 2))
             phys = list(dict.fromkeys([
                 *schema.column_names(), "__seq", "__src_ts",
@@ -2137,7 +2152,8 @@ def read_changes(lake_root: str, table: str, since_seq: int,
     meta_path = os.path.join(lake.root, "_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            if json.load(f).get("ordering") == "ORDERED":
+            if (check_lake_format(lake.root, json.load(f)) or {}) \
+                    .get("ordering") == "ORDERED":
                 min_hi = since_seq
     # TRUNCATE markers inside the pull window wipe keys without per-key
     # tombstones — those keys need synthetic DELETEs (see docstring)

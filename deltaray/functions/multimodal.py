@@ -304,12 +304,16 @@ class DecodeImage:
 
 
 def decode_images(ds, concurrency=None, batch_size: int = 64,
-                  strict: bool = False):
+                  strict: bool = False, use_native="auto"):
     """The plumbing: actor pool, small batches, binary column dropped after
-    decode so the wide payload never flows further down the pipeline."""
+    decode so the wide payload never flows further down the pipeline.
+    ``use_native="auto"`` is the production default: each actor probes
+    once for PIL/OpenCV and overrides the pure-Python PNG/JPEG codecs
+    when found (``bench.py --decode-bench`` quantifies the pure-Python
+    gap; see BASELINE.md)."""
     return ds.map_batches(
         DecodeImage,
-        fn_constructor_kwargs={"strict": strict},
+        fn_constructor_kwargs={"strict": strict, "use_native": use_native},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency or auto_concurrency(),

@@ -2335,7 +2335,8 @@ def _sum_aggregate(parts: pa.Table, group_col: str,
 def refresh_aggregate(lake_root: str, table: str, prev: pa.Table, *,
                       group_col: str, sum_cols: list[str], since_seq: int,
                       generation: int = 0,
-                      as_of_seq: int | None = None) -> pa.Table:
+                      as_of_seq: int | None = None,
+                      feed_batch_rows: int = 65_536) -> pa.Table:
     """Incremental materialized-VIEW maintenance: advance a per-group
     aggregate (``build_aggregate`` shape) from the lake state at
     committed anchor ``since_seq`` to the state at ``as_of_seq``
@@ -2356,34 +2357,50 @@ def refresh_aggregate(lake_root: str, table: str, prev: pa.Table, *,
     by re-tailing the source (DeltaSource SPI); here the lake's own
     commit log is the replayable boundary, so a downstream aggregate
     refreshes from the feed without touching the origin or rescanning
-    the corpus."""
-    from deltaray.util import to_table
+    the corpus.
 
+    Driver-memory bound: the feed is CONSUMED IN BATCHES of
+    ``feed_batch_rows`` — each batch contributes only per-group
+    (count, sum) rows before the next is pulled, and contributions fold
+    into a running aggregate whenever they pile up, so driver memory is
+    O(groups + feed_batch_rows) even for a pathological window where
+    "changed keys" ≈ the whole table (e.g. a refresh across a TRUNCATE
+    of a huge base table)."""
     lake = LakeState(lake_root, generation)
     schema = _schema_asof(lake, table, as_of_seq)
     if schema is None:
         raise KeyError(f"unknown table {table!r}")
     key_cols = list(schema.keys)
-    feed = to_table(read_changes(lake_root, table, since_seq, generation,
-                                 as_of_seq=as_of_seq,
-                                 columns=[group_col, *sum_cols]))
+    feed_ds = read_changes(lake_root, table, since_seq, generation,
+                           as_of_seq=as_of_seq,
+                           columns=[group_col, *sum_cols])
     cols = _agg_cols(group_col, sum_cols)
-    prev = prev.select(cols)
-    if feed.num_rows == 0:
-        return _sum_aggregate(prev, group_col, sum_cols)
-    ups = feed.filter(pc.not_equal(feed["change"], "DELETE"))
-    if len(key_cols) == 1:
-        keys = feed[key_cols[0]].to_pylist()
-    else:
-        keys = list(zip(*[feed[c].to_pylist() for c in key_cols]))
-    old = read_rows(lake_root, table, keys, generation=generation,
-                    asof_seq=since_seq, columns=[group_col, *sum_cols])
-    merged = pa.concat_tables(
-        [prev,
-         _group_contrib(ups, group_col, sum_cols, sign=1),
-         _group_contrib(old, group_col, sum_cols, sign=-1)],
-        promote_options="default")
-    return _sum_aggregate(merged, group_col, sum_cols)
+    parts: list[pa.Table] = [prev.select(cols)]
+    for feed in feed_ds.iter_batches(batch_format="pyarrow",
+                                     batch_size=feed_batch_rows):
+        if feed.num_rows == 0:
+            continue
+        ups = feed.filter(pc.not_equal(feed["change"], "DELETE"))
+        if len(key_cols) == 1:
+            keys = feed[key_cols[0]].to_pylist()
+        else:
+            keys = list(zip(*[feed[c].to_pylist() for c in key_cols]))
+        old = read_rows(lake_root, table, keys, generation=generation,
+                        asof_seq=since_seq, columns=[group_col, *sum_cols])
+        parts.append(_group_contrib(ups, group_col, sum_cols, sign=1))
+        parts.append(_group_contrib(old, group_col, sum_cols, sign=-1))
+        if len(parts) >= 64:  # fold partials; keeps O(groups) held
+            # dropping n_rows==0 groups mid-fold is exact: a group can
+            # only reach 0 when ALL its prev rows were retired, and the
+            # retired rows' sums cancel with them (counts never go
+            # negative — each batch retires only rows present at the
+            # anchor)
+            parts = [_sum_aggregate(
+                pa.concat_tables(parts, promote_options="default"),
+                group_col, sum_cols)]
+    return _sum_aggregate(
+        pa.concat_tables(parts, promote_options="default"),
+        group_col, sum_cols)
 
 
 def lineage_report(lake_root: str, table: str | None = None,

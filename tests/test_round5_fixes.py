@@ -158,3 +158,73 @@ def test_key_routing_unrepresentable_literal(ray_session, tmp_path):
     # sanity: a representable literal still routes + matches
     out2 = read_table_ds(lake, "t", predicate=("k", "==", 7))
     assert out2.count() == 1
+
+
+def test_refresh_aggregate_streams_feed(ray_session, tmp_path):
+    """refresh_aggregate consumes the change feed in bounded batches:
+    with feed_batch_rows=7 (forcing many batches + mid-stream partial
+    folds) across a TRUNCATE-sized window (every key changed), the
+    refreshed view still equals the full recompute exactly."""
+    import os
+
+    from deltaray import (ReplayConfig, build_aggregate, read_table_ds,
+                          refresh_aggregate, replay)
+    from deltaray.gen import write_event_log
+
+    log = str(tmp_path / "events")
+    lake = str(tmp_path / "lake")
+    write_event_log(log, n_docs=120, n_events=480, seed=13,
+                    track_prev=False, segment_max_events=200,
+                    ddl=[(300, "docs", "TRUNCATE_TABLE", {})])
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                        chunk_max_events=200, vacuum=False))
+    from deltaray.pipeline import snapshots
+
+    anchors = snapshots(lake)
+    cut = anchors[0]
+    prev = build_aggregate(
+        read_table_ds(lake, "docs", asof_seq=cut),
+        group_col="source", sum_cols=["n_tok"])
+    got = refresh_aggregate(lake, "docs", prev, group_col="source",
+                            sum_cols=["n_tok"], since_seq=cut,
+                            feed_batch_rows=7)
+    want = build_aggregate(read_table_ds(lake, "docs"),
+                           group_col="source", sum_cols=["n_tok"])
+    assert got.equals(want), f"{got}\nvs\n{want}"
+
+
+def test_langid_real_corpus_heldout_accuracy(ray_session, tmp_path):
+    """The SHIPPED LangId profiles (default_langid_model — trained on the
+    bundled real-language fixture: UDHR Article 1 + common-usage text,
+    6 Latin-script languages) must identify DISJOINT held-out real
+    sentences with >= 0.9 accuracy, through the distributed actor-pool
+    stage — closing the round-4 'synthetic-only model data' gap."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from deltaray.data.langid_fixture import HELD_OUT, TRAIN
+    from deltaray.functions.text import LangId, default_langid_model
+
+    # the split really is disjoint
+    train_sents = {s for v in TRAIN.values() for s in v}
+    assert not train_sents & {s for v in HELD_OUT.values() for s in v}
+
+    path = str(tmp_path / "langid.parquet")
+    pq.write_table(default_langid_model(), path)
+    rows = [{"text": s, "want": lang}
+            for lang, sents in sorted(HELD_OUT.items()) for s in sents]
+    out = ray.data.from_items(rows).repartition(4) \
+        .map_batches(LangId, fn_constructor_kwargs={"model_path": path},
+                     batch_format="pyarrow", concurrency=2) \
+        .to_pandas()
+    acc = (out["lang_guess"] == out["want"]).mean()
+    assert acc >= 0.9, f"held-out accuracy {acc}"
+    # distributed stage output == the single-process scorer, per doc
+    import pyarrow as pa
+
+    solo = LangId(model_path=path)(
+        pa.table({"text": pa.array([r["text"] for r in rows])}))
+    got = dict(zip(out["text"], out["lang_guess"]))
+    for t, g in zip(solo["text"].to_pylist(),
+                    solo["lang_guess"].to_pylist()):
+        assert got[t] == g

@@ -573,6 +573,156 @@ def run_manifest_soak() -> dict:
     return out
 
 
+def run_combined_soak() -> dict:
+    """ONE long-running ingest composing the three metadata-boundedness
+    mechanisms that were each soaked separately in round 4 (VERDICT r4
+    'Next #6'): manifest rollup (commit records + chunk markers),
+    snapshot retention (expire_snapshots mid-stream every K chunks),
+    and ingest-gate index compaction (an ExactIngestGate consuming the
+    lake's OWN change feed every few chunks — the CDC→dedup-gate
+    composition).  Asserts, at the end of the run: final state equals
+    the single-process oracle, per-partition commit-dir file counts /
+    chunk-marker counts / data-file counts / gate-index file counts are
+    all BOUNDED (independent of chunks-ever), and every gated feed pull
+    anchored at a retained snapshot succeeded.  Scale via
+    GRAFT_SOAK_CHUNKS / GRAFT_SOAK_GATE_EVERY."""
+    import glob as _glob
+
+    import ray
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from deltaray import (ReplayConfig, read_changes, read_table, replay,
+                          replay_oracle, snapshots, tables_equal)
+    from deltaray.functions.ingest_gate import ExactIngestGate
+    from deltaray.gen import write_event_log_fast
+    from deltaray.pipeline import expire_snapshots
+    from deltaray.util import to_table
+
+    def steal() -> int:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+
+    n_chunks = int(os.environ.get("GRAFT_SOAK_CHUNKS", "1000"))
+    gate_every = int(os.environ.get("GRAFT_SOAK_GATE_EVERY", "5"))
+    expire_every = int(os.environ.get("GRAFT_SOAK_EXPIRE_EVERY", "25"))
+    keep_last = int(os.environ.get("GRAFT_SOAK_KEEP_LAST", "60"))
+    seg = int(os.environ.get("GRAFT_SOAK_CHUNK_EVENTS", "100"))
+    parts = int(os.environ.get("GRAFT_SOAK_PARTS", "8"))
+    n_docs = int(os.environ.get("GRAFT_SOAK_DOCS", "2000"))
+    n_events = n_chunks * seg - n_docs - 1
+
+    root = "/tmp/deltaray_bench/combined_soak"
+    shutil.rmtree(root, ignore_errors=True)
+    log = os.path.join(root, "events")
+    lake = os.path.join(root, "lake")
+    write_event_log_fast(log, n_docs=n_docs, n_events=n_events, seed=47,
+                         segment_max_events=seg)
+    # vacuum=False + expire_snapshots is the designed retention pairing
+    # (vacuum=True keeps no history, so anchored feed pulls would race
+    # compaction); pipeline_chunks=1 keeps on_chunk synchronous with the
+    # committed head so each gate pull anchors at a live snapshot
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=parts,
+                       chunk_max_events=seg, compact_every=8,
+                       manifest_every=16, vacuum=False,
+                       pipeline_chunks=1)
+    gate = ExactIngestGate(os.path.join(root, "gate_idx"),
+                           num_partitions=parts, compact_threshold=8)
+    state = {"chunks": 0, "epoch": 0, "anchor": 0, "gated_rows": 0,
+             "expires": 0}
+
+    def tok_text(feed):
+        # soak-driver convenience: stringify the token payload as the
+        # gate's text column (bounded rows per epoch)
+        rows = feed.select(["doc_id", "tokens"]).to_pylist()
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows]),
+            "text": pa.array([" ".join(map(str, r["tokens"] or []))
+                              for r in rows])})) if rows else None
+
+    def on_chunk(i, c, rows):
+        state["chunks"] += 1
+        k = state["chunks"]
+        if k % gate_every == 0:
+            feed = to_table(read_changes(lake, "docs", state["anchor"],
+                                         as_of_seq=c.seq_hi))
+            ds = tok_text(feed)
+            if ds is not None:
+                adm = to_table(gate.admit(ds, state["epoch"]))
+                state["gated_rows"] += adm.num_rows
+            state["epoch"] += 1
+            state["anchor"] = c.seq_hi
+        if k % expire_every == 0:
+            snaps = snapshots(lake)
+            if len(snaps) > keep_last:
+                # never expire past the gate's feed anchor
+                retain = min(snaps[-keep_last], state["anchor"] or snaps[0])
+                expire_snapshots(lake, "docs", retain)
+                state["expires"] += 1
+
+    t0 = time.perf_counter()
+    s0 = steal()
+    replay(cfg, on_chunk=on_chunk)
+    wall = time.perf_counter() - t0
+
+    # ---- boundedness + correctness asserts --------------------------------
+    gen = os.path.join(lake, "gen=0000")
+    commit_counts = [len(os.listdir(d)) for d in _glob.glob(
+        os.path.join(gen, "docs", "_commits", "part=*"))]
+    marker_count = len(os.listdir(os.path.join(gen, "_chunks")))
+    data_counts = [len(os.listdir(d)) for d in _glob.glob(
+        os.path.join(gen, "docs", "part=*"))]
+    gate_counts = [len(os.listdir(d)) for d in _glob.glob(
+        os.path.join(root, "gate_idx", "fp", "part=*"))]
+    # bounds: manifests (<= MANIFEST_MERGE_AT) + loose (< manifest_every)
+    # + rollup-crash slack; data files = base + <= compact_every deltas;
+    # gate = runs + <= threshold loose epochs
+    # data files: expire keeps the keep_last-anchor window of
+    # copy-on-write files per partition plus compaction slack
+    bound = {"commit_files_per_part": 16 + 32 + 8,
+             "chunk_markers": 16 + 32 + 8,
+             "data_files_per_part": keep_last + 8 + 4,
+             "gate_files_per_part": 8 + 6}
+    violations = {}
+    if max(commit_counts) > bound["commit_files_per_part"]:
+        violations["commit_files"] = max(commit_counts)
+    if marker_count > bound["chunk_markers"]:
+        violations["chunk_markers"] = marker_count
+    if max(data_counts) > bound["data_files_per_part"]:
+        violations["data_files"] = max(data_counts)
+    if gate_counts and max(gate_counts) > bound["gate_files_per_part"]:
+        violations["gate_files"] = max(gate_counts)
+    eq, msg = tables_equal(read_table(lake, "docs"),
+                           replay_oracle(cfg)["docs"])
+    t = time.perf_counter()
+    snaps = snapshots(lake)
+    snap_ms = (time.perf_counter() - t) * 1000
+    out = {"metric": "cdc_combined_soak", "chunks": state["chunks"],
+           "gate_epochs": state["epoch"], "expires": state["expires"],
+           "gated_rows": state["gated_rows"],
+           "events": n_events + n_docs + 1, "wall_sec": round(wall, 1),
+           "final_state_equal": bool(eq) if not msg else f"{eq}: {msg}",
+           "max_commit_files_per_part": max(commit_counts),
+           "chunk_marker_files": marker_count,
+           "max_data_files_per_part": max(data_counts),
+           "max_gate_files_per_part": max(gate_counts or [0]),
+           "retained_anchors": len(snaps),
+           "snapshots_ms": round(snap_ms, 2),
+           "bounds": bound, "violations": violations,
+           "num_cpus": NUM_CPUS,
+           "steal_cpu_sec_during": round((steal() - s0) / 100.0, 1)}
+    ray.shutdown()
+    return out
+
+
 def run_decode_bench(n_imgs: int = 512) -> dict:
     """Quantify the image-decode gap (VERDICT r4 `weak` #2): per-format
     decode throughput over identical 64x64 synthetic images through the
@@ -657,5 +807,7 @@ if __name__ == "__main__":
         print(json.dumps(run_retention_smoke()))
     elif "--decode-bench" in sys.argv:
         print(json.dumps(run_decode_bench()))
+    elif "--combined-soak" in sys.argv:
+        print(json.dumps(run_combined_soak()))
     else:
         print(json.dumps(run_once()))

@@ -337,9 +337,14 @@ class ExactIngestGate:
                 keep = pc.invert(
                     pc.is_in(g["__fp"], value_set=old["fp"].combine_chunks()))
                 g = g.filter(keep)
+            # id stored AS-IS (provenance only — membership is fp-only),
+            # so string-keyed corpora (the engine's default doc_id
+            # shape) gate without a lossy int cast (round-5 probe
+            # test_ingest_gate_across_lake_reshard caught the old
+            # hardcoded int64 cast crashing on them)
             _persist_partition(
                 index_dir, part, epoch,
-                pa.table({"fp": g["__fp"], "doc_id": g[id_col].cast(pa.int64())}))
+                pa.table({"fp": g["__fp"], "doc_id": g[id_col]}))
             _maybe_compact(index_dir, part, epoch, sort_cols=["fp"],
                            threshold=threshold, row_group_size=rg_size)
             return g.drop_columns(["__fp"])
@@ -492,8 +497,25 @@ def _neardup_admit(gate, ds, epoch: int, *, sig_map, band_rows_fn,
     sig_t = sig_type
 
     # signatures cross the object store once; consumed by the band
-    # stage, both attach stages, and the final persist
-    sig_ds = ds.map_batches(sig_map, batch_format="pyarrow").materialize()
+    # stage, both attach stages, and the final persist.  Near-dup gate
+    # ids are CONTRACTUALLY integers: they ride two __key exchanges and
+    # the driver reject set as int64, and silently casting digit
+    # strings would collide them with real ints — fail fast with
+    # guidance instead (the EXACT gate accepts any id type; for
+    # near-dup gating of string-keyed corpora attach a dense int id
+    # upstream — a content hash is NOT safe as identity at 10^10 docs).
+    def sig_map_checked(batch: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(batch.schema.field(id_col).type):
+            raise TypeError(
+                f"near-duplicate ingest gates require an integer "
+                f"'{id_col}' column (got "
+                f"{batch.schema.field(id_col).type}); attach a dense "
+                f"int64 id upstream — ExactIngestGate accepts any id "
+                f"type")
+        return sig_map(batch)
+
+    sig_ds = ds.map_batches(sig_map_checked,
+                            batch_format="pyarrow").materialize()
 
     # -- stage 2: band rows → bucket partitions → candidates
     rows = sig_ds.map_batches(band_rows, batch_format="pyarrow")

@@ -967,12 +967,19 @@ def reshard_generation(lake_root: str, new_num_partitions: int,
     from deltaray.transforms import HASH_VERSION
 
     os.makedirs(dst.root)
+    from deltaray.commit import LAKE_FORMAT_VERSION
+
     # reshard re-routes every row with the CURRENT partitioner (src
     # partitions are read raw, no src-hash needed), so it doubles as the
-    # migration path across hash_version bumps
+    # migration path across hash_version bumps.  format_version is
+    # stamped unconditionally: the dst generation is written by THIS
+    # engine (and inherits the src's chunk manifests via the copytree
+    # below), even when the src was a pre-stamp lake upgraded only via
+    # its _format.json sentinel.
     atomic_write_json(os.path.join(dst.root, "_meta.json"),
                       {**meta, "num_partitions": int(new_num_partitions),
-                       "hash_version": HASH_VERSION})
+                       "hash_version": HASH_VERSION,
+                       "format_version": LAKE_FORMAT_VERSION})
     if os.path.isdir(os.path.join(src.root, "_chunks")):
         _shutil.copytree(os.path.join(src.root, "_chunks"),
                          os.path.join(dst.root, "_chunks"))

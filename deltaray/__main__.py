@@ -254,8 +254,13 @@ def cmd_changes(a) -> int:
             atomic_write_parquet(path, ev)
             segs.append(path)
             rows += ev.num_rows
+        # "segment" keeps the old one-segment contract ONLY when the
+        # pull really fit one segment; a multi-segment pull nulls it so
+        # a consumer copying a single path fails loudly instead of
+        # silently dropping the earlier batches — use "segment_paths"
         print(json.dumps({"since": since, "as_of": as_of, "rows": rows,
-                          "segment": segs[-1] if segs else None,
+                          "segment": segs[0] if len(segs) == 1 else None,
+                          "segment_paths": segs,
                           "segments": len(segs)}))
     elif a.out:
         ds.write_parquet(a.out)

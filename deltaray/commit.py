@@ -495,10 +495,13 @@ class LakeState:
         mname = f"{man_prefix}{_seq12(hi)}-{len(recs):08d}-{digest}.json"
         if mname not in mans:
             atomic_write_json(os.path.join(d, mname), {"records": recs})
-            # a manifest now exists: version-1 readers would silently
-            # miss its records — stamp the format upgrade (write-once
-            # sentinel; see LAKE_FORMAT_VERSION)
-            self._stamp_format_version()
+        # a manifest now exists (written above OR left by a crashed
+        # earlier rollup that died before stamping — the deterministic
+        # mname makes the rerun take the skip branch): stamp the format
+        # upgrade UNCONDITIONALLY before retiring sources, so a
+        # version-1 reader can never see a manifest-bearing lake
+        # without the stamp (write-once sentinel; LAKE_FORMAT_VERSION)
+        self._stamp_format_version()
         retired = 0
         for f in srcs:
             if f == mname:

@@ -227,7 +227,11 @@ def _maybe_compact(index_dir: str, part: int, epoch: int, *,
         t = pq.read_table(f)
         parts.append(t.append_column(
             "epoch", pa.array(np.full(t.num_rows, e, np.int64))))
-    merged = pa.concat_tables(parts, promote_options="default") \
+    # "permissive": widen compatible numerics instead of raising —
+    # exact-gate indexes written by the pre-round-5 engine persisted
+    # doc_id cast to int64, newer epochs persist the corpus's own id
+    # type (e.g. int32); their union must still compact
+    merged = pa.concat_tables(parts, promote_options="permissive") \
         .sort_by([(c, "ascending") for c in sort_cols])
     dpath = os.path.join(index_dir, f"part={part:05d}",
                          f"run-{_epoch6(epoch)}.parquet")

@@ -754,10 +754,13 @@ def train_bpe_model(ds, *, text_col: str = "text", vocab_size: int = 512,
     the sub-cap tail only removes those words' pair counts, the
     standard top-K histogram pruning every large-corpus BPE trainer
     applies (Sennrich et al. 2016 operate on exactly this word
-    histogram); merges are dominated by the head of the distribution,
-    and a corpus whose distinct words fit the cap trains bit-identically
-    to the uncapped run (pytest-pinned).  ``max_hist_words=None``
-    disables the cap."""
+    histogram); merges are dominated by the head of the distribution.
+    The binding limit is the PER-PARTITION quota (hash partitioning
+    spreads words ~evenly, so a skewed partition can drop tail words
+    even when the global distinct count fits ``max_hist_words``): a
+    corpus whose every partition's distinct words fit its quota trains
+    bit-identically to the uncapped run (pytest-pinned).
+    ``max_hist_words=None`` disables the cap."""
     from deltaray.functions.partition import hash_partitioned
 
     cap_per_part = (None if max_hist_words is None

@@ -557,10 +557,20 @@ def write_det_event_log(out_dir: str, docs_path: str, *, rounds: int = 4,
         live = ~is_del
         n_tok = (sel * 131 + i * 17) % 480 + 1
         lens = np.where(live, n_tok, 0).astype(np.int64)
-        offsets = np.zeros(m + 1, dtype=np.int32)
+        total = int(lens.sum())
+        if total > np.iinfo(np.int32).max:
+            # list<int32> offsets are int32; silent cumsum wraparound
+            # would corrupt the log and fail the SQL oracle with a
+            # phantom engine bug — fail fast with guidance instead
+            raise ValueError(
+                f"round {i} holds {total} tokens, over the int32 list-"
+                f"offset capacity of one segment — shard the documents "
+                f"input (this deterministic log targets test scales)")
+        offsets = np.zeros(m + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])
-        vals = (np.arange(int(offsets[-1]), dtype=np.int64)
+        vals = (np.arange(total, dtype=np.int64)
                 - np.repeat(offsets[:-1], lens)).astype(np.int32)
+        offsets = offsets.astype(np.int32)
         toks = pa.ListArray.from_arrays(pa.array(offsets), pa.array(vals))
         live_pa = pa.array(live)
         idx = pa.array(sel, pa.int64())

@@ -42,6 +42,17 @@ from deltaray.commit import (LakeState, atomic_write_json, check_lake_format,
                              stats_disjoint,
                              stats_disjoint_any)
 from deltaray.config import ReplayConfig
+
+
+def _check_gen_format(lake: "LakeState") -> None:
+    """Format-gate a generation from its LakeState (meta may be absent
+    on a pre-first-commit lake — the sentinel alone still gates)."""
+    meta_path = os.path.join(lake.root, "_meta.json")
+    meta = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    check_lake_format(lake.root, meta)
 from deltaray.merge import evolve_to, make_merge_fn, strip_internal
 from deltaray.schemas import DDL_OPS, TableSchema, apply_ddl
 from deltaray.transforms import TransformStage, apply_directives_to_schema
@@ -1818,6 +1829,9 @@ def optimize_table(lake_root: str, table: str, cluster_by: str | list[str],
     import ray.data
 
     lake = LakeState(lake_root, generation)
+    # writes clustered base commits + vacuums superseded files — gate
+    # against newer-format lakes like the other destructive paths
+    _check_gen_format(lake)
     schema = lake.current_schema(table)
     if schema is None:
         raise KeyError(f"unknown table {table!r}")
@@ -1921,6 +1935,10 @@ def expire_snapshots(lake_root: str, table: str, retain_since_seq: int,
     retention windows are this engine's extension of that lifecycle.
     """
     lake = LakeState(lake_root, generation)
+    # destructive path: a newer-format lake's commit listing could be
+    # INCOMPLETE here, and deleting files against it is permanent data
+    # loss — gate like the read paths (review finding, round 5)
+    _check_gen_format(lake)
     if lake.current_schema(table) is None:
         raise KeyError(f"unknown table {table!r}")
     retain = int(retain_since_seq)

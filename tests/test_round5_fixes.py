@@ -228,3 +228,80 @@ def test_langid_real_corpus_heldout_accuracy(ray_session, tmp_path):
     for t, g in zip(solo["text"].to_pylist(),
                     solo["lang_guess"].to_pylist()):
         assert got[t] == g
+
+
+def test_rollup_stamp_survives_crash_window(ray_session, tmp_path):
+    """A rollup that wrote its manifest but crashed BEFORE stamping must
+    still stamp on the rerun (deterministic manifest name makes the
+    rerun skip the write — the stamp must not be skipped with it)."""
+    import json
+    import os
+
+    from deltaray.commit import LAKE_FORMAT_VERSION, LakeState
+
+    lake = _mini_lake(tmp_path)
+    gen = os.path.join(lake, "gen=0000")
+    meta_path = os.path.join(gen, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta.pop("format_version", None)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    st = LakeState(lake, 0)
+    assert st.compact_manifests("docs", 0, 1) > 0
+    sent = os.path.join(gen, "_format.json")
+    os.remove(sent)  # simulate: crash erased nothing but stamp never ran
+    # rerun over the already-rolled dir: manifest exists, no loose files
+    # to roll — but the next rollup that DOES run must stamp.  Write one
+    # fresh loose record so the rollup fires again.
+    d = st.commit_dir("docs", 0)
+    with open(os.path.join(
+            d, "commit-999999999998-999999999999.json"), "w") as f:
+        json.dump({"seq_lo": 999999999998, "seq_hi": 999999999999,
+                   "rows": 0, "kind": "delta", "file": None}, f)
+    assert st.compact_manifests("docs", 0, 1) > 0
+    with open(sent) as f:
+        assert json.load(f)["format_version"] == LAKE_FORMAT_VERSION
+
+
+def test_gate_index_mixed_id_width_compacts(ray_session, tmp_path):
+    """Indexes whose earlier epochs persisted int64 ids (pre-round-5
+    cast) compact cleanly with newer epochs persisting the corpus's own
+    narrower id type."""
+    import ray.data
+
+    from deltaray.functions.ingest_gate import ExactIngestGate
+    from deltaray.util import to_table
+
+    gate = ExactIngestGate(str(tmp_path / "idx"), num_partitions=2,
+                           compact_threshold=2)
+
+    def corpus(e, typ):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(e * 100, e * 100 + 8), typ),
+            "text": pa.array([f"mixed width {e} {i}" for i in range(8)]),
+        }))
+
+    for e in range(5):  # alternate id widths across epochs
+        typ = pa.int64() if e % 2 == 0 else pa.int32()
+        assert to_table(gate.admit(corpus(e, typ), e)).num_rows == 8
+
+
+def test_expire_and_optimize_format_gated(ray_session, tmp_path):
+    """The DESTRUCTIVE paths fail fast on a newer-format lake instead of
+    deleting files against a possibly-incomplete commit listing."""
+    import json
+    import os
+
+    import pytest
+
+    from deltaray.commit import LAKE_FORMAT_VERSION
+    from deltaray.pipeline import expire_snapshots, optimize_table
+
+    lake = _mini_lake(tmp_path, vacuum=False)
+    with open(os.path.join(lake, "gen=0000", "_format.json"), "w") as f:
+        json.dump({"format_version": LAKE_FORMAT_VERSION + 1}, f)
+    with pytest.raises(ValueError, match="format_version"):
+        expire_snapshots(lake, "docs", 0)
+    with pytest.raises(ValueError, match="format_version"):
+        optimize_table(lake, "docs", "n_tok")

@@ -235,3 +235,100 @@ def _append(log: str, ev: pa.Table, n: int) -> None:
     os.makedirs(log, exist_ok=True)
     pq.write_table(ev, os.path.join(
         log, f"events-{n:05d}-{lo:012d}-{hi:012d}.parquet"))
+
+
+def test_multitable_promotion_with_ddl_interleave(ray_session, tmp_path):
+    """Multi-table DDL interleaving under cross-table type promotion:
+    tables `a` (v:int32) and `b` (v:int64) co-replay — the shared
+    column transports at the promoted width — then a mid-stream ALTER
+    widens a.v to int64 and both tables keep ingesting.  Final state of
+    BOTH tables must equal the single-process oracle, with b carrying
+    beyond-int32 values throughout and a carrying them only after its
+    ALTER."""
+    import json as _json
+
+    from deltaray import ReplayConfig, replay, replay_oracle, tables_equal
+    from deltaray.pipeline import read_table
+    from deltaray.schemas import TableSchema, ddl_payload
+
+    sch_a = TableSchema("a", "k", [("k", "int64"), ("v", "int32"),
+                                   ("s", "string")])
+    sch_b = TableSchema("b", "k", [("k", "int64"), ("v", "int64")])
+    # transport schema: the union with v at the PROMOTED width
+    log_schema = pa.schema([
+        ("seq", pa.int64()), ("op", pa.string()), ("table", pa.string()),
+        ("k", pa.int64()), ("v", pa.int64()), ("s", pa.string()),
+        ("ingest_ts", pa.timestamp("us")), ("source_ts", pa.timestamp("us")),
+        ("sort_keys", pa.list_(pa.int64())), ("is_snapshot", pa.bool_()),
+        ("tx_id", pa.string()), ("ddl_payload", pa.string()),
+    ])
+    BIG = 5_000_000_000  # beyond int32
+
+    rows: list[dict] = []
+
+    def ev(op, table, seq, **kw):
+        r = {"seq": seq, "op": op, "table": table,
+             "ingest_ts": 1704067200_000000 + seq * 1000,
+             "source_ts": 1704067200_000000 + seq * 1000,
+             "is_snapshot": False, **kw}
+        rows.append(r)
+
+    ev("CREATE_TABLE", "a", 1,
+       ddl_payload=ddl_payload("CREATE_TABLE", schema=sch_a),
+       is_snapshot=True)
+    ev("CREATE_TABLE", "b", 2,
+       ddl_payload=ddl_payload("CREATE_TABLE", schema=sch_b),
+       is_snapshot=True)
+    seq = 3
+    for i in range(12):  # interleaved DML, b uses beyond-int32 values
+        ev("INSERT", "a", seq, k=i, v=i * 10, s=f"s{i}")
+        seq += 1
+        ev("INSERT", "b", seq, k=i, v=BIG + i)
+        seq += 1
+    alter_seq = seq
+    ev("ALTER_TABLE", "a", seq,
+       ddl_payload=ddl_payload("ALTER_TABLE", alter=("v", "int64")))
+    seq += 1
+    for i in range(12):  # post-ALTER: a can carry wide values too
+        ev("UPDATE", "a", seq, k=i, v=BIG * 2 + i, s=f"w{i}")
+        seq += 1
+        ev("DELETE" if i % 3 == 0 else "UPDATE", "b", seq, k=i,
+           v=None if i % 3 == 0 else BIG + 100 + i)
+        seq += 1
+
+    log = str(tmp_path / "events")
+    os.makedirs(log)
+    # DDL barriers: CREATEs in one segment, ALTER in its own, DML between
+    def seg(sub, segid, has_ddl):
+        cols = {f.name: [r.get(f.name) for r in sub] for f in log_schema}
+        t = pa.table(cols, schema=log_schema)
+        lo, hi = sub[0]["seq"], sub[-1]["seq"]
+        pq.write_table(t, os.path.join(
+            log, f"events-{segid:05d}-{lo:012d}-{hi:012d}.parquet"))
+        return {"path": os.path.join(
+            log, f"events-{segid:05d}-{lo:012d}-{hi:012d}.parquet"),
+            "seq_lo": int(lo), "seq_hi": int(hi), "n_rows": len(sub),
+            "columns": log_schema.names, "has_ddl": has_ddl}
+
+    pre = [r for r in rows if 2 < r["seq"] < alter_seq]
+    post = [r for r in rows if r["seq"] > alter_seq]
+    segments = [seg(rows[:2], 0, True), seg(pre, 1, False),
+                seg([rows[2 + len(pre)]], 2, True), seg(post, 3, False)]
+    with open(os.path.join(log, "manifest.json"), "w") as f:
+        _json.dump({"max_seq": int(rows[-1]["seq"]),
+                    "segments": segments, "tables": ["a", "b"]}, f)
+
+    lake = str(tmp_path / "lake")
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                       chunk_max_events=7)
+    replay(cfg)
+    oracle = replay_oracle(cfg)
+    for t in ("a", "b"):
+        ok, msg = tables_equal(read_table(lake, t), oracle[t], key="k")
+        assert ok, f"table {t}: {msg}"
+    a = read_table(lake, "a")
+    assert a.schema.field("v").type == pa.int64()
+    assert max(a["v"].to_pylist()) >= BIG * 2
+    b = read_table(lake, "b")
+    assert all(v >= BIG for v in b["v"].to_pylist())
+    assert b.num_rows == 8  # 4 of 12 keys deleted (i % 3 == 0)

@@ -203,7 +203,8 @@ def _read_index(index_dir: str, part: int, before_epoch: int,
 
 def _maybe_compact(index_dir: str, part: int, epoch: int, *,
                    sort_cols: list[str], threshold: int,
-                   row_group_size: int) -> bool:
+                   row_group_size: int,
+                   cast_cols: dict | None = None) -> bool:
     """Merge one partition's epoch files (plus the previous run) into a
     single run sorted on the probe column once the live file count
     exceeds ``threshold`` — the lake's ``compact_every`` idempotent-
@@ -219,18 +220,29 @@ def _maybe_compact(index_dir: str, part: int, epoch: int, *,
     mpath = _run_marker_path(index_dir, part, epoch)
     if os.path.exists(mpath):  # replayed admit — compaction already done
         return False
+    def norm(t: pa.Table) -> pa.Table:
+        # cast_cols normalizes columns whose stored type varied across
+        # engine versions (the exact gate's provenance doc_id: int64 in
+        # pre-round-5 indexes, the corpus's own type briefly after, now
+        # string) so ANY legacy mix concatenates; string is total over
+        # all of them
+        for c, typ in (cast_cols or {}).items():
+            if c in t.column_names:
+                t = t.set_column(t.column_names.index(c), c,
+                                 t[c].cast(typ))
+        return t
+
     parts = []
     if run is not None:
-        parts.append(pq.read_table(run[0]))
+        parts.append(norm(pq.read_table(run[0])))
     for f in epochs:
         e = int(os.path.basename(f)[len("epoch-"):-len(".parquet")])
-        t = pq.read_table(f)
+        t = norm(pq.read_table(f))
         parts.append(t.append_column(
             "epoch", pa.array(np.full(t.num_rows, e, np.int64))))
-    # "permissive": widen compatible numerics instead of raising —
-    # exact-gate indexes written by the pre-round-5 engine persisted
-    # doc_id cast to int64, newer epochs persist the corpus's own id
-    # type (e.g. int32); their union must still compact
+    # "permissive": widen compatible numerics instead of raising (sig /
+    # band indexes always persist int64 ids, so this is belt-and-braces
+    # for them; the exact gate additionally normalizes via cast_cols)
     merged = pa.concat_tables(parts, promote_options="permissive") \
         .sort_by([(c, "ascending") for c in sort_cols])
     dpath = os.path.join(index_dir, f"part={part:05d}",
@@ -341,16 +353,20 @@ class ExactIngestGate:
                 keep = pc.invert(
                     pc.is_in(g["__fp"], value_set=old["fp"].combine_chunks()))
                 g = g.filter(keep)
-            # id stored AS-IS (provenance only — membership is fp-only),
-            # so string-keyed corpora (the engine's default doc_id
-            # shape) gate without a lossy int cast (round-5 probe
-            # test_ingest_gate_across_lake_reshard caught the old
-            # hardcoded int64 cast crashing on them)
+            # id stored AS STRING (provenance only — membership is
+            # fp-only): string is total over every corpus id type, so
+            # string-keyed corpora gate without a lossy int cast
+            # (round-5 probe caught the old hardcoded int64 cast
+            # crashing on them) AND every epoch of an index holds ONE
+            # id type regardless of corpus — compaction's concat can
+            # never hit an un-unifiable mix (review finding)
             _persist_partition(
                 index_dir, part, epoch,
-                pa.table({"fp": g["__fp"], "doc_id": g[id_col]}))
+                pa.table({"fp": g["__fp"],
+                          "doc_id": g[id_col].cast(pa.string())}))
             _maybe_compact(index_dir, part, epoch, sort_cols=["fp"],
-                           threshold=threshold, row_group_size=rg_size)
+                           threshold=threshold, row_group_size=rg_size,
+                           cast_cols={"doc_id": pa.string()})
             return g.drop_columns(["__fp"])
 
         out = hash_partitioned(tagged, ["__fp"], gate_block,

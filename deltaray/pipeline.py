@@ -42,20 +42,31 @@ from deltaray.commit import (LakeState, atomic_write_json, check_lake_format,
                              stats_disjoint,
                              stats_disjoint_any)
 from deltaray.config import ReplayConfig
+from deltaray.merge import evolve_to, make_merge_fn, strip_internal
+from deltaray.schemas import DDL_OPS, TableSchema, apply_ddl
+from deltaray.transforms import TransformStage, apply_directives_to_schema
 
 
-def _check_gen_format(lake: "LakeState") -> None:
-    """Format-gate a generation from its LakeState (meta may be absent
-    on a pre-first-commit lake — the sentinel alone still gates)."""
+def _gen_meta(lake: "LakeState", *, required: bool = False) -> dict | None:
+    """Read a generation's ``_meta.json`` THROUGH the format gate — the
+    single helper every reader/appender/destructive path uses, so the
+    newer-format fail-fast cannot be forgotten at a new call site.
+    Meta may be absent on a pre-first-commit lake (the ``_format.json``
+    sentinel alone still gates); ``required=True`` raises KeyError then."""
     meta_path = os.path.join(lake.root, "_meta.json")
     meta = None
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+    elif required:
+        raise KeyError(f"no generation meta at {meta_path}")
     check_lake_format(lake.root, meta)
-from deltaray.merge import evolve_to, make_merge_fn, strip_internal
-from deltaray.schemas import DDL_OPS, TableSchema, apply_ddl
-from deltaray.transforms import TransformStage, apply_directives_to_schema
+    return meta
+
+
+def _check_gen_format(lake: "LakeState") -> None:
+    """Format-gate a generation (see :func:`_gen_meta`)."""
+    _gen_meta(lake)
 
 
 class DeltaFailureError(RuntimeError):
@@ -965,11 +976,7 @@ def reshard_generation(lake_root: str, new_num_partitions: int,
     from deltaray.transforms import stable_hash_cols
 
     src = LakeState(lake_root, src_generation)
-    meta_path = os.path.join(src.root, "_meta.json")
-    if not os.path.exists(meta_path):
-        raise KeyError(f"no generation meta at {meta_path}")
-    with open(meta_path) as f:
-        meta = check_lake_format(src.root, json.load(f))
+    meta = _gen_meta(src, required=True)
     if dst_generation is None:
         dst_generation = (latest_generation(lake_root) or 0) + 1
     dst = LakeState(lake_root, dst_generation)
@@ -1219,11 +1226,7 @@ def _snapshot_floor(lake: LakeState, table: str) -> int:
     at the migration watermark) and for tables with an
     :func:`expire_snapshots` retention floor (older files deleted).
     Anchor 0 = the empty table stays valid either way."""
-    meta_path = os.path.join(lake.root, "_meta.json")
-    if not os.path.exists(meta_path):
-        return 0
-    with open(meta_path) as f:
-        fl = json.load(f).get("snapshot_floor") or {}
+    fl = (_gen_meta(lake) or {}).get("snapshot_floor") or {}
     return int(fl.get(table, 0))
 
 
@@ -1354,9 +1357,7 @@ def read_rows(lake_root: str, table: str, keys: list, generation: int = 0,
         return (out_schema.empty_table() if columns is None
                 else out_schema.empty_table().select(
                     list(dict.fromkeys([*key_cols, *columns]))))
-    meta_path = os.path.join(lake.root, "_meta.json")
-    with open(meta_path) as f:
-        gmeta = check_lake_format(lake.root, json.load(f))
+    gmeta = _gen_meta(lake, required=True)
     num_partitions = int(gmeta["num_partitions"])
     phys = None
     if columns is not None:
@@ -1483,9 +1484,7 @@ def read_history(lake_root: str, table: str, keys: list,
            pa.field("is_current", pa.bool_())])
     if not keys:
         return out_schema.empty_table()
-    meta_path = os.path.join(lake.root, "_meta.json")
-    with open(meta_path) as f:
-        gmeta = check_lake_format(lake.root, json.load(f))
+    gmeta = _gen_meta(lake, required=True)
     if gmeta.get("hash_version") != HASH_VERSION:
         raise ValueError(
             f"lake written under partitioner hash_version="
@@ -1661,11 +1660,7 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
     sj = schema.to_json()
     # generation meta, read once per call (ordering / partitioner /
     # sort-key width all come from it)
-    gmeta0 = None
-    meta_path = os.path.join(lake.root, "_meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            gmeta0 = check_lake_format(lake.root, json.load(f))
+    gmeta0 = _gen_meta(lake)
     # physical columns for the pruned read: payload + key + version cols
     # (width from generation meta; None disables pruning)
     phys = None
@@ -2019,10 +2014,7 @@ def expire_snapshots(lake_root: str, table: str, retain_since_seq: int,
             removed_bytes = int(sum(r["bytes"] for r in res))
     # advance the floor (never backwards; reshard floors stay authoritative)
     meta_path = os.path.join(lake.root, "_meta.json")
-    meta = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+    meta = _gen_meta(lake) or {}
     floors = dict(meta.get("snapshot_floor") or {})
     new_floor = max(int(floors.get(table, 0)), retain)
     if new_floor != int(floors.get(table, 0)):
@@ -2159,10 +2151,8 @@ def read_changes(lake_root: str, table: str, since_seq: int,
         .append(pa.field("seq", pa.int64()))
     phys = None
     if columns is not None:
-        meta_path = os.path.join(lake.root, "_meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                gmeta = check_lake_format(lake.root, json.load(f))
+        gmeta = _gen_meta(lake)
+        if gmeta is not None:
             n_sk = int(gmeta.get("sort_key_components", 2))
             phys = list(dict.fromkeys([
                 *schema.column_names(), "__seq", "__src_ts",
@@ -2174,12 +2164,8 @@ def read_changes(lake_root: str, table: str, since_seq: int,
     # to just the post-anchor deltas).  UN_ORDERED keeps the full merge
     # (a late arrival may lose to a pruned base row).
     min_hi = None
-    meta_path = os.path.join(lake.root, "_meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            if (check_lake_format(lake.root, json.load(f)) or {}) \
-                    .get("ordering") == "ORDERED":
-                min_hi = since_seq
+    if (_gen_meta(lake) or {}).get("ordering") == "ORDERED":
+        min_hi = since_seq
     # TRUNCATE markers inside the pull window wipe keys without per-key
     # tombstones — those keys need synthetic DELETEs (see docstring)
     trunc_hidden = None
@@ -2191,9 +2177,7 @@ def read_changes(lake_root: str, table: str, since_seq: int,
     # keys + version columns (falls back to full reads on mixed-schema
     # files, like every pruned read)
     anchor_phys = None
-    if trunc_hidden is not None and os.path.exists(meta_path):
-        with open(meta_path) as f:
-            _gm = json.load(f)
+    if trunc_hidden is not None and (_gm := _gen_meta(lake)) is not None:
         _n_sk = int(_gm.get("sort_key_components", 2))
         anchor_phys = list(dict.fromkeys([
             *schema.keys, "__seq", "__src_ts",

@@ -264,10 +264,14 @@ def test_rollup_stamp_survives_crash_window(ray_session, tmp_path):
         assert json.load(f)["format_version"] == LAKE_FORMAT_VERSION
 
 
-def test_gate_index_mixed_id_width_compacts(ray_session, tmp_path):
-    """Indexes whose earlier epochs persisted int64 ids (pre-round-5
-    cast) compact cleanly with newer epochs persisting the corpus's own
-    narrower id type."""
+def test_gate_index_legacy_id_types_compact(ray_session, tmp_path):
+    """Exact-gate indexes now persist doc_id AS STRING; legacy epochs
+    written by older engines persisted int64/int32 — compaction must
+    normalize the mix instead of raising, and must actually RUN (a run
+    file exists afterwards, so the concat path is exercised)."""
+    import glob
+
+    import pyarrow.parquet as _pq
     import ray.data
 
     from deltaray.functions.ingest_gate import ExactIngestGate
@@ -282,9 +286,27 @@ def test_gate_index_mixed_id_width_compacts(ray_session, tmp_path):
             "text": pa.array([f"mixed width {e} {i}" for i in range(8)]),
         }))
 
-    for e in range(5):  # alternate id widths across epochs
-        typ = pa.int64() if e % 2 == 0 else pa.int32()
-        assert to_table(gate.admit(corpus(e, typ), e)).num_rows == 8
+    assert to_table(gate.admit(corpus(0, pa.int64()), 0)).num_rows == 8
+    # forge legacy epochs: rewrite epoch-0 files' doc_id to int64/int32
+    # (what pre-round-5 engines stored)
+    for i, f in enumerate(sorted(glob.glob(
+            str(tmp_path / "idx/fp/part=*/epoch-*.parquet")))):
+        t = _pq.read_table(f)
+        legacy = pa.int64() if i % 2 == 0 else pa.int32()
+        t = t.set_column(t.column_names.index("doc_id"), "doc_id",
+                         t["doc_id"].cast(legacy))
+        _pq.write_table(t, f)
+    for e in range(1, 5):  # string-persisting epochs on top
+        assert to_table(gate.admit(corpus(e, pa.int64()), e)).num_rows == 8
+    # compaction really ran over the mixed legacy + string epochs
+    runs = glob.glob(str(tmp_path / "idx/fp/part=*/run-*.parquet"))
+    assert runs, "compaction never fired — the mixed-type path is untested"
+    for r in runs:
+        assert _pq.read_schema(r).field("doc_id").type == pa.string()
+    # membership still exact: everything re-admitted is rejected
+    again = to_table(gate.admit(corpus(0, pa.int64()).union(
+        corpus(4, pa.int64())), 5))
+    assert again.num_rows == 0
 
 
 def test_expire_and_optimize_format_gated(ray_session, tmp_path):

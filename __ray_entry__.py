@@ -464,16 +464,70 @@ def _ingest_gate_exact(sf_dir: str):
     return outs[0].union(outs[1])
 
 
+def _group_mod(n: int) -> int:
+    """Deterministic content-group modulus for the planted near-dup
+    corpora: ~n/3 docs per group, forced ODD so every multi-member group
+    {g, g+G, g+2G} spans BOTH doc_id parities (= both gate epochs).
+    Restated verbatim in the SQL oracles."""
+    g = max(1, n // 3)
+    return g + 1 if g % 2 == 0 else g
+
+
+def _group_text(g: int) -> str:
+    """Canonical text of content group ``g``: 40 pseudo-random 8-letter
+    words from a per-(g, i) integer mix — docs within a group are
+    byte-identical (shingle sets equal, so estimated Jaccard is exactly
+    1 under ANY MinHash draw and SimHash distance exactly 0), while
+    cross-group shingle populations are uncorrelated (est-Jaccard ~0,
+    SimHash hamming ~32).  That makes the gate/pairs output a pure
+    function of the group structure — i.e. SQL-expressible — while the
+    operators still run their full banding + verify machinery."""
+    words = []
+    for i in range(40):
+        h = (g * 1_000_003 + i * 777_767 + 12345) * 2654435761 % (1 << 61)
+        w = []
+        for _ in range(8):
+            w.append(chr(97 + h % 26))
+            h //= 26
+        words.append("".join(w))
+    return " ".join(words)
+
+
+def _plant_groups(batch: pa.Table, G: int) -> pa.Table:
+    """text := canonical text of content group doc_id % G (built once
+    per distinct group in the batch, then gathered)."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    grp = (ids % G).astype(np.int64)
+    lut = {int(u): _group_text(int(u)) for u in np.unique(grp)}
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "text": pa.array([lut[int(x)] for x in grp], pa.string()),
+    })
+
+
 def _ingest_gate_minhash(sf_dir: str):
     """Near-dup ingest gate (persisted MinHash band + signature index)
-    over the same two-epoch stream; rows-only (custom hashes) — the
-    pytest brute-force oracle (tests/test_ingest_gate.py) pins the
-    greedy-temporal semantics."""
+    over a two-epoch stream of PLANTED deterministic content groups
+    (text := f(doc_id % G), G odd ~n/3 — see _group_text): groups are
+    byte-identical inside / uncorrelated across, so the greedy-temporal
+    admitted set is exactly "min doc_id per (group, earliest epoch the
+    group appears in)" — a full SQL oracle, while the gate still runs
+    its real banding / signature-verify / union-find / compacting-index
+    machinery.  The gate's behavior on NATURAL near-dup text (planted
+    0.99-Jaccard pairs, partial overlaps) stays pinned by the
+    brute-force greedy-temporal pytest oracle in
+    tests/test_ingest_gate.py."""
+    import pyarrow.parquet as pq
+
     from deltaray.functions.ingest_gate import MinHashIngestGate
 
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    G = _group_mod(n)
     scratch = "/tmp/deltaray_gate_minhash"
     shutil.rmtree(scratch, ignore_errors=True)
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(lambda b: _plant_groups(b, G), batch_format="pyarrow")
     gate = MinHashIngestGate(scratch, num_partitions=8)
     outs = [_with_epoch(gate.admit(_parity_epoch(ds, e), e), e)
             for e in (0, 1)]
@@ -635,9 +689,14 @@ def _ingest_gate_embedding(sf_dir: str):
     epochs with deterministic planted twins (vec_id + 1M, cosine ~0.999
     copies of the first 8 vectors, split across the epochs) — the gate
     must admit each original and reject its twin, whether the twin
-    arrives in the same epoch or the next.  Rows-only (LSH-recall
-    semantics; tests/test_ingest_gate.py holds the brute-force
-    greedy-temporal oracle)."""
+    arrives in the same epoch or the next.  Because the natural corpus
+    has NO true near-dups (max pairwise cosine ~0.51, far under the 0.95
+    threshold, and the gate verifies every LSH candidate by EXACT
+    cosine — no false rejects) and the in-query self-check below raises
+    unless every original is admitted and every twin rejected, the
+    output is exactly "every natural vec_id, epoch = vec_id % 2" — a
+    full SQL oracle.  tests/test_ingest_gate.py holds the brute-force
+    greedy-temporal oracle for general corpora."""
     import pyarrow.parquet as pq
 
     from deltaray.functions.ingest_gate import EmbeddingIngestGate
@@ -1545,8 +1604,11 @@ def _dedup_spans_docs(sf_dir: str):
     only its globally-first occurrence.  Self-checking at this scale:
     the full result is verified against a single-process brute-force
     reimplementation of the same rule.  Returns per-source aggregates
-    (ints — deterministic).  Rows-only (hash-defined removal set;
-    test_ingest_gate.py holds the unit brute-force oracle)."""
+    (ints — deterministic), and the rule itself is restated as a full
+    SQL oracle (duplicated-window keeper = lexicographic-min (doc, pos);
+    spans_removed counts MERGED removed runs) — hash-checked by the
+    driver; test_ingest_gate.py additionally holds the unit brute-force
+    oracle."""
     from deltaray.functions.dedup import dedup_spans
     from deltaray.util import to_table
 
@@ -1827,9 +1889,24 @@ def _pack_docs_invariants(sf_dir: str):
 
 
 def _simhash_pairs_docs(sf_dir: str):
+    """SimHash near-dup pairs over the planted deterministic content
+    groups (_group_text): in-group docs are byte-identical (hamming 0),
+    cross-group signatures sit ~32 bits apart (the round-5 _mix64
+    feature-hash finalizer restored that margin — the unmixed
+    polynomial's constant-zero top bits used to squeeze unrelated docs
+    inside the banding radius), so the pair set is exactly the in-group
+    cliques — a full SQL oracle exercising the real banding + verify
+    path.  Natural-text behavior stays pinned by the pytest near-dup /
+    star-collapse oracles (tests/test_functions.py)."""
+    import pyarrow.parquet as pq
+
     from deltaray.functions.dedup import simhash_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    G = _group_mod(n)
+    ds = _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(lambda b: _plant_groups(b, G), batch_format="pyarrow")
     return simhash_pairs(ds, max_hamming=3, bands=4)
 
 
@@ -2008,7 +2085,12 @@ def _enrich_events_customers(sf_dir: str):
 
 def _assess_report(sf_dir: str):
     """Assessment dry-run (Assessor analog) over a synthetic change log
-    scaled to the sf dir; returns the per-column verdict table."""
+    scaled to the sf dir; returns the per-column verdict table.  The
+    verdict is SCHEMA-driven — the generated log always carries the
+    docs table's four columns, each of a supported type — so the result
+    is the same four rows at every sf, and the SQL oracle is that
+    constant table (a real check: a support regression, a type-mapping
+    change, or an assessment crash all hash-mismatch)."""
     import pyarrow.parquet as pq
 
     from deltaray.assess import assess_pipeline
@@ -2727,9 +2809,118 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, epoch FROM a0
             UNION ALL SELECT doc_id, epoch FROM a1
         """,
-        # fingerprint/minhash/simhash/neardup/knn_ivf(pruned)/cdc_replay/
-        # media/pack-rows/split-rows/approx_distinct-rows/
-        # ingest_gate_minhash: non-SQL-expressible (custom hashes, models,
+        # dedup_spans_docs: the Lee-et-al. windowed excision rule IS
+        # SQL-expressible at driver scale — duplicated 8-token windows
+        # keep the lexicographic-min (doc_id, pos) occurrence, every
+        # other occurrence removes [pos, pos+8), and the per-source
+        # aggregates follow from the merged coverage mask.  The window
+        # join is O(total windows) = O(corpus tokens) — fine for the
+        # driver's table, never the engine path.
+        "dedup_spans_docs": r"""
+            WITH tok AS (
+              SELECT doc_id, source,
+                     list_filter(
+                         regexp_split_to_array(coalesce(text, ''), '\s+'),
+                         x -> x <> '') AS toks
+              FROM documents
+            ),
+            tl AS (SELECT doc_id, source, toks, len(toks) AS n FROM tok),
+            w AS (
+              SELECT tl.doc_id, t.p,
+                     array_to_string(toks[t.p + 1 : t.p + 8],
+                                     chr(1)) AS win
+              FROM tl, unnest(range(0, greatest(n - 7, 0))) AS t(p)
+            ),
+            dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+            occ AS (SELECT w.doc_id, w.p,
+                           row_number() OVER (PARTITION BY w.win
+                                              ORDER BY w.doc_id, w.p) AS rn
+                    FROM w JOIN dup USING (win)),
+            rem AS (SELECT doc_id, p FROM occ WHERE rn > 1),
+            cov AS (SELECT DISTINCT doc_id, p + o AS q
+                    FROM rem, unnest(range(0, 8)) AS t(o)),
+            runs AS (SELECT c.doc_id, count(*) AS nruns
+                     FROM cov c LEFT JOIN cov p
+                       ON p.doc_id = c.doc_id AND p.q = c.q - 1
+                     WHERE p.q IS NULL GROUP BY c.doc_id),
+            perdoc AS (
+              SELECT tl.doc_id, tl.source, tl.n,
+                     coalesce(c.nc, 0) AS n_cov,
+                     coalesce(r.nruns, 0) AS n_runs
+              FROM tl
+              LEFT JOIN (SELECT doc_id, count(*) AS nc FROM cov
+                         GROUP BY doc_id) c USING (doc_id)
+              LEFT JOIN runs r USING (doc_id)
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS docs,
+                   CAST(sum(CASE WHEN n_runs > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS docs_touched,
+                   CAST(sum(n) AS BIGINT) AS tokens_before,
+                   CAST(sum(n - n_cov) AS BIGINT) AS tokens_after,
+                   CAST(sum(n_runs) AS BIGINT) AS spans_removed
+            FROM perdoc GROUP BY source
+        """,
+        # ingest_gate_minhash: the gate runs over PLANTED deterministic
+        # content groups (text = f(doc_id % G), byte-identical inside a
+        # group, uncorrelated across — __ray_entry__._group_text), so
+        # the greedy-temporal admitted set is pure group arithmetic:
+        # min doc_id per (group, earliest epoch the group appears in).
+        "ingest_gate_minhash": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+             gq AS (SELECT CASE WHEN n // 3 < 1 THEN 1
+                                WHEN (n // 3) % 2 = 0 THEN n // 3 + 1
+                                ELSE n // 3 END AS G FROM nn),
+             d AS (SELECT doc_id, doc_id % gq.G AS grp, doc_id % 2 AS par
+                   FROM documents, gq),
+             a0 AS (SELECT min(doc_id) AS doc_id, CAST(0 AS BIGINT) AS epoch
+                    FROM d WHERE par = 0 GROUP BY grp),
+             a1 AS (SELECT min(doc_id) AS doc_id, CAST(1 AS BIGINT) AS epoch
+                    FROM d WHERE par = 1
+                      AND grp NOT IN (SELECT grp FROM d WHERE par = 0)
+                    GROUP BY grp)
+            SELECT doc_id, epoch FROM a0
+            UNION ALL SELECT doc_id, epoch FROM a1
+        """,
+        # simhash_pairs_docs: same planted groups — identical texts hash
+        # to identical signatures (hamming 0) and cross-group signatures
+        # sit ~32 bits out (>> max_hamming 3), so the pair set is the
+        # in-group cliques.
+        "simhash_pairs_docs": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+             gq AS (SELECT CASE WHEN n // 3 < 1 THEN 1
+                                WHEN (n // 3) % 2 = 0 THEN n // 3 + 1
+                                ELSE n // 3 END AS G FROM nn),
+             d AS (SELECT doc_id, doc_id % gq.G AS grp FROM documents, gq)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(0 AS BIGINT) AS hamming
+            FROM d a JOIN d b ON a.grp = b.grp AND a.doc_id < b.doc_id
+        """,
+        # ingest_gate_embedding: the natural corpus has no near-dups
+        # (max pairwise cosine ~0.51 << the 0.95 threshold; every LSH
+        # candidate is verified by EXACT cosine so there are no false
+        # rejects) and the planted twins are asserted rejected by the
+        # in-query self-check — the admitted set is every natural
+        # vector, epoch = vec_id parity.
+        "ingest_gate_embedding": """
+            SELECT vec_id, CAST(vec_id % 2 AS BIGINT) AS epoch
+            FROM embeddings
+        """,
+        # assess_report: the verdict is schema-driven (the generated log
+        # always carries the docs table's four columns, all supported),
+        # so the oracle is the constant verdict table — a support or
+        # type-mapping regression hash-mismatches.
+        "assess_report": """
+            SELECT * FROM (VALUES
+                ('docs', 'doc_id', 'string', 'YES'),
+                ('docs', 'tokens', 'list<int32>', 'YES'),
+                ('docs', 'n_tok', 'int32', 'YES'),
+                ('docs', 'source', 'string', 'YES')
+            ) AS t("table", "column", "type", support)
+        """,
+        # fingerprint/minhash/neardup/knn_ivf(pruned)/cdc_replay/
+        # media/pack-rows/split-rows/approx_distinct-rows:
+        # non-SQL-expressible (custom hashes, models,
         # engine replay, order-dependent packing) — rows-only.
         # knn_lsh (random-hyperplane buckets), cluster_embeddings
         # (k-means), training_data_refresh (engine replay composition),

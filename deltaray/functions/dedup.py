@@ -34,6 +34,25 @@ _INV31 = np.uint64(pow(31, -1, 1 << 64))
 _LEN_SALT = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (Vigna / Steele et al., public domain):
+    bijective 64-bit avalanche mix.  The raw shingle value from
+    :func:`_shingle_hashes_flat` is a degree-(k-1) polynomial in 31 over
+    bytes — for k=5 it is < 2^28, so its top 36 bits are CONSTANT ZERO
+    and the low bits carry byte-alphabet structure.  Consumers that only
+    need collision behavior (MinHash's universal re-hash, span-dedup /
+    decontaminate set membership) are indifferent — a bijection neither
+    adds nor removes collisions — but SimHash votes on the feature
+    hash's INDIVIDUAL BITS, where the polynomial's skew silently
+    collapsed unrelated documents to within a few hamming bits (the
+    top bits never voted 1).  Mixing restores per-bit uniformity, i.e.
+    ~32-bit expected distance between unrelated docs."""
+    z = h + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def _ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     """Concatenated ``arange(starts[i], starts[i] + counts[i])`` without a
     Python loop (the standard multi-range gather index)."""
@@ -519,6 +538,9 @@ class SimHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         flat, offs = _shingle_hashes_flat(batch["text"], self.k)
+        # the raw polynomial's bits are skewed (top bits constant for
+        # small k) — SimHash votes per bit, so finalize to uniform bits
+        flat = _mix64(flat)
         n_docs = len(offs) - 1
         if n_docs == 0:
             return batch.append_column(

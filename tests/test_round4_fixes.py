@@ -120,13 +120,16 @@ def test_simhash_signed_votes_separate_unrelated_docs():
     def ham(a, b):
         return bin(int(a) ^ int(b)).count("1")
 
-    # unrelated pairs sit 4-17 bits apart here (the wrapped-vote bug put
-    # EVERY pair within ~2); the near-dup edit stays within banding reach
+    # unrelated pairs sit 24-39 bits apart here (centered on the
+    # theoretical 32; the wrapped-vote bug put EVERY pair within ~2, and
+    # the unmixed polynomial feature hash — whose top 36 bits were
+    # constant zero for k=5 — still squeezed them to 4-17 before the
+    # round-5 _mix64 finalizer); the near-dup edit stays a few bits out
     for i in range(6):
         for j in range(i + 1, 6):
-            assert ham(sigs[i], sigs[j]) >= 4, (i, j)
+            assert ham(sigs[i], sigs[j]) >= 16, (i, j)
     assert ham(sigs[0], sigs[6]) == 0            # exact dup
-    assert ham(sigs[1], sigs[7]) <= 2            # two-char edit
+    assert ham(sigs[1], sigs[7]) <= 6            # two-char edit
 
 
 def test_simhash_empty_batch():

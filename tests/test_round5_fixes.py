@@ -327,3 +327,50 @@ def test_expire_and_optimize_format_gated(ray_session, tmp_path):
         expire_snapshots(lake, "docs", 0)
     with pytest.raises(ValueError, match="format_version"):
         optimize_table(lake, "docs", "n_tok")
+
+
+def test_simhash_feature_mix_restores_bit_entropy(ray_session):
+    """Witness for the round-5 feature-hash fix: the raw shingle value is
+    a degree-4 polynomial in 31 over bytes (< 2^28 for k=5), so without
+    a finalizer the top 36 signature bits NEVER vote 1 and unrelated
+    docs land within banding reach (hamming 1-3 observed across a
+    500-doc planted corpus) — false near-dup pairs in shipped output.
+    With _mix64, cross-group distances sit near the theoretical 32 and
+    the pair set over planted content groups is exactly the in-group
+    cliques (the same property the driver's simhash_pairs_docs SQL
+    oracle hash-checks)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from __ray_entry__ import _group_mod, _group_text
+    from deltaray.functions.dedup import SimHasher, simhash_pairs
+
+    n = 240
+    G = _group_mod(n)
+    ids = np.arange(n, dtype=np.int64)
+    texts = [_group_text(int(i % G)) for i in ids]
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+
+    sigs = np.array(SimHasher()(t)["simhash"].to_pylist(),
+                    dtype=np.int64).view(np.uint64)
+    grp = ids % G
+    # one representative per group — cross-group hamming must be far
+    # outside the banding radius (was 1-3 for some pairs before the fix)
+    reps = {int(g): int(s) for g, s in zip(grp, sigs)}
+    vals = list(reps.values())
+    min_cross = min(bin(a ^ b).count("1")
+                    for i, a in enumerate(vals) for b in vals[i + 1:])
+    assert min_cross >= 12, min_cross
+    # in-group: byte-identical docs, identical signatures
+    for g, s in zip(grp, sigs):
+        assert s == reps[int(g)]
+
+    out = simhash_pairs(ray.data.from_arrow(t), max_hamming=3,
+                        bands=4).to_pandas()
+    want = {(int(a), int(b))
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if a % G == b % G}
+    got = {(int(r.id_a), int(r.id_b)) for r in out.itertuples()}
+    assert got == want
+    assert (out.hamming == 0).all()

@@ -840,20 +840,36 @@ def _whiten_embeddings(sf_dir: str):
 
 def _knn_lsh(sf_dir: str):
     """Hyperplane-LSH bucketed ANN — the data-independent scale path
-    (no training pass, works on a cold stream).  Rows-only: pytest
-    oracles cover it (full-probe == brute force; planted-neighbor
-    recall)."""
+    (no training pass, works on a cold stream).  SQL-exact
+    self-retrieval check: the 32 queries ARE corpus vectors, so each
+    hashes into ITS OWN bucket in every table (probing is guaranteed,
+    no recall luck involved) and exact scoring puts the source vector —
+    cosine exactly 1, while the corpus's max non-self cosine is ~0.51 —
+    at rank 1 of the k=5 result.  The emitted rank-1 rows are therefore
+    the identity mapping, hash-verified; recall/ranking QUALITY on
+    non-member queries stays pytest-pinned (full-probe == brute force;
+    planted-neighbor recall)."""
     import pyarrow.parquet as pq
 
     from deltaray.functions.knn import knn_lsh
+    from deltaray.util import to_table
 
     qt = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    ).filter(pc.less(pc.field("vec_id"), 4)).sort_by("vec_id")
+    ).filter(pc.less(pc.field("vec_id"), 32)).sort_by("vec_id")
     q = np.array(qt["embedding"].to_pylist(), dtype=np.float32)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return knn_lsh(ds, q, k=5, n_tables=8, n_bits=8, n_probe=4) \
-        .drop_columns(["cosine"])
+    out = knn_lsh(ds, q, k=5, n_tables=8, n_bits=8, n_probe=4)
+    tbl = out if isinstance(out, pa.Table) else to_table(out)
+    top = tbl.filter(pc.greater(tbl["cosine"], 0.999))
+    qids = qt["vec_id"].take(top["query_id"].combine_chunks()
+                             if isinstance(top["query_id"], pa.ChunkedArray)
+                             else top["query_id"])
+    return pa.table({
+        "query_vec_id": qids.combine_chunks()
+        if isinstance(qids, pa.ChunkedArray) else qids,
+        "match_vec_id": top["vec_id"],
+    })
 
 
 def _cluster_embeddings(sf_dir: str):
@@ -1306,21 +1322,35 @@ def _cdc_replay_docs(sf_dir: str):
 
 
 def _decode_media(sf_dir: str):
-    """Multimodal plumbing demo over a deterministic synthetic media table
-    sized to the sf dir (rows-only check)."""
+    """Multimodal decode over a CLOSED-FORM media table
+    (synth_media_table_det: dims and pixels are integer functions of the
+    media index; formats rotate ppm/bmp/png/jpeg).  Every payload REAL
+    compressed or raw bytes decoded by the pure-numpy codecs — no stub
+    path — and the output is integer-exact: decoded dims + RGB pixel
+    sum.  Lossless rows hash-verify against the SQL restatement of the
+    pixel formula; JPEG rows (lossy) still must DECODE but carry NULL
+    pix_sum.  Feature extraction / resize stays pytest-pinned
+    (tests/test_multimodal_codecs.py)."""
     import pyarrow.parquet as pq
     import ray.data
 
-    from deltaray.functions.multimodal import decode_images, synth_media_table
+    from deltaray.functions.multimodal import decode_images, synth_media_table_det
 
     n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    # "mixed" rotates ppm/bmp/png/jpeg — every payload REAL compressed or
-    # raw bytes decoded by the pure-numpy codecs (strict: no stub path)
-    tbl = synth_media_table(min(n, 2000), fmt="mixed")
+    tbl = synth_media_table_det(min(n, 2000))
     # split the in-memory table into several blocks so the actor pool
     # actually parallelizes (a single block feeds a single actor)
     ds = ray.data.from_arrow(tbl).repartition(4)
-    return decode_images(ds, batch_size=64, strict=True)
+    out = decode_images(ds, batch_size=64, strict=True, emit="pixel_stats")
+
+    def mask_lossy(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch["mime"], "image/jpeg")
+        masked = pc.if_else(keep, batch["pix_sum"],
+                            pa.scalar(None, pa.int64()))
+        return batch.set_column(batch.column_names.index("pix_sum"),
+                                "pix_sum", masked)
+
+    return out.map_batches(mask_lossy, batch_format="pyarrow")
 
 
 def _top_sources_by_docs(sf_dir: str):
@@ -1360,25 +1390,61 @@ def _token_len_histogram(sf_dir: str):
 
 
 def _audio_features(sf_dir: str):
-    """REAL PCM-WAV payloads → mel-filterbank MFCC features (strict: the
-    whole corpus decodes, no stub fallback)."""
+    """REAL PCM-WAV payloads with CLOSED-FORM integer samples
+    (synth_audio_table_det) → full decode + MFCC front-end per file (the
+    MFCC output is asserted finite in-stage), emitting integer-exact
+    decoded sample count / rate / raw int16 sum — hash-verified against
+    the SQL restatement of the sample formula.  MFCC values stay
+    pytest-pinned (tests/test_multimodal_codecs.py)."""
     import ray.data
 
-    from deltaray.functions.multimodal import extract_audio_features, synth_audio_table
+    from deltaray.functions.multimodal import (extract_audio_features,
+                                               synth_audio_table_det)
 
-    ds = ray.data.from_arrow(synth_audio_table(1000)).repartition(4)
-    return extract_audio_features(ds, batch_size=64, strict=True)
+    ds = ray.data.from_arrow(synth_audio_table_det(1000)).repartition(4)
+    return extract_audio_features(ds, batch_size=64, strict=True,
+                                  emit="pcm_stats")
 
 
 def _video_frames(sf_dir: str):
-    """REAL MJPEG-in-AVI payloads → indexed frame sampling (only sampled
-    frames JPEG-decode) → per-frame brightness rows."""
+    """REAL AVI payloads, BOTH codecs — even media ids carry
+    uncompressed-DIB streams with closed-form pixels
+    (synth_video_table_det), odd ids carry MJPEG (synth_video_table) —
+    → header probe + indexed frame sampling (only the k sampled frames
+    decode) → per-sampled-frame integer rows.  DIB rows hash-verify
+    pixel sums against the SQL formula; MJPEG rows (lossy) still must
+    decode but carry NULL pix_sum.  Brightness floats stay
+    pytest-pinned."""
     import ray.data
 
-    from deltaray.functions.multimodal import sample_video_frames, synth_video_table
+    from deltaray.functions.multimodal import (sample_video_frames,
+                                               synth_video_table,
+                                               synth_video_table_det)
 
-    ds = ray.data.from_arrow(synth_video_table(500)).repartition(4)
-    return sample_video_frames(ds, batch_size=32, strict=True)
+    det = synth_video_table_det(500)
+    mj = synth_video_table(500)
+    idx = pa.array(np.arange(500, dtype=np.int64))
+    pay = pc.if_else(pc.equal(pc.bit_wise_and(idx, 1), 0),
+                     det["payload"].combine_chunks(),
+                     mj["payload"].combine_chunks())
+    tbl = det.set_column(det.column_names.index("payload"), "payload", pay)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = sample_video_frames(ds, batch_size=32, strict=True,
+                              emit_pixel_sum=True)
+
+    def project(batch: pa.Table) -> pa.Table:
+        mid = pc.cast(pc.utf8_slice_codeunits(batch["media_id"], 3, 11),
+                      pa.int64())
+        is_det = pc.equal(pc.bit_wise_and(mid, 1), 0)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "frame_idx": pc.cast(batch["frame_idx"], pa.int64()),
+            "ts_ms": batch["ts_ms"],
+            "pix_sum": pc.if_else(is_det, batch["pix_sum"],
+                                  pa.scalar(None, pa.int64())),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
 
 
 def _asof_prev_order(sf_dir: str):
@@ -2918,11 +2984,93 @@ def oracle_sql() -> dict[str, str]:
                 ('docs', 'source', 'string', 'YES')
             ) AS t("table", "column", "type", support)
         """,
+        # decode_media: the det media table's pixels are closed-form
+        # ((3x+5y+7c+11i) mod 256), so the REAL decodes of the lossless
+        # formats (ppm/bmp/png) hash-verify against the brute-summed
+        # formula; JPEG rows (lossy) must still decode but carry NULL
+        # pix_sum in BOTH sides.
+        "decode_media": """
+            WITH nm AS (SELECT least(count(*), 2000) AS n FROM documents),
+             ids AS (SELECT t.i FROM nm, unnest(range(0, nm.n)) AS t(i)),
+             px AS (SELECT i,
+                           sum((3 * x.x + 5 * y.y + 7 * c.c + 11 * i)
+                               % 256) AS s
+                    FROM ids,
+                         unnest(range(0, 16 + (i * 7) % 48)) AS x(x),
+                         unnest(range(0, 16 + (i * 11) % 48)) AS y(y),
+                         unnest(range(0, 3)) AS c(c)
+                    WHERE i % 4 <> 3
+                    GROUP BY i)
+            SELECT 'img' || lpad(CAST(ids.i AS VARCHAR), 8, '0')
+                       AS media_id,
+                   CASE ids.i % 4 WHEN 0 THEN 'image/ppm'
+                        WHEN 1 THEN 'image/bmp'
+                        WHEN 2 THEN 'image/png'
+                        ELSE 'image/jpeg' END AS mime,
+                   CAST(16 + (ids.i * 7) % 48 AS BIGINT) AS width,
+                   CAST(16 + (ids.i * 11) % 48 AS BIGINT) AS height,
+                   CAST(px.s AS BIGINT) AS pix_sum
+            FROM ids LEFT JOIN px ON px.i = ids.i
+        """,
+        # audio_features: the det WAV samples are
+        # (t*(3 + i%7) + i) mod 65536 - 32768 — decoded count/rate/sum
+        # hash-verify against the formula (MFCC runs per file and is
+        # asserted finite in-stage; its float values are pytest-pinned).
+        "audio_features": """
+            WITH base AS (
+              SELECT t.i,
+                     CASE WHEN t.i % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+                     3 + t.i % 7 AS k,
+                     (CASE WHEN t.i % 2 = 0 THEN 8000 ELSE 16000 END)
+                         * (200 + (t.i * 37) % 500) // 1000 AS ns
+              FROM range(0, 1000) t(i)),
+             s AS (SELECT b.i,
+                          sum((t.t * b.k + b.i) % 65536 - 32768) AS pcm
+                   FROM base b, unnest(range(0, b.ns)) AS t(t)
+                   GROUP BY b.i)
+            SELECT 'aud' || lpad(CAST(b.i AS VARCHAR), 8, '0') AS media_id,
+                   CAST(b.rate AS BIGINT) AS sample_rate,
+                   CAST(b.ns AS BIGINT) AS n_samples,
+                   CAST(s.pcm AS BIGINT) AS pcm_sum
+            FROM base b JOIN s ON b.i = s.i
+        """,
+        # video_frames: even media ids are uncompressed-DIB AVI with
+        # closed-form pixels ((3x+5y+7c+11f+13i) mod 256, 24x16, frames
+        # sampled at [0,1,3,5] of 6, ts = 100*f) — pixel sums
+        # hash-verify; odd ids are MJPEG (lossy) — they must decode but
+        # carry NULL pix_sum in BOTH sides.
+        "video_frames": """
+            WITH ids AS (SELECT t.i FROM range(0, 500) t(i)),
+             fr AS (SELECT unnest([0, 1, 3, 5]) AS f),
+             px AS (SELECT ids.i, fr.f,
+                           sum((3 * x.x + 5 * y.y + 7 * c.c
+                                + 11 * fr.f + 13 * ids.i) % 256) AS s
+                    FROM ids CROSS JOIN fr,
+                         unnest(range(0, 24)) AS x(x),
+                         unnest(range(0, 16)) AS y(y),
+                         unnest(range(0, 3)) AS c(c)
+                    WHERE ids.i % 2 = 0
+                    GROUP BY ids.i, fr.f)
+            SELECT 'vid' || lpad(CAST(ids.i AS VARCHAR), 8, '0')
+                       AS media_id,
+                   CAST(fr.f AS BIGINT) AS frame_idx,
+                   CAST(100 * fr.f AS BIGINT) AS ts_ms,
+                   CAST(px.s AS BIGINT) AS pix_sum
+            FROM ids CROSS JOIN fr
+            LEFT JOIN px ON px.i = ids.i AND px.f = fr.f
+        """,
+        # knn_lsh: corpus-member queries hash into their own bucket in
+        # every table, so the rank-1 hit is provably the source vector
+        # (cosine exactly 1 vs ~0.51 max otherwise) — identity mapping.
+        "knn_lsh": """
+            SELECT vec_id AS query_vec_id, vec_id AS match_vec_id
+            FROM embeddings WHERE vec_id < 32
+        """,
         # fingerprint/minhash/neardup/knn_ivf(pruned)/cdc_replay/
-        # media/pack-rows/split-rows/approx_distinct-rows:
+        # pack-rows/split-rows/approx_distinct-rows:
         # non-SQL-expressible (custom hashes, models,
         # engine replay, order-dependent packing) — rows-only.
-        # knn_lsh (random-hyperplane buckets), cluster_embeddings
+        # cluster_embeddings
         # (k-means), training_data_refresh (engine replay composition),
         # cdc_read_changes / incremental_refresh_docs (engine replay +
         # incremental read / patch-vs-recompute equality asserted inside),

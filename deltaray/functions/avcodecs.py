@@ -15,6 +15,12 @@ paths untested on real containers.  All formats here are public specs:
   those k (the at-scale frame-sampling story: byte-range reads into a
   100 MB payload, not a full transcode).  Spec: Microsoft AVI RIFF
   (public).
+- AVI raw-DIB variant: the same container with UNCOMPRESSED 24-bit
+  BI_RGB frames ('00db' chunks, bottom-up BGR rows padded to 4 bytes —
+  the classic "DIB " fccHandler).  Lossless, so decoded pixels equal
+  the encoder input bit-for-bit — the variant the driver's hash-exact
+  video oracle runs on.  ``avi_video_format`` probes the stream header
+  so the sampler dispatches per payload.
 """
 
 from __future__ import annotations
@@ -207,6 +213,92 @@ def index_avi_frames(data: bytes) -> list[tuple[int, int]]:
 def decode_avi_frame(data: bytes, offset: int, size: int) -> np.ndarray:
     """Decode a single MJPEG frame located by ``index_avi_frames``."""
     return decode_jpeg(data[offset:offset + size])
+
+
+def encode_avi_raw(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """List of (h, w, 3) uint8 RGB frames → AVI bytes with one
+    UNCOMPRESSED 24-bit BI_RGB stream ('00db' chunks: bottom-up BGR
+    rows, each padded to a 4-byte boundary) and an idx1 index."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    dibs = []
+    for f in frames:
+        bgr = np.ascontiguousarray(f[::-1, :, ::-1])    # flip + RGB→BGR
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, :w * 3] = bgr.reshape(h, w * 3)
+        dibs.append(rows.tobytes())
+    maxbuf = stride * h
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", len(body) + 4) + kind + body
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b"")
+
+    avih = struct.pack("<14I", 1_000_000 // fps, maxbuf * fps, 0, 0x10,
+                       len(frames), 0, 1, maxbuf, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+            1, fps, 0, len(frames), maxbuf, 0xFFFFFFFF, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24,
+                       b"\x00\x00\x00\x00",             # BI_RGB
+                       maxbuf, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00db", d) for d in dibs)
+    movi = lst(b"movi", movi_body)
+    idx, off = b"", 4
+    for d in dibs:
+        idx += b"00db" + struct.pack("<III", 0x10, off, len(d))
+        off += 8 + len(d) + (len(d) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_video_format(data: bytes) -> tuple[str, int, int]:
+    """AVI bytes → ("MJPG" | "DIB", width, height) from the first video
+    stream-format header (BITMAPINFOHEADER in the 'strf' chunk) — a
+    header walk, no frame reads."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI file")
+    found: list[tuple[str, int, int]] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end and not found:
+            cid = data[pos:pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            if cid == b"LIST":
+                kind = data[pos + 8:pos + 12]
+                if kind in (b"hdrl", b"strl"):
+                    walk(pos + 12, pos + 8 + ln)
+            elif cid == b"strf" and ln >= 20:
+                body = data[pos + 8:pos + 8 + ln]
+                _, w, h = struct.unpack("<Iii", body[:12])
+                comp = body[16:20]
+                codec = "MJPG" if comp == b"MJPG" else "DIB"
+                found.append((codec, int(w), abs(int(h))))
+            pos += 8 + ln + (ln & 1)
+
+    walk(12, len(data))
+    if not found:
+        raise ValueError("AVI missing a video strf header")
+    return found[0]
+
+
+def decode_avi_frame_raw(data: bytes, offset: int, size: int,
+                         w: int, h: int) -> np.ndarray:
+    """Decode one uncompressed BI_RGB '00db' frame located by
+    ``index_avi_frames`` → (h, w, 3) uint8 RGB."""
+    stride = (w * 3 + 3) // 4 * 4
+    if size < stride * h:
+        raise ValueError(f"raw frame truncated: {size} < {stride * h}")
+    rows = np.frombuffer(data, np.uint8, count=stride * h,
+                         offset=offset).reshape(h, stride)
+    bgr = rows[:, :w * 3].reshape(h, w, 3)
+    return bgr[::-1, :, ::-1]                           # flip + BGR→RGB
 
 
 def synth_avi(n_frames: int, w: int, h: int, seed: int,

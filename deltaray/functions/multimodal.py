@@ -173,6 +173,51 @@ def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096,
     )
 
 
+def _det_image(i: int, w: int, h: int) -> np.ndarray:
+    """Closed-form test image: pix(y, x, c) = (3x + 5y + 7c + 11i) mod
+    256.  Pure integer arithmetic over the pixel grid, so any LOSSLESS
+    decode of it is SQL-recomputable (the driver's decode_media oracle
+    restates the formula over unnested ranges)."""
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((3 * x + 5 * y + 7 * c + 11 * i) % 256).astype(np.uint8)
+
+
+def synth_media_table_det(n: int) -> pa.Table:
+    """Deterministic-CONTENT media table: dims and pixels are integer
+    functions of the media index (``_det_image``), formats rotate
+    ppm/bmp/png/jpeg.  Same schema as :func:`synth_media_table`; this
+    variant exists so decoded pixel aggregates of the lossless formats
+    hash-verify against a pure-SQL restatement (JPEG rows still decode
+    — strictly — but are dimension/mime-checked only, being lossy)."""
+    from deltaray.functions.imagecodecs import encode_jpeg, encode_png
+
+    encoders = [
+        (encode_ppm, "image/ppm"),
+        (encode_bmp, "image/bmp"),
+        (lambda im: encode_png(im, filter_type=2), "image/png"),
+        (lambda im: encode_jpeg(im, quality=85, subsampling="420"),
+         "image/jpeg"),
+    ]
+    payloads, widths, heights, mimes = [], [], [], []
+    for i in range(n):
+        w = 16 + (i * 7) % 48
+        h = 16 + (i * 11) % 48
+        enc, mime = encoders[i % 4]
+        payloads.append(enc(_det_image(i, w, h)))
+        mimes.append(mime)
+        widths.append(w)
+        heights.append(h)
+    return pa.table({
+        "media_id": pa.array([f"img{i:08d}" for i in range(n)]),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(mimes),
+        "width": pa.array(widths, pa.int32()),
+        "height": pa.array(heights, pa.int32()),
+    })
+
+
 def _to_rgb(img: np.ndarray) -> np.ndarray:
     """Normalize a decoded (h, w[, ch]) image to (h, w, 3) uint8."""
     if img.ndim == 2:
@@ -243,11 +288,13 @@ class DecodeImage:
 
     def __init__(self, strict: bool = False,
                  target: tuple[int, int] = (224, 224),
-                 use_native="auto"):
+                 use_native="auto", emit: str = "features"):
         from deltaray.functions.imagecodecs import decode_jpeg, decode_png
 
+        assert emit in ("features", "pixel_stats")
         self.strict = strict
         self.target = target
+        self.emit = emit
         self.codecs = {
             "image/ppm": decode_ppm,
             "image/bmp": decode_bmp,
@@ -262,6 +309,8 @@ class DecodeImage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         mimes = batch["mime"].to_pylist() if "mime" in batch.column_names \
             else [""] * batch.num_rows
+        if self.emit == "pixel_stats":
+            return self._pixel_stats(batch, mimes)
         feats = []
         for buf, mime in zip(batch["payload"], mimes):
             raw = buf.as_py()
@@ -302,9 +351,36 @@ class DecodeImage:
             "features", pa.array([f.tolist() for f in feats], pa.list_(pa.float32()))
         )
 
+    def _pixel_stats(self, batch: pa.Table, mimes: list) -> pa.Table:
+        """Decode-verification mode: every payload FULLY decodes (no
+        stub path — unknown mimes raise regardless of ``strict``), and
+        the output is integer-exact per image: decoded dims + the sum
+        of all RGB samples.  For a closed-form corpus
+        (:func:`synth_media_table_det`) the lossless rows' pix_sum is
+        SQL-recomputable — the driver's hash gate on real decodes."""
+        ids, ws, hs, sums = [], [], [], []
+        for i, (buf, mime) in enumerate(zip(batch["payload"], mimes)):
+            codec = self.codecs.get(mime)
+            if codec is None:
+                raise NotImplementedError(
+                    f"decoding {mime or 'unknown'} is not supported")
+            img = _to_rgb(codec(buf.as_py()))
+            ids.append(batch["media_id"][i].as_py())
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+            sums.append(int(img.astype(np.int64).sum()))
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "mime": pa.array(mimes, pa.string()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "pix_sum": pa.array(sums, pa.int64()),
+        })
+
 
 def decode_images(ds, concurrency=None, batch_size: int = 64,
-                  strict: bool = False, use_native="auto"):
+                  strict: bool = False, use_native="auto",
+                  emit: str = "features"):
     """The plumbing: actor pool, small batches, binary column dropped after
     decode so the wide payload never flows further down the pipeline.
     ``use_native="auto"`` is the production default: each actor probes
@@ -313,7 +389,8 @@ def decode_images(ds, concurrency=None, batch_size: int = 64,
     gap; see BASELINE.md)."""
     return ds.map_batches(
         DecodeImage,
-        fn_constructor_kwargs={"strict": strict, "use_native": use_native},
+        fn_constructor_kwargs={"strict": strict, "use_native": use_native,
+                               "emit": emit},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency or auto_concurrency(),
@@ -364,6 +441,33 @@ def synth_audio_table(n: int, seed: int = 43, payload_bytes: int = 8192,
     )
 
 
+def synth_audio_table_det(n: int) -> pa.Table:
+    """Deterministic-CONTENT audio table: REAL PCM16 WAV payloads whose
+    samples are pure integer arithmetic of the media index —
+    ``s[t] = (t*(3 + i%7) + i) mod 65536 - 32768`` — so the decoded
+    sample count and sum are SQL-recomputable (the driver's
+    audio_features oracle restates the formula)."""
+    from deltaray.functions.avcodecs import encode_wav
+
+    payloads, rates, durs = [], [], []
+    for i in range(n):
+        rate = 8000 if i % 2 == 0 else 16000
+        dur = 200 + (i * 37) % 500
+        n_samp = rate * dur // 1000
+        t = np.arange(n_samp, dtype=np.int64)
+        s = ((t * (3 + i % 7) + i) % 65536 - 32768).astype(np.int16)
+        payloads.append(encode_wav(s, rate))
+        rates.append(rate)
+        durs.append(dur)
+    return pa.table({
+        "media_id": pa.array([f"aud{i:08d}" for i in range(n)]),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(["audio/wav"] * n),
+        "sample_rate": pa.array(rates, pa.int32()),
+        "duration_ms": pa.array(durs, pa.int32()),
+    })
+
+
 class ExtractAudioFeatures:
     """Actor-pool stage: audio decode + MFCC feature extraction.
 
@@ -372,17 +476,22 @@ class ExtractAudioFeatures:
     mimes raise under ``strict=True``, else yield a deterministic
     byte-stat stub of the same width."""
 
-    def __init__(self, strict: bool = False, n_mfcc: int = 13):
+    def __init__(self, strict: bool = False, n_mfcc: int = 13,
+                 emit: str = "features"):
         from deltaray.functions.avcodecs import decode_wav, mfcc
 
+        assert emit in ("features", "pcm_stats")
         self.strict = strict
         self.n_mfcc = n_mfcc
+        self.emit = emit
         self._decode_wav = decode_wav
         self._mfcc = mfcc
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mimes = batch["mime"].to_pylist() if "mime" in batch.column_names \
             else [""] * batch.num_rows
+        if self.emit == "pcm_stats":
+            return self._pcm_stats(batch, mimes)
         feats = []
         for buf, mime in zip(batch["payload"], mimes):
             raw = buf.as_py()
@@ -405,6 +514,33 @@ class ExtractAudioFeatures:
             "mfcc", pa.array([f.tolist() for f in feats], pa.list_(pa.float32()))
         )
 
+    def _pcm_stats(self, batch: pa.Table, mimes: list) -> pa.Table:
+        """Decode-verification mode: every payload is REAL PCM WAV
+        (unknown mimes raise), the full MFCC front-end still runs (its
+        output is asserted finite — a crash or NaN fails the row), and
+        the emitted columns are integer-exact: decoded sample count,
+        sample rate and raw int16 sample sum — SQL-recomputable for
+        :func:`synth_audio_table_det` corpora."""
+        ids, rates, counts, sums = [], [], [], []
+        for i, (buf, mime) in enumerate(zip(batch["payload"], mimes)):
+            if mime != "audio/wav":
+                raise NotImplementedError(
+                    f"decoding {mime or 'unknown'} audio is not supported")
+            samples, rate = self._decode_wav(buf.as_py())
+            m = self._mfcc(samples, rate, n_mfcc=self.n_mfcc)
+            if not np.isfinite(m).all():
+                raise AssertionError("MFCC produced non-finite values")
+            ids.append(batch["media_id"][i].as_py())
+            rates.append(int(rate))
+            counts.append(int(samples.shape[0]))
+            sums.append(int(samples.astype(np.int64).sum()))
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "sample_rate": pa.array(rates, pa.int64()),
+            "n_samples": pa.array(counts, pa.int64()),
+            "pcm_sum": pa.array(sums, pa.int64()),
+        })
+
 
 def synth_video_table(n: int, seed: int = 44, n_frames: int = 6,
                       w: int = 24, h: int = 16, fps: int = 10) -> pa.Table:
@@ -424,6 +560,33 @@ def synth_video_table(n: int, seed: int = 44, n_frames: int = 6,
     )
 
 
+def synth_video_table_det(n: int, n_frames: int = 6, w: int = 24,
+                          h: int = 16, fps: int = 10) -> pa.Table:
+    """Deterministic-CONTENT video table with REAL uncompressed-DIB AVI
+    payloads: frame pixels are ``(3x + 5y + 7c + 11f + 13i) mod 256``
+    (pure integer arithmetic of media index ``i`` and frame ``f``), and
+    the DIB stream is lossless — sampled-frame pixel sums are
+    SQL-recomputable (the driver's video_frames oracle restates the
+    formula)."""
+    from deltaray.functions.avcodecs import encode_avi_raw
+
+    payloads = []
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    for i in range(n):
+        frames = [((3 * x + 5 * y + 7 * c + 11 * f + 13 * i) % 256)
+                  .astype(np.uint8) for f in range(n_frames)]
+        payloads.append(encode_avi_raw(frames, fps=fps))
+    return pa.table({
+        "media_id": pa.array([f"vid{i:08d}" for i in range(n)]),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(["video/avi"] * n),
+        "sample_rate": pa.array([fps] * n, pa.int32()),
+        "duration_ms": pa.array([n_frames * 1000 // fps] * n, pa.int32()),
+    })
+
+
 class SampleVideoFrames:
     """Actor-pool stage: sample N frames per video, one OUTPUT ROW PER FRAME
     (flat_map-shaped: a batch of videos fans out to frames).
@@ -434,35 +597,46 @@ class SampleVideoFrames:
     payload, never a full transcode.  Unknown mimes raise under
     ``strict=True``, else yield a deterministic byte-stat stub."""
 
-    def __init__(self, strict: bool = False, frames_per_video: int = 4):
-        from deltaray.functions.avcodecs import (decode_avi_frame,
+    def __init__(self, strict: bool = False, frames_per_video: int = 4,
+                 emit_pixel_sum: bool = False):
+        from deltaray.functions.avcodecs import (avi_video_format,
+                                                 decode_avi_frame,
+                                                 decode_avi_frame_raw,
                                                  index_avi_frames)
 
         self.strict = strict
         self.k = frames_per_video
+        self.emit_pixel_sum = emit_pixel_sum
         self._index = index_avi_frames
         self._decode = decode_avi_frame
+        self._decode_raw = decode_avi_frame_raw
+        self._format = avi_video_format
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mimes = batch["mime"].to_pylist() if "mime" in batch.column_names \
             else [""] * batch.num_rows
-        ids, frame_idx, ts_ms, feats = [], [], [], []
+        ids, frame_idx, ts_ms, feats, psums = [], [], [], [], []
         dur = batch["duration_ms"].to_numpy(zero_copy_only=False)
         for i, buf in enumerate(batch["payload"]):
             raw = buf.as_py()
             media_id = batch["media_id"][i].as_py()
             if mimes[i] == "video/avi":
+                codec, vw, vh = self._format(raw)     # one header walk
                 index = self._index(raw)
                 n = len(index)
                 # k frame indices spread evenly across the stream
                 picks = np.unique(np.linspace(0, n - 1,
                                               min(self.k, n)).astype(int))
                 for j, fi in enumerate(picks):
-                    img = self._decode(raw, *index[fi])
+                    if codec == "DIB":
+                        img = self._decode_raw(raw, *index[fi], vw, vh)
+                    else:
+                        img = self._decode(raw, *index[fi])
                     ids.append(media_id)
                     frame_idx.append(int(fi))
                     ts_ms.append(int(dur[i]) * int(fi) // n)
                     feats.append(float(img.astype(np.float32).mean()))
+                    psums.append(int(img.astype(np.int64).sum()))
                 continue
             if self.strict:
                 raise NotImplementedError(
@@ -476,7 +650,8 @@ class SampleVideoFrames:
                 ts_ms.append(int(dur[i]) * j // self.k)
                 seg = b[j::self.k]
                 feats.append(float(seg.mean()) if len(seg) else 0.0)
-        return pa.table(
+                psums.append(int(seg.sum()) if len(seg) else 0)
+        out = pa.table(
             {
                 "media_id": pa.array(ids),
                 "frame_idx": pa.array(frame_idx, pa.int32()),
@@ -484,13 +659,16 @@ class SampleVideoFrames:
                 "brightness": pa.array(feats, pa.float32()),
             }
         )
+        if self.emit_pixel_sum:
+            out = out.append_column("pix_sum", pa.array(psums, pa.int64()))
+        return out
 
 
 def extract_audio_features(ds, concurrency=None, batch_size: int = 64,
-                           strict: bool = False):
+                           strict: bool = False, emit: str = "features"):
     return ds.map_batches(
         ExtractAudioFeatures,
-        fn_constructor_kwargs={"strict": strict},
+        fn_constructor_kwargs={"strict": strict, "emit": emit},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency or auto_concurrency(),
@@ -498,10 +676,12 @@ def extract_audio_features(ds, concurrency=None, batch_size: int = 64,
 
 
 def sample_video_frames(ds, concurrency=None, batch_size: int = 32,
-                        strict: bool = False):
+                        strict: bool = False,
+                        emit_pixel_sum: bool = False):
     return ds.map_batches(
         SampleVideoFrames,
-        fn_constructor_kwargs={"strict": strict},
+        fn_constructor_kwargs={"strict": strict,
+                               "emit_pixel_sum": emit_pixel_sum},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency or auto_concurrency(),

@@ -215,3 +215,116 @@ def test_decode_image_format_consistency():
     assert np.array_equal(f[0], f[1])
     assert np.array_equal(f[0], f[2])
     assert np.abs(f[3] - f[0]).max() < 10
+
+
+def test_avi_raw_roundtrip_exact():
+    """Uncompressed-DIB AVI: every frame round-trips bit-exact (the
+    lossless property the driver's video_frames hash oracle rests on),
+    and the header probe distinguishes the two codecs."""
+    from deltaray.functions.avcodecs import (avi_video_format,
+                                             decode_avi_frame_raw,
+                                             encode_avi_raw,
+                                             index_avi_frames, synth_avi)
+
+    w, h = 23, 17          # odd width exercises the 4-byte row padding
+    frames = [((3 * np.arange(w)[None, :, None]
+                + 5 * np.arange(h)[:, None, None]
+                + 7 * np.arange(3)[None, None, :] + 11 * f) % 256)
+              .astype(np.uint8) for f in range(5)]
+    data = encode_avi_raw(frames, fps=10)
+    assert avi_video_format(data) == ("DIB", w, h)
+    idx = index_avi_frames(data)
+    assert len(idx) == 5
+    for f, (off, sz) in enumerate(idx):
+        assert np.array_equal(decode_avi_frame_raw(data, off, sz, w, h),
+                              frames[f])
+    assert avi_video_format(synth_avi(3, 24, 16, seed=1))[0] == "MJPG"
+
+
+def test_det_synth_tables_match_formulas():
+    """The det synth tables decode back to their integer formulas:
+    image pixel sums, WAV sample sums, and DIB frame sums all equal the
+    closed forms the SQL oracles restate."""
+    from deltaray.functions.avcodecs import decode_wav
+    from deltaray.functions.multimodal import (DecodeImage,
+                                               synth_audio_table_det,
+                                               synth_media_table_det,
+                                               synth_video_table_det)
+
+    med = synth_media_table_det(8)
+    stats = DecodeImage(strict=True, emit="pixel_stats")(med)
+    for i in range(8):
+        w = 16 + (i * 7) % 48
+        h = 16 + (i * 11) % 48
+        assert stats["width"][i].as_py() == w
+        assert stats["height"][i].as_py() == h
+        if i % 4 != 3:  # lossless rows: exact closed form
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            c = np.arange(3)[None, None, :]
+            want = int(((3 * x + 5 * y + 7 * c + 11 * i) % 256).sum())
+            assert stats["pix_sum"][i].as_py() == want, i
+
+    aud = synth_audio_table_det(6)
+    for i in range(6):
+        samples, rate = decode_wav(aud["payload"][i].as_py())
+        k = 3 + i % 7
+        ns = rate * (200 + (i * 37) % 500) // 1000
+        t = np.arange(ns, dtype=np.int64)
+        want = int(((t * k + i) % 65536 - 32768).sum())
+        assert samples.shape[0] == ns
+        assert int(samples.astype(np.int64).sum()) == want, i
+
+    from deltaray.functions.avcodecs import (decode_avi_frame_raw,
+                                             index_avi_frames)
+    vid = synth_video_table_det(3, n_frames=4, w=20, h=12)
+    for i in range(3):
+        raw = vid["payload"][i].as_py()
+        for f, (off, sz) in enumerate(index_avi_frames(raw)):
+            img = decode_avi_frame_raw(raw, off, sz, 20, 12)
+            x = np.arange(20)[None, :, None]
+            y = np.arange(12)[:, None, None]
+            c = np.arange(3)[None, None, :]
+            want = ((3 * x + 5 * y + 7 * c + 11 * f + 13 * i) % 256)
+            assert np.array_equal(img, want.astype(np.uint8)), (i, f)
+
+
+def test_sample_video_frames_mixed_codecs(ray_session):
+    """One batch holding BOTH AVI codecs: the sampler probes each
+    payload's header and dispatches raw-DIB vs MJPEG decode; pix_sum
+    emits for every row."""
+    import ray.data
+
+    from deltaray.functions.multimodal import (sample_video_frames,
+                                               synth_video_table,
+                                               synth_video_table_det)
+
+    det = synth_video_table_det(2)
+    mj = synth_video_table(2, seed=5)
+    mj = mj.set_column(0, "media_id",
+                       pa.array(["mjp0", "mjp1"], pa.string()))
+    tbl = pa.concat_tables([det, mj], promote_options="default")
+    out = sample_video_frames(ray.data.from_arrow(tbl), batch_size=4,
+                              strict=True, emit_pixel_sum=True) \
+        .to_pandas()
+    assert len(out) == 4 * 4          # 4 videos x 4 sampled frames
+    assert out.pix_sum.notna().all()
+    assert (out.sort_values(["media_id", "frame_idx"])
+            .groupby("media_id").frame_idx.apply(list)
+            .map(lambda v: v == [0, 1, 3, 5])).all()
+
+
+def test_pcm_stats_mode_asserts_finite_mfcc(ray_session):
+    """pcm_stats mode still runs the MFCC front-end per file and emits
+    integer-exact decode stats."""
+    import ray.data
+
+    from deltaray.functions.multimodal import (extract_audio_features,
+                                               synth_audio_table_det)
+
+    out = extract_audio_features(
+        ray.data.from_arrow(synth_audio_table_det(5)), batch_size=4,
+        strict=True, emit="pcm_stats").to_pandas()
+    assert list(out.columns) == ["media_id", "sample_rate", "n_samples",
+                                 "pcm_sum"]
+    assert (out.n_samples > 0).all()

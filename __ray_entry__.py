@@ -313,8 +313,12 @@ def _quality_model_docs(sf_dir: str):
     SELF-CHECK that held-out accuracy is >= 0.9 (raises otherwise).
     Returns the held-out verdicts (ints/bools — deterministic: training
     partials sum in sorted-key order, probabilities round to 6 dp).
-    Rows-only (the learned boundary isn't SQL-expressible;
-    test_round4_fixes.py holds the unit oracle)."""
+    The planted junk classes are linearly separable from natural text
+    with a wide margin, so the deterministic full-batch GD classifies
+    the held-out half PERFECTLY on this corpus — the SQL oracle pins
+    exactly that (verdict == label for every held-out row); the >= 0.9
+    in-query raise stays as the portable guard, and the learned
+    boundary itself is pytest-pinned (test_round4_fixes.py)."""
     import pyarrow.parquet as pq
 
     from deltaray.functions.quality import QualityScorer, train_quality_model
@@ -900,11 +904,16 @@ def _semdedup_docs(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): k-means the embedding corpus, then
     within each cluster collapse eps-cosine duplicate groups to the
     member farthest from the centroid.  The driver's synthetic
-    embeddings hold no true semantic dups (max pairwise cosine ~0.51),
-    so the query PLANTS exact twins of vec_id < 8 (vec_id + 1_000_000)
-    and SELF-CHECKS the operator absorbed >= 8 members (raises
-    otherwise).  Rows-only (pytest holds the exact single-process
-    oracle: test_semdedup_vs_bruteforce)."""
+    embeddings hold no true semantic dups (max pairwise cosine ~0.51 —
+    far below the eps=0.03 duplicate bar at 0.97), so the query PLANTS
+    exact twins of vec_id < 8 (vec_id + 1_000_000) and SELF-CHECKS the
+    operator absorbed >= 8 members (raises otherwise).  The planted
+    twins make the KEPT projection SQL-exact: an identical vector lands
+    in its original's cluster with an identical centroid-cosine, the
+    6-dp/min-id tie-break keeps the ORIGINAL, and no natural pair can
+    group — so (vec_id, group_size) is "every natural id, size 2 iff
+    vec_id < 8", hash-verified.  Cluster labels / centroid cosines stay
+    pytest-pinned (test_semdedup_vs_bruteforce)."""
     from deltaray.functions.dedup import semdedup
 
     def plant_twins(batch: pa.Table) -> pa.Table:
@@ -929,7 +938,7 @@ def _semdedup_docs(sf_dir: str):
     if absorbed < 8:
         raise AssertionError(
             f"semdedup absorbed {absorbed} members; planted 8 exact twins")
-    return kept.sort_by([("cluster", "ascending"), ("vec_id", "ascending")])
+    return kept.select(["vec_id", "group_size"]).sort_by("vec_id")
 
 
 def _training_data_refresh(sf_dir: str):
@@ -1739,17 +1748,20 @@ def _dedup_spans_docs(sf_dir: str):
 
 
 def _dedup_spans_lake(sf_dir: str):
-    """Span dedup on the LAKE payload: replay a synthetic change log,
-    stream the materialized table out (read_table_ds) and excise
+    """Span dedup on the LAKE payload: replay the DETERMINISTIC change
+    log, stream the materialized table out (read_table_ds) and excise
     duplicated 12-token windows directly on the pre-tokenized
     list<int32> column — the north-star composition (CDC lake →
-    training-data transform) with no text round-trip.  Self-checking at
-    this scale against the single-process brute-force rule over the
-    lake's final state.  Rows-only (engine replay + hash-defined
-    removals; test_ingest_gate.py holds the unit oracles)."""
-    from deltaray import ReplayConfig, replay
+    training-data transform) with no text round-trip.  The det lake's
+    token arrays are [0..n_tok) (gen.write_det_event_log), so the
+    corpus is DENSE-duplicate — every window is shared by nearly every
+    doc, the adversarial end of the spectrum (dedup_spans_docs covers
+    the sparse case on real text) — and the whole composition
+    (LWW replay winners → header plant on doc_id % 5 → window excision)
+    is restated as one SQL oracle the driver hash-checks.  The
+    single-process brute-force self-check still verifies full token
+    equality in-query at this scale."""
     from deltaray.functions.dedup import dedup_spans
-    from deltaray.gen import write_event_log
     from deltaray.pipeline import read_table, read_table_ds
     from deltaray.util import to_table
 
@@ -1757,26 +1769,17 @@ def _dedup_spans_lake(sf_dir: str):
 
     K = 12
     scratch = "/tmp/deltaray_q_spanlake"
-    shutil.rmtree(scratch, ignore_errors=True)
     n_docs = pq.ParquetFile(
         os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    log = os.path.join(scratch, "events")
-    lake = os.path.join(scratch, "lake")
-    write_event_log(log, n_docs=n_docs, n_events=n_docs * 3, seed=7,
-                    track_prev=False)
-    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=8))
+    lake = _det_full_lake(sf_dir, scratch, num_partitions=8)
 
-    # the synthetic tokens are random (no natural 12-token repeats) —
-    # plant a boilerplate header on ~1/5 of docs, the classic licence-
-    # block shape span dedup exists to excise
+    # plant a boilerplate header on 1/5 of docs (doc_id % 5 — the SQL
+    # oracle replants identically), the classic licence-block shape
     HEADER = pa.array(list(range(7000, 7000 + 16)), pa.int32())
 
     def add_header(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-
-        from deltaray.transforms import stable_hash_cols
-
-        pick = (stable_hash_cols(batch, ["doc_id"]) % np.uint64(5)) == 0
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pick = ids % 5 == 0
         toks = batch["tokens"]
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
@@ -1789,18 +1792,16 @@ def _dedup_spans_lake(sf_dir: str):
 
     import numpy as np
 
-    corpus = read_table_ds(lake, "docs", columns=["tokens"]) \
+    corpus = read_table_ds(lake, "docs", columns=["doc_id", "tokens"]) \
         .map_batches(add_header, batch_format="pyarrow")
     out = to_table(dedup_spans(corpus, k=K, tokens_col="tokens",
                                num_partitions=8))
     if n_docs <= 2_000:  # brute-force self-check at test scales
-        from deltaray.transforms import stable_hash_cols as _shc
-
         base = read_table(lake, "docs")
-        pick = (_shc(base, ["doc_id"]) % np.uint64(5)) == 0
-        state = {r["doc_id"]: (HEADER.to_pylist() if p else [])
+        state = {r["doc_id"]: (HEADER.to_pylist()
+                               if int(r["doc_id"]) % 5 == 0 else [])
                  + list(r["tokens"])
-                 for r, p in zip(base.to_pylist(), pick)}
+                 for r in base.to_pylist()}
         occ: dict = {}
         for d in sorted(state):
             t = state[d]
@@ -2927,6 +2928,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_runs) AS BIGINT) AS spans_removed
             FROM perdoc GROUP BY source
         """,
+        # dedup_spans_lake: the full composition — det-log LWW winners
+        # (tokens = [0..n_tok)), header plant on doc_id % 5, 12-token
+        # window excision with merged-run counting — restated over the
+        # documents view.  Dense-duplicate by construction: every window
+        # is shared by nearly every doc.
+        "dedup_spans_lake": _det_sql(""",
+            docs0 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN range(7000, 7016)
+                               || range(0, CAST(n_tok AS BIGINT))
+                          ELSE range(0, CAST(n_tok AS BIGINT))
+                     END AS toks
+              FROM winners WHERE op <> 'DELETE'
+            ),
+            tl AS (SELECT doc_id, toks, len(toks) AS n FROM docs0),
+            w AS (SELECT tl.doc_id, t.p,
+                         array_to_string(toks[t.p + 1 : t.p + 12],
+                                         ',') AS win
+                  FROM tl, unnest(range(0, greatest(n - 11, 0))) AS t(p)),
+            dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+            occ AS (SELECT w.doc_id, w.p,
+                           row_number() OVER (PARTITION BY w.win
+                                              ORDER BY w.doc_id, w.p) AS rn
+                    FROM w JOIN dup USING (win)),
+            rem AS (SELECT doc_id, p FROM occ WHERE rn > 1),
+            cov AS (SELECT DISTINCT doc_id, p + o AS q
+                    FROM rem, unnest(range(0, 12)) AS t(o)),
+            runs AS (SELECT c.doc_id, count(*) AS nruns
+                     FROM cov c LEFT JOIN cov pp
+                       ON pp.doc_id = c.doc_id AND pp.q = c.q - 1
+                     WHERE pp.q IS NULL GROUP BY c.doc_id),
+            perdoc AS (
+              SELECT tl.doc_id, tl.n,
+                     coalesce(cc.nc, 0) AS n_cov,
+                     coalesce(r.nruns, 0) AS n_runs
+              FROM tl
+              LEFT JOIN (SELECT doc_id, count(*) AS nc FROM cov
+                         GROUP BY doc_id) cc USING (doc_id)
+              LEFT JOIN runs r USING (doc_id)
+            )
+            SELECT CAST(count(*) AS BIGINT) AS docs,
+                   CAST(sum(CASE WHEN n_runs > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS docs_touched,
+                   CAST(sum(n) AS BIGINT) AS tokens_before,
+                   CAST(sum(n - n_cov) AS BIGINT) AS tokens_after,
+                   CAST(sum(n_runs) AS BIGINT) AS spans_removed
+            FROM perdoc
+        """),
         # ingest_gate_minhash: the gate runs over PLANTED deterministic
         # content groups (text = f(doc_id % G), byte-identical inside a
         # group, uncorrelated across — __ray_entry__._group_text), so
@@ -3059,6 +3109,29 @@ def oracle_sql() -> dict[str, str]:
             FROM ids CROSS JOIN fr
             LEFT JOIN px ON px.i = ids.i AND px.f = fr.f
         """,
+        # quality_model_docs: the planted junk classes are separable
+        # with margin, so the deterministic trainer's held-out verdicts
+        # equal the labels exactly — held-out rows are the odd natural
+        # ids (label 1, kept) plus their odd junk twins at +10M
+        # (label 0, dropped).
+        "quality_model_docs": """
+            WITH odd AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1)
+            SELECT doc_id, CAST(1 AS BIGINT) AS label,
+                   TRUE AS quality_keep FROM odd
+            UNION ALL
+            SELECT doc_id + 10000000, CAST(0 AS BIGINT), FALSE FROM odd
+        """,
+        # semdedup_docs: exact planted twins land in their original's
+        # cluster with identical centroid-cosine; the 6-dp/min-id
+        # tie-break keeps the original, and no natural pair reaches the
+        # 0.97 duplicate bar (max cosine ~0.51) — kept set is every
+        # natural id, group_size 2 iff a twin was planted.
+        "semdedup_docs": """
+            SELECT vec_id,
+                   CAST(CASE WHEN vec_id < 8 THEN 2 ELSE 1 END AS BIGINT)
+                       AS group_size
+            FROM embeddings
+        """,
         # knn_lsh: corpus-member queries hash into their own bucket in
         # every table, so the rank-1 hit is provably the source vector
         # (cosine exactly 1 vs ~0.51 max otherwise) — identity mapping.
@@ -3066,19 +3139,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS query_vec_id, vec_id AS match_vec_id
             FROM embeddings WHERE vec_id < 32
         """,
-        # fingerprint/minhash/neardup/knn_ivf(pruned)/cdc_replay/
-        # pack-rows/split-rows/approx_distinct-rows:
-        # non-SQL-expressible (custom hashes, models,
-        # engine replay, order-dependent packing) — rows-only.
-        # cluster_embeddings
-        # (k-means), training_data_refresh (engine replay composition),
-        # cdc_read_changes / incremental_refresh_docs (engine replay +
-        # incremental read / patch-vs-recompute equality asserted inside),
-        # time_travel_read (as-of reads vs truncated-replay oracle + the
-        # asof(s1)+changes==asof(s2) patch law asserted inside),
-        # reshard_migration (state equality + prefix-skip + full-log
-        # oracle equality asserted inside):
-        # rows-only; pytest oracles — LSH full-probe == brute force,
-        # distributed Lloyd == single-process replication, stage-to-stage
-        # token/doc conservation, t1 + changes == t2, test_time_travel.py.
+        # Still rows-only, and why:
+        # - bpe_tokenize_docs (the only no-oracle entry left in the
+        #   driver window): the merge table is data-defined by iterative
+        #   pair counting — no SQL restatement exists; every batch
+        #   round-trip-verifies its own output in-stage (a wrong merge
+        #   table or encoder bug raises), and test_round4_fixes.py holds
+        #   the unit oracles (determinism, byte fallback, unicode).
+        # - past-window entries (all green in CORRECTNESS_r03 or
+        #   pytest-pinned): minhash_pairs_docs / embedding_neardup /
+        #   minhash_dedup_docs (custom hash draws on natural text),
+        #   cluster_embeddings / whiten_embeddings (k-means / float
+        #   moments), winnow_docs (hash-defined fingerprints).
     }

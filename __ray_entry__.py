@@ -860,7 +860,7 @@ def _knn_lsh(sf_dir: str):
 
     qt = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    ).filter(pc.less(pc.field("vec_id"), 32)).sort_by("vec_id")
+    ).filter(pc.less(pc.field("vec_id"), 16)).sort_by("vec_id")
     q = np.array(qt["embedding"].to_pylist(), dtype=np.float32)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = knn_lsh(ds, q, k=5, n_tables=8, n_bits=8, n_probe=4)
@@ -3137,7 +3137,7 @@ def oracle_sql() -> dict[str, str]:
         # (cosine exactly 1 vs ~0.51 max otherwise) — identity mapping.
         "knn_lsh": """
             SELECT vec_id AS query_vec_id, vec_id AS match_vec_id
-            FROM embeddings WHERE vec_id < 32
+            FROM embeddings WHERE vec_id < 16
         """,
         # Still rows-only, and why:
         # - bpe_tokenize_docs (the only no-oracle entry left in the

@@ -242,7 +242,7 @@ def cmd_changes(a) -> int:
         rows = 0
         segs: list[str] = []
         for b in ds.iter_batches(batch_format="pyarrow",
-                                 batch_size=65536):
+                                 batch_size=max(1, a.emit_batch_rows)):
             if b.num_rows == 0:
                 continue
             ev = feed_to_events(b, schema, table=a.table)
@@ -443,9 +443,13 @@ def main(argv=None) -> int:
                     help="bound the pull at a snapshot anchor")
     ch.add_argument("--out", help="write the feed as parquet here")
     ch.add_argument("--emit-events", action="store_true",
-                    help="with --out: write the pull as ONE event-log "
-                         "segment a downstream deltaray replay consumes "
-                         "directly (replication chaining)")
+                    help="with --out: write the pull as event-log "
+                         "segment(s) a downstream deltaray replay "
+                         "consumes directly (replication chaining); "
+                         "large pulls stream one segment per batch")
+    ch.add_argument("--emit-batch-rows", type=int, default=65536,
+                    help="rows per emitted segment batch (bounds driver "
+                         "memory on a large catch-up pull)")
     ch.add_argument("--generation", type=int, default=0)
     ch.set_defaults(fn=cmd_changes)
 

@@ -382,9 +382,13 @@ def _bpe_tokenize_docs(sf_dir: str):
     corpus with the actor-pool encoder under verify_roundtrip=True —
     every batch decodes its own output and asserts whitespace-normalized
     equality with the input text, so a wrong merge table or encoder bug
-    fails the query.  Returns per-doc (doc_id, n_bpe).  Rows-only
-    (training is data-defined; test_round4_fixes.py holds the unit
-    oracle: determinism, byte fallback, unicode round-trip)."""
+    fails the query.  Returns per-doc (doc_id, decoded): the decode of
+    the doc's learned-BPE token stream — a pure function of the
+    data-defined merge table that must equal the whitespace-normalized
+    input, which IS SQL-expressible, so the driver hash verifies the
+    full train → encode → decode path.  The data-defined artifacts
+    (bpe_tokens, n_bpe, the merge table) stay pinned by
+    test_round4_fixes.py (determinism, byte fallback, unicode)."""
     import pyarrow.parquet as pq
 
     from deltaray.functions.text import BpeTokenizer, train_bpe_model
@@ -398,9 +402,10 @@ def _bpe_tokenize_docs(sf_dir: str):
     return ds.map_batches(
         BpeTokenizer,
         fn_constructor_kwargs={"model_path": path,
-                               "verify_roundtrip": True},
+                               "verify_roundtrip": True,
+                               "emit_decoded": True},
         concurrency=auto_concurrency(), batch_format="pyarrow") \
-        .drop_columns(["text", "bpe_tokens"])
+        .drop_columns(["text", "bpe_tokens", "n_bpe"])
 
 
 def _winnow_docs(sf_dir: str):
@@ -3139,16 +3144,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS query_vec_id, vec_id AS match_vec_id
             FROM embeddings WHERE vec_id < 16
         """,
-        # Still rows-only, and why:
-        # - bpe_tokenize_docs (the only no-oracle entry left in the
-        #   driver window): the merge table is data-defined by iterative
-        #   pair counting — no SQL restatement exists; every batch
-        #   round-trip-verifies its own output in-stage (a wrong merge
-        #   table or encoder bug raises), and test_round4_fixes.py holds
-        #   the unit oracles (determinism, byte fallback, unicode).
-        # - past-window entries (all green in CORRECTNESS_r03 or
-        #   pytest-pinned): minhash_pairs_docs / embedding_neardup /
-        #   minhash_dedup_docs (custom hash draws on natural text),
-        #   cluster_embeddings / whiten_embeddings (k-means / float
-        #   moments), winnow_docs (hash-defined fingerprints).
+        # bpe_tokenize_docs: the merge table is data-defined by
+        # iterative pair counting (no SQL restatement of the TOKENS
+        # exists), but the decode of the token stream is a pure function
+        # of those merges that must equal the whitespace-normalized
+        # input — the hash-verifiable round-trip witness.  A wrong merge
+        # table, encoder bug, or decode bug breaks equality.  The
+        # data-defined artifacts stay pinned by test_round4_fixes.py.
+        "bpe_tokenize_docs": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(coalesce(text, ''), '\s+', ' ',
+                                       'g')) AS decoded
+            FROM documents
+        """,
+        # Past-window entries still rows-only (all green in
+        # CORRECTNESS_r03 or pytest-pinned): minhash_pairs_docs /
+        # embedding_neardup / minhash_dedup_docs (custom hash draws on
+        # natural text), cluster_embeddings / whiten_embeddings
+        # (k-means / float moments), winnow_docs (hash-defined
+        # fingerprints).
     }

@@ -895,10 +895,13 @@ class BpeTokenizer:
     ``n_bpe:int32`` per document.  With ``verify_roundtrip=True`` every
     batch decodes its own output and asserts whitespace-normalized
     equality with the input — the in-stage self-check the driver query
-    runs."""
+    runs.  With ``emit_decoded=True`` the decode is also emitted as a
+    ``decoded:string`` column: the round-trip witness a driver hash can
+    verify against a SQL whitespace-normalization of the input."""
 
     def __init__(self, model_path: str, *, text_col: str = "text",
-                 verify_roundtrip: bool = False):
+                 verify_roundtrip: bool = False,
+                 emit_decoded: bool = False):
         import pyarrow.parquet as pq
 
         model = pq.read_table(model_path)
@@ -910,6 +913,7 @@ class BpeTokenizer:
         self.vocab = bpe_vocab(model)
         self.text_col = text_col
         self.verify = verify_roundtrip
+        self.emit_decoded = emit_decoded
         self._memo: dict = {}
 
     def _encode_word(self, w: str) -> list[int]:
@@ -943,18 +947,28 @@ class BpeTokenizer:
                 if w:
                     ids.extend(self._encode_word(w))
             toks.append(ids)
+        decoded: list[str] | None = None
+        if self.verify or self.emit_decoded:
+            decoded = [bpe_decode(ids, self.vocab) for ids in toks]
         if self.verify:
-            for t, ids in zip(texts.to_pylist(), toks):
+            for t, got in zip(texts.to_pylist(), decoded):
                 want = " ".join(t.split())
-                got = bpe_decode(ids, self.vocab)
                 if got != want:
                     raise AssertionError(
                         f"BPE round-trip mismatch: {got[:60]!r} vs "
                         f"{want[:60]!r}")
-        return batch.append_column(
+        out = batch.append_column(
             "bpe_tokens", pa.array(toks, pa.list_(pa.int32()))) \
             .append_column("n_bpe", pa.array([len(t) for t in toks],
                                              pa.int32()))
+        if self.emit_decoded:
+            # the hash-verifiable round-trip witness: decode output is a
+            # pure function of the learned merges + token stream, and
+            # must equal the whitespace-normalized input (SQL mirror:
+            # trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')))
+            out = out.append_column("decoded",
+                                    pa.array(decoded, pa.string()))
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -374,3 +374,27 @@ def test_simhash_feature_mix_restores_bit_entropy(ray_session):
     got = {(int(r.id_a), int(r.id_b)) for r in out.itertuples()}
     assert got == want
     assert (out.hamming == 0).all()
+
+
+def test_bpe_emit_decoded_roundtrip_witness(ray_session, tmp_path):
+    """emit_decoded appends the decode of each doc's token stream, which
+    must equal the whitespace-normalized input — the SQL-mirrorable
+    round-trip witness the driver query hashes (messy whitespace,
+    unicode, empty and null inputs all covered)."""
+    import pyarrow.parquet as pq
+
+    from deltaray.functions.text import BpeTokenizer, train_bpe_model
+
+    rows = ["the  cat\tsat\n on the mat ", "  ", "", None,
+            "café naïve résumé", "a b  c   d"]
+    ds = _corpus([r for r in rows if r] * 4)
+    model = train_bpe_model(ds, vocab_size=300)
+    path = str(tmp_path / "bpe.parquet")
+    pq.write_table(model, path)
+    tok = BpeTokenizer(model_path=path, verify_roundtrip=True,
+                       emit_decoded=True)
+    out = tok(pa.table({"text": pa.array(rows, pa.string())}))
+    want = [" ".join((r or "").split()) for r in rows]
+    assert out["decoded"].to_pylist() == want
+    assert out["n_bpe"].to_pylist() == [len(t) for t in
+                                        out["bpe_tokens"].to_pylist()]

@@ -381,14 +381,22 @@ def _bpe_tokenize_docs(sf_dir: str):
     over the corpus's DISTRIBUTED word histogram, then tokenize the
     corpus with the actor-pool encoder under verify_roundtrip=True —
     every batch decodes its own output and asserts whitespace-normalized
-    equality with the input text, so a wrong merge table or encoder bug
-    fails the query.  Returns per-doc (doc_id, decoded): the decode of
-    the doc's learned-BPE token stream — a pure function of the
+    equality with the input text, so an encoder or decoder bug fails
+    the query.  Returns per-doc (doc_id, decoded): the decode of the
+    doc's learned-BPE token stream — a pure function of the
     data-defined merge table that must equal the whitespace-normalized
     input, which IS SQL-expressible, so the driver hash verifies the
-    full train → encode → decode path.  The data-defined artifacts
-    (bpe_tokens, n_bpe, the merge table) stay pinned by
-    test_round4_fixes.py (determinism, byte fallback, unicode)."""
+    encode → decode legs over the trained table.  The round trip alone
+    cannot grade the TRAIN leg (byte fallback round-trips any
+    structurally consistent table), so the query also asserts in-stage
+    that the trained table compresses: total tokens <= 0.9x the
+    merge-free baseline (bytes + one EOW per word), failing loudly on a
+    catastrophically mistrained model; exact pair-counting is pinned by
+    a hand-computed merge-table pytest (test_round5_fixes.py) plus the
+    determinism / cap / byte-fallback unit oracles.  The stage also
+    rejects corpora containing whitespace outside RE2 ``\\s`` ∪ NBSP-
+    free ASCII, where the SQL mirror's normalization would diverge from
+    Python's."""
     import pyarrow.parquet as pq
 
     from deltaray.functions.text import BpeTokenizer, train_bpe_model
@@ -399,12 +407,37 @@ def _bpe_tokenize_docs(sf_dir: str):
     pq.write_table(model, path)
     from deltaray.util import auto_concurrency
 
+    # Python str.split() whitespace that RE2's \s does NOT match: if the
+    # corpus contained any, the Python-side normalization and the SQL
+    # mirror would silently diverge — fail loudly instead.
+    non_re2_ws = ("[\x0b\x1c-\x1f\x85\xa0\u1680"
+                  "\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]")
+
+    def checks(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch["text"], "")
+        if pc.any(pc.match_substring_regex(txt, non_re2_ws)).as_py():
+            raise AssertionError(
+                "corpus contains whitespace outside RE2 \\s — the SQL "
+                "oracle's normalization diverges from Python's")
+        # trained-table sanity: a merge-free (or never-applying) table
+        # emits exactly bytes + one EOW per word; the learned 512-vocab
+        # table must beat that baseline by >= 10% on every batch
+        base = sum(len(d.encode("utf-8")) + 1
+                   for d in batch["decoded"].to_pylist() if d)
+        got = int(pc.sum(batch["n_bpe"]).as_py() or 0)
+        if base and got > 0.9 * base:
+            raise AssertionError(
+                f"BPE compression check: {got} tokens vs merge-free "
+                f"baseline {base} — trained table is not compressing")
+        return batch
+
     return ds.map_batches(
         BpeTokenizer,
         fn_constructor_kwargs={"model_path": path,
                                "verify_roundtrip": True,
                                "emit_decoded": True},
         concurrency=auto_concurrency(), batch_format="pyarrow") \
+        .map_batches(checks, batch_format="pyarrow") \
         .drop_columns(["text", "bpe_tokens", "n_bpe"])
 
 
@@ -850,7 +883,7 @@ def _whiten_embeddings(sf_dir: str):
 def _knn_lsh(sf_dir: str):
     """Hyperplane-LSH bucketed ANN — the data-independent scale path
     (no training pass, works on a cold stream).  SQL-exact
-    self-retrieval check: the 32 queries ARE corpus vectors, so each
+    self-retrieval check: the 16 queries ARE corpus vectors, so each
     hashes into ITS OWN bucket in every table (probing is guaranteed,
     no recall luck involved) and exact scoring puts the source vector —
     cosine exactly 1, while the corpus's max non-self cosine is ~0.51 —
@@ -3148,9 +3181,14 @@ def oracle_sql() -> dict[str, str]:
         # iterative pair counting (no SQL restatement of the TOKENS
         # exists), but the decode of the token stream is a pure function
         # of those merges that must equal the whitespace-normalized
-        # input — the hash-verifiable round-trip witness.  A wrong merge
-        # table, encoder bug, or decode bug breaks equality.  The
-        # data-defined artifacts stay pinned by test_round4_fixes.py.
+        # input — the hash-verifiable round-trip witness for the
+        # encode/decode legs.  The round trip alone cannot grade the
+        # TRAIN leg (byte fallback round-trips any structurally
+        # consistent table), so the query also asserts in-stage that
+        # the trained table compresses vs the merge-free baseline, and
+        # pair counting is pinned exactly by a hand-computed merge
+        # table in test_round5_fixes.py (+ determinism / cap /
+        # byte-fallback in test_round4_fixes.py).
         "bpe_tokenize_docs": r"""
             SELECT doc_id,
                    trim(regexp_replace(coalesce(text, ''), '\s+', ' ',

@@ -30,6 +30,13 @@ import os
 import sys
 
 
+def _positive_int(s: str) -> int:
+    v = int(s)
+    if v < 1:
+        raise argparse.ArgumentTypeError(f"must be >= 1, got {v}")
+    return v
+
+
 def _init_ray():
     import ray
 
@@ -242,7 +249,7 @@ def cmd_changes(a) -> int:
         rows = 0
         segs: list[str] = []
         for b in ds.iter_batches(batch_format="pyarrow",
-                                 batch_size=max(1, a.emit_batch_rows)):
+                                 batch_size=a.emit_batch_rows):
             if b.num_rows == 0:
                 continue
             ev = feed_to_events(b, schema, table=a.table)
@@ -447,7 +454,7 @@ def main(argv=None) -> int:
                          "segment(s) a downstream deltaray replay "
                          "consumes directly (replication chaining); "
                          "large pulls stream one segment per batch")
-    ch.add_argument("--emit-batch-rows", type=int, default=65536,
+    ch.add_argument("--emit-batch-rows", type=_positive_int, default=65536,
                     help="rows per emitted segment batch (bounds driver "
                          "memory on a large catch-up pull)")
     ch.add_argument("--generation", type=int, default=0)

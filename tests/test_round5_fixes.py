@@ -1,6 +1,8 @@
 """Round-5 fixes: BPE trainer driver-histogram bound (verdict #1 `weak`:
 text.py materialized the FULL distinct-word histogram on the driver)."""
 
+import os
+
 import pyarrow as pa
 import pytest
 
@@ -398,3 +400,64 @@ def test_bpe_emit_decoded_roundtrip_witness(ray_session, tmp_path):
     assert out["decoded"].to_pylist() == want
     assert out["n_bpe"].to_pylist() == [len(t) for t in
                                         out["bpe_tokens"].to_pylist()]
+
+
+def test_bpe_exact_merges_hand_computed(ray_session):
+    """Pin the trainer's pair counting exactly on a corpus small enough
+    to run greedy BPE by hand: words ab x10, abc x6, bc x4.
+    (a=97 b=98 c=99, EOW=256.)  Counts: (a,b)=16 -> 257; then
+    (99,256)=10 ties (257,256)=10 and the smallest-(left,right)
+    tie-break picks (99,256) -> 258; then (257,256)=10 -> 259."""
+    from deltaray.functions.text import train_bpe_model
+
+    rows = ["ab"] * 10 + ["abc"] * 6 + ["bc"] * 4
+    model = train_bpe_model(_corpus(rows), vocab_size=260, min_freq=2,
+                            num_partitions=4)
+    got = list(zip(model["left"].to_pylist(), model["right"].to_pylist(),
+                   model["new"].to_pylist()))
+    assert got == [(97, 98, 257), (99, 256, 258), (257, 256, 259)]
+
+
+def test_bpe_query_guards_fire(ray_session, tmp_path, monkeypatch):
+    """The driver query's in-stage checks fail loudly on (a) a corpus
+    whose whitespace diverges between Python and the SQL mirror's RE2
+    and (b) a catastrophically mistrained (merge-free) model."""
+    import ray
+
+    import __ray_entry__ as entrymod
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    import pyarrow.parquet as pq
+
+    # (a) NBSP inside a doc: Python split() collapses it, RE2 \s won't.
+    # Repeat the words so the trained table compresses and only the
+    # whitespace guard can fire.
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(7), pa.int64()),
+                  "text": ["the quick brown fox jumps over"] * 6
+                          + ["the quick\xa0brown fox jumps over"]}),
+        os.path.join(sf, "documents.parquet"))
+    with pytest.raises(ray.exceptions.RayTaskError,
+                       match="whitespace outside RE2"):
+        entrymod.queries()["bpe_tokenize_docs"](sf) \
+            .materialize()
+
+    # (b) a model that never compresses: force vocab_size=257 (no merge
+    # fits) and the compression bound must trip
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["the quick brown fox jumps"] * 2}),
+        os.path.join(sf, "documents.parquet"))
+    from deltaray.functions import text as text_mod
+
+    real = text_mod.train_bpe_model
+
+    def no_merges(ds, **kw):
+        kw["vocab_size"] = 257
+        return real(ds, **kw)
+
+    monkeypatch.setattr(text_mod, "train_bpe_model", no_merges)
+    with pytest.raises(ray.exceptions.RayTaskError,
+                       match="not compressing"):
+        entrymod.queries()["bpe_tokenize_docs"](sf).materialize()

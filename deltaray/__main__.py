@@ -492,7 +492,16 @@ def main(argv=None) -> int:
     fs.set_defaults(fn=cmd_fsck)
 
     a = p.parse_args(argv)
-    return a.fn(a)
+    from deltaray.pipeline import DeltaFailureError, SnapshotExpiredError
+
+    try:
+        return a.fn(a)
+    except (DeltaFailureError, SnapshotExpiredError) as e:
+        # deliberate operational states (replication FAILING persisted,
+        # anchor below the snapshot floor): one JSON error line + exit 2
+        # instead of a traceback, so scripted chains can branch on it
+        print(json.dumps({"error": f"{type(e).__name__}: {e}"}))
+        return 2
 
 
 if __name__ == "__main__":

@@ -14,6 +14,8 @@
   vacuum of superseded files) between bootstrap and catch-up must not
   surface as spurious changes or break the pull; the chained mirror
   converges to the upstream head exactly.
+- CLI x retention: an expired `--since` anchor is a normal state for a
+  lagging chain consumer — one JSON error line + exit 2, no traceback.
 """
 
 import glob
@@ -143,3 +145,26 @@ def test_chain_across_upstream_optimize(ray_session, tmp_path, capsys):
     ok, msg = tables_equal(read_table(lake_b, "docs"),
                            read_table(lake_a, "docs"))
     assert ok, msg
+
+
+def test_cli_changes_expired_anchor_exits_cleanly(ray_session, tmp_path,
+                                                  capsys):
+    """`deltaray changes --since <expired>` is a normal operational
+    state for a lagging chain consumer: one JSON error line naming
+    SnapshotExpiredError and exit code 2, not a traceback."""
+    from deltaray.__main__ import main
+    from deltaray.pipeline import expire_snapshots
+
+    log, lake = str(tmp_path / "events"), str(tmp_path / "lake")
+    write_event_log(log, n_docs=100, n_events=1200, seed=541,
+                    segment_max_events=300)
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=2,
+                        chunk_max_events=300, vacuum=False))
+    snaps = snapshots(lake)
+    expire_snapshots(lake, "docs", snaps[-2])
+
+    rc = main(["changes", "--lake", lake, "--table", "docs",
+               "--since", str(snaps[0])])
+    assert rc == 2
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "SnapshotExpiredError" in out["error"]

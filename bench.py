@@ -723,6 +723,168 @@ def run_combined_soak() -> dict:
     return out
 
 
+def run_chain_soak() -> dict:
+    """ONE long-running upstream ingest with a continuously chain-synced
+    downstream mirror — replication chaining soaked end-to-end, with a
+    mid-soak retention-floor raise across a deliberately STALLED
+    consumer forcing the documented expire → re-bootstrap recovery.
+    Every `sync_every` chunks the upstream change feed is pulled at the
+    committed head, converted by feed_to_events into ordinary event-log
+    segments and replayed into the downstream lake (the engine
+    consuming itself as a source); a stall window leaves the consumer's
+    anchor behind, expire_snapshots raises the floor past it, the next
+    pull must raise SnapshotExpiredError, and the consumer
+    re-bootstraps at a retained anchor and keeps syncing.  Asserts:
+    downstream == upstream AT EVERY SYNC and at the end, exactly one
+    expired pull, post-re-bootstrap incremental replays process only
+    NEW chunks, and the downstream commit metadata stays bounded
+    (manifest rollup active downstream too).  Scale via
+    GRAFT_CHAIN_CHUNKS / GRAFT_CHAIN_SYNC_EVERY."""
+    import glob as _glob
+
+    import ray
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from deltaray import (ReplayConfig, SnapshotExpiredError,
+                          feed_to_events, read_changes, read_table,
+                          replay, snapshots, tables_equal)
+    from deltaray.gen import write_event_log_fast
+    from deltaray.pipeline import bootstrap_table, expire_snapshots
+    from deltaray.schemas import default_table_schema
+    from deltaray.util import to_table
+
+    def steal() -> int:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+
+    n_chunks = int(os.environ.get("GRAFT_CHAIN_CHUNKS", "300"))
+    sync_every = int(os.environ.get("GRAFT_CHAIN_SYNC_EVERY", "5"))
+    seg = int(os.environ.get("GRAFT_CHAIN_CHUNK_EVENTS", "100"))
+    parts = int(os.environ.get("GRAFT_CHAIN_PARTS", "8"))
+    n_docs = int(os.environ.get("GRAFT_CHAIN_DOCS", "1500"))
+    n_events = n_chunks * seg - n_docs - 1
+    stall_lo, stall_hi = int(n_chunks * 0.40), int(n_chunks * 0.55)
+
+    root = "/tmp/deltaray_bench/chain_soak"
+    shutil.rmtree(root, ignore_errors=True)
+    log_a = os.path.join(root, "ev-a")
+    lake_a = os.path.join(root, "lk-a")
+    write_event_log_fast(log_a, n_docs=n_docs, n_events=n_events, seed=59,
+                         segment_max_events=seg)
+    cfg_a = ReplayConfig(event_log=log_a, lake=lake_a,
+                         num_partitions=parts, chunk_max_events=seg,
+                         compact_every=8, manifest_every=16,
+                         vacuum=False, pipeline_chunks=1)
+    schema = default_table_schema()
+    state = {"chunks": 0, "anchor": None, "seg_n": 0, "syncs": 0,
+             "expired_pulls": 0, "rebootstraps": 0, "rows_chained": 0,
+             "stale_replays": 0, "gen": 0}
+
+    def fresh_downstream(tag: str, anchor: int) -> ReplayConfig:
+        log_b = os.path.join(root, f"ev-b{tag}")
+        lake_b = os.path.join(root, f"lk-b{tag}")
+        os.makedirs(log_b, exist_ok=True)
+        cfg = ReplayConfig(event_log=log_b, lake=lake_b,
+                           num_partitions=max(2, parts // 2),
+                           chunk_max_events=10**9, compact_every=8,
+                           manifest_every=8, vacuum=False)
+        bootstrap_table(
+            cfg, schema,
+            rd.from_arrow(read_table(lake_a, "docs", asof_seq=anchor)),
+            snapshot_seq=anchor)
+        state["anchor"] = anchor
+        state["seg_n"] = 0
+        return cfg
+
+    def sync(cfg_b: ReplayConfig, as_of: int) -> None:
+        feed = to_table(read_changes(lake_a, "docs", state["anchor"],
+                                     as_of_seq=as_of))
+        if feed.num_rows:
+            ev = feed_to_events(feed, schema, table="docs")
+            lo, hi = ev["seq"][0].as_py(), ev["seq"][-1].as_py()
+            pq.write_table(ev, os.path.join(
+                cfg_b.event_log,
+                f"events-{state['seg_n']:05d}-{lo:012d}-{hi:012d}"
+                f".parquet"))
+            state["seg_n"] += 1
+            state["rows_chained"] += ev.num_rows
+            res = replay(cfg_b)
+            if state["syncs"] > 0 and res["lineage_total"] == 0:
+                state["stale_replays"] += 1
+        state["anchor"] = as_of
+        state["syncs"] += 1
+        eq, msg = tables_equal(
+            read_table(cfg_b.lake, "docs"),
+            read_table(lake_a, "docs", asof_seq=as_of))
+        if not eq:
+            raise AssertionError(f"mirror diverged at {as_of}: {msg}")
+
+    boxed = {}
+
+    def on_chunk(i, c, rows):
+        state["chunks"] += 1
+        k = state["chunks"]
+        if state["anchor"] is None:
+            boxed["cfg_b"] = fresh_downstream("0", c.seq_hi)
+            return
+        if stall_lo <= k < stall_hi:
+            return                       # consumer stalls: anchor lags
+        if k == stall_hi:
+            snaps = snapshots(lake_a)
+            retain = snaps[-2]
+            assert retain > state["anchor"], "stall window too short"
+            expire_snapshots(lake_a, "docs", retain)
+            try:
+                to_table(read_changes(lake_a, "docs", state["anchor"],
+                                      as_of_seq=c.seq_hi))
+                raise AssertionError("stale pull did not raise")
+            except SnapshotExpiredError:
+                state["expired_pulls"] += 1
+            boxed["cfg_b"] = fresh_downstream("1", retain)
+            state["rebootstraps"] += 1
+            sync(boxed["cfg_b"], c.seq_hi)
+            return
+        if k % sync_every == 0:
+            sync(boxed["cfg_b"], c.seq_hi)
+
+    t0 = time.perf_counter()
+    s0 = steal()
+    replay(cfg_a, on_chunk=on_chunk)
+    cfg_b = boxed["cfg_b"]
+    sync(cfg_b, snapshots(lake_a)[-1])   # final catch-up to head
+    wall = time.perf_counter() - t0
+
+    eq, msg = tables_equal(read_table(cfg_b.lake, "docs"),
+                           read_table(lake_a, "docs"))
+    commit_counts = [len(os.listdir(d)) for d in _glob.glob(os.path.join(
+        cfg_b.lake, "gen=0000", "docs", "_commits", "part=*"))]
+    bound = 8 + 16 + 8     # manifests + loose(<manifest_every) + slack
+    out = {"metric": "cdc_chain_soak", "chunks": state["chunks"],
+           "syncs": state["syncs"], "rows_chained": state["rows_chained"],
+           "expired_pulls": state["expired_pulls"],
+           "rebootstraps": state["rebootstraps"],
+           "stale_replays": state["stale_replays"],
+           "events": n_events + n_docs + 1, "wall_sec": round(wall, 1),
+           "final_state_equal": bool(eq) if not msg else f"{eq}: {msg}",
+           "max_downstream_commit_files_per_part": max(commit_counts),
+           "downstream_commit_bound": bound,
+           "violations": ({"commit_files": max(commit_counts)}
+                          if max(commit_counts) > bound else {}),
+           "num_cpus": NUM_CPUS,
+           "steal_cpu_sec_during": round((steal() - s0) / 100.0, 1)}
+    ray.shutdown()
+    return out
+
+
 def run_decode_bench(n_imgs: int = 512) -> dict:
     """Quantify the image-decode gap (VERDICT r4 `weak` #2): per-format
     decode throughput over identical 64x64 synthetic images through the
@@ -809,5 +971,7 @@ if __name__ == "__main__":
         print(json.dumps(run_decode_bench()))
     elif "--combined-soak" in sys.argv:
         print(json.dumps(run_combined_soak()))
+    elif "--chain-soak" in sys.argv:
+        print(json.dumps(run_chain_soak()))
     else:
         print(json.dumps(run_once()))

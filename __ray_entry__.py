@@ -443,12 +443,30 @@ def _bpe_tokenize_docs(sf_dir: str):
 
 def _winnow_docs(sf_dir: str):
     """Winnowing (rolling-hash) document fingerprints — the MOSS
-    guarantee: shared substrings of length >= w+k-1 share a print."""
+    guarantee: shared substrings of length >= w+k-1 share a print.
+    In-query self-check: 8 planted exact-text twins must emit IDENTICAL
+    fingerprint lists even when processed in different batches/workers
+    (input-only determinism of the kernel)."""
     from deltaray.functions.text import winnow_batch
+    from deltaray.util import to_table
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(winnow_batch, batch_format="pyarrow") \
-        .drop_columns(["fingerprints"])  # keep the result hashably small
+    ds = _plant_text_twins(_read(sf_dir, "documents", ["doc_id", "text"]))
+    # consumed twice (planted check + returned result): one materialize
+    # of the BOUNDED fingerprint index (ids + dedup'd prints, ~n_fp
+    # int64s/doc) keeps the text scan single-pass
+    fp = ds.map_batches(winnow_batch, batch_format="pyarrow").materialize()
+
+    def planted(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.int64())
+        keep = pc.or_(pc.less(ids, 8), pc.greater_equal(ids, 1_000_000))
+        return batch.filter(keep)
+
+    chk = to_table(fp.map_batches(planted, batch_format="pyarrow"))
+    by_id = dict(zip(chk["doc_id"].to_pylist(),
+                     chk["fingerprints"].to_pylist()))
+    for i in range(8):
+        assert by_id[i] == by_id[i + 1_000_000], f"twin {i} prints diverge"
+    return fp.drop_columns(["fingerprints"])  # keep the result hashably small
 
 
 def _lang_id_docs(sf_dir: str):
@@ -461,18 +479,73 @@ def _lang_id_docs(sf_dir: str):
         .drop_columns(["text"])
 
 
-def _minhash_pairs_docs(sf_dir: str):
-    from deltaray.functions.dedup import minhash_lsh_pairs
+def _plant_text_twins(ds, n: int = 8, offset: int = 1_000_000):
+    """Deterministic EXACT-text twins of the first ``n`` doc ids (twin
+    id = id + offset): Jaccard exactly 1, hence identical minhash
+    signatures / winnowing fingerprints under ANY seed — planted ground
+    truth the hash-based dedup self-checks must recover (the analog of
+    _embedding_neardup's planted cosine twins)."""
+    def f(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.less(batch["doc_id"], n))
+        if sel.num_rows == 0:
+            return batch.select(["doc_id", "text"])
+        extra = pa.table({
+            "doc_id": pc.add(sel["doc_id"].cast(pa.int64()),
+                             offset).cast(batch["doc_id"].type),
+            "text": sel["text"],
+        })
+        return pa.concat_tables(
+            [batch.select(["doc_id", "text"]), extra],
+            promote_options="default")
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_pairs(ds, jaccard_threshold=0.5)
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _minhash_pairs_docs(sf_dir: str):
+    """MinHash-LSH candidate pairs (rows-only: banding isn't SQL).
+    In-query self-check: 8 planted exact-text twins (id, id+10^6) have
+    identical signatures, so every band collides — all 8 pairs MUST
+    surface with jaccard_est exactly 1.0, alongside whatever natural
+    near-dups the corpus holds.  O(pairs-touching-planted) driver cost,
+    scale-independent."""
+    from deltaray.functions.dedup import minhash_lsh_pairs
+    from deltaray.util import to_table
+
+    ds = _plant_text_twins(_read(sf_dir, "documents", ["doc_id", "text"]))
+    pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.5)
+
+    def planted_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["id_b"], 1_000_000))
+
+    chk = to_table(pairs.map_batches(planted_only, batch_format="pyarrow"))
+    got = {(a, b) for a, b, j in zip(chk["id_a"].to_pylist(),
+                                     chk["id_b"].to_pylist(),
+                                     chk["jaccard_est"].to_pylist())
+           if j == 1.0}
+    want = {(i, i + 1_000_000) for i in range(8)}
+    assert want <= got, f"planted twin pairs missing: {sorted(want - got)}"
+    return pairs
 
 
 def _minhash_dedup_docs(sf_dir: str):
+    """Near-dup dedup via MinHash connected components (rows-only).
+    In-query self-check: with 8 planted exact-text twins (id+10^6),
+    min-id survivor selection must drop EVERY planted id — counted with
+    a streaming aggregate, no driver materialization."""
     from deltaray.functions.dedup import minhash_dedup_docs
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_dedup_docs(ds, jaccard_threshold=0.5).drop_columns(["text"])
+    ds = _plant_text_twins(_read(sf_dir, "documents", ["doc_id", "text"]))
+    out = minhash_dedup_docs(ds, jaccard_threshold=0.5).drop_columns(["text"])
+
+    def planted_survivors(batch: pa.Table) -> pa.Table:
+        n = pc.sum(pc.greater_equal(batch["doc_id"].cast(pa.int64()),
+                                    1_000_000)).as_py() or 0
+        return pa.table({"n": pa.array([int(n)], pa.int64())})
+
+    leaked = out.map_batches(planted_survivors,
+                             batch_format="pyarrow").sum("n")
+    assert not leaked, f"{leaked} planted twin ids survived dedup"
+    return out
 
 
 def _parity_epoch(ds, parity: int):

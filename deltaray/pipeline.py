@@ -43,7 +43,7 @@ from deltaray.commit import (LakeState, atomic_write_json, check_lake_format,
                              stats_disjoint_any)
 from deltaray.config import ReplayConfig
 from deltaray.merge import evolve_to, make_merge_fn, strip_internal
-from deltaray.schemas import DDL_OPS, TableSchema, apply_ddl
+from deltaray.schemas import DDL_OPS, TableSchema, apply_ddl, code_to_type
 from deltaray.transforms import TransformStage, apply_directives_to_schema
 
 
@@ -2383,6 +2383,32 @@ def refresh_aggregate(lake_root: str, table: str, prev: pa.Table, *,
     feed_ds = read_changes(lake_root, table, since_seq, generation,
                            as_of_seq=as_of_seq,
                            columns=[group_col, *sum_cols])
+    # the retired-contribution point lookups run at the ANCHOR snapshot,
+    # which serves columns under their anchor-time names (the rename
+    # law): map each requested final-schema name back through the
+    # collapsed rename chain; a column ADDED after the anchor maps to
+    # None and null-fills (absent == null, so its retired sums cancel)
+    want_cols = [group_col, *sum_cols]
+    anchor_schema = _schema_asof(lake, table, since_seq)
+    inv = {n: o for o, n in schema.renames.items()}
+    anchor_names: list[str | None] = []
+    for c in want_cols:
+        o = inv.get(c, c)
+        a = anchor_schema.renames.get(o, o) if anchor_schema else None
+        anchor_names.append(
+            a if (anchor_schema is not None
+                  and a in anchor_schema.column_names()) else None)
+    lookup_cols = [a for a in anchor_names if a is not None]
+    field_code = dict(schema.fields)
+
+    def _to_final(old: pa.Table) -> pa.Table:
+        if anchor_names == want_cols:
+            return old
+        return pa.table({
+            fin: (old[anc] if anc is not None else
+                  pa.nulls(old.num_rows, code_to_type(field_code[fin])))
+            for fin, anc in zip(want_cols, anchor_names)})
+
     cols = _agg_cols(group_col, sum_cols)
     parts: list[pa.Table] = [prev.select(cols)]
     for feed in feed_ds.iter_batches(batch_format="pyarrow",
@@ -2394,8 +2420,9 @@ def refresh_aggregate(lake_root: str, table: str, prev: pa.Table, *,
             keys = feed[key_cols[0]].to_pylist()
         else:
             keys = list(zip(*[feed[c].to_pylist() for c in key_cols]))
-        old = read_rows(lake_root, table, keys, generation=generation,
-                        asof_seq=since_seq, columns=[group_col, *sum_cols])
+        old = _to_final(read_rows(lake_root, table, keys,
+                                  generation=generation,
+                                  asof_seq=since_seq, columns=lookup_cols))
         parts.append(_group_contrib(ups, group_col, sum_cols, sign=1))
         parts.append(_group_contrib(old, group_col, sum_cols, sign=-1))
         if len(parts) >= 64:  # fold partials; keeps O(groups) held

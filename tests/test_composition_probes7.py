@@ -1,0 +1,283 @@
+"""Composition probes, round 7 (remaining untested matrix cells):
+
+- OPTIMIZE x ADD COLUMN: a clustered rewrite over partitions whose
+  base/delta files straddle an ALTER_TABLE(add) — the rewrite's
+  merge-on-read must unify the schemas (old rows null-fill) and a
+  predicate read on the LATE-ADDED column must stay exact: zone maps
+  for the new column simply don't exist on pre-DDL files, so pruning
+  must conservatively read them, never skip.
+- zone-map pruning x ALTER COLUMN TYPE: files written under int32
+  carry int zone maps; after ALTER to int64 (and, adversarially, to
+  string) predicate reads with the NEW-typed literal must equal the
+  exact filter over mixed-stat files, before and after an OPTIMIZE
+  taken mid-history.  ``stats_disjoint`` must treat any stats/literal
+  type mismatch as "cannot prune", never as "disjoint".
+- refresh_aggregate x RENAME of the group column: the change feed
+  arrives under the FINAL schema, but the retired-contribution point
+  lookups run at the PRE-RENAME anchor where the snapshot reads back
+  under the OLD name (the pinned rename law) — the incremental
+  refresh must still equal the full recompute under the new name.
+- point-lookup key routing x reshard x OPTIMIZE: partition routing
+  replays the generation's own hash, so lookups and key-equality
+  predicate routing must stay exact (and still PRUNE) after the data
+  migrates into a new generation with a different partition count and
+  is re-clustered there.
+"""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from deltaray import (ReplayConfig, optimize_table, read_table, read_table_ds,
+                      replay, replay_oracle, reshard_generation)
+from deltaray.gen import write_event_log
+from deltaray.pipeline import build_aggregate, read_rows, refresh_aggregate
+from deltaray.util import to_table
+
+
+def _pred_vs_filter(lake, table, pred, generation=0, io_stats=None):
+    col, op, lit = pred
+    got = to_table(read_table_ds(lake, table, predicate=pred,
+                                 generation=generation,
+                                 io_stats_out=io_stats))
+    full = to_table(read_table_ds(lake, table, generation=generation))
+    ops = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal,
+           ">": pc.greater, ">=": pc.greater_equal}
+    want = full.filter(ops[op](full[col], lit)).sort_by("doc_id")
+    got = got.sort_by("doc_id") if got.num_rows else got
+    assert got.num_rows == want.num_rows, \
+        f"predicate {pred}: {got.num_rows} rows != exact {want.num_rows}"
+    if got.num_rows:
+        assert got.select(sorted(got.column_names)).equals(
+            want.select(sorted(want.column_names))), \
+            f"predicate {pred} read != filtered full read"
+
+
+def test_optimize_across_add_column(ray_session, tmp_path):
+    """ADD COLUMN lands mid-stream; OPTIMIZE afterwards rewrites
+    partitions whose files straddle the DDL.  Predicate reads on both
+    the original cluster column and the late-added column must equal
+    the exact filter (old rows are null on the new column, and nulls
+    never satisfy a comparison predicate)."""
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=150, n_events=2000, seed=701,
+                    ddl=[(900, "docs", "ALTER_TABLE",
+                          {"add": ("lang", "string"),
+                           "choices": ["en", "de", "fr"]})])
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                        chunk_max_events=300, vacuum=False))
+    state = read_table(lake, "docs")
+    assert "lang" in state.column_names
+    # pre-DDL survivors never updated after the DDL carry null lang
+    assert state["lang"].null_count > 0, "probe needs mixed-schema rows"
+
+    optimize_table(lake, "docs", "n_tok")
+    for pred in [("n_tok", ">=", 30), ("n_tok", "<", 12),
+                 ("lang", "==", "de"), ("lang", ">=", "fr")]:
+        io = {}
+        _pred_vs_filter(lake, "docs", pred, io_stats=io)
+    # final state itself still equals the oracle after the rewrite
+    cfg = ReplayConfig(event_log=log, lake=str(tmp_path / "unused"))
+    want = replay_oracle(cfg)["docs"]
+    got = read_table(lake, "docs").sort_by("doc_id")
+    assert got.num_rows == want.num_rows
+
+
+def test_predicate_prune_across_alter_type(ray_session, tmp_path):
+    """Files written as int32 carry int zone maps; after ALTER COLUMN
+    TYPE to int64 the same predicates must stay exact over mixed-stat
+    files, and an OPTIMIZE over the mixed history must unify.  The
+    string-alter leg pins the TypeError guard in stats_disjoint:
+    int stats vs string literal must read, never prune."""
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=120, n_events=1600, seed=702,
+                    ddl=[(800, "docs", "ALTER_TABLE",
+                          {"alter": ("n_tok", "int64")})])
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                        chunk_max_events=250, vacuum=False))
+    state = read_table(lake, "docs")
+    assert pa.types.is_int64(state.schema.field("n_tok").type)
+    for pred in [("n_tok", ">=", 25), ("n_tok", "==", 16),
+                 ("n_tok", "<", 8), ("n_tok", ">", 10_000)]:
+        _pred_vs_filter(lake, "docs", pred)
+    optimize_table(lake, "docs", "n_tok")
+    for pred in [("n_tok", ">=", 25), ("n_tok", "<", 8)]:
+        io = {}
+        _pred_vs_filter(lake, "docs", pred, io_stats=io)
+
+    # adversarial: int -> STRING alter appended as a trailing DDL-only
+    # segment (the generator cannot synthesize post-alter string DML);
+    # every stored file + zone map keeps int values under a now-string
+    # schema — the exact stats/literal type-mismatch case
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from deltaray.schemas import ddl_payload
+
+    log2, lake2 = str(tmp_path / "ev2"), str(tmp_path / "lk2")
+    write_event_log(log2, n_docs=80, n_events=900, seed=703)
+    last = pq.read_table(
+        sorted(glob.glob(os.path.join(log2, "*.parquet")))[-1])
+    s = last["seq"][-1].as_py() + 1
+    row = {n: [None] for n in last.schema.names}
+    row.update(seq=[s], op=["ALTER_TABLE"], table=["docs"],
+               ddl_payload=[ddl_payload(
+                   "ALTER_TABLE", alter=("n_tok", "string"))])
+    pq.write_table(
+        pa.table(row, schema=last.schema),
+        os.path.join(log2, f"events-99999-{s:012d}-{s:012d}.parquet"))
+    os.remove(os.path.join(log2, "manifest.json"))  # force glob discovery
+    replay(ReplayConfig(event_log=log2, lake=lake2, num_partitions=2,
+                        chunk_max_events=200, vacuum=False))
+    st2 = read_table(lake2, "docs")
+    assert pa.types.is_string(st2.schema.field("n_tok").type)
+    for pred in [("n_tok", ">=", "2"), ("n_tok", "==", "16")]:
+        _pred_vs_filter(lake2, "docs", pred)
+
+
+def test_refresh_aggregate_across_group_rename(ray_session, tmp_path):
+    """The group column is RENAMED between the anchor and the head.
+    The feed arrives under the final name; the retired-contribution
+    point lookups run at the pre-rename anchor (old-name snapshot law).
+    The incremental refresh under the NEW name must equal the full
+    recompute (caller carries prev forward under the new name, the
+    documented schema-evolution step for any downstream view)."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=100, n_events=1400, seed=704,
+                    ddl=[(800, "docs", "RENAME_COLUMN",
+                          {"rename": ("source", "origin")})])
+
+    # replay the pre-rename prefix only, snapshot the aggregate there
+    seg_files = sorted(glob.glob(os.path.join(log, "*.parquet")))
+    prefix = str(tmp_path / "prefix")
+    os.makedirs(prefix)
+    # pre-rename prefix = the segments before the DDL barrier (the
+    # generator flushes a segment boundary at every DDL)
+    pre_parts = []
+    for f in seg_files:
+        t = pq.read_table(f)
+        if pc.any(pc.equal(t["op"], "RENAME_COLUMN")).as_py():
+            break
+        pre_parts.append(t)
+    pre = pa.concat_tables(pre_parts)
+    pq.write_table(pre, os.path.join(
+        prefix, f"events-00000-{pre['seq'][0].as_py():012d}-"
+                f"{pre['seq'][-1].as_py():012d}.parquet"))
+    replay(ReplayConfig(event_log=prefix, lake=lake, num_partitions=4,
+                        chunk_max_events=300, vacuum=False))
+    anchor = pre["seq"][-1].as_py()
+    import ray.data as rd
+    prev = build_aggregate(
+        rd.from_arrow(read_table(lake, "docs")),
+        group_col="source", sum_cols=["n_tok"])
+
+    # tail replay applies the rename + post-rename DML
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                        chunk_max_events=300, vacuum=False))
+    head = read_table(lake, "docs")
+    assert "origin" in head.column_names and \
+        "source" not in head.column_names
+
+    # caller renames prev to the new name (its own schema-evolution step)
+    prev_new = prev.rename_columns(
+        ["origin" if c == "source" else c for c in prev.column_names])
+    got = refresh_aggregate(lake, "docs", prev_new, group_col="origin",
+                            sum_cols=["n_tok"], since_seq=anchor)
+    want = build_aggregate(rd.from_arrow(head),
+                           group_col="origin", sum_cols=["n_tok"])
+    assert got.equals(want), (
+        f"incremental refresh across rename != full recompute:\n"
+        f"got {got.to_pydict()}\nwant {want.to_pydict()}")
+
+
+def test_refresh_aggregate_across_add_sum_column(ray_session, tmp_path):
+    """A sum column is ADDED after the anchor.  Retired contributions at
+    the anchor null-fill (absent == null == zero contribution), so the
+    incremental refresh — with prev extended by a zero sum column, the
+    caller's documented migration step — equals the full recompute."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=90, n_events=1200, seed=706,
+                    ddl=[(700, "docs", "ALTER_TABLE",
+                          {"add": ("stars", "string"),
+                           "choices": ["1", "2", "3"]})])
+    seg_files = sorted(glob.glob(os.path.join(log, "*.parquet")))
+    prefix = str(tmp_path / "prefix")
+    os.makedirs(prefix)
+    pre_parts = []
+    for f in seg_files:
+        t = pq.read_table(f)
+        if "ALTER_TABLE" in t["op"].to_pylist():
+            break
+        pre_parts.append(t)
+    pre = pa.concat_tables(pre_parts)
+    pq.write_table(pre, os.path.join(
+        prefix, f"events-00000-{pre['seq'][0].as_py():012d}-"
+                f"{pre['seq'][-1].as_py():012d}.parquet"))
+    replay(ReplayConfig(event_log=prefix, lake=lake, num_partitions=4,
+                        chunk_max_events=250, vacuum=False))
+    anchor = pre["seq"][-1].as_py()
+    prev = build_aggregate(rd.from_arrow(read_table(lake, "docs")),
+                           group_col="source", sum_cols=["n_tok"])
+
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                        chunk_max_events=250, vacuum=False))
+    head = read_table(lake, "docs")
+    assert "stars" in head.column_names
+    # group by the LATE-ADDED column: prev at the anchor is one all-null
+    # group holding every row (absent == null)
+    prev2 = pa.table({"stars": pa.array([None], pa.string()),
+                      "n_rows": pa.array(
+                          [pc.sum(prev["n_rows"]).as_py()], pa.int64()),
+                      "n_tok_sum": pa.array(
+                          [pc.sum(prev["n_tok_sum"]).as_py()], pa.int64())})
+    got = refresh_aggregate(lake, "docs", prev2, group_col="stars",
+                            sum_cols=["n_tok"], since_seq=anchor)
+    want = build_aggregate(rd.from_arrow(head),
+                           group_col="stars", sum_cols=["n_tok"])
+    assert got.equals(want), (
+        f"refresh across ADD COLUMN != full recompute:\n"
+        f"got {got.to_pydict()}\nwant {want.to_pydict()}")
+
+
+def test_point_lookup_routing_after_reshard_and_optimize(ray_session,
+                                                         tmp_path):
+    """Key routing replays the generation's own partitioner, so point
+    lookups and key-equality predicate routing must stay exact — and
+    still prune partitions — after the lake reshards 4 -> 7 partitions
+    and the new generation is re-clustered."""
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=300, n_events=2400, seed=705)
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                        chunk_max_events=400, vacuum=False))
+    reshard_generation(lake, 7, src_generation=0, dst_generation=1)
+    optimize_table(lake, "docs", "n_tok", generation=1)
+
+    full = to_table(read_table_ds(lake, "docs", generation=1)) \
+        .sort_by("doc_id")
+    keys = [full["doc_id"][i].as_py()
+            for i in range(0, full.num_rows, max(1, full.num_rows // 9))]
+    got = read_rows(lake, "docs", keys, generation=1).sort_by("doc_id")
+    want = full.filter(pc.is_in(full["doc_id"], pa.array(keys)))
+    assert got.select(sorted(got.column_names)).equals(
+        want.select(sorted(want.column_names)))
+
+    # key-equality predicate routing prunes to one partition in gen 1
+    io = {}
+    one = to_table(read_table_ds(
+        lake, "docs", generation=1,
+        predicate=("doc_id", "==", keys[0]), io_stats_out=io))
+    assert one.num_rows == 1
+    assert io.get("parts_pruned", 0) >= 6, f"no routing pruning: {io}"

@@ -259,63 +259,55 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-class _BitReader:
-    """Reads the entropy-coded segment with 0xFF00 unstuffing; stops at
-    any real marker (RSTn handled by the caller via ``sync_restart``)."""
-
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        d = self.data
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1]
-            if nxt == 0x00:  # stuffed
-                self.pos += 2
-            else:  # a real marker: feed padding, do not consume
-                self.acc = (self.acc << 8) | 0xFF
-                self.nbits += 8
-                return
+def _split_entropy_segments(data: bytes, pos: int) -> list[bytes]:
+    """One vectorized pass over the entropy-coded stream: collapse
+    0xFF00 byte stuffing and split at RSTn markers.  Returns the list of
+    unstuffed restart segments (decoding stops at the first non-RST
+    marker), so the bit-reading hot loop never branches on markers."""
+    d = np.frombuffer(data, np.uint8)
+    n = len(d)
+    segs: list[bytes] = []
+    parts: list[np.ndarray] = []
+    last = pos
+    for p in (np.flatnonzero(d[pos:n - 1] == 0xFF) + pos).tolist():
+        if p < last:  # inside a previously consumed marker
+            continue
+        nxt = d[p + 1]
+        if nxt == 0x00:  # stuffed: keep the FF, drop the 00
+            parts.append(d[last:p + 1])
+            last = p + 2
         else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+            parts.append(d[last:p])
+            segs.append(np.concatenate(parts).tobytes() if parts else b"")
+            parts = []
+            last = p + 2
+            if not (0xD0 <= nxt <= 0xD7):  # real marker: end of scan
+                return segs
+    parts.append(d[last:n])
+    segs.append(np.concatenate(parts).tobytes())
+    return segs
 
-    def read_bit(self) -> int:
-        if not self.nbits:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
 
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+_FAST_LUT_CACHE: dict[tuple, list[int]] = {}
 
-    def decode_symbol(self, lut: dict) -> int:
-        code, length = 0, 0
-        while length <= 16:
-            code = (code << 1) | self.read_bit()
-            length += 1
-            s = lut.get((length, code))
-            if s is not None:
-                return s
-        raise ValueError("invalid JPEG huffman code")
 
-    def sync_restart(self) -> None:
-        """Drop partial bits and consume an RSTn marker."""
-        self.acc = 0
-        self.nbits = 0
-        d = self.data
-        while d[self.pos] != 0xFF or d[self.pos + 1] == 0x00:
-            self.pos += 1
-        if 0xD0 <= d[self.pos + 1] <= 0xD7:
-            self.pos += 2
+def _fast_huffman_lut(lut: dict) -> list[int]:
+    """{(length, code): symbol} → a 2^16-entry list mapping the next 16
+    bits of the stream to ``(symbol << 8) | code_length`` (0 = invalid),
+    so one list index replaces the per-bit tree walk.  Cached per table
+    (the Annex K tables recur across every image of a corpus)."""
+    key = tuple(sorted(lut.items()))
+    hit = _FAST_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    arr = np.zeros(1 << 16, np.int32)
+    for (ln, code), sym in lut.items():
+        start = code << (16 - ln)
+        arr[start:start + (1 << (16 - ln))] = (sym << 8) | ln
+    out = arr.tolist()
+    if len(_FAST_LUT_CACHE) < 64:
+        _FAST_LUT_CACHE[key] = out
+    return out
 
 
 def _extend(v: int, t: int) -> int:
@@ -578,49 +570,121 @@ def _decode_scan(data, pos, frame, scan, qts, dc_luts, ac_luts,
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    # per-component coefficient planes in block units
-    for c in comps:
+    # per-component coefficient planes in block units; nonzero
+    # coefficients are collected as (block, zigzag-k, value) triples and
+    # scattered with ONE vectorized assignment per component at the end
+    zig = _ZIGZAG.tolist()  # zigzag index -> natural position
+    plan = []
+    for ci, c in enumerate(comps):
         c["bw"] = mcux * c["h"]
         c["bh"] = mcuy * c["v"]
-        c["blocks"] = np.zeros((c["bh"] * c["bw"], 8, 8), np.int32)
         c["dct"], c["act"] = scan[c["id"]]
-    br = _BitReader(data, pos)
+        c["tri"] = ([], [], [])  # block ids, natural positions, values
+        plan.append((ci, c["id"], c["v"], c["h"], c["bw"],
+                     _fast_huffman_lut(dc_luts[c["dct"]]),
+                     _fast_huffman_lut(ac_luts[c["act"]]),
+                     *c["tri"]))
+    segs = _split_entropy_segments(data, pos)
+    si, buf, blen, bpos = 0, segs[0], len(segs[0]), 0
+    acc = 0
+    nb = 0
     pred = {c["id"]: 0 for c in comps}
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count \
                     and mcu_count % restart_interval == 0:
-                br.sync_restart()
-                for k in pred:
-                    pred[k] = 0
-            for c in comps:
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, np.int32)
-                        t = br.decode_symbol(dc_luts[c["dct"]])
-                        diff = _extend(br.read_bits(t), t) if t else 0
-                        pred[c["id"]] += diff
-                        zz[0] = pred[c["id"]]
+                si += 1
+                if si >= len(segs):
+                    raise ValueError("truncated JPEG: missing restart")
+                buf, blen, bpos = segs[si], len(segs[si]), 0
+                acc = nb = 0
+                for kk in pred:
+                    pred[kk] = 0
+            for (ci, cid, cv, ch, cbw, dlut, alut,
+                 t_blk, t_pos, t_val) in plan:
+                for by in range(cv):
+                    for bx in range(ch):
+                        bi = (my * cv + by) * cbw + (mx * ch + bx)
+                        # one symbol + its value bits consume <= 27
+                        # bits; refill keeps nb >= 32 (marker padding
+                        # past the segment end, T.81 semantics)
+                        if nb < 32:
+                            while nb < 32:
+                                take = blen - bpos
+                                if take > 0:
+                                    if take > 8:
+                                        take = 8
+                                    acc = (acc << (take * 8)) | \
+                                        int.from_bytes(
+                                            buf[bpos:bpos + take], "big")
+                                    nb += take * 8
+                                    bpos += take
+                                else:
+                                    acc = (acc << 32) | 0xFFFFFFFF
+                                    nb += 32
+                            acc &= (1 << nb) - 1
+                        v = dlut[(acc >> (nb - 16)) & 0xFFFF]
+                        t = v >> 8
+                        nb -= v & 0xFF
+                        if not v:
+                            raise ValueError("invalid JPEG huffman code")
+                        if t:
+                            mag = (acc >> (nb - t)) & ((1 << t) - 1)
+                            nb -= t
+                            pred[cid] += mag if mag >= (1 << (t - 1)) \
+                                else mag - (1 << t) + 1
+                        t_blk.append(bi)
+                        t_pos.append(0)
+                        t_val.append(pred[cid])
                         k = 1
                         while k < 64:
-                            rs = br.decode_symbol(ac_luts[c["act"]])
-                            r, s = rs >> 4, rs & 0x0F
+                            if nb < 32:
+                                while nb < 32:
+                                    take = blen - bpos
+                                    if take > 0:
+                                        if take > 8:
+                                            take = 8
+                                        acc = (acc << (take * 8)) | \
+                                            int.from_bytes(
+                                                buf[bpos:bpos + take],
+                                                "big")
+                                        nb += take * 8
+                                        bpos += take
+                                    else:
+                                        acc = (acc << 32) | 0xFFFFFFFF
+                                        nb += 32
+                                acc &= (1 << nb) - 1
+                            v = alut[(acc >> (nb - 16)) & 0xFFFF]
+                            rs = v >> 8
+                            nb -= v & 0xFF
+                            if not v:
+                                raise ValueError(
+                                    "invalid JPEG huffman code")
+                            s = rs & 0x0F
                             if s == 0:
-                                if r == 15:  # ZRL
+                                if rs == 0xF0:  # ZRL
                                     k += 16
                                     continue
                                 break  # EOB
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 raise ValueError("AC run overflow")
-                            zz[k] = _extend(br.read_bits(s), s)
+                            mag = (acc >> (nb - s)) & ((1 << s) - 1)
+                            nb -= s
+                            t_blk.append(bi)
+                            t_pos.append(zig[k])
+                            t_val.append(
+                                mag if mag >= (1 << (s - 1))
+                                else mag - (1 << s) + 1)
                             k += 1
-                        row = my * c["v"] + by
-                        col = mx * c["h"] + bx
-                        c["blocks"][row * c["bw"] + col] = \
-                            zz[_UNZIGZAG].reshape(8, 8)
             mcu_count += 1
+    for c in comps:
+        blk, kpos, vals = c.pop("tri")
+        flat = np.zeros((c["bh"] * c["bw"], 64), np.int32)
+        if blk:
+            flat[np.asarray(blk), np.asarray(kpos)] = np.asarray(vals)
+        c["blocks"] = flat.reshape(-1, 8, 8)
     # dequantize + IDCT, vectorized per component
     planes = []
     for c in comps:

@@ -112,7 +112,8 @@ def assess_table(cfg: ReplayConfig, table: str,
         keep = set(tc.columns) | set(schema.keys)
         schema = TableSchema(schema.name, schema.key,
                              [(n, c) for n, c in schema.fields if n in keep],
-                             dict(schema.renames), schema.version_seq)
+                             dict(schema.renames), schema.version_seq,
+                             dict(schema.epochs), dict(schema.tombstones))
 
     # unknown directives / directive failures surface as errors, not crashes
     directives = tc.transformations if tc else []

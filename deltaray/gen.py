@@ -245,6 +245,8 @@ def write_event_log(
                 payload_kw["add"] = kw["add"]
             if dop == "ALTER_TABLE" and "alter" in kw:
                 payload_kw["alter"] = kw["alter"]
+            if dop == "ALTER_TABLE" and "drop" in kw:
+                payload_kw["drop"] = kw["drop"]
             if dop == "RENAME_COLUMN":
                 payload_kw["rename"] = kw["rename"]
             if dop == "CREATE_TABLE" and st is None:
@@ -266,6 +268,10 @@ def write_event_log(
                 )
                 if dop == "ALTER_TABLE" and "add" in kw:
                     st.extra_cols.append((kw["add"][0], kw.get("choices", ["x", "y", "z"])))
+                if dop == "ALTER_TABLE" and "drop" in kw:
+                    st.extra_cols = [
+                        (n, c) for n, c in st.extra_cols if n != kw["drop"]
+                    ]
                 if dop == "RENAME_COLUMN":
                     old, new = kw["rename"]
                     st.extra_cols = [

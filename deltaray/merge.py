@@ -63,6 +63,7 @@ def evolve_to(tbl: pa.Table, target: TableSchema) -> pa.Table:
     old.renames[o] == c) and then to target.renames.get(o, o)."""
     meta = tbl.schema.metadata or {}
     old_json = meta.get(SCHEMA_META_KEY)
+    file_epoch: dict[str, int] = {}
     if old_json:
         old = TableSchema.from_json(old_json.decode())
         # defensive: drop payload columns the file's own schema does not
@@ -81,13 +82,16 @@ def evolve_to(tbl: pa.Table, target: TableSchema) -> pa.Table:
                 new_names.append(c)
             else:
                 o = orig_for_old.get(c, c)
-                new_names.append(cur_for_orig.get(o, o))
+                n = cur_for_orig.get(o, o)
+                new_names.append(n)
+                file_epoch[n] = old.epochs.get(c, 0)
         tbl = tbl.rename_columns(new_names)
     want = target.column_names()
     cols = {}
     for name, codec in target.fields:
         want_t = code_to_type(codec)
-        if name in tbl.column_names:
+        if name in tbl.column_names and \
+                file_epoch.get(name, 0) >= target.epochs.get(name, 0):
             col = tbl[name]
             # ALTER COLUMN TYPE: files written pre-alter keep their old
             # type on disk; unify here (the north-star's "Arrow schema

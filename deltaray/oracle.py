@@ -77,6 +77,15 @@ def replay_oracle(cfg: ReplayConfig) -> dict[str, pa.Table]:
                     for k, (ver, r) in state.get(t, {}).items():
                         if r is not None and old in r:
                             r[new] = r.pop(old)
+                if op == "ALTER_TABLE":
+                    d = json.loads(row.get("ddl_payload") or "{}")
+                    if "drop" in d:
+                        # DROP COLUMN destroys the data: a later re-ADD
+                        # of the same name must read null, never the
+                        # pre-drop values
+                        for k, (ver, r) in state.get(t, {}).items():
+                            if r is not None:
+                                r.pop(d["drop"], None)
                 if op == "CREATE_TABLE":
                     state.setdefault(t, {})
                     dropped.discard(t)

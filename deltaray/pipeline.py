@@ -1647,7 +1647,8 @@ def read_table_ds(lake_root: str, table: str, generation: int = 0,
             schema.name, schema.key,
             [(n, c) for n, c in schema.fields
              if n in set(columns) | set(schema.keys)],
-            dict(schema.renames), schema.version_seq)
+            dict(schema.renames), schema.version_seq,
+            dict(schema.epochs), dict(schema.tombstones))
     out_schema = schema.arrow_schema()
     if with_previous:
         out_schema = out_schema.append(pa.field("prev_tokens",
@@ -2145,7 +2146,8 @@ def read_changes(lake_root: str, table: str, since_seq: int,
             schema.name, schema.key,
             [(n, c) for n, c in schema.fields
              if n in set(columns) | set(schema.keys)],
-            dict(schema.renames), schema.version_seq)
+            dict(schema.renames), schema.version_seq,
+            dict(schema.epochs), dict(schema.tombstones))
     out_schema = schema.arrow_schema() \
         .append(pa.field("change", pa.string())) \
         .append(pa.field("seq", pa.int64()))

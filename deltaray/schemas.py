@@ -103,6 +103,14 @@ class TableSchema:
     # (DefaultMutableRowSchema.java:85-130)
     renames: dict[str, str] = field(default_factory=dict)
     version_seq: int = 0  # seq of the DDL event that produced this schema
+    # DROP-then-re-ADD tracking: ``epochs[name]`` = seq of the ADD that
+    # RE-introduced a previously dropped name; ``tombstones[name]`` =
+    # seq of its latest DROP.  Files are stamped with their write-time
+    # schema, so merge.evolve_to can null-fill a column whose stamped
+    # epoch predates the target's — the file's bytes belong to the
+    # DROPPED column of the same name and must never be resurrected.
+    epochs: dict[str, int] = field(default_factory=dict)
+    tombstones: dict[str, int] = field(default_factory=dict)
 
     def __post_init__(self):
         # rowId-keyed table: ensure the implicit row_id column exists
@@ -124,15 +132,18 @@ class TableSchema:
         return [n for n, _ in self.fields]
 
     def to_json(self) -> str:
-        return json.dumps(
-            {
-                "name": self.name,
-                "key": self.key,
-                "fields": self.fields,
-                "renames": self.renames,
-                "version_seq": self.version_seq,
-            }
-        )
+        d = {
+            "name": self.name,
+            "key": self.key,
+            "fields": self.fields,
+            "renames": self.renames,
+            "version_seq": self.version_seq,
+        }
+        if self.epochs:
+            d["epochs"] = self.epochs
+        if self.tombstones:
+            d["tombstones"] = self.tombstones
+        return json.dumps(d)
 
     @staticmethod
     def from_json(s: str) -> "TableSchema":
@@ -143,14 +154,21 @@ class TableSchema:
             fields=[tuple(f) for f in d["fields"]],
             renames=dict(d.get("renames", {})),
             version_seq=int(d.get("version_seq", 0)),
+            epochs={k: int(v) for k, v in d.get("epochs", {}).items()},
+            tombstones={k: int(v)
+                        for k, v in d.get("tombstones", {}).items()},
         )
 
     # ---- DDL application -------------------------------------------------
     def with_added_column(self, name: str, code: str, seq: int) -> "TableSchema":
         if name in self.column_names():
             raise ValueError(f"ALTER_TABLE: column {name!r} already exists")
+        epochs = dict(self.epochs)
+        if name in self.tombstones:  # re-ADD of a dropped name: new epoch
+            epochs[name] = seq
         return TableSchema(self.name, self.key, self.fields + [(name, code)],
-                           dict(self.renames), seq)
+                           dict(self.renames), seq,
+                           epochs, dict(self.tombstones))
 
     def with_altered_type(self, name: str, code: str, seq: int) -> "TableSchema":
         """ALTER COLUMN TYPE (the "ALTER" of the north-star's
@@ -170,14 +188,24 @@ class TableSchema:
         return TableSchema(self.name, self.key,
                            [(n, code if n == name else c)
                             for n, c in self.fields],
-                           dict(self.renames), seq)
+                           dict(self.renames), seq,
+                           dict(self.epochs), dict(self.tombstones))
 
     def with_dropped_column(self, name: str, seq: int) -> "TableSchema":
         if name in self.keys:
             raise ValueError("cannot drop a key column")
+        if name not in self.column_names():
+            raise ValueError(f"ALTER_TABLE: no column {name!r}")
+        epochs = dict(self.epochs)
+        epochs.pop(name, None)
+        tombstones = dict(self.tombstones)
+        tombstones[name] = seq
+        # the rename chain must not map an ORIGINAL name onto a future
+        # re-add of this name: drop any chain ending at the dropped name
+        renames = {o: n for o, n in self.renames.items() if n != name}
         return TableSchema(self.name, self.key,
                            [(n, c) for n, c in self.fields if n != name],
-                           dict(self.renames), seq)
+                           renames, seq, epochs, tombstones)
 
     def with_renamed_column(self, old: str, new: str, seq: int) -> "TableSchema":
         """Rename with chain collapsing: a->b then b->c records a->c; a->b
@@ -188,6 +216,13 @@ class TableSchema:
             raise ValueError(f"RENAME_COLUMN: no column {old!r}")
         if new != old and new.lower() in {n.lower() for n in names if n != old}:
             raise ValueError(f"RENAME_COLUMN: column {new!r} already exists")
+        if new != old and new in self.tombstones:
+            # name-based file unification cannot distinguish this
+            # column's history from the dropped column's bytes still
+            # present in stored files — re-ADD the name instead
+            raise ValueError(
+                f"RENAME_COLUMN: {new!r} names a previously dropped "
+                "column; ADD a new column instead of renaming onto it")
         fields = [(new if n == old else n, c) for n, c in self.fields]
         renames = dict(self.renames)
         # find the original name that currently maps to `old` (chain collapse)
@@ -203,7 +238,13 @@ class TableSchema:
             key = new if self.key == old else self.key
         else:
             key = [new if k == old else k for k in self.key]
-        return TableSchema(self.name, key, fields, renames, seq)
+        # epoch/tombstone bookkeeping follows the column's current name
+        epochs = {(new if k == old else k): v
+                  for k, v in self.epochs.items()}
+        tombstones = {(new if k == old else k): v
+                      for k, v in self.tombstones.items()}
+        return TableSchema(self.name, key, fields, renames, seq,
+                           epochs, tombstones)
 
 
 def default_table_schema(name: str = "docs", seq: int = 0) -> TableSchema:
@@ -305,7 +346,8 @@ def apply_ddl(
         prev = d["prev_table_name"]
         ts = out.pop(prev)
         out[table] = TableSchema(table, ts.key, list(ts.fields),
-                                 dict(ts.renames), seq)
+                                 dict(ts.renames), seq,
+                                 dict(ts.epochs), dict(ts.tombstones))
     elif op in ("TRUNCATE_TABLE", "CREATE_DATABASE", "DROP_DATABASE"):
         pass  # no schema change
     else:

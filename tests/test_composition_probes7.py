@@ -252,6 +252,139 @@ def test_refresh_aggregate_across_add_sum_column(ray_session, tmp_path):
         f"got {got.to_pydict()}\nwant {want.to_pydict()}")
 
 
+def test_drop_column_end_to_end(ray_session, tmp_path):
+    """DROP COLUMN mid-stream (the one DDL op previously untested end to
+    end): the final state must lack the column and equal the oracle, a
+    pre-drop time-travel anchor must still serve it, and a predicate
+    read naming the dropped column must fail loudly, never silently
+    return nothing."""
+    import pytest
+
+    from deltaray import snapshots
+
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=120, n_events=1600, seed=707,
+                    segment_max_events=250,
+                    ddl=[(900, "docs", "ALTER_TABLE", {"drop": "source"})])
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                       chunk_max_events=250, vacuum=False)
+    replay(cfg)
+    head = read_table(lake, "docs")
+    assert "source" not in head.column_names
+    want = replay_oracle(cfg)["docs"]
+    assert "source" not in want.column_names
+    from deltaray.oracle import tables_equal
+    ok, msg = tables_equal(head, want, key="doc_id")
+    assert ok, f"state after DROP COLUMN != oracle: {msg}"
+
+    # pre-drop anchor still serves the column with its values
+    anchors = snapshots(lake)
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    drop_seq = None
+    for f in sorted(glob.glob(os.path.join(log, "*.parquet"))):
+        t = pq.read_table(f)
+        hit = t.filter(pc.equal(t["op"], "ALTER_TABLE"))
+        if hit.num_rows:
+            drop_seq = hit["seq"][0].as_py()
+            break
+    pre = [a for a in anchors if a < drop_seq]
+    assert pre, f"need a pre-drop anchor, snapshots={anchors}"
+    asof = read_table(lake, "docs", asof_seq=pre[-1])
+    assert "source" in asof.column_names
+    assert asof["source"].null_count < asof.num_rows
+
+    # predicate on the dropped column fails loudly
+    with pytest.raises((KeyError, ValueError)):
+        to_table(read_table_ds(lake, "docs",
+                               predicate=("source", "==", "web")))
+
+    # second replay over the same log is an idempotent no-op
+    replay(cfg)
+    again = read_table(lake, "docs")
+    ok, msg = tables_equal(again, want, key="doc_id")
+    assert ok, f"idempotent replay across DROP COLUMN: {msg}"
+
+
+def test_drop_then_readd_same_column_name(ray_session, tmp_path):
+    """DROP a column, then ADD a new column with the SAME name: stored
+    partition files still hold the old values under that name, so a
+    name-based schema unification could silently resurrect them.  Rows
+    not updated after the re-add must read NULL (the new column), never
+    their pre-drop values — pinned against the oracle."""
+    from deltaray.oracle import tables_equal
+
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=120, n_events=1800, seed=708,
+                    segment_max_events=300,
+                    ddl=[(700, "docs", "ALTER_TABLE", {"drop": "source"}),
+                         (1100, "docs", "ALTER_TABLE",
+                          {"add": ("source", "string"),
+                           "choices": ["x", "y"]})])
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                       chunk_max_events=300, vacuum=False)
+    replay(cfg)
+    head = read_table(lake, "docs")
+    want = replay_oracle(cfg)["docs"]
+    ok, msg = tables_equal(head, want, key="doc_id")
+    assert ok, f"state after drop+re-add != oracle: {msg}"
+    vals = set(head["source"].to_pylist())
+    assert vals <= {"x", "y", None}, \
+        f"pre-drop values resurrected into the re-added column: {vals}"
+    assert None in vals, "expected null rows not updated since the re-add"
+
+
+def test_column_epoch_units():
+    """Unit pins for the DROP/re-ADD column-epoch mechanism: a file
+    stamped with the pre-drop schema must null-fill under the re-added
+    column regardless of merge rewrites; schema JSON round-trips the
+    epoch maps; renaming onto a tombstoned name is rejected."""
+    import pytest
+
+    from deltaray.merge import evolve_to, stamp_schema
+    from deltaray.schemas import TableSchema, default_table_schema
+
+    s0 = default_table_schema("docs")
+    s1 = s0.with_dropped_column("source", seq=700)
+    s2 = s1.with_added_column("source", "string", seq=1100)
+    assert s2.epochs == {"source": 1100}
+    assert s2.tombstones == {"source": 700}
+
+    # JSON round-trip keeps the maps
+    s2b = TableSchema.from_json(s2.to_json())
+    assert s2b.epochs == s2.epochs and s2b.tombstones == s2.tombstones
+
+    # a pre-drop file: stamped s0, holds real source values
+    pre = stamp_schema(pa.table({
+        "doc_id": ["a", "b"], "tokens": pa.array([[1], [2]],
+                                                 pa.list_(pa.int32())),
+        "n_tok": pa.array([1, 1], pa.int32()),
+        "source": ["web", "books"]}), s0)
+    out = evolve_to(pre, s2)
+    assert out["source"].null_count == 2, \
+        "pre-drop values resurrected through evolve_to"
+    # a post-re-add file: stamped s2, its values survive
+    post = stamp_schema(pa.table({
+        "doc_id": ["c"], "tokens": pa.array([[3]], pa.list_(pa.int32())),
+        "n_tok": pa.array([1], pa.int32()), "source": ["x"]}), s2)
+    assert evolve_to(post, s2)["source"].to_pylist() == ["x"]
+
+    # rename onto a tombstoned name is ambiguous — rejected loudly
+    with pytest.raises(ValueError, match="previously dropped"):
+        s2.with_dropped_column("source", 1200) \
+          .with_added_column("lang", "string", 1300) \
+          .with_renamed_column("lang", "source", 1400)
+
+    # epoch bookkeeping follows a rename of the re-added column
+    s3 = s2.with_renamed_column("source", "origin", seq=1500)
+    assert s3.epochs == {"origin": 1100}
+    out = evolve_to(pre, s3)
+    assert out["origin"].null_count == 2
+
+
 def test_point_lookup_routing_after_reshard_and_optimize(ray_session,
                                                          tmp_path):
     """Key routing replays the generation's own partitioner, so point

@@ -337,6 +337,40 @@ def test_drop_then_readd_same_column_name(ray_session, tmp_path):
     assert None in vals, "expected null rows not updated since the re-add"
 
 
+def test_drop_readd_across_optimize_and_reshard(ray_session, tmp_path):
+    """The resurrection twin composed with the two file-rewrite paths:
+    OPTIMIZE re-clusters mixed pre/post-drop files (rewrite goes through
+    evolve_to, so the clustered base must carry nulls, not pre-drop
+    bytes), and reshard copies raw state into a new generation evolved
+    to the current schema — both must stay oracle-exact and never
+    resurrect."""
+    from deltaray.oracle import tables_equal
+
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=100, n_events=1500, seed=709,
+                    segment_max_events=250,
+                    ddl=[(600, "docs", "ALTER_TABLE", {"drop": "source"}),
+                         (1000, "docs", "ALTER_TABLE",
+                          {"add": ("source", "string"),
+                           "choices": ["x", "y"]})])
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                       chunk_max_events=250, vacuum=False)
+    replay(cfg)
+    want = replay_oracle(cfg)["docs"]
+
+    optimize_table(lake, "docs", "n_tok")
+    got = read_table(lake, "docs")
+    ok, msg = tables_equal(got, want, key="doc_id")
+    assert ok, f"drop+re-add x OPTIMIZE: {msg}"
+    assert set(got["source"].to_pylist()) <= {"x", "y", None}
+
+    reshard_generation(lake, 7, src_generation=0, dst_generation=1)
+    got1 = read_table(lake, "docs", generation=1)
+    ok, msg = tables_equal(got1, want, key="doc_id")
+    assert ok, f"drop+re-add x reshard: {msg}"
+    assert set(got1["source"].to_pylist()) <= {"x", "y", None}
+
+
 def test_column_epoch_units():
     """Unit pins for the DROP/re-ADD column-epoch mechanism: a file
     stamped with the pre-drop schema must null-fill under the re-added

@@ -31,11 +31,26 @@ def replay_cases(draw):
     ddl = []
     picked = draw(st.lists(st.sampled_from(range(len(DDL_CHOICES))),
                            unique=True, max_size=2))
+    # drop / drop+re-add scenarios exclude the source rename: the
+    # generator (correctly) refuses DDL against a missing column, and
+    # this draw targets "source" for the drop
+    drop_readd = draw(st.sampled_from([0, 0, 1, 2]))
+    if drop_readd:
+        picked = [j for j in picked
+                  if DDL_CHOICES[j][0] != "RENAME_COLUMN"]
     for j, i in zip(picked,
                     sorted(draw(st.lists(st.integers(0, 800), min_size=len(picked),
                                          max_size=len(picked))))):
         op, kw = DDL_CHOICES[j]
         ddl.append((i, "docs", op, dict(kw)))
+    if drop_readd:
+        base = draw(st.integers(0, 700))
+        ddl.append((base, "docs", "ALTER_TABLE", {"drop": "source"}))
+        if drop_readd == 2:
+            ddl.append((base + draw(st.integers(1, 150)), "docs",
+                        "ALTER_TABLE",
+                        {"add": ("source", "string"),
+                         "choices": ["x", "y"]}))
     chunk = draw(st.integers(100, 2000))
     parts = draw(st.sampled_from([1, 3, 8]))
     hot = draw(st.sampled_from([0.0, 0.5]))

@@ -371,6 +371,48 @@ def test_drop_readd_across_optimize_and_reshard(ray_session, tmp_path):
     assert set(got1["source"].to_pylist()) <= {"x", "y", None}
 
 
+def test_feed_patch_law_across_drop_readd(ray_session, tmp_path):
+    """CDC patch law across DROP + re-ADD of the same column: a
+    downstream consumer anchored before the drop applies the feed PLUS
+    the DDL (drop its copy of the column, add the new one null-filled —
+    the documented manual-DDL chain step).  keep+DDL+upserts must then
+    equal the head state exactly; in particular unchanged rows read
+    NULL, the feed's upserts carry the re-added values, and the feed
+    does not re-feed rows merely because the schema changed."""
+    from deltaray import read_changes
+    from deltaray.oracle import tables_equal
+    from deltaray import snapshots
+
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=110, n_events=1500, seed=710,
+                    segment_max_events=200,
+                    ddl=[(500, "docs", "ALTER_TABLE", {"drop": "source"}),
+                         (900, "docs", "ALTER_TABLE",
+                          {"add": ("source", "string"),
+                           "choices": ["x", "y"]})])
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                        chunk_max_events=200, vacuum=False))
+    anchors = snapshots(lake)
+    anchor = anchors[1]
+    before = read_table(lake, "docs", asof_seq=anchor)
+    assert set(before["source"].to_pylist()) & {"web", "books", "code"}, \
+        "anchor must be pre-drop for this probe"
+    cur = read_table(lake, "docs")
+    feed = to_table(read_changes(lake, "docs", since_seq=anchor))
+    changed = set(feed["doc_id"].to_pylist())
+    ups = feed.filter(pc.equal(feed["change"], "UPSERT")) \
+        .select(cur.column_names)
+    keep = before.filter(pa.array(
+        [d not in changed for d in before["doc_id"].to_pylist()]))
+    # downstream DDL application: drop, then re-add null-filled
+    keep = keep.drop_columns(["source"]).append_column(
+        "source", pa.nulls(keep.num_rows, pa.string()))
+    patched = pa.concat_tables(
+        [keep.select(cur.column_names), ups], promote_options="default")
+    ok, msg = tables_equal(patched, cur, key="doc_id")
+    assert ok, f"patch law across drop+re-add: {msg}"
+
+
 def test_column_epoch_units():
     """Unit pins for the DROP/re-ADD column-epoch mechanism: a file
     stamped with the pre-drop schema must null-fill under the re-added

@@ -21,7 +21,9 @@ Layout (resumable output, one directory per hash partition):
           _chunks/chunk-<lo12>-<hi12>.done # driver chunk-complete marker
           _chunks/chunks-manifest-*.json   # rolled-up markers (same
                                            # bound as commit manifests)
-          part=<K5>/data-<hi12>.parquet    # COW snapshot of the partition
+          part=<K5>/data-<hi12>-<lo12>.parquet  # COW snapshot (commit range
+                                           # in the name; legacy hi-only
+                                           # names resolve via the record)
       _lineage/...                          # per-partition lineage records
 
 Exactly-once contract (EventConsumer.java:39-76 analog): the data file is
@@ -296,8 +298,21 @@ class LakeState:
     def part_dir(self, table: str, part: int) -> str:
         return os.path.join(self.table_dir(table), f"part={part:05d}")
 
-    def data_path(self, table: str, part: int, seq_hi: int) -> str:
-        return os.path.join(self.part_dir(table, part), f"data-{_seq12(seq_hi)}.parquet")
+    def data_path(self, table: str, part: int, seq_hi: int,
+                  seq_lo: int = 0) -> str:
+        """Data file for the commit covering ``(seq_lo, seq_hi]``.  The
+        name carries BOTH bounds: commits from a RE-SEGMENTED replay of
+        the same events overlap the original ranges rather than equal
+        them, and a hi-only name would let such a delta silently
+        overwrite a live base file sharing its high-water mark (the
+        as-of and head reads would then serve the delta's rows as the
+        full state).  ``hi`` stays the FIRST digit run — the vacuum /
+        retention filename gates parse it.  Readers always go through
+        the commit record's ``file`` field, so pre-existing hi-only
+        names keep working."""
+        return os.path.join(
+            self.part_dir(table, part),
+            f"data-{_seq12(seq_hi)}-{_seq12(seq_lo)}.parquet")
 
     def commit_dir(self, table: str, part: int) -> str:
         return os.path.join(self.table_dir(table), "_commits", f"part={part:05d}")
@@ -654,7 +669,7 @@ class LakeState:
         if rec is not None:
             rec["replayed"] = True
             return rec
-        dpath = self.data_path(table, part, hi)
+        dpath = self.data_path(table, part, hi, lo)
         atomic_write_parquet(dpath, data_tbl, row_group_size=row_group_rows)
         rec = {
             "table": table,

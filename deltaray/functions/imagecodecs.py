@@ -288,14 +288,19 @@ def _split_entropy_segments(data: bytes, pos: int) -> list[bytes]:
     return segs
 
 
-_FAST_LUT_CACHE: dict[tuple, list[int]] = {}
+_FAST_LUT_CACHE: dict[tuple, "array.array"] = {}
 
 
-def _fast_huffman_lut(lut: dict) -> list[int]:
-    """{(length, code): symbol} → a 2^16-entry list mapping the next 16
-    bits of the stream to ``(symbol << 8) | code_length`` (0 = invalid),
-    so one list index replaces the per-bit tree walk.  Cached per table
-    (the Annex K tables recur across every image of a corpus)."""
+def _fast_huffman_lut(lut: dict) -> "array.array":
+    """{(length, code): symbol} → a 2^16-entry array.array('i') mapping
+    the next 16 bits of the stream to ``(symbol << 8) | code_length``
+    (0 = invalid), so one O(1) int-returning index replaces the per-bit
+    tree walk.  array.array keeps each cached table at 256 KB (a list
+    of boxed ints is ~2.4 MB — real corpora with per-image optimized
+    tables would pin ~150 MB per long-lived decode actor).  Cached per
+    table; the Annex K tables recur across a whole corpus."""
+    import array
+
     key = tuple(sorted(lut.items()))
     hit = _FAST_LUT_CACHE.get(key)
     if hit is not None:
@@ -304,7 +309,7 @@ def _fast_huffman_lut(lut: dict) -> list[int]:
     for (ln, code), sym in lut.items():
         start = code << (16 - ln)
         arr[start:start + (1 << (16 - ln))] = (sym << 8) | ln
-    out = arr.tolist()
+    out = array.array("i", arr)
     if len(_FAST_LUT_CACHE) < 64:
         _FAST_LUT_CACHE[key] = out
     return out
@@ -562,6 +567,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     raise ValueError("JPEG has no SOS scan")
 
 
+def _refill32(buf, blen, bpos, acc, nb):
+    """Top the bit accumulator up to >= 32 bits (one Huffman symbol plus
+    its value bits consume <= 27) and trim consumed garbage above nb;
+    past the segment end feed 1-bits (T.81 marker-padding semantics).
+    The single statement of the decoder's bit-feed invariant — both the
+    DC and AC sites call here."""
+    while nb < 32:
+        take = blen - bpos
+        if take > 0:
+            if take > 8:
+                take = 8
+            acc = (acc << (take * 8)) | \
+                int.from_bytes(buf[bpos:bpos + take], "big")
+            nb += take * 8
+            bpos += take
+        else:
+            acc = (acc << 32) | 0xFFFFFFFF
+            nb += 32
+    return acc & ((1 << nb) - 1), nb, bpos
+
+
 def _decode_scan(data, pos, frame, scan, qts, dc_luts, ac_luts,
                  restart_interval):
     comps = frame["comps"]
@@ -606,24 +632,9 @@ def _decode_scan(data, pos, frame, scan, qts, dc_luts, ac_luts,
                 for by in range(cv):
                     for bx in range(ch):
                         bi = (my * cv + by) * cbw + (mx * ch + bx)
-                        # one symbol + its value bits consume <= 27
-                        # bits; refill keeps nb >= 32 (marker padding
-                        # past the segment end, T.81 semantics)
                         if nb < 32:
-                            while nb < 32:
-                                take = blen - bpos
-                                if take > 0:
-                                    if take > 8:
-                                        take = 8
-                                    acc = (acc << (take * 8)) | \
-                                        int.from_bytes(
-                                            buf[bpos:bpos + take], "big")
-                                    nb += take * 8
-                                    bpos += take
-                                else:
-                                    acc = (acc << 32) | 0xFFFFFFFF
-                                    nb += 32
-                            acc &= (1 << nb) - 1
+                            acc, nb, bpos = _refill32(buf, blen, bpos,
+                                                      acc, nb)
                         v = dlut[(acc >> (nb - 16)) & 0xFFFF]
                         t = v >> 8
                         nb -= v & 0xFF
@@ -640,21 +651,8 @@ def _decode_scan(data, pos, frame, scan, qts, dc_luts, ac_luts,
                         k = 1
                         while k < 64:
                             if nb < 32:
-                                while nb < 32:
-                                    take = blen - bpos
-                                    if take > 0:
-                                        if take > 8:
-                                            take = 8
-                                        acc = (acc << (take * 8)) | \
-                                            int.from_bytes(
-                                                buf[bpos:bpos + take],
-                                                "big")
-                                        nb += take * 8
-                                        bpos += take
-                                    else:
-                                        acc = (acc << 32) | 0xFFFFFFFF
-                                        nb += 32
-                                acc &= (1 << nb) - 1
+                                acc, nb, bpos = _refill32(buf, blen,
+                                                          bpos, acc, nb)
                             v = alut[(acc >> (nb - 16)) & 0xFFFF]
                             rs = v >> 8
                             nb -= v & 0xFF

@@ -2397,8 +2397,13 @@ def refresh_aggregate(lake_root: str, table: str, prev: pa.Table, *,
     for c in want_cols:
         o = inv.get(c, c)
         a = anchor_schema.renames.get(o, o) if anchor_schema else None
+        if schema.epochs.get(c, 0) > since_seq:
+            # the column was DROPPED and re-ADDED after the anchor: any
+            # same-name column at the anchor is the dropped identity —
+            # its values must not feed retired contributions
+            a = None
         anchor_names.append(
-            a if (anchor_schema is not None
+            a if (a is not None and anchor_schema is not None
                   and a in anchor_schema.column_names()) else None)
     lookup_cols = [a for a in anchor_names if a is not None]
     field_code = dict(schema.fields)

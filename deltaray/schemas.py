@@ -163,6 +163,14 @@ class TableSchema:
     def with_added_column(self, name: str, code: str, seq: int) -> "TableSchema":
         if name in self.column_names():
             raise ValueError(f"ALTER_TABLE: column {name!r} already exists")
+        if name in self.renames:
+            # `name` is the ORIGINAL name of a renamed-away live column:
+            # accepting it would alias two identities in the name-based
+            # file unification (old files' `name` bytes would map onto
+            # the renamed column AND collide with the new one)
+            raise ValueError(
+                f"ALTER_TABLE: {name!r} is the pre-rename name of column "
+                f"{self.renames[name]!r}; pick a different name")
         epochs = dict(self.epochs)
         if name in self.tombstones:  # re-ADD of a dropped name: new epoch
             epochs[name] = seq
@@ -200,6 +208,12 @@ class TableSchema:
         epochs.pop(name, None)
         tombstones = dict(self.tombstones)
         tombstones[name] = seq
+        # tombstone the chain's ORIGINAL name too: files written before
+        # the rename hold the dropped identity's bytes under that name,
+        # so a future ADD of the original name must start a new epoch
+        origin = next((o for o, n in self.renames.items() if n == name),
+                      name)
+        tombstones[origin] = seq
         # the rename chain must not map an ORIGINAL name onto a future
         # re-add of this name: drop any chain ending at the dropped name
         renames = {o: n for o, n in self.renames.items() if n != name}

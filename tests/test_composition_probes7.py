@@ -413,6 +413,107 @@ def test_feed_patch_law_across_drop_readd(ray_session, tmp_path):
     assert ok, f"patch law across drop+re-add: {msg}"
 
 
+def test_refresh_aggregate_sum_col_dropped_and_readded(ray_session,
+                                                       tmp_path):
+    """A SUM column is dropped and re-added between the anchor and the
+    head (review finding): the anchor HAS a same-name column, but it is
+    the dropped identity — retired contributions must null-fill, never
+    subtract the pre-drop values.  prev is caller-migrated to null sums
+    at the re-add (the schema-evolution step for any downstream view);
+    the refresh must equal the full recompute."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=100, n_events=1500, seed=711,
+                    segment_max_events=250,
+                    ddl=[(500, "docs", "ALTER_TABLE", {"drop": "n_tok"}),
+                         (900, "docs", "ALTER_TABLE",
+                          {"add": ("n_tok", "int32")})])
+    seg_files = sorted(glob.glob(os.path.join(log, "*.parquet")))
+    prefix = str(tmp_path / "prefix")
+    os.makedirs(prefix)
+    pre_parts = []
+    for f in seg_files:
+        t = pq.read_table(f)
+        if "ALTER_TABLE" in t["op"].to_pylist():
+            break
+        pre_parts.append(t)
+    pre = pa.concat_tables(pre_parts)
+    pq.write_table(pre, os.path.join(
+        prefix, f"events-00000-{pre['seq'][0].as_py():012d}-"
+                f"{pre['seq'][-1].as_py():012d}.parquet"))
+    replay(ReplayConfig(event_log=prefix, lake=lake, num_partitions=4,
+                        chunk_max_events=250, vacuum=False))
+    anchor = pre["seq"][-1].as_py()
+    prev = build_aggregate(rd.from_arrow(read_table(lake, "docs")),
+                           group_col="source", sum_cols=["n_tok"])
+    # caller migration at the re-add: the new identity starts all-null
+    prev = prev.set_column(prev.schema.get_field_index("n_tok_sum"),
+                           "n_tok_sum", pa.nulls(prev.num_rows, pa.int64()))
+
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                        chunk_max_events=250, vacuum=False))
+    head = read_table(lake, "docs")
+    got = refresh_aggregate(lake, "docs", prev, group_col="source",
+                            sum_cols=["n_tok"], since_seq=anchor)
+    want = build_aggregate(rd.from_arrow(head),
+                           group_col="source", sum_cols=["n_tok"])
+    assert got.equals(want), (
+        f"refresh with re-added sum column != full recompute:\n"
+        f"got {got.to_pydict()}\nwant {want.to_pydict()}")
+
+
+def test_resegmented_rereplay_is_exact(ray_session, tmp_path):
+    """Replaying the SAME events re-segmented (different chunk
+    boundaries) into an existing lake must stay exact — the re-applied
+    overlapping chunks are LWW-idempotent by design.  Review-driven
+    probe: with hi-only data-file names the overlapping delta silently
+    OVERWROTE the live base file sharing its high-water mark, corrupting
+    both the head state and every as-of read at that anchor (found as a
+    416-vs-467-row head divergence); commit-range file names fix it."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from deltaray.oracle import tables_equal
+
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=100, n_events=1500, seed=711,
+                    segment_max_events=250)
+    segs = sorted(glob.glob(os.path.join(log, "*.parquet")))
+    # first replay sees the prefix as ONE coarse segment -> one chunk
+    pre = pa.concat_tables([pq.read_table(f) for f in segs[:2]])
+    prefix = str(tmp_path / "prefix")
+    os.makedirs(prefix)
+    pq.write_table(pre, os.path.join(
+        prefix, f"events-00000-{pre['seq'][0].as_py():012d}-"
+                f"{pre['seq'][-1].as_py():012d}.parquet"))
+    replay(ReplayConfig(event_log=prefix, lake=lake, num_partitions=4,
+                        chunk_max_events=250, vacuum=False))
+    anchor = pre["seq"][-1].as_py()
+    at_anchor = read_table(lake, "docs")
+
+    # second replay re-reads the SAME events from finer segments:
+    # overlapping chunk ranges re-apply on top of the coarse commit
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                        chunk_max_events=250, vacuum=False))
+    cfg_full = ReplayConfig(event_log=log, lake=lake, num_partitions=4)
+    want = replay_oracle(cfg_full)["docs"]
+    got = read_table(lake, "docs")
+    ok, msg = tables_equal(got, want, key="doc_id")
+    assert ok, f"re-segmented re-replay head state: {msg}"
+
+    # the coarse anchor must still read back exactly
+    asof = read_table(lake, "docs", asof_seq=anchor)
+    ok, msg = tables_equal(asof, at_anchor, key="doc_id")
+    assert ok, f"as-of at the coarse anchor after re-replay: {msg}"
+
+
 def test_column_epoch_units():
     """Unit pins for the DROP/re-ADD column-epoch mechanism: a file
     stamped with the pre-drop schema must null-fill under the re-added

@@ -184,8 +184,9 @@ def validate_lake(lake_root: str, generation: int = 0,
 
     Metadata-level checks (no data reads):
       - every live commit's data file exists (vacuum safety);
-      - per-partition commit seq ranges are strictly ascending and
-        non-overlapping;
+      - per-partition commit seq ranges are strictly ascending
+        (overlap warns: legitimate for re-segmented re-replays, which
+        are LWW-idempotent, but worth eyes);
       - lineage agrees with the commit log (last_seq == committed_hi);
       - generation meta present with a matching hash_version and
         partition ids within num_partitions;
@@ -257,10 +258,18 @@ def validate_lake(lake_root: str, generation: int = 0,
                     errors.append(f"{t}/part={p}: inverted commit range "
                                   f"({c['seq_lo']},{c['seq_hi']})")
                 # ranges are half-open (lo, hi]: adjacent chunks share
-                # the boundary seq, a true overlap starts BELOW it
+                # the boundary seq, a true overlap starts BELOW it.
+                # Overlap is a WARNING, not an error: a re-segmented
+                # re-replay of the same events legitimately re-commits
+                # overlapping ranges (LWW re-apply is idempotent and
+                # range-named data files keep them distinct) — but it
+                # deserves eyes, since different events in the overlap
+                # would mean a forked upstream log
                 if c["seq_lo"] < prev_hi:
-                    errors.append(f"{t}/part={p}: overlapping commit "
-                                  f"ranges at seq_hi={c['seq_hi']}")
+                    warnings.append(
+                        f"{t}/part={p}: overlapping commit ranges at "
+                        f"seq_hi={c['seq_hi']} (re-segmented replay? "
+                        f"safe iff the overlap replays the same events)")
                 prev_hi = c["seq_hi"]
             live = lake.live_commits(t, p)
             referenced = {c["file"] for c in commits}

@@ -513,6 +513,13 @@ def test_resegmented_rereplay_is_exact(ray_session, tmp_path):
     ok, msg = tables_equal(asof, at_anchor, key="doc_id")
     assert ok, f"as-of at the coarse anchor after re-replay: {msg}"
 
+    # fsck: the overlapping ranges WARN (legitimate re-segmented
+    # replay) but the lake passes with zero errors
+    from deltaray.assess import validate_lake
+    rep = validate_lake(lake)
+    assert rep["ok"], f"fsck errors on a legitimate overlap: {rep['errors']}"
+    assert any("overlapping" in w for w in rep["warnings"]), rep["warnings"]
+
 
 def test_column_epoch_units():
     """Unit pins for the DROP/re-ADD column-epoch mechanism: a file

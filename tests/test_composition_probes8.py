@@ -1,0 +1,137 @@
+"""Composition probes, round 8: operations over an OVERLAP lake — a
+lake that replayed the same events under two different segmentations
+(coarse then fine), so its commit log holds overlapping ranges and a
+base + deltas that straddle each other's boundaries.  Round 7 fixed the
+silent base-file overwrite this layout used to cause; this round pins
+that every downstream operation treats the overlap as the ordinary
+state it now is:
+
+- reshard: raw copy through the hash exchange must LWW-reduce the
+  overlapping files, not double-count or drop;
+- OPTIMIZE + expire_snapshots: clustered rewrite and the retention
+  filename gate must respect both naming schemes and the overlapping
+  live set;
+- read_changes: feeds anchored at the coarse boundary must obey the
+  patch law across the overlap;
+- replication chain: a mirror bootstrapped from the overlap lake must
+  converge exactly.
+"""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from deltaray import (ReplayConfig, optimize_table, read_changes, read_table,
+                      read_table_ds, replay, replay_oracle,
+                      reshard_generation, snapshots)
+from deltaray.oracle import tables_equal
+from deltaray.gen import write_event_log
+from deltaray.pipeline import expire_snapshots
+from deltaray.util import to_table
+
+
+def _overlap_lake(tmp_path, seed=811, n_docs=120, n_events=1800):
+    """Build the overlap layout: coarse one-segment replay, then the
+    same events re-replayed from fine 250-event segments."""
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=n_docs, n_events=n_events, seed=seed,
+                    segment_max_events=250)
+    segs = sorted(glob.glob(os.path.join(log, "*.parquet")))
+    pre = pa.concat_tables([pq.read_table(f) for f in segs[:3]])
+    coarse = str(tmp_path / "coarse")
+    os.makedirs(coarse)
+    pq.write_table(pre, os.path.join(
+        coarse, f"events-00000-{pre['seq'][0].as_py():012d}-"
+                f"{pre['seq'][-1].as_py():012d}.parquet"))
+    replay(ReplayConfig(event_log=coarse, lake=lake, num_partitions=4,
+                        chunk_max_events=10**9, vacuum=False))
+    anchor = pre["seq"][-1].as_py()
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                        chunk_max_events=250, vacuum=False))
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=4)
+    return log, lake, anchor, replay_oracle(cfg)["docs"]
+
+
+def test_overlap_lake_reshard(ray_session, tmp_path):
+    log, lake, anchor, want = _overlap_lake(tmp_path, seed=811)
+    reshard_generation(lake, 7, src_generation=0, dst_generation=1)
+    got = read_table(lake, "docs", generation=1)
+    ok, msg = tables_equal(got, want, key="doc_id")
+    assert ok, f"reshard over overlap lake: {msg}"
+
+
+def test_overlap_lake_optimize_and_retention(ray_session, tmp_path):
+    log, lake, anchor, want = _overlap_lake(tmp_path, seed=812)
+    optimize_table(lake, "docs", "n_tok", vacuum=False)
+    got = read_table(lake, "docs")
+    ok, msg = tables_equal(got, want, key="doc_id")
+    assert ok, f"optimize over overlap lake: {msg}"
+    # predicate read stays exact over the re-clustered overlap
+    pred = to_table(read_table_ds(lake, "docs",
+                                  predicate=("n_tok", ">=", 20)))
+    full = to_table(read_table_ds(lake, "docs"))
+    assert pred.num_rows == full.filter(
+        pc.greater_equal(full["n_tok"], 20)).num_rows
+
+    # retention: raise the floor past the coarse anchor; state intact,
+    # the expired coarse anchor raises
+    import pytest
+
+    from deltaray import SnapshotExpiredError
+
+    head_anchor = snapshots(lake)[-1]
+    expire_snapshots(lake, "docs", retain_since_seq=head_anchor)
+    got2 = read_table(lake, "docs")
+    ok, msg = tables_equal(got2, want, key="doc_id")
+    assert ok, f"retention over overlap lake: {msg}"
+    with pytest.raises(SnapshotExpiredError):
+        read_table(lake, "docs", asof_seq=anchor)
+
+
+def test_overlap_lake_patch_law(ray_session, tmp_path):
+    log, lake, anchor, want = _overlap_lake(tmp_path, seed=813)
+    before = read_table(lake, "docs", asof_seq=anchor)
+    feed = to_table(read_changes(lake, "docs", since_seq=anchor))
+    changed = set(feed["doc_id"].to_pylist())
+    assert len(changed) == feed.num_rows, "duplicate keys in feed"
+    cur = read_table(lake, "docs")
+    ups = feed.filter(pc.equal(feed["change"], "UPSERT")) \
+        .select(cur.column_names)
+    keep = before.filter(pa.array(
+        [d not in changed for d in before["doc_id"].to_pylist()]))
+    patched = pa.concat_tables([keep.select(cur.column_names), ups],
+                               promote_options="default")
+    ok, msg = tables_equal(patched, cur, key="doc_id")
+    assert ok, f"patch law over overlap lake: {msg}"
+
+
+def test_overlap_lake_chain_bootstrap(ray_session, tmp_path):
+    import ray.data as rd
+
+    from deltaray import feed_to_events
+    from deltaray.pipeline import bootstrap_table, _schema_asof
+    from deltaray.commit import LakeState
+
+    log, lake, anchor, want = _overlap_lake(tmp_path, seed=814)
+    log_b, lake_b = str(tmp_path / "ev-b"), str(tmp_path / "lk-b")
+    schema = _schema_asof(LakeState(lake, 0), "docs", anchor)
+    cfg_b = ReplayConfig(event_log=log_b, lake=lake_b, num_partitions=3,
+                         chunk_max_events=10**9, vacuum=False)
+    bootstrap_table(cfg_b, schema,
+                    rd.from_arrow(read_table(lake, "docs",
+                                             asof_seq=anchor)),
+                    snapshot_seq=anchor)
+    feed = to_table(read_changes(lake, "docs", since_seq=anchor))
+    ev = feed_to_events(feed, schema)
+    lo = ev["seq"][0].as_py()
+    hi = ev["seq"][-1].as_py()
+    os.makedirs(log_b, exist_ok=True)
+    pq.write_table(ev, os.path.join(
+        log_b, f"events-00000-{lo:012d}-{hi:012d}.parquet"))
+    replay(cfg_b)
+    got = read_table(lake_b, "docs")
+    ok, msg = tables_equal(got, want, key="doc_id")
+    assert ok, f"chain mirror from overlap lake: {msg}"

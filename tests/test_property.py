@@ -532,3 +532,66 @@ def test_retention_property(seed, n_docs, n_events, chunk, compact,
     assert ok, (seed, msg)
     res2 = expire_snapshots(lake, "docs", retain_since_seq=R)
     assert res2["files_removed"] == 0
+
+
+@st.composite
+def reseg_cases(draw):
+    return dict(
+        n_docs=draw(st.integers(30, 120)),
+        n_events=draw(st.integers(400, 1500)),
+        seed=draw(st.integers(0, 2**31 - 1)),
+        seg=draw(st.sampled_from([100, 250, 400])),
+        prefix_segs=draw(st.integers(1, 3)),
+        chunk_coarse=draw(st.sampled_from([10**9, 500])),
+        chunk_fine=draw(st.sampled_from([100, 250, 1000])),
+        vacuum=draw(st.booleans()),
+        parts=draw(st.sampled_from([1, 3, 4])),
+        compact_every=draw(st.sampled_from([1, 2, 8])),
+    )
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(case=reseg_cases())
+def test_resegmented_rereplay_property(case, tmp_path_factory):
+    """Replaying the SAME events under two segmentations into one lake
+    (coarse prefix, then the fine full log) must land on the oracle
+    state — overlapping chunk re-application is LWW-idempotent and the
+    commit-range file naming keeps overlapping commits' files distinct,
+    for every combination of chunk size, compaction cadence and vacuum
+    setting."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tmp_path_factory.mktemp("reseg")
+    log, lake = str(base / "log"), str(base / "lake")
+    write_event_log(log, n_docs=case["n_docs"], n_events=case["n_events"],
+                    seed=case["seed"], segment_max_events=case["seg"])
+    segs = sorted(glob.glob(os.path.join(log, "*.parquet")))
+    k = min(case["prefix_segs"], len(segs))
+    pre = pa.concat_tables([pq.read_table(f) for f in segs[:k]])
+    coarse = str(base / "coarse")
+    os.makedirs(coarse)
+    pq.write_table(pre, os.path.join(
+        coarse, f"events-00000-{pre['seq'][0].as_py():012d}-"
+                f"{pre['seq'][-1].as_py():012d}.parquet"))
+    replay(ReplayConfig(event_log=coarse, lake=lake,
+                        num_partitions=case["parts"],
+                        chunk_max_events=case["chunk_coarse"],
+                        compact_every=case["compact_every"],
+                        vacuum=case["vacuum"]))
+    replay(ReplayConfig(event_log=log, lake=lake,
+                        num_partitions=case["parts"],
+                        chunk_max_events=case["chunk_fine"],
+                        compact_every=case["compact_every"],
+                        vacuum=case["vacuum"]))
+    cfg = ReplayConfig(event_log=log, lake=lake,
+                       num_partitions=case["parts"])
+    want = replay_oracle(cfg)["docs"]
+    got = read_table(lake, "docs")
+    ok, msg = tables_equal(got, want, key="doc_id")
+    assert ok, f"{case}: {msg}"

@@ -406,7 +406,24 @@ class LakeState:
                             and f not in recs):
                         with open(os.path.join(d, f)) as fh:
                             recs[f] = json.load(fh)
-                return [recs[k] for k in sorted(recs)]
+                # STATE order is (seq_hi, seq_lo, name), not filename
+                # (lo, hi) order: a catch-up chunk from a re-segmented /
+                # compacted upstream log can EXTEND past the committed
+                # head with a low seq_lo — filename order would sort it
+                # before the old head, and live_commits' "last base +
+                # following deltas" selection (and committed_hi) would
+                # silently drop its events.  hi-order makes the newest
+                # state last regardless of range shape; at equal hi a
+                # base (full state) precedes the deltas re-applied on it
+                # and the `opt` clustered base (lo == hi) sorts after a
+                # chunk commit ending at the same hi, preserving the
+                # OPTIMIZE convention.
+                return sorted(
+                    recs.values(),
+                    key=lambda r: (r["seq_hi"],
+                                   0 if r.get("kind", "base") == "base"
+                                   and r["seq_lo"] < r["seq_hi"] else 1,
+                                   r["seq_lo"]))
             except FileNotFoundError:
                 # the directory itself vanishing (concurrent DROP /
                 # external cleanup) means "no commits", not a rollup

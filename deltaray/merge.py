@@ -264,6 +264,19 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
         rec = lake.commit_record(tname, part, os.path.basename(cpath))
         if rec is not None:
             return _lineage_row(rec, skipped=True)
+        prev_hi = lake.committed_hi(tname, part)
+        if chunk_hi <= prev_hi:
+            # re-segmented catch-up: this chunk's events are fully
+            # covered by already-committed state.  Re-applying them
+            # would be a correct LWW no-op, but the commit's data file
+            # would carry stale-range metadata (a delta stamped at an
+            # old seq_hi holding CURRENT winners), poisoning as-of
+            # reads at interior anchors and the retention filename
+            # gate — so skip without writing anything.
+            return _lineage_row({
+                "table": tname, "part": part, "seq_lo": chunk_lo,
+                "seq_hi": chunk_hi, "rows": 0, "counts": {},
+            }, skipped=True)
 
         n_ins = pc.sum(group["__n_ins"]).as_py() or 0
         n_upd = pc.sum(group["__n_upd"]).as_py() or 0

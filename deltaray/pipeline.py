@@ -1207,6 +1207,8 @@ def _live_parts_asof(lake: LakeState, table: str,
         p = int(os.path.basename(d).split("=")[1])
         live = lake.live_commits(table, p, before)
         if not live:
+            if before is not None:
+                _raise_if_interior_anchor(lake, table, p, before)
             continue
         if before is not None:
             missing = [c["file"] for c in live
@@ -1218,6 +1220,28 @@ def _live_parts_asof(lake: LakeState, table: str,
                     f"is earliest_snapshot(...)")
         parts.append(p)
     return parts
+
+
+def _raise_if_interior_anchor(lake: LakeState, table: str, part: int,
+                              before: int) -> None:
+    """A partition with NO live commits at the anchor but a commit whose
+    range SPANS it holds the anchor's events only inside a coarser
+    commit — state at the anchor was never materialized (a fine chunk
+    marker can outlive its data when a coarser re-replay covered the
+    range).  Serving the empty set would silently under-report; raise
+    the same error class as a vacuumed snapshot."""
+    S = before - 1
+    truncs = [t0 for t0 in lake.truncate_seqs(table) if t0 < before]
+    tmax = max(truncs) if truncs else None
+    for c in lake._list_commits_raw(table, part):
+        if tmax is not None and c["seq_hi"] < tmax:
+            continue
+        if c["seq_lo"] < S < c["seq_hi"]:
+            raise SnapshotExpiredError(
+                f"anchor {S} of {table!r} part {part} is interior to the "
+                f"coarser commit ({c['seq_lo']},{c['seq_hi']}] — state at "
+                f"{S} was never materialized (re-segmented replay); use "
+                f"a boundary anchor from snapshots()")
 
 
 def _snapshot_floor(lake: LakeState, table: str) -> int:
@@ -1262,6 +1286,12 @@ def earliest_snapshot(lake_root: str, table: str,
         ok = True
         for p, on_disk in pstate:
             live = lake.live_commits(table, p, s + 1)
+            if not live:
+                try:
+                    _raise_if_interior_anchor(lake, table, p, s + 1)
+                except SnapshotExpiredError:
+                    ok = False
+                    break
             if any(c["file"] not in on_disk for c in live):
                 ok = False
                 break
@@ -1558,7 +1588,10 @@ def _live_parts_asof_one(lake: LakeState, table: str, part: int,
                          before: int) -> None:
     """Vacuum-retention check for a single partition's as-of read."""
     d = lake.part_dir(table, part)
-    missing = [c["file"] for c in lake.live_commits(table, part, before)
+    live = lake.live_commits(table, part, before)
+    if not live:
+        _raise_if_interior_anchor(lake, table, part, before)
+    missing = [c["file"] for c in live
                if not os.path.exists(os.path.join(d, c["file"]))]
     if missing:
         raise SnapshotExpiredError(
@@ -1972,9 +2005,14 @@ def expire_snapshots(lake_root: str, table: str, retain_since_seq: int,
             # The filename gate (not the commit listing) is what makes
             # this safe concurrently with pipelined merges: a merge
             # writes its data file BEFORE its commit record, and that
-            # file's embedded seq is always above the committed barrier
-            # R, so an in-flight file is never deleted even though no
-            # commit record references it yet.
+            # file's embedded seq_hi is always above the committed
+            # barrier R, so an in-flight file is never deleted even
+            # though no commit record references it yet.  This holds
+            # for re-segmented re-replays too: a chunk whose hi is at
+            # or below the partition's committed watermark SKIPS before
+            # writing (merge coverage check), so the only in-flight
+            # writer with a low seq_lo is the extending catch-up chunk,
+            # whose embedded seq_hi exceeds the watermark and hence R.
             if (f.startswith("data-") and f.endswith(".parquet")
                     and f not in keep
                     and 0 <= _fname_seq(f) <= retain):

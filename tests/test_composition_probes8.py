@@ -108,6 +108,101 @@ def test_overlap_lake_patch_law(ray_session, tmp_path):
     assert ok, f"patch law over overlap lake: {msg}"
 
 
+def test_extending_coarse_rereplay(ray_session, tmp_path):
+    """Review-confirmed corruption, now fixed: fine replay of a PREFIX,
+    then the compacted upstream log re-replayed as ONE coarse chunk
+    extending past the committed head.  The extending commit must become
+    the partition's newest state (commit order is by seq_hi, not by
+    filename/seq_lo), the head must equal the oracle, and vacuum must
+    not delete the only file holding the extension."""
+    import pytest
+
+    from deltaray import SnapshotExpiredError
+
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=100, n_events=1500, seed=815,
+                    segment_max_events=250)
+    segs = sorted(glob.glob(os.path.join(log, "*.parquet")))
+    prefix = str(tmp_path / "prefix")
+    os.makedirs(prefix)
+    for f in segs[:3]:
+        import shutil
+        shutil.copy(f, os.path.join(prefix, os.path.basename(f)))
+    replay(ReplayConfig(event_log=prefix, lake=lake, num_partitions=4,
+                        chunk_max_events=250, vacuum=True,
+                        compact_every=2))
+    # the upstream compacted its log: the full history as ONE segment
+    full = pa.concat_tables([pq.read_table(f) for f in segs])
+    coarse = str(tmp_path / "coarse")
+    os.makedirs(coarse)
+    pq.write_table(full, os.path.join(
+        coarse, f"events-00000-{full['seq'][0].as_py():012d}-"
+                f"{full['seq'][-1].as_py():012d}.parquet"))
+    replay(ReplayConfig(event_log=coarse, lake=lake, num_partitions=4,
+                        chunk_max_events=10**9, vacuum=True,
+                        compact_every=2))
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=4)
+    want = replay_oracle(cfg)["docs"]
+    got = read_table(lake, "docs")
+    ok, msg = tables_equal(got, want, key="doc_id")
+    assert ok, f"extending coarse re-replay head: {msg}"
+    # idempotent third pass over the coarse log (now fully covered)
+    replay(ReplayConfig(event_log=coarse, lake=lake, num_partitions=4,
+                        chunk_max_events=10**9, vacuum=True,
+                        compact_every=2))
+    got2 = read_table(lake, "docs")
+    ok, msg = tables_equal(got2, want, key="doc_id")
+    assert ok, f"third coarse pass: {msg}"
+
+
+def test_interior_anchor_raises(ray_session, tmp_path):
+    """Review-confirmed corruption, now fixed: a fine re-replay over a
+    coarse-committed range skips its covered chunks (no stale files),
+    and an as-of read at a fine marker INTERIOR to the coarse commit
+    raises SnapshotExpiredError instead of serving wrong (or empty)
+    state — the anchor's event-time state was never materialized."""
+    import pytest
+
+    from deltaray import SnapshotExpiredError, snapshots
+
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=100, n_events=1200, seed=816,
+                    segment_max_events=200)
+    segs = sorted(glob.glob(os.path.join(log, "*.parquet")))
+    pre = pa.concat_tables([pq.read_table(f) for f in segs[:4]])
+    coarse = str(tmp_path / "coarse")
+    os.makedirs(coarse)
+    pq.write_table(pre, os.path.join(
+        coarse, f"events-00000-{pre['seq'][0].as_py():012d}-"
+                f"{pre['seq'][-1].as_py():012d}.parquet"))
+    replay(ReplayConfig(event_log=coarse, lake=lake, num_partitions=4,
+                        chunk_max_events=10**9, vacuum=False))
+    coarse_anchor = pre["seq"][-1].as_py()
+    # fine re-replay with aggressive compaction: the covered chunks
+    # must SKIP (wrote nothing), the tail applies
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                        chunk_max_events=200, vacuum=False,
+                        compact_every=1))
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=4)
+    want = replay_oracle(cfg)["docs"]
+    got = read_table(lake, "docs")
+    ok, msg = tables_equal(got, want, key="doc_id")
+    assert ok, f"head after covered-skip re-replay: {msg}"
+    # the coarse boundary anchor reads exactly
+    at = read_table(lake, "docs", asof_seq=coarse_anchor)
+    assert at.num_rows > 0
+    # fine markers interior to the coarse commit raise, never serve
+    interior = [s for s in snapshots(lake) if s < coarse_anchor]
+    assert interior, "expected interior fine markers"
+    for s in interior:
+        with pytest.raises(SnapshotExpiredError, match="interior"):
+            read_table(lake, "docs", asof_seq=s)
+    # earliest_snapshot skips the interior anchors
+    from deltaray.pipeline import earliest_snapshot
+    e = earliest_snapshot(lake, "docs")
+    assert e is not None and e >= coarse_anchor, e
+
+
 def test_overlap_lake_chain_bootstrap(ray_session, tmp_path):
     import ray.data as rd
 

@@ -576,9 +576,17 @@ def test_resegmented_rereplay_property(case, tmp_path_factory):
     pre = pa.concat_tables([pq.read_table(f) for f in segs[:k]])
     coarse = str(base / "coarse")
     os.makedirs(coarse)
-    pq.write_table(pre, os.path.join(
-        coarse, f"events-00000-{pre['seq'][0].as_py():012d}-"
-                f"{pre['seq'][-1].as_py():012d}.parquet"))
+    # write the coarse prefix as chunk_coarse-sized SEGMENT FILES:
+    # chunks split only at segment boundaries, so a single file would
+    # make the chunk_coarse draw inert (the coarse replay would always
+    # be one chunk and coarse commits with lo > 0 would never overlap
+    # fine commits)
+    step = min(case["chunk_coarse"], pre.num_rows) or pre.num_rows
+    for si, off in enumerate(range(0, pre.num_rows, step)):
+        sl = pre.slice(off, step)
+        pq.write_table(sl, os.path.join(
+            coarse, f"events-{si:05d}-{sl['seq'][0].as_py():012d}-"
+                    f"{sl['seq'][-1].as_py():012d}.parquet"))
     replay(ReplayConfig(event_log=coarse, lake=lake,
                         num_partitions=case["parts"],
                         chunk_max_events=case["chunk_coarse"],
@@ -595,3 +603,28 @@ def test_resegmented_rereplay_property(case, tmp_path_factory):
     got = read_table(lake, "docs")
     ok, msg = tables_equal(got, want, key="doc_id")
     assert ok, f"{case}: {msg}"
+
+    # every advertised anchor either raises (vacuumed / interior to a
+    # coarser commit) or equals the truncated-log oracle — an as-of
+    # read must never silently serve wrong state
+    import pyarrow.compute as pc
+
+    from deltaray import SnapshotExpiredError, snapshots
+
+    anchors = snapshots(lake)
+    for S in dict.fromkeys(anchors[:2] + anchors[-2:]):
+        try:
+            at = read_table(lake, "docs", asof_seq=S)
+        except SnapshotExpiredError:
+            continue
+        tdir = str(base / f"trunc{S}")
+        os.makedirs(tdir, exist_ok=True)
+        for f in segs:
+            tt = pq.read_table(f)
+            tt = tt.filter(pc.less_equal(tt["seq"], S))
+            if tt.num_rows:
+                pq.write_table(tt, os.path.join(tdir, os.path.basename(f)))
+        want_s = replay_oracle(ReplayConfig(
+            event_log=tdir, lake=str(base / "unused")))["docs"]
+        ok, msg = tables_equal(at, want_s, key="doc_id")
+        assert ok, f"{case}: asof {S}: {msg}"

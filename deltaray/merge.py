@@ -264,7 +264,12 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
         rec = lake.commit_record(tname, part, os.path.basename(cpath))
         if rec is not None:
             return _lineage_row(rec, skipped=True)
-        prev_hi = lake.committed_hi(tname, part)
+        # one listing serves the coverage check AND the compact decision
+        # below (hi-ordered, so the last live commit carries the max
+        # seq_hi; an all-truncated partition falls back to the raw max)
+        live0 = lake.live_commits(tname, part)
+        prev_hi = (int(live0[-1]["seq_hi"]) if live0
+                   else lake.committed_hi(tname, part))
         if chunk_hi <= prev_hi:
             # re-segmented catch-up: this chunk's events are fully
             # covered by already-committed state.  Re-applying them
@@ -327,7 +332,7 @@ def make_merge_fn(lake_root: str, generation: int, chunk_lo: int, chunk_hi: int,
         # time is exactly the compacted state, and per-chunk write
         # amplification drops from O(state) to O(changes).
         ustats: dict = {}
-        live = lake.live_commits(tname, part)
+        live = live0
         compact = (compact_every <= 1 or not live
                    or len(live) + 1 >= compact_every)
         vnames = version_col_names(changes.column_names)

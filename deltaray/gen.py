@@ -266,7 +266,11 @@ def write_event_log(
                 new_schemas = apply_ddl(
                     {dt: st.schema}, dt, dop, ddl_payload(dop, **payload_kw), seq
                 )
-                if dop == "ALTER_TABLE" and "add" in kw:
+                if dop == "ALTER_TABLE" and "add" in kw \
+                        and kw["add"][1] == "string":
+                    # choices drive value synthesis for string columns
+                    # only; numeric adds (e.g. a re-added n_tok) fall to
+                    # the base emitter's special cases or stay null
                     st.extra_cols.append((kw["add"][0], kw.get("choices", ["x", "y", "z"])))
                 if dop == "ALTER_TABLE" and "drop" in kw:
                     st.extra_cols = [

@@ -1206,9 +1206,9 @@ def _live_parts_asof(lake: LakeState, table: str,
                                            "part=*"))):
         p = int(os.path.basename(d).split("=")[1])
         live = lake.live_commits(table, p, before)
+        if before is not None:
+            _raise_if_interior_anchor(lake, table, p, before, live)
         if not live:
-            if before is not None:
-                _raise_if_interior_anchor(lake, table, p, before)
             continue
         if before is not None:
             missing = [c["file"] for c in live
@@ -1223,14 +1223,23 @@ def _live_parts_asof(lake: LakeState, table: str,
 
 
 def _raise_if_interior_anchor(lake: LakeState, table: str, part: int,
-                              before: int) -> None:
-    """A partition with NO live commits at the anchor but a commit whose
-    range SPANS it holds the anchor's events only inside a coarser
+                              before: int,
+                              live: list | None = None) -> None:
+    """A partition whose live set at the anchor is STALE (its newest
+    live commit ends below the anchor — or is empty) while a commit
+    SPANS the anchor holds the anchor's events only inside that coarser
     commit — state at the anchor was never materialized (a fine chunk
-    marker can outlive its data when a coarser re-replay covered the
-    range).  Serving the empty set would silently under-report; raise
-    the same error class as a vacuumed snapshot."""
+    marker can outlive its data when a coarser replay covered the
+    range, in either segmentation direction).  Serving the stale or
+    empty set would silently under-report; raise the same error class
+    as a vacuumed snapshot.  Conservative by design: a quiet partition
+    whose events genuinely stop below the anchor raises only when a
+    spanning commit makes its quietness unprovable from metadata."""
     S = before - 1
+    if live is None:
+        live = lake.live_commits(table, part, before)
+    if live and int(live[-1]["seq_hi"]) >= S:
+        return  # the anchor state is materialized in the live set
     truncs = [t0 for t0 in lake.truncate_seqs(table) if t0 < before]
     tmax = max(truncs) if truncs else None
     for c in lake._list_commits_raw(table, part):
@@ -1286,12 +1295,11 @@ def earliest_snapshot(lake_root: str, table: str,
         ok = True
         for p, on_disk in pstate:
             live = lake.live_commits(table, p, s + 1)
-            if not live:
-                try:
-                    _raise_if_interior_anchor(lake, table, p, s + 1)
-                except SnapshotExpiredError:
-                    ok = False
-                    break
+            try:
+                _raise_if_interior_anchor(lake, table, p, s + 1, live)
+            except SnapshotExpiredError:
+                ok = False
+                break
             if any(c["file"] not in on_disk for c in live):
                 ok = False
                 break
@@ -1589,8 +1597,7 @@ def _live_parts_asof_one(lake: LakeState, table: str, part: int,
     """Vacuum-retention check for a single partition's as-of read."""
     d = lake.part_dir(table, part)
     live = lake.live_commits(table, part, before)
-    if not live:
-        _raise_if_interior_anchor(lake, table, part, before)
+    _raise_if_interior_anchor(lake, table, part, before, live)
     missing = [c["file"] for c in live
                if not os.path.exists(os.path.join(d, c["file"]))]
     if missing:
@@ -1997,25 +2004,30 @@ def expire_snapshots(lake_root: str, table: str, retain_since_seq: int,
     def _expire_part(p: int) -> tuple[int, int]:
         lk = LakeState(lake_root, generation)
         keep = {c["file"] for c in lk.live_commits(table, p, retain + 1)}
+        # partition watermark read BEFORE the listing (see gate comment)
+        barrier = min(retain, lk.committed_hi(table, p))
         pdir = lk.part_dir(table, p)
         n, b = 0, 0
         for f in sorted(os.listdir(pdir)):
-            # Delete only files whose FILENAME seq is at or below the
-            # retained barrier and that the barrier state doesn't use.
-            # The filename gate (not the commit listing) is what makes
-            # this safe concurrently with pipelined merges: a merge
-            # writes its data file BEFORE its commit record, and that
-            # file's embedded seq_hi is always above the committed
-            # barrier R, so an in-flight file is never deleted even
-            # though no commit record references it yet.  This holds
-            # for re-segmented re-replays too: a chunk whose hi is at
-            # or below the partition's committed watermark SKIPS before
-            # writing (merge coverage check), so the only in-flight
-            # writer with a low seq_lo is the extending catch-up chunk,
-            # whose embedded seq_hi exceeds the watermark and hence R.
+            # Delete only files whose FILENAME seq is at or below BOTH
+            # the retained barrier AND this partition's own committed
+            # watermark, and that the barrier state doesn't use.  The
+            # filename gate (not the commit listing) is what makes this
+            # safe concurrently with pipelined merges: a merge writes
+            # its data file BEFORE its commit record, and the coverage
+            # check guarantees that file's embedded seq_hi exceeds the
+            # partition's committed watermark at write time — so
+            # bounding deletions by the watermark (read BEFORE the
+            # directory listing) keeps every in-flight file safe even
+            # when a re-segmented catch-up chunk's hi sits below the
+            # lake-wide barrier R (R is validated against global chunk
+            # markers, which a longer earlier run can have pushed far
+            # past a lagging partition's own watermark).  If the
+            # in-flight record lands before the watermark read instead,
+            # the file is in the live keep set.
             if (f.startswith("data-") and f.endswith(".parquet")
                     and f not in keep
-                    and 0 <= _fname_seq(f) <= retain):
+                    and 0 <= _fname_seq(f) <= barrier):
                 fp = os.path.join(pdir, f)
                 b += os.path.getsize(fp)
                 os.remove(fp)

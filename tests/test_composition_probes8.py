@@ -203,6 +203,129 @@ def test_interior_anchor_raises(ray_session, tmp_path):
     assert e is not None and e >= coarse_anchor, e
 
 
+def test_interior_anchor_raises_multichunk_coarse(ray_session, tmp_path):
+    """Review round 3: the interior guard must also fire when the live
+    set is merely STALE, not empty.  Coarse replay runs as TWO chunks
+    (0,A],(A,B]; a fine re-replay writes finer markers but its covered
+    chunks skip.  An as-of read at a fine marker interior to the SECOND
+    coarse chunk sees live=[(0,A]] (non-empty!) — serving it would
+    silently return state-at-A as state-at-S.  It must raise."""
+    import pytest
+
+    from deltaray import SnapshotExpiredError, snapshots
+
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=100, n_events=1200, seed=817,
+                    segment_max_events=100)
+    segs = sorted(glob.glob(os.path.join(log, "*.parquet")))
+    # coarse = two 400-event segments covering the first 8 fine segments
+    pre = pa.concat_tables([pq.read_table(f) for f in segs[:8]])
+    coarse = str(tmp_path / "coarse")
+    os.makedirs(coarse)
+    half = pre.num_rows // 2
+    for si, sl in enumerate([pre.slice(0, half), pre.slice(half)]):
+        pq.write_table(sl, os.path.join(
+            coarse, f"events-{si:05d}-{sl['seq'][0].as_py():012d}-"
+                    f"{sl['seq'][-1].as_py():012d}.parquet"))
+    replay(ReplayConfig(event_log=coarse, lake=lake, num_partitions=4,
+                        chunk_max_events=half, vacuum=False))
+    coarse_marks = snapshots(lake)
+    assert len(coarse_marks) == 2
+    A, B = coarse_marks
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                        chunk_max_events=100, vacuum=False))
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=4)
+    want = replay_oracle(cfg)["docs"]
+    ok, msg = tables_equal(read_table(lake, "docs"), want, key="doc_id")
+    assert ok, f"head: {msg}"
+    # coarse boundaries read fine; fine markers interior to EITHER
+    # coarse chunk raise (the second-chunk interior is the stale-live
+    # case the first guard missed)
+    for S in (A, B):
+        assert read_table(lake, "docs", asof_seq=S).num_rows > 0
+    interior = [s for s in snapshots(lake) if s < B and s not in (A, B)]
+    assert any(A < s < B for s in interior), interior
+    for s in interior:
+        with pytest.raises(SnapshotExpiredError, match="interior"):
+            read_table(lake, "docs", asof_seq=s)
+
+
+def test_retention_gate_lagging_partition(ray_session, tmp_path):
+    """Review round 3: the retention filename gate must bound deletions
+    by the PARTITION's own committed watermark, not just the lake-wide
+    barrier — an extending catch-up chunk on a lagging partition writes
+    its data file (hi above the partition watermark but below the
+    global barrier) before its commit record, and a concurrent expiry
+    must not delete it."""
+    import numpy as np
+
+    from deltaray.commit import LakeState, _seq12
+    from deltaray.pipeline import expire_snapshots
+    from deltaray.schemas import default_table_schema, event_log_schema
+    from deltaray.transforms import stable_hash_cols
+
+    # choose doc ids by their partition under 2-way hashing
+    schema = default_table_schema("docs")
+    ids = [f"docs-doc{i:08d}" for i in range(200)]
+    kt = pa.table({"doc_id": pa.array(ids)})
+    route = (stable_hash_cols(kt, ["doc_id"]) % np.uint64(2)).astype(int)
+    part0 = [i for i, r in zip(ids, route) if r == 0][:40]
+    part1 = [i for i, r in zip(ids, route) if r == 1][:40]
+    assert part0 and part1
+
+    ev_schema = event_log_schema(schema)
+
+    def seg(rows, n):
+        full = {name: [r.get(name) for r in rows]
+                for name in ev_schema.names}
+        t = pa.table(full, schema=ev_schema)
+        pq.write_table(t, os.path.join(
+            log, f"events-{n:05d}-{rows[0]['seq']:012d}-"
+                 f"{rows[-1]['seq']:012d}.parquet"))
+
+    def ins(seq, doc):
+        return {"seq": seq, "op": "INSERT", "table": "docs",
+                "doc_id": doc, "tokens": [seq % 7, seq % 5],
+                "n_tok": 2, "source": "web", "is_snapshot": False}
+
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    os.makedirs(log)
+    # segment 1 (seq 1..80): both partitions; segment 2 (81..160): ONLY
+    # partition-0 keys -> partition 1's committed watermark stays at 80
+    # while the lake-wide marker advances to 160
+    from deltaray.schemas import ddl_payload
+
+    create = {"seq": 1, "op": "CREATE_TABLE", "table": "docs",
+              "is_snapshot": False,
+              "ddl_payload": ddl_payload("CREATE_TABLE", schema=schema)}
+    rows1 = [create] + [
+        ins(s, (part0 + part1)[(s - 2) % 80]) for s in range(2, 81)]
+    rows2 = [ins(s, part0[(s - 81) % 40]) for s in range(81, 161)]
+    seg(rows1, 0)
+    seg(rows2, 1)
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=2,
+                        chunk_max_events=80, vacuum=False))
+    lk = LakeState(lake, 0)
+    assert lk.committed_hi("docs", 1) == 80, lk.committed_hi("docs", 1)
+    assert lk.committed_hi("docs", 0) == 160
+
+    # the lagging partition's in-flight extending chunk: data file with
+    # hi in (watermark, retain], record not yet written
+    pdir = lk.part_dir("docs", 1)
+    inflight = os.path.join(
+        pdir, f"data-{_seq12(120)}-{_seq12(80)}.parquet")
+    with open(inflight, "wb") as f:
+        f.write(b"x")
+    expire_snapshots(lake, "docs", retain_since_seq=160)
+    assert os.path.exists(inflight), \
+        "in-flight extending file on a lagging partition deleted by " \
+        "retention (hi <= global barrier but above the partition " \
+        "watermark)"
+    os.remove(inflight)
+    # state is intact either way (79 distinct inserts + 40 re-upserts)
+    assert read_table(lake, "docs").num_rows == 79
+
+
 def test_overlap_lake_chain_bootstrap(ray_session, tmp_path):
     import ray.data as rd
 

@@ -1223,8 +1223,7 @@ def _live_parts_asof(lake: LakeState, table: str,
 
 
 def _raise_if_interior_anchor(lake: LakeState, table: str, part: int,
-                              before: int,
-                              live: list | None = None) -> None:
+                              before: int, live: list) -> None:
     """A partition whose live set at the anchor is STALE (its newest
     live commit ends below the anchor — or is empty) while a commit
     SPANS the anchor holds the anchor's events only inside that coarser
@@ -1234,10 +1233,11 @@ def _raise_if_interior_anchor(lake: LakeState, table: str, part: int,
     empty set would silently under-report; raise the same error class
     as a vacuumed snapshot.  Conservative by design: a quiet partition
     whose events genuinely stop below the anchor raises only when a
-    spanning commit makes its quietness unprovable from metadata."""
+    spanning commit makes its quietness unprovable from metadata.
+    ``live`` MUST be the caller's ``live_commits(table, part, before)``
+    for the SAME ``before`` — the staleness check is meaningless
+    against a list filtered at a different anchor."""
     S = before - 1
-    if live is None:
-        live = lake.live_commits(table, part, before)
     if live and int(live[-1]["seq_hi"]) >= S:
         return  # the anchor state is materialized in the live set
     truncs = [t0 for t0 in lake.truncate_seqs(table) if t0 < before]
@@ -2003,9 +2003,16 @@ def expire_snapshots(lake_root: str, table: str, retain_since_seq: int,
 
     def _expire_part(p: int) -> tuple[int, int]:
         lk = LakeState(lake_root, generation)
-        keep = {c["file"] for c in lk.live_commits(table, p, retain + 1)}
-        # partition watermark read BEFORE the listing (see gate comment)
+        # ORDER MATTERS: the watermark must be read BEFORE the keep-set
+        # listing.  An in-flight writer's file has seq_hi above the
+        # watermark it observed, and watermarks only grow — so a file
+        # whose record lands AFTER this read has fname seq_hi > barrier
+        # (filename gate keeps it), and one whose record landed BEFORE
+        # the keep listing is in the live keep set.  Reading the
+        # watermark second would let a record landing between the two
+        # listings raise the barrier past its own file.
         barrier = min(retain, lk.committed_hi(table, p))
+        keep = {c["file"] for c in lk.live_commits(table, p, retain + 1)}
         pdir = lk.part_dir(table, p)
         n, b = 0, 0
         for f in sorted(os.listdir(pdir)):
@@ -2022,9 +2029,12 @@ def expire_snapshots(lake_root: str, table: str, retain_since_seq: int,
             # when a re-segmented catch-up chunk's hi sits below the
             # lake-wide barrier R (R is validated against global chunk
             # markers, which a longer earlier run can have pushed far
-            # past a lagging partition's own watermark).  If the
-            # in-flight record lands before the watermark read instead,
-            # the file is in the live keep set.
+            # past a lagging partition's own watermark).  Trade-off: an
+            # ORPHAN file (crashed writer, commit never recurring under
+            # re-segmented boundaries) above a permanently-stalled
+            # partition's watermark leaks until events advance it —
+            # the price of never racing an in-flight writer; vacuum()
+            # on the single-writer path still reclaims orphans.
             if (f.startswith("data-") and f.endswith(".parquet")
                     and f not in keep
                     and 0 <= _fname_seq(f) <= barrier):

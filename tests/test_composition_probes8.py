@@ -326,6 +326,45 @@ def test_retention_gate_lagging_partition(ray_session, tmp_path):
     assert read_table(lake, "docs").num_rows == 79
 
 
+def test_retention_reads_watermark_before_keep_set(ray_session, tmp_path,
+                                                   monkeypatch):
+    """Review round 4 (TOCTOU): expiry must read the partition
+    watermark BEFORE the keep-set listing — a commit record landing
+    between the two listings must not raise the barrier past its own
+    file.  Pins the call order structurally."""
+    from deltaray import commit as commit_mod
+    from deltaray.pipeline import expire_snapshots
+
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=60, n_events=600, seed=819,
+                    segment_max_events=200)
+    replay(ReplayConfig(event_log=log, lake=lake, num_partitions=2,
+                        chunk_max_events=200, vacuum=False))
+    from deltaray import snapshots
+    retain = snapshots(lake)[-1]
+
+    order: dict[int, list[str]] = {}
+    real_hi = commit_mod.LakeState.committed_hi
+    real_live = commit_mod.LakeState.live_commits
+
+    def spy_hi(self, table, part):
+        order.setdefault(part, []).append("watermark")
+        return real_hi(self, table, part)
+
+    def spy_live(self, table, part, before_seq=None):
+        order.setdefault(part, []).append("keep")
+        return real_live(self, table, part, before_seq)
+
+    monkeypatch.setattr(commit_mod.LakeState, "committed_hi", spy_hi)
+    monkeypatch.setattr(commit_mod.LakeState, "live_commits", spy_live)
+    expire_snapshots(lake, "docs", retain_since_seq=retain)
+    for p, calls in order.items():
+        assert "watermark" in calls and "keep" in calls, (p, calls)
+        assert calls.index("watermark") < calls.index("keep"), \
+            f"part {p}: watermark read after keep set ({calls}) — " \
+            f"an in-flight record landing between them could be deleted"
+
+
 def test_overlap_lake_chain_bootstrap(ray_session, tmp_path):
     import ray.data as rd
 

@@ -326,6 +326,46 @@ def test_retention_gate_lagging_partition(ray_session, tmp_path):
     assert read_table(lake, "docs").num_rows == 79
 
 
+def test_three_phase_resume_coarse_fine_fine(ray_session, tmp_path):
+    """Resume x re-segmentation: coarse prefix replay, then a fine
+    re-replay interrupted partway (simulated by a fine PREFIX log),
+    then the full fine log.  The covered-chunk skip must compose with
+    normal chunk-marker resume across all three phases — final state
+    oracle-exact, idempotent fourth pass a no-op."""
+    import shutil
+
+    log, lake = str(tmp_path / "ev"), str(tmp_path / "lk")
+    write_event_log(log, n_docs=100, n_events=1600, seed=820,
+                    segment_max_events=200)
+    segs = sorted(glob.glob(os.path.join(log, "*.parquet")))
+    pre = pa.concat_tables([pq.read_table(f) for f in segs[:3]])
+    coarse = str(tmp_path / "coarse")
+    os.makedirs(coarse)
+    pq.write_table(pre, os.path.join(
+        coarse, f"events-00000-{pre['seq'][0].as_py():012d}-"
+                f"{pre['seq'][-1].as_py():012d}.parquet"))
+    replay(ReplayConfig(event_log=coarse, lake=lake, num_partitions=4,
+                        chunk_max_events=10**9, vacuum=False))
+    # interrupted fine re-replay: only the first 6 fine segments exist
+    fine_part = str(tmp_path / "fine-part")
+    os.makedirs(fine_part)
+    for f in segs[:6]:
+        shutil.copy(f, os.path.join(fine_part, os.path.basename(f)))
+    replay(ReplayConfig(event_log=fine_part, lake=lake, num_partitions=4,
+                        chunk_max_events=200, vacuum=False))
+    # resumed full fine replay
+    cfg = ReplayConfig(event_log=log, lake=lake, num_partitions=4,
+                       chunk_max_events=200, vacuum=False)
+    replay(cfg)
+    want = replay_oracle(ReplayConfig(event_log=log, lake=lake,
+                                      num_partitions=4))["docs"]
+    ok, msg = tables_equal(read_table(lake, "docs"), want, key="doc_id")
+    assert ok, f"three-phase resume: {msg}"
+    replay(cfg)  # idempotent fourth pass
+    ok, msg = tables_equal(read_table(lake, "docs"), want, key="doc_id")
+    assert ok, f"fourth pass: {msg}"
+
+
 def test_retention_reads_watermark_before_keep_set(ray_session, tmp_path,
                                                    monkeypatch):
     """Review round 4 (TOCTOU): expiry must read the partition
